@@ -1,0 +1,66 @@
+"""Engine configuration — the subset of the reference's ~80-knob
+``CrawlerRunConfig`` (async_configs.py:808-1571) that affects offline
+data-processing output, plus Ray-execution sizing knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Reference config.py:47-50,94
+MIN_WORD_THRESHOLD = 1
+IMPORTANT_ATTRS = ("src", "href", "alt", "title", "width", "height")
+IMAGE_SCORE_THRESHOLD = 2
+TABLE_SCORE_THRESHOLD = 7
+
+# Tags always removed before cleaning (content_scraping_strategy.py:621-623)
+REMOVE_TAGS = ("script", "style", "link", "meta", "noscript", "head")
+
+
+@dataclass
+class ScrapeConfig:
+    """Per-page extraction knobs (mirrors CrawlerRunConfig content params)."""
+
+    word_count_threshold: int = MIN_WORD_THRESHOLD
+    excluded_tags: tuple = ()
+    excluded_classes: tuple = ()  # elements with any of these classes dropped
+    exclude_external_links: bool = False
+    exclude_internal_links: bool = False
+    exclude_external_images: bool = False
+    image_score_threshold: int = IMAGE_SCORE_THRESHOLD
+    table_score_threshold: int = TABLE_SCORE_THRESHOLD
+    image_description_min_words: int = 1
+    only_text: bool = False
+    keep_data_attributes: bool = False
+    citations: bool = True
+    # markdown content source: cleaned_html | raw_html | fit_html
+    content_source: str = "cleaned_html"
+    # fit_html shrink knobs (utils.py preprocess_html_for_schema; wired with
+    # text_threshold=500, max_size=300_000 at async_webcrawler.py:513)
+    fit_text_threshold: int = 500
+    fit_max_size: int = 300_000
+
+
+@dataclass
+class CrawlConfig:
+    """Frontier / wave-loop knobs (deep-crawl strategies + dispatcher)."""
+
+    strategy: str = "bfs"  # bfs | dfs | best_first
+    max_depth: int = 3
+    max_pages: int | None = None
+    score_threshold: float | None = None
+    include_external: bool = False
+    # politeness (async_dispatcher.py:26-83, virtual-time deterministic form)
+    max_pages_per_host_per_wave: int | None = None
+    base_delay_s: float = 2.0  # deterministic midpoint of uniform(1,3)
+    max_delay_s: float = 60.0
+    max_retries: int = 3
+    check_robots: bool = False
+    # execution sizing
+    seen_shards: int = 16
+    scrape_batch_size: int = 64
+    scrape_concurrency: int | None = None
+    # checkpointing
+    checkpoint_dir: str | None = None
+
+    scrape: ScrapeConfig = field(default_factory=ScrapeConfig)

@@ -1,0 +1,375 @@
+"""URL filters + scorers — vectorized re-expressions of the reference's
+deep-crawl FilterChain / URLScorer machinery (deep_crawling/filters.py,
+deep_crawling/scorers.py). Each filter/scorer exposes
+
+    apply(url) -> bool / score(url) -> float       (scalar parity surface)
+    apply_batch(urls) -> np.ndarray[bool] / score_batch(urls) -> np.ndarray
+
+The batch forms are what the Ray stages use; stats counters mirror
+FilterStats (filters.py:19-37) / ScoringStats (scorers.py:26-62) as simple
+per-instance counters that stages surface into wave manifests.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from urllib.parse import urlparse
+
+import numpy as np
+
+from .urls import extract_extension, extract_year, get_base_domain, path_depth
+
+
+class FilterStats:
+    __slots__ = ("total", "passed", "rejected")
+
+    def __init__(self):
+        self.total = 0
+        self.passed = 0
+        self.rejected = 0
+
+    def update(self, mask: np.ndarray):
+        n = int(mask.size)
+        p = int(mask.sum())
+        self.total += n
+        self.passed += p
+        self.rejected += n - p
+
+    def as_dict(self):
+        return {"total": self.total, "passed": self.passed, "rejected": self.rejected}
+
+
+class URLFilter:
+    """Base: subclasses implement _mask(urls)->np.ndarray[bool]."""
+
+    def __init__(self, name: str | None = None):
+        self.name = name or type(self).__name__
+        self.stats = FilterStats()
+
+    def apply(self, url: str) -> bool:
+        return bool(self.apply_batch([url])[0])
+
+    def apply_batch(self, urls) -> np.ndarray:
+        mask = self._mask(list(urls))
+        self.stats.update(mask)
+        return mask
+
+    def _mask(self, urls: list[str]) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+
+class URLPatternFilter(URLFilter):
+    """Glob/regex URL pattern filter (filters.py:117-230 semantics):
+    '*.html' suffix, '/foo/*' prefix, '*.example.com' domain patterns,
+    regex passthrough for ^...$ / \\d patterns, glob for the rest.
+    ``reverse=True`` inverts (block-list)."""
+
+    def __init__(self, patterns, use_glob: bool = True, reverse: bool = False):
+        super().__init__()
+        if isinstance(patterns, (str, re.Pattern)):
+            patterns = [patterns]
+        self._reverse = reverse
+        # (compiled_pattern, use_search) — raw regexes use search(), glob
+        # patterns are fullmatch-style via fnmatch.translate + match().
+        self._matchers: list[tuple[re.Pattern, bool]] = []
+        for p in patterns:
+            if isinstance(p, re.Pattern):
+                self._matchers.append((p, True))
+            elif p.startswith("^") or p.endswith("$") or "\\d" in p:
+                self._matchers.append((re.compile(p), True))
+            else:
+                self._matchers.append((re.compile(fnmatch.translate(p)), False))
+
+    def _mask(self, urls):
+        out = np.zeros(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            out[i] = any(
+                (r.search(u) if use_search else r.match(u)) is not None
+                for r, use_search in self._matchers
+            )
+        if self._reverse:
+            out = ~out
+        return out
+
+
+class DomainFilter(URLFilter):
+    """Allow/block by registrable domain (filters.py:315-412 semantics):
+    blocked wins; if allowed_domains set, subdomains of allowed pass."""
+
+    def __init__(self, allowed_domains=None, blocked_domains=None):
+        super().__init__()
+        self._allowed = {d.lower() for d in (allowed_domains or [])}
+        self._blocked = {d.lower() for d in (blocked_domains or [])}
+
+    @staticmethod
+    def _domain(url: str) -> str:
+        try:
+            d = urlparse(url).netloc.lower().split(":")[0]
+            return re.sub(r"^www\.", "", d)
+        except Exception:
+            return ""
+
+    def _mask(self, urls):
+        out = np.empty(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            d = self._domain(u)
+            base = get_base_domain(u)
+            if d in self._blocked or base in self._blocked:
+                out[i] = False
+            elif self._allowed:
+                out[i] = (
+                    d in self._allowed
+                    or base in self._allowed
+                    or any(d.endswith("." + a) for a in self._allowed)
+                )
+            else:
+                out[i] = True
+        return out
+
+
+class ContentTypeFilter(URLFilter):
+    """Filter by URL file extension (filters.py:236-312 semantics): pass if
+    extension missing (assumed html) or in allowed set."""
+
+    _EXT_TYPES = {
+        "html": "text/html", "htm": "text/html", "php": "text/html",
+        "asp": "text/html", "aspx": "text/html", "jsp": "text/html",
+        "txt": "text/plain", "pdf": "application/pdf",
+        "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
+        "gif": "image/gif", "webp": "image/webp",
+        "json": "application/json", "xml": "application/xml",
+        "css": "text/css", "js": "application/javascript",
+    }
+
+    def __init__(self, allowed_types, check_extension: bool = True):
+        super().__init__()
+        if isinstance(allowed_types, str):
+            allowed_types = [allowed_types]
+        self._allowed = {t.lower() for t in allowed_types}
+        self._check_extension = check_extension
+
+    def _mask(self, urls):
+        out = np.empty(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            if not self._check_extension:
+                out[i] = True
+                continue
+            ext = extract_extension(u)
+            if not ext:
+                out[i] = True
+            else:
+                mime = self._EXT_TYPES.get(ext, "")
+                out[i] = mime in self._allowed or any(
+                    mime.startswith(t) for t in self._allowed
+                )
+        return out
+
+
+class FilterChain:
+    """AND of filters with early-exit, chain-level stats
+    (filters.py:68-116)."""
+
+    def __init__(self, filters=None):
+        self.filters = tuple(filters or [])
+        self.stats = FilterStats()
+
+    def apply(self, url: str) -> bool:
+        return bool(self.apply_batch([url])[0])
+
+    def apply_batch(self, urls) -> np.ndarray:
+        urls = list(urls)
+        mask = np.ones(len(urls), dtype=bool)
+        for f in self.filters:
+            if not mask.any():
+                break
+            # only evaluate survivors, preserving each filter's stats on them
+            idx = np.nonzero(mask)[0]
+            sub = f.apply_batch([urls[i] for i in idx])
+            mask[idx[~sub]] = False
+        self.stats.update(mask)
+        return mask
+
+
+# ---------------------------------------------------------------------------
+# Scorers (deep_crawling/scorers.py)
+# ---------------------------------------------------------------------------
+
+_SCORE_LOOKUP = [1.0, 0.5, 1.0 / 3.0, 0.25]  # scorers.py lookup for |depth-opt|
+_FRESHNESS_SCORES = [1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4]  # scorers.py year diffs
+
+
+class ScoringStats:
+    __slots__ = ("count", "total", "min", "max")
+
+    def __init__(self):
+        self.count = 0
+        self.total = 0.0
+        self.min = None
+        self.max = None
+
+    def update(self, scores: np.ndarray):
+        if scores.size == 0:
+            return
+        self.count += int(scores.size)
+        self.total += float(scores.sum())
+        mn, mx = float(scores.min()), float(scores.max())
+        self.min = mn if self.min is None else min(self.min, mn)
+        self.max = mx if self.max is None else max(self.max, mx)
+
+    def as_dict(self):
+        return {
+            "count": self.count,
+            "total": self.total,
+            "min": self.min,
+            "max": self.max,
+            "mean": (self.total / self.count) if self.count else None,
+        }
+
+
+class URLScorer:
+    def __init__(self, weight: float = 1.0):
+        self.weight = weight
+        self.stats = ScoringStats()
+
+    def score(self, url: str) -> float:
+        return float(self.score_batch([url])[0])
+
+    def score_batch(self, urls) -> np.ndarray:
+        s = self._scores(list(urls)) * self.weight
+        self.stats.update(s)
+        return s
+
+    def _scores(self, urls: list[str]) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+
+class KeywordRelevanceScorer(URLScorer):
+    """fraction of keywords present as substrings (scorers.py:160-188)."""
+
+    def __init__(self, keywords, weight: float = 1.0, case_sensitive: bool = False):
+        super().__init__(weight)
+        self._case = case_sensitive
+        self._keywords = [k if case_sensitive else k.lower() for k in keywords]
+
+    def _scores(self, urls):
+        out = np.empty(len(urls), dtype=np.float64)
+        n = len(self._keywords)
+        for i, u in enumerate(urls):
+            if not self._case:
+                u = u.lower()
+            out[i] = sum(1 for k in self._keywords if k in u) / n if n else 0.0
+        return out
+
+
+class PathDepthScorer(URLScorer):
+    """1/(1+|depth-optimal|) with small-distance lookup (scorers.py:190-244)."""
+
+    def __init__(self, optimal_depth: int = 3, weight: float = 1.0):
+        super().__init__(weight)
+        self._optimal = optimal_depth
+
+    def _scores(self, urls):
+        out = np.empty(len(urls), dtype=np.float64)
+        for i, u in enumerate(urls):
+            d = abs(path_depth(u) - self._optimal)
+            out[i] = _SCORE_LOOKUP[d] if d < 4 else 1.0 / (1.0 + d)
+        return out
+
+
+class ContentTypeScorer(URLScorer):
+    """Extension → weight lookup (scorers.py:246-334)."""
+
+    def __init__(self, type_weights: dict, weight: float = 1.0):
+        super().__init__(weight)
+        self._exact = {}
+        self._regex = []
+        for pattern, score in type_weights.items():
+            if pattern.startswith(".") and pattern.endswith("$"):
+                self._exact[pattern[1:-1]] = score
+            else:
+                self._regex.append((re.compile(pattern), score))
+        self._regex.sort(key=lambda x: -x[1])
+
+    def _scores(self, urls):
+        out = np.zeros(len(urls), dtype=np.float64)
+        for i, u in enumerate(urls):
+            ext = extract_extension(u)
+            if ext and ext in self._exact:
+                out[i] = self._exact[ext]
+                continue
+            for pat, sc in self._regex:
+                if pat.search(u):
+                    out[i] = sc
+                    break
+        return out
+
+
+class FreshnessScorer(URLScorer):
+    """Year-in-URL freshness (scorers.py:336-428); 0.5 default w/o date."""
+
+    def __init__(self, weight: float = 1.0, current_year: int = 2024):
+        super().__init__(weight)
+        self._year = current_year
+
+    def _scores(self, urls):
+        out = np.empty(len(urls), dtype=np.float64)
+        for i, u in enumerate(urls):
+            y = extract_year(u, self._year)
+            if y is None:
+                out[i] = 0.5
+            else:
+                diff = self._year - y
+                out[i] = (
+                    _FRESHNESS_SCORES[diff]
+                    if diff < len(_FRESHNESS_SCORES)
+                    else max(0.1, 1.0 - diff * 0.1)
+                )
+        return out
+
+
+class DomainAuthorityScorer(URLScorer):
+    """Domain → authority weight lookup (scorers.py:430-530)."""
+
+    def __init__(self, domain_weights: dict, default_weight: float = 0.5, weight: float = 1.0):
+        super().__init__(weight)
+        self._weights = {d.lower(): s for d, s in domain_weights.items()}
+        self._default = default_weight
+
+    @staticmethod
+    def _domain(url: str) -> str:
+        start = url.find("://")
+        start = 0 if start == -1 else start + 3
+        end = len(url)
+        for ch in "/?#":
+            p = url.find(ch, start)
+            if p != -1:
+                end = min(end, p)
+        domain = url[start:end]
+        port = domain.rfind(":")
+        if port != -1:
+            domain = domain[:port]
+        return domain.lower()
+
+    def _scores(self, urls):
+        return np.array(
+            [self._weights.get(self._domain(u), self._default) for u in urls],
+            dtype=np.float64,
+        )
+
+
+class CompositeScorer(URLScorer):
+    """Sum of child scorers, optionally normalized (scorers.py:123-158)."""
+
+    def __init__(self, scorers, normalize: bool = False):
+        super().__init__(weight=1.0)
+        self._scorers = list(scorers)
+        self._normalize = normalize
+
+    def _scores(self, urls):
+        total = np.zeros(len(urls), dtype=np.float64)
+        for s in self._scorers:
+            total += s.score_batch(urls)
+        if self._normalize and self._scorers:
+            total /= len(self._scorers)
+        return total

@@ -1,0 +1,230 @@
+"""URL canonicalization / classification functions.
+
+Clean-room reimplementations of the reference's URL semantics
+(``/root/reference/crawl4ai/utils.py:2122-2402``,
+``deep_crawling/bfs_strategy.py:46-66``); behaviour matched by spec, not by
+code copy. Scalar functions + vectorized batch wrappers for use inside
+``Dataset.map_batches``.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import (
+    parse_qs,
+    parse_qsl,
+    quote,
+    unquote,
+    urlencode,
+    urljoin,
+    urlparse,
+    urlunparse,
+)
+
+import numpy as np
+import pyarrow as pa
+
+# Tracking params dropped by the full normalizer (utils.py:2177-2181).
+_TRACKING_PARAMS = {
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "ref", "ref_src",
+}
+# The (smaller) set dropped by the dedup-key normalizer (utils.py:2230).
+_DEEP_TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "ref", "fbclid")
+
+# Multi-part TLD second-level labels recognised by get_base_domain
+# (utils.py:2347-2362).
+_SPECIAL_SLDS = {
+    "co", "com", "org", "gov", "edu", "net", "mil", "int",
+    "ac", "ad", "ae", "af", "ag",
+}
+
+_WWW_RE = re.compile(r"^www\.")
+
+
+def normalize_url(
+    href: str,
+    base_url: str,
+    *,
+    drop_query_tracking: bool = True,
+    sort_query: bool = True,
+    keep_fragment: bool = False,
+    extra_drop_params=None,
+) -> str | None:
+    """Canonical URL form (reference utils.py:2122-2205).
+
+    urljoin → lowercase netloc → quote(unquote(path)) → strip trailing '/'
+    (except root) → lowercase+filter+sort query params → drop fragment.
+    """
+    if not href:
+        return None
+    full_url = urljoin(base_url, href.strip())
+    parsed = urlparse(full_url)
+
+    netloc = parsed.netloc.lower()
+
+    path = quote(unquote(parsed.path))
+    if path.endswith("/") and path != "/":
+        path = path.rstrip("/")
+
+    query = parsed.query
+    if query:
+        params = [(k.lower(), v) for k, v in parse_qsl(query, keep_blank_values=True)]
+        if drop_query_tracking:
+            drop = _TRACKING_PARAMS
+            if extra_drop_params:
+                drop = drop | {p.lower() for p in extra_drop_params}
+            params = [(k, v) for k, v in params if k not in drop]
+        if sort_query:
+            params.sort(key=lambda kv: kv[0])
+        query = urlencode(params, doseq=True) if params else ""
+
+    fragment = parsed.fragment if keep_fragment else ""
+    return urlunparse((parsed.scheme, netloc, path, parsed.params, query, fragment))
+
+
+def normalize_url_for_deep_crawl(href: str, base_url: str) -> str | None:
+    """The URL-seen dedup key (reference utils.py:2208-2253).
+
+    Note the reference uses ``parse_qs`` here (first-occurrence key order,
+    blank values dropped, duplicate keys merged) and rstrips ALL trailing
+    slashes from the path — we mirror that exactly since the seen-set parity
+    depends on it.
+    """
+    if not href:
+        return None
+    full_url = urljoin(base_url, href.strip())
+    parsed = urlparse(full_url)
+    netloc = parsed.netloc.lower()
+    query = parsed.query
+    if query:
+        params = parse_qs(query)
+        for p in _DEEP_TRACKING_PARAMS:
+            params.pop(p, None)
+        query = urlencode(params, doseq=True) if params else ""
+    return urlunparse(
+        (parsed.scheme, netloc, parsed.path.rstrip("/"), parsed.params, query, "")
+    )
+
+
+def get_base_domain(url: str) -> str:
+    """Registrable domain with co.uk-style heuristic (utils.py:2320-2368)."""
+    try:
+        domain = urlparse(url).netloc.lower()
+        if not domain:
+            return ""
+        domain = domain.split(":")[0]
+        domain = _WWW_RE.sub("", domain)
+        parts = domain.split(".")
+        if len(parts) > 2 and parts[-2] in _SPECIAL_SLDS:
+            return ".".join(parts[-3:])
+        return ".".join(parts[-2:])
+    except Exception:
+        return ""
+
+
+_SPECIAL_SCHEMES = ("mailto:", "tel:", "ftp:", "file:", "data:", "javascript:")
+
+
+def is_external_url(url: str, base_domain: str) -> bool:
+    """Internal/external link split (utils.py:2371-2402)."""
+    low = url.lower()
+    if low.startswith(_SPECIAL_SCHEMES):
+        return True
+    try:
+        parsed = urlparse(url)
+        if not parsed.netloc:
+            return False
+        url_domain = parsed.netloc.lower().replace("www.", "")
+        base = base_domain.lower().replace("www.", "")
+        return not url_domain.endswith(base)
+    except Exception:
+        return False
+
+
+def is_valid_crawl_url(url: str) -> bool:
+    """Deep-crawl URL validity gate (bfs_strategy.py:46-66):
+    scheme in {http, https} and netloc contains a dot."""
+    try:
+        parsed = urlparse(url)
+        return parsed.scheme in ("http", "https") and "." in parsed.netloc
+    except Exception:
+        return False
+
+
+def host_of(url: str) -> str:
+    """netloc, lowercased, port stripped — the politeness partition key."""
+    try:
+        netloc = urlparse(url).netloc.lower()
+        return netloc.split(":")[0]
+    except Exception:
+        return ""
+
+
+def path_depth(url: str) -> int:
+    """Number of non-empty path segments (scorers.py:197-228)."""
+    pos = url.find("/", url.find("://") + 3)
+    if pos == -1:
+        return 0
+    path = url[pos:]
+    if not path or path == "/":
+        return 0
+    return sum(1 for seg in path.split("/") if seg)
+
+
+def extract_extension(url: str) -> str:
+    """File extension after last '.', stopping at ?#; (scorers.py:272-302)."""
+    pos = url.rfind(".")
+    if pos == -1:
+        return ""
+    end = len(url)
+    for i in range(pos + 1, len(url)):
+        c = url[i]
+        if c in "?#;" or not c.isalnum():
+            end = i
+            break
+    return url[pos + 1 : end].lower()
+
+
+_YEAR_RE = re.compile(
+    r"(?:/|[-_])((?:19|20)\d{2})(?:(?:/|[-_])(?:\d{2})(?:(?:/|[-_])(?:\d{2}))?)?"
+)
+
+
+def extract_year(url: str, current_year: int = 2024) -> int | None:
+    """Most recent plausible year in a URL path (scorers.py:350-387)."""
+    latest = None
+    for m in _YEAR_RE.finditer(url):
+        year = int(m.group(1))
+        if year <= current_year and (latest is None or year > latest):
+            latest = year
+    return latest
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch wrappers (operate on python lists / pyarrow arrays).
+# URL parsing is stdlib-bound, so these are tight list comprehensions over a
+# batch — invoked from map_batches, never per-row from the driver.
+# ---------------------------------------------------------------------------
+
+def normalize_batch(hrefs, base_urls) -> list[str | None]:
+    return [normalize_url(h, b) for h, b in zip(hrefs, base_urls)]
+
+
+def seen_key_batch(hrefs, base_urls) -> list[str | None]:
+    return [normalize_url_for_deep_crawl(h, b) for h, b in zip(hrefs, base_urls)]
+
+
+def host_batch(urls) -> list[str]:
+    return [host_of(u) for u in urls]
+
+
+def valid_mask(urls) -> np.ndarray:
+    return np.fromiter((is_valid_crawl_url(u) for u in urls), dtype=bool, count=len(urls))
+
+
+def hosts_array(urls: pa.Array | list) -> pa.Array:
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    py = urls.to_pylist() if isinstance(urls, pa.Array) else list(urls)
+    return pa.array(host_batch(py), type=pa.string())

@@ -1,0 +1,233 @@
+"""Minimal DOM built on the stdlib ``html.parser.HTMLParser``.
+
+The reference scrapes with lxml/BeautifulSoup (content_scraping_strategy.py);
+neither is available in this environment, so the engine carries its own tiny,
+dependency-free DOM: enough structure for cleaning, link/media/table
+extraction and markdown generation, with deterministic serialization (the
+byte-identity anchor for extracted text).
+"""
+
+from __future__ import annotations
+
+from html import escape, unescape
+from html.parser import HTMLParser
+
+VOID_TAGS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+# Tags whose raw text content is preserved verbatim (no ws collapsing).
+PRE_TAGS = frozenset({"pre", "textarea"})
+
+# Block-level tags: close an open <p>, and delimit text blocks.
+BLOCK_TAGS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "div", "dl", "dd", "dt",
+        "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
+        "h3", "h4", "h5", "h6", "header", "hr", "li", "main", "nav", "ol",
+        "p", "pre", "section", "table", "tbody", "td", "tfoot", "th",
+        "thead", "tr", "ul",
+    }
+)
+
+# Tags auto-closed when a sibling of the same kind opens (lenient HTML).
+_AUTOCLOSE_SIBLING = {
+    "li": {"li"},
+    "p": BLOCK_TAGS,
+    "td": {"td", "th", "tr"},
+    "th": {"td", "th", "tr"},
+    "tr": {"tr"},
+    "option": {"option"},
+    "dd": {"dd", "dt"},
+    "dt": {"dd", "dt"},
+}
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict | None = None, parent: "Element | None" = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []  # Element | str (text node)
+        self.parent = parent
+
+    # -- queries ----------------------------------------------------------
+    def get(self, key: str, default=None):
+        return self.attrs.get(key, default)
+
+    def iter(self):
+        """Depth-first pre-order over elements (self included)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(c for c in reversed(node.children) if isinstance(c, Element))
+
+    def find_all(self, *tags: str):
+        tagset = set(tags)
+        return [e for e in self.iter() if e.tag in tagset]
+
+    def find(self, *tags: str):
+        tagset = set(tags)
+        for e in self.iter():
+            if e.tag in tagset:
+                return e
+        return None
+
+    def find_parent(self, tag: str):
+        p = self.parent
+        while p is not None:
+            if p.tag == tag:
+                return p
+            p = p.parent
+        return None
+
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    # -- text -------------------------------------------------------------
+    def itertext(self):
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                yield node
+            else:
+                stack.extend(reversed(node.children))
+
+    def text(self, *, strip: bool = True, collapse: bool = True) -> str:
+        raw = "".join(self.itertext())
+        if collapse:
+            raw = " ".join(raw.split())
+        return raw.strip() if strip else raw
+
+    def word_count(self) -> int:
+        return len(self.text().split())
+
+    # -- mutation ---------------------------------------------------------
+    def detach(self):
+        if self.parent is not None:
+            self.parent.children = [c for c in self.parent.children if c is not self]
+            self.parent = None
+
+    # -- serialization ----------------------------------------------------
+    def serialize(self, keep_attrs=None) -> str:
+        out: list[str] = []
+        self._serialize_into(out, keep_attrs)
+        return "".join(out)
+
+    def _serialize_into(self, out: list, keep_attrs):
+        attrs = self.attrs
+        if keep_attrs is not None:
+            attrs = {k: v for k, v in attrs.items() if k in keep_attrs}
+        attr_s = "".join(
+            f' {k}="{escape(v, quote=True)}"' if v is not None else f" {k}"
+            for k, v in attrs.items()
+        )
+        if self.tag == "[doc]":
+            for c in self.children:
+                if isinstance(c, str):
+                    out.append(escape(c, quote=False))
+                else:
+                    c._serialize_into(out, keep_attrs)
+            return
+        out.append(f"<{self.tag}{attr_s}>")
+        if self.tag in VOID_TAGS:
+            return
+        for c in self.children:
+            if isinstance(c, str):
+                out.append(escape(c, quote=False))
+            else:
+                c._serialize_into(out, keep_attrs)
+        out.append(f"</{self.tag}>")
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("[doc]")
+        self.stack = [self.root]
+
+    # lenient auto-closing of li/p/td/… siblings
+    def _autoclose(self, tag: str):
+        top = self.stack[-1]
+        while len(self.stack) > 1:
+            top = self.stack[-1]
+            closers = _AUTOCLOSE_SIBLING.get(top.tag)
+            if closers and tag in closers:
+                self.stack.pop()
+            else:
+                break
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        self._autoclose(tag)
+        attr_dict = {}
+        for k, v in attrs:
+            if k not in attr_dict:  # first occurrence wins
+                attr_dict[k.lower()] = v if v is not None else ""
+        el = Element(tag, attr_dict, parent=self.stack[-1])
+        self.stack[-1].children.append(el)
+        if tag not in VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.lower()
+        attr_dict = {}
+        for k, v in attrs:
+            if k not in attr_dict:
+                attr_dict[k.lower()] = v if v is not None else ""
+        el = Element(tag, attr_dict, parent=self.stack[-1])
+        self.stack[-1].children.append(el)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            return
+        # pop until matching open tag (lenient recovery)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Element:
+    builder = _DomBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def decode_html(raw) -> str:
+    """bytes → str with charset fallback (the reference charset-detects at
+    async_crawler_strategy.py:2387-2389; offline corpus is utf-8-first)."""
+    if isinstance(raw, str):
+        return raw
+    if raw is None:
+        return ""
+    for enc in ("utf-8", "latin-1"):
+        try:
+            return raw.decode(enc)
+        except UnicodeDecodeError:
+            continue
+    return raw.decode("utf-8", errors="replace")
+
+
+__all__ = [
+    "Element",
+    "parse_html",
+    "decode_html",
+    "unescape",
+    "VOID_TAGS",
+    "PRE_TAGS",
+    "BLOCK_TAGS",
+]
