@@ -62,5 +62,8 @@ class CrawlConfig:
     scrape_concurrency: int | None = None
     # checkpointing
     checkpoint_dir: str | None = None
+    # link gating/prioritization (functions.filters instances; picklable)
+    filter_chain: object | None = None
+    url_scorer: object | None = None
 
     scrape: ScrapeConfig = field(default_factory=ScrapeConfig)

@@ -136,4 +136,10 @@ class ExtractPages:
             pa.array(cols[f.name], type=f.type) for f in DOCS_SCHEMA
         ]
         assert all(len(a) == n for a in arrays)
-        return pa.Table.from_arrays(arrays, schema=DOCS_SCHEMA)
+        out = pa.Table.from_arrays(arrays, schema=DOCS_SCHEMA)
+        # pass through frontier bookkeeping columns when present (depth,
+        # parent_url, score ride along from the fetch stage)
+        for name in ("depth", "parent_url", "score"):
+            if name in batch.column_names:
+                out = out.append_column(name, batch.column(name))
+        return out

@@ -1,0 +1,197 @@
+"""Per-host politeness + robots, in deterministic virtual time.
+
+The reference's RateLimiter (async_dispatcher.py:26-83) keeps wall-clock
+per-domain state: base delay uniform(1,3)s, ×2 backoff on {429,503} capped
+at 60s, ×0.75 recovery on success, max 3 retries. An offline corpus has no
+real clock or status codes, so — per SURVEY.md §7.4 — politeness here is a
+*virtual-time budget model*: deterministic seeded delays, per-host
+token-bucket accounting, and a per-wave per-host admission cap. Conformance
+goldens are defined under the same model.
+
+Robots evaluation uses stdlib ``urllib.robotparser`` (the same engine the
+reference's RobotsParser wraps, utils.py:313-365) over an offline rules
+table.
+
+State is host-partitioned: ``PolitenessShard`` actors keyed by
+hash(host) % P, so one host's state lives on exactly one actor — the Ray
+translation of the reference's single-process ``domains`` dict.
+"""
+
+from __future__ import annotations
+
+from urllib.robotparser import RobotFileParser
+
+import numpy as np
+
+import ray
+
+from ..functions.hashing import hash64
+
+
+class HostState:
+    __slots__ = ("current_delay", "fail_count", "virtual_clock", "pages_fetched")
+
+    def __init__(self, base_delay: float):
+        self.current_delay = base_delay
+        self.fail_count = 0
+        self.virtual_clock = 0.0
+        self.pages_fetched = 0
+
+
+@ray.remote(num_cpus=0.25)
+class PolitenessShard:
+    """Politeness + robots state for a hash partition of hosts."""
+
+    def __init__(
+        self,
+        base_delay: float = 2.0,
+        max_delay: float = 60.0,
+        robots_rules: dict[str, str] | None = None,
+    ):
+        self.base_delay = base_delay
+        self.max_delay = max_delay
+        self.hosts: dict[str, HostState] = {}
+        self.robots: dict[str, RobotFileParser] = {}
+        if robots_rules:
+            for host, rules_text in robots_rules.items():
+                rp = RobotFileParser()
+                rp.parse(rules_text.splitlines())
+                self.robots[host] = rp
+
+    def _state(self, host: str) -> HostState:
+        st = self.hosts.get(host)
+        if st is None:
+            st = HostState(self.base_delay)
+            self.hosts[host] = st
+        return st
+
+    def robots_allowed(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+        out = np.ones(len(urls), dtype=bool)
+        for i, (h, u) in enumerate(zip(hosts, urls)):
+            rp = self.robots.get(h)
+            if rp is not None:
+                out[i] = rp.can_fetch("*", u)
+        return out
+
+    def admit(
+        self, hosts: list[str], per_host_cap: int | None
+    ) -> tuple[np.ndarray, dict]:
+        """Virtual-time admission for one wave's candidates on this shard.
+
+        Candidates MUST arrive in deterministic (priority) order — the
+        driver sorts the wave before admission. Each admitted fetch
+        advances the host's virtual clock by its current delay; a per-wave
+        cap (politeness budget) rejects the host's overflow.
+        Returns (admitted_mask, per-host metrics).
+        """
+        out = np.ones(len(hosts), dtype=bool)
+        wave_counts: dict[str, int] = {}
+        for i, h in enumerate(hosts):
+            c = wave_counts.get(h, 0)
+            if per_host_cap is not None and c >= per_host_cap:
+                out[i] = False
+                continue
+            wave_counts[h] = c + 1
+            st = self._state(h)
+            st.virtual_clock += st.current_delay
+            st.pages_fetched += 1
+        metrics = {
+            "hosts_touched": len(wave_counts),
+            "admitted": int(out.sum()),
+            "rejected": int((~out).sum()),
+        }
+        return out, metrics
+
+    def report_status(self, hosts: list[str], statuses: list[int]) -> None:
+        """Backoff/recovery parity (async_dispatcher.py:63-83): ×2 on
+        429/503 capped at max_delay, ×0.75 recovery floored at base."""
+        for h, code in zip(hosts, statuses):
+            st = self._state(h)
+            if code in (429, 503):
+                st.fail_count += 1
+                st.current_delay = min(st.current_delay * 2.0, self.max_delay)
+            else:
+                st.current_delay = max(self.base_delay, st.current_delay * 0.75)
+
+    def stats(self) -> dict:
+        return {
+            "hosts": len(self.hosts),
+            "total_fetched": sum(s.pages_fetched for s in self.hosts.values()),
+            "max_virtual_clock": max(
+                (s.virtual_clock for s in self.hosts.values()), default=0.0
+            ),
+        }
+
+
+class PolitenessPool:
+    """Driver-side handle: routes host batches to their shard actors."""
+
+    def __init__(
+        self,
+        num_shards: int = 4,
+        base_delay: float = 2.0,
+        max_delay: float = 60.0,
+        robots_rules: dict[str, str] | None = None,
+    ):
+        self.num_shards = num_shards
+        rules_by_shard: list[dict] = [{} for _ in range(num_shards)]
+        if robots_rules:
+            hosts = list(robots_rules)
+            hs = hash64(hosts)
+            for h, hh in zip(hosts, hs):
+                rules_by_shard[int(hh) % num_shards][h] = robots_rules[h]
+        self.shards = [
+            PolitenessShard.remote(base_delay, max_delay, rules_by_shard[i])
+            for i in range(num_shards)
+        ]
+
+    def _split(self, hosts: list[str]):
+        hh = hash64(hosts)
+        sid = (hh % np.uint64(self.num_shards)).astype(np.int64)
+        return sid
+
+    def robots_allowed(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+        sid = self._split(hosts)
+        out = np.ones(len(hosts), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(sid == s)[0]
+            if len(idx):
+                refs.append(
+                    self.shards[s].robots_allowed.remote(
+                        [hosts[i] for i in idx], [urls[i] for i in idx]
+                    )
+                )
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(refs)):
+            out[idx] = res
+        return out
+
+    def admit(self, hosts: list[str], per_host_cap: int | None) -> np.ndarray:
+        """hosts must already be in deterministic wave priority order."""
+        sid = self._split(hosts)
+        out = np.ones(len(hosts), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(sid == s)[0]
+            if len(idx):
+                refs.append(
+                    self.shards[s].admit.remote([hosts[i] for i in idx], per_host_cap)
+                )
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(refs)):
+            out[idx] = res[0]
+        return out
+
+    def stats(self) -> dict:
+        per = ray.get([s.stats.remote() for s in self.shards])
+        return {
+            "hosts": sum(p["hosts"] for p in per),
+            "total_fetched": sum(p["total_fetched"] for p in per),
+            "max_virtual_clock": max(p["max_virtual_clock"] for p in per),
+        }
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
