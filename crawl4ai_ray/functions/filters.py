@@ -129,40 +129,56 @@ class DomainFilter(URLFilter):
 
 
 class ContentTypeFilter(URLFilter):
-    """Filter by URL file extension (filters.py:236-312 semantics): pass if
-    extension missing (assumed html) or in allowed set."""
+    """Filter by URL file extension (filters.py:257-430 semantics): the
+    extension comes from the path's last segment only (no '.' in the
+    filename → pass, assumed html); allowed when the extension's MIME type
+    contains any allowed type substring."""
 
-    _EXT_TYPES = {
-        "html": "text/html", "htm": "text/html", "php": "text/html",
-        "asp": "text/html", "aspx": "text/html", "jsp": "text/html",
-        "txt": "text/plain", "pdf": "application/pdf",
-        "jpg": "image/jpeg", "jpeg": "image/jpeg", "png": "image/png",
-        "gif": "image/gif", "webp": "image/webp",
+    _MIME_MAP = {
+        "txt": "text/plain", "html": "text/html", "htm": "text/html",
+        "xhtml": "application/xhtml+xml", "css": "text/css", "csv": "text/csv",
+        "js": "application/javascript",
+        "bmp": "image/bmp", "gif": "image/gif", "jpeg": "image/jpeg",
+        "jpg": "image/jpeg", "png": "image/png", "svg": "image/svg+xml",
+        "webp": "image/webp", "ico": "image/x-icon",
+        "mp3": "audio/mpeg", "wav": "audio/wav", "ogg": "audio/ogg",
+        "mp4": "video/mp4", "mpeg": "video/mpeg", "webm": "video/webm",
         "json": "application/json", "xml": "application/xml",
-        "css": "text/css", "js": "application/javascript",
+        "pdf": "application/pdf", "zip": "application/zip",
+        "gz": "application/gzip", "doc": "application/msword",
+        "php": "application/x-httpd-php",
     }
 
     def __init__(self, allowed_types, check_extension: bool = True):
         super().__init__()
         if isinstance(allowed_types, str):
             allowed_types = [allowed_types]
-        self._allowed = {t.lower() for t in allowed_types}
+        self._allowed = frozenset(t.lower() for t in allowed_types)
         self._check_extension = check_extension
+        self._allowed_exts = frozenset(
+            ext
+            for ext, mime in self._MIME_MAP.items()
+            if any(a in mime for a in self._allowed)
+        )
+
+    @staticmethod
+    def _extension(url: str) -> str:
+        if "://" in url:
+            url = url.split("://", 1)[-1]
+        path_start = url.find("/")
+        path = url[path_start:] if path_start != -1 else ""
+        filename = path.rsplit("/", 1)[-1] if "/" in path else ""
+        if "." not in filename:
+            return ""
+        return filename.rpartition(".")[-1].lower()
 
     def _mask(self, urls):
+        if not self._check_extension:
+            return np.ones(len(urls), dtype=bool)
         out = np.empty(len(urls), dtype=bool)
         for i, u in enumerate(urls):
-            if not self._check_extension:
-                out[i] = True
-                continue
-            ext = extract_extension(u)
-            if not ext:
-                out[i] = True
-            else:
-                mime = self._EXT_TYPES.get(ext, "")
-                out[i] = mime in self._allowed or any(
-                    mime.startswith(t) for t in self._allowed
-                )
+            ext = self._extension(u)
+            out[i] = (not ext) or ext in self._allowed_exts
         return out
 
 

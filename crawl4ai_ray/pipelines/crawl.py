@@ -283,8 +283,6 @@ def crawl(
                 "wall_s": round(time.time() - t0, 3),
                 "frontier_urls": frontier_urls,
             }
-            run.waves.append(manifest)
-
             if out_dir and wave_dir:
                 pq.write_table(
                     _sort_pending(pending, cfg.strategy),
@@ -295,6 +293,9 @@ def crawl(
                         f.write(payload)
                 with open(os.path.join(wave_dir, "manifest.json"), "w") as f:
                     json.dump(manifest, f)
+            # in-memory extras (not JSON-serializable, used by queries/tests)
+            manifest["frontier_table"] = admitted
+            run.waves.append(manifest)
 
             wave += 1
             if wave > 10_000:  # safety

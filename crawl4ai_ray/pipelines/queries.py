@@ -1,0 +1,623 @@
+"""Named queries + DuckDB oracle SQL — the correctness surface.
+
+Each entry runs a Ray Data pipeline over the testdata tables (and the
+deterministically synthesized pages corpus, sources/pages.py) and, where the
+semantics are ANSI-SQL-expressible, carries a DuckDB oracle that reconstructs
+the same result from the raw tables — including the pages corpus itself,
+whose construction is pure doc_id arithmetic precisely so the oracle can
+rebuild it in SQL (link graph via UNION of edge rules, BFS via recursive
+CTE). Column names match between Ray and SQL by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import CrawlConfig
+from ..functions.filters import (
+    CompositeScorer,
+    FreshnessScorer,
+    KeywordRelevanceScorer,
+    PathDepthScorer,
+    URLPatternFilter,
+)
+from ..functions.urls import normalize_url, normalize_url_for_deep_crawl
+from ..sources.pages import url_of
+from ..stages import ann, dedup, textstats
+from ..stages.extract import ExtractPages
+from ..state.politeness import PolitenessPool
+from .crawl import crawl
+from .extract_pipeline import extract_pipeline
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments — MUST mirror sources/pages.py arithmetic
+# ---------------------------------------------------------------------------
+
+SQL_PAGES = """
+pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 50 END AS host_id
+  FROM documents
+),
+purl AS (
+  SELECT doc_id,
+         host_id,
+         'site' || host_id || '.example.com' AS host,
+         'https://site' || host_id || '.example.com' AS site,
+         'https://site' || host_id || '.example.com/page/' || doc_id AS url
+  FROM pages
+)
+"""
+
+SQL_EDGES = """
+nn AS (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS src_id, (2 * doc_id + 1) % nn.c AS dst_id FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+edges AS (
+  SELECT DISTINCT u1.url AS src, u2.url AS dst
+  FROM child JOIN purl u1 ON u1.doc_id = child.src_id
+             JOIN purl u2 ON u2.doc_id = child.dst_id
+  UNION
+  SELECT DISTINCT url AS src, site AS dst FROM purl
+)
+"""
+
+
+def _pages_ds(sf_dir: str, columns=None):
+    from ..sources.pages import read_pages
+
+    return read_pages(sf_dir, columns=columns)
+
+
+def _docs(sf_dir: str):
+    return extract_pipeline(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# crawl-side queries
+# ---------------------------------------------------------------------------
+
+def q_pages_per_host(sf_dir: str):
+    from ..functions.urls import hosts_array
+
+    pages = _pages_ds(sf_dir, columns=["url"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        return pa.table({"host": hosts_array(batch.column("url"))})
+
+    out = pages.map_batches(add_host, batch_format="pyarrow").groupby("host").count()
+    return out.rename_columns({"count()": "n_pages"}).map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_pages"),
+            "n_pages",
+            b.column("n_pages").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_hosts(sf_dir: str):
+    return (
+        q_pages_per_host(sf_dir)
+        .sort(["n_pages", "host"], descending=[True, False])
+        .limit(5)
+    )
+
+
+def q_link_graph_edges(sf_dir: str):
+    docs = _docs(sf_dir).select_columns(["url", "links_internal"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for src, links in zip(
+            batch.column("url").to_pylist(), batch.column("links_internal").to_pylist()
+        ):
+            for link in links:
+                key = normalize_url_for_deep_crawl(link["href"], src)
+                if key:
+                    srcs.append(src)
+                    dsts.append(key)
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        )
+
+    edges = docs.map_batches(explode, batch_format="pyarrow")
+    return edges.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
+def q_bfs_depth(sf_dir: str):
+    cfg = CrawlConfig(max_depth=3, seen_shards=4)
+    run = crawl(sf_dir, seeds=[url_of(0), url_of(1), url_of(2)], cfg=cfg)
+    urls, depths = [], []
+    for w in run.waves:
+        ft = w["frontier_table"]
+        urls.extend(ft.column("url_norm").to_pylist())
+        depths.extend(int(d) for d in ft.column("depth").to_pylist())
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "depth": pa.array(depths, pa.int64())}
+    )
+
+
+def q_robots_filter(sf_dir: str):
+    rules = {
+        "site0.example.com": "User-agent: *\nDisallow: /page/\n",
+        "site1.example.com": "User-agent: *\nDisallow: /page/1\n",
+    }
+    pool = PolitenessPool(num_shards=2, robots_rules=rules)
+    try:
+        pages = _pages_ds(sf_dir, columns=["url"])
+        parts = [ray.get(r) for r in pages.to_arrow_refs()]
+        tbl = pa.concat_tables(parts)
+        urls = tbl.column("url").to_pylist()
+        from ..functions.urls import host_batch
+
+        hosts = host_batch(urls)
+        allowed = pool.robots_allowed(hosts, urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "allowed": pa.array(allowed.tolist(), pa.bool_()),
+            }
+        )
+    finally:
+        pool.shutdown()
+
+
+def q_url_normalize(sf_dir: str):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_and_norm(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = []
+        for i in ids:
+            h = i % 50
+            m = i % 3
+            if m == 0:
+                raw = (
+                    f"HTTPS://SITE{h}.EXAMPLE.COM/Page/{i}/"
+                    f"?b=2&a=1&utm_source=x&fbclid=y#frag"
+                )
+                base = "https://example.com"
+            elif m == 1:
+                raw = f"../other/page-{i}.html"
+                base = f"https://site{h}.example.com/dir/sub/index.html"
+            else:
+                raw = f"/a/b//c/{i}?ref=x#top"
+                base = f"https://site{h}.example.com"
+            out.append(normalize_url(raw, base))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url_norm": pa.array(out, pa.string()),
+            }
+        )
+
+    return docs.map_batches(make_and_norm, batch_format="pyarrow")
+
+
+def q_url_filter_pattern(sf_dir: str):
+    pages = _pages_ds(sf_dir, columns=["url"])
+    filt = URLPatternFilter(["*.example.com/page/1*"])
+
+    def apply(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        mask = filt.apply_batch(urls)
+        keep = [u for u, m in zip(urls, mask) if m]
+        return pa.table({"url": pa.array(keep, pa.string())})
+
+    return pages.map_batches(apply, batch_format="pyarrow")
+
+
+def q_url_scores(sf_dir: str):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    scorer = CompositeScorer(
+        [PathDepthScorer(optimal_depth=3, weight=1.0), FreshnessScorer(weight=0.5)]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for i in ids:
+            h = i % 50
+            year = 2015 + i % 10
+            extra = "/extra" if i % 4 == 0 else ""
+            urls.append(f"https://site{h}.example.com/blog/{year}{extra}/item{i}")
+        s = scorer.score_batch(urls)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def q_extract_docs(sf_dir: str):
+    docs = _docs(sf_dir)
+    return docs.select_columns(["url", "success", "n_links", "n_images"])
+
+
+# ---------------------------------------------------------------------------
+# training-data queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = docs.count()
+
+    def shift(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.add(batch.column("doc_id"), n)
+        return batch.set_column(0, "doc_id", ids)
+
+    dup = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+    keep = dedup.exact_dedup_keepers(dup)
+    return keep.rename_columns({"keep_id": "keep_doc_id"})
+
+
+def q_token_stats(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(textstats.token_stats_batch, batch_format="pyarrow")
+
+
+def q_quality_counts(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(textstats.quality_counts_batch, batch_format="pyarrow")
+
+
+def q_lang_dist(sf_dir: str):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    out = docs.groupby("lang").count().rename_columns({"count()": "n_docs"})
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_docs"), "n_docs", b.column("n_docs").cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_content_hash(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        lambda b: textstats.content_hash_batch(b, "text"), batch_format="pyarrow"
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = sorted(
+        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    out = ann.brute_force_topk(emb, queries, qids, k=10)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = sorted(
+        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    out = ann.ivf_topk(emb, queries, qids, k=10, n_centroids=8, nprobe=8)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    # tau sized to the synthetic embeddings' cosine range (max ≈ 0.48):
+    # validates the machinery; real near-dup thresholds are corpus-specific
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = dedup.embedding_neardup_pairs(emb, tau=0.3)
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = docs.count()
+
+    def near_dup_copy(batch: pa.Table) -> pa.Table:
+        ids = [i + n for i in batch.column("doc_id").to_pylist()]
+        texts = [t + " extra token" for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    dup = docs.union(docs.map_batches(near_dup_copy, batch_format="pyarrow"))
+    return dedup.minhash_lsh_pairs(dup, num_perm=64, bands=16)
+
+
+def q_simhash_pairs(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+def q_fingerprints(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        textstats.LangId, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    )
+
+
+def q_best_first_order(sf_dir: str):
+    cfg = CrawlConfig(
+        strategy="best_first",
+        max_depth=2,
+        max_pages=40,
+        seen_shards=4,
+        url_scorer=KeywordRelevanceScorer(["page/1", "page/2"], weight=1.0),
+    )
+    run = crawl(sf_dir, seeds=[url_of(0)], cfg=cfg)
+    urls, waves = [], []
+    for w in run.waves:
+        for u in w["frontier_urls"]:
+            urls.append(u)
+            waves.append(w["wave"])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "wave": pa.array(waves, pa.int64()),
+        }
+    )
+
+
+def q_politeness_budget(sf_dir: str):
+    cfg = CrawlConfig(
+        max_depth=2, seen_shards=4, max_pages_per_host_per_wave=2
+    )
+    run = crawl(sf_dir, seeds=[url_of(0), url_of(1), url_of(2)], cfg=cfg)
+    urls, waves = [], []
+    for w in run.waves:
+        for u in w["frontier_urls"]:
+            urls.append(u)
+            waves.append(w["wave"])
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "wave": pa.array(waves, pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational demonstrators (TPC-H-ish; exercise join + groupby at scale)
+# ---------------------------------------------------------------------------
+
+def q_orders_per_nation(sf_dir: str):
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    oc = orders.join(
+        customer, join_type="inner", num_partitions=8, on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    ocn = oc.join(
+        nation, join_type="inner", num_partitions=4, on=("c_nationkey",),
+        right_on=("n_nationkey",),
+    )
+    out = ocn.groupby("n_name").count().rename_columns({"count()": "n_orders"})
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_orders"),
+            "n_orders",
+            b.column("n_orders").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_qty_by_flag(sf_dir: str):
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
+        ray.data.aggregate.Count(alias_name="n_rows"),
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_rows"), "n_rows", b.column("n_rows").cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pages_per_host": q_pages_per_host,
+    "top_hosts": q_top_hosts,
+    "link_graph_edges": q_link_graph_edges,
+    "bfs_depth": q_bfs_depth,
+    "robots_filter": q_robots_filter,
+    "url_normalize": q_url_normalize,
+    "url_filter_pattern": q_url_filter_pattern,
+    "url_scores": q_url_scores,
+    "extract_docs": q_extract_docs,
+    "exact_dedup": q_exact_dedup,
+    "token_stats": q_token_stats,
+    "quality_counts": q_quality_counts,
+    "lang_dist": q_lang_dist,
+    "content_hash": q_content_hash,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "embedding_neardup": q_embedding_neardup,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "fingerprints": q_fingerprints,
+    "lang_id": q_lang_id,
+    "best_first_order": q_best_first_order,
+    "politeness_budget": q_politeness_budget,
+    "orders_per_nation": q_orders_per_nation,
+    "qty_by_flag": q_qty_by_flag,
+}
+
+_STOP_RE = r"\b(the|a|and|of|to|in|is|it|that|for)\b"
+
+ORACLES = {
+    "pages_per_host": f"""
+WITH {SQL_PAGES}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM purl GROUP BY host
+""",
+    "top_hosts": f"""
+WITH {SQL_PAGES}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM purl
+GROUP BY host ORDER BY n_pages DESC, host LIMIT 5
+""",
+    "link_graph_edges": f"""
+WITH {SQL_PAGES}, {SQL_EDGES}
+SELECT src, dst FROM edges
+""",
+    "bfs_depth": f"""
+WITH RECURSIVE {SQL_PAGES}, {SQL_EDGES},
+seeds AS (SELECT url FROM purl WHERE doc_id IN (0, 1, 2)),
+walk(url, depth) AS (
+  SELECT url, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.url
+  WHERE w.depth < 3
+)
+SELECT url, CAST(MIN(depth) AS BIGINT) AS depth FROM walk GROUP BY url
+""",
+    "robots_filter": f"""
+WITH {SQL_PAGES}
+SELECT url,
+       CASE WHEN host_id = 0 THEN FALSE
+            WHEN host_id = 1 AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN FALSE
+            ELSE TRUE END AS allowed
+FROM purl
+""",
+    "url_normalize": """
+SELECT doc_id,
+  CASE doc_id % 3
+    WHEN 0 THEN 'https://site' || (doc_id % 50) || '.example.com/Page/' || doc_id || '?a=1&b=2'
+    WHEN 1 THEN 'https://site' || (doc_id % 50) || '.example.com/dir/other/page-' || doc_id || '.html'
+    ELSE 'https://site' || (doc_id % 50) || '.example.com/a/b//c/' || doc_id
+  END AS url_norm
+FROM documents
+""",
+    "url_filter_pattern": f"""
+WITH {SQL_PAGES}
+SELECT url FROM purl WHERE url LIKE '%.example.com/page/1%'
+""",
+    "url_scores": """
+SELECT doc_id,
+  'https://site' || (doc_id % 50) || '.example.com/blog/' || (2015 + doc_id % 10)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/extra' ELSE '' END)
+    || '/item' || doc_id AS url,
+  (CASE WHEN doc_id % 4 = 0 THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END)
+  + 0.5::DOUBLE * (CASE 2024 - (2015 + doc_id % 10)
+      WHEN 0 THEN 1.0::DOUBLE WHEN 1 THEN 0.9::DOUBLE WHEN 2 THEN 0.8::DOUBLE
+      WHEN 3 THEN 0.7::DOUBLE WHEN 4 THEN 0.6::DOUBLE WHEN 5 THEN 0.5::DOUBLE
+      WHEN 6 THEN 0.4::DOUBLE
+      ELSE greatest(0.1::DOUBLE,
+                    1.0::DOUBLE - (2024 - (2015 + doc_id % 10))::DOUBLE * 0.1::DOUBLE)
+      END) AS score
+FROM documents
+""",
+    "exact_dedup": """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + nn.c, text FROM documents, nn
+)
+SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM dup GROUP BY md5(text)
+""",
+    "token_stats": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    "quality_counts": rf"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+       CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT) AS n_stop,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "lang_dist": """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+""",
+    "content_hash": """
+SELECT doc_id, md5(text) AS content_hash FROM documents
+""",
+    "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10
+""",
+    "embedding_neardup": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+""",
+    "orders_per_nation": """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+""",
+    "qty_by_flag": """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+}

@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k. Query matrix is ``ray.put``
+  once; each batch does one numpy matmul against it and emits its local
+  top-k, then a single small ``groupby(query_id)`` reduces per-batch
+  candidates to the global top-k. Shuffle volume ≈ O(num_batches·k·|Q|)
+  triples — never the vectors.
+- ``IvfIndex`` / ``ivf_topk``: the scale path — deterministic k-means
+  (fixed seed, fixed iters) builds centroids on a sample; vectors are
+  bucketed by nearest centroid; queries probe only ``nprobe`` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _emb_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(e, dtype=np.float64) for e in col.to_pylist()])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+class BatchTopK:
+    """map_batches UDF: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, q_ref, qid_ref, k: int, id_col: str = "vec_id"):
+        self.q = _normalize(ray.get(q_ref))  # (|Q|, d)
+        self.qids = np.asarray(ray.get(qid_ref))
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        x = _normalize(_emb_matrix(batch.column("embedding")))
+        sims = self.q @ x.T  # (|Q|, batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], k - 1)[:k]
+            out_q.extend([int(self.qids[qi])] * k)
+            out_n.extend(int(ids[i]) for i in idx)
+            out_s.extend(float(sims[qi, i]) for i in idx)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _reduce_topk(group: pa.Table, k: int, exclude_self: bool) -> pa.Table:
+    qid = group.column("query_id")[0].as_py()
+    nid = np.asarray(group.column("neighbor_id").to_pylist())
+    sim = np.asarray(group.column("sim").to_pylist())
+    if exclude_self:
+        keep = nid != qid
+        nid, sim = nid[keep], sim[keep]
+    # deterministic order: sim desc, neighbor_id asc
+    order = np.lexsort((nid, -sim))[:k]
+    return pa.table(
+        {
+            "query_id": pa.array([qid] * len(order), pa.int64()),
+            "neighbor_id": pa.array(nid[order], pa.int64()),
+            "sim": pa.array(sim[order], pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        }
+    )
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    qid_ref = ray.put(list(query_ids))
+    cand = ds.map_batches(
+        BatchTopK,
+        fn_constructor_args=(q_ref, qid_ref, k + (1 if exclude_self else 0), id_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+    return cand.groupby("query_id").map_groups(
+        lambda g: _reduce_topk(g, k, exclude_self), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (scale path)
+# ---------------------------------------------------------------------------
+
+class IvfIndex:
+    """Deterministic IVF: k-means with fixed seed/iters over a sample."""
+
+    def __init__(self, n_centroids: int = 16, iters: int = 10, seed: int = 13):
+        self.n_centroids = n_centroids
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IvfIndex":
+        x = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.RandomState(self.seed)
+        k = min(self.n_centroids, len(x))
+        cent = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(self.iters):
+            assign = (x @ cent.T).argmax(axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[c] = v / n
+        self.centroids = cent
+        return self
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        return (_normalize(mat) @ self.centroids.T).argmax(axis=1)
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    sample_limit: int = 10_000,
+) -> "ray.data.Dataset":
+    """ANN top-k probing only the ``nprobe`` nearest centroid buckets.
+    Centroids are fit on a driver-side bounded sample (deterministic);
+    bucketing + search are distributed map_batches."""
+    sample_tbl = ds.limit(sample_limit).select_columns(["embedding"]).take_all()
+    sample = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in sample_tbl])
+    index = IvfIndex(n_centroids).fit(sample)
+    cent_ref = ray.put(index.centroids)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe_sets = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]
+    probes_ref = ray.put(
+        {int(qid): set(int(c) for c in row) for qid, row in zip(query_ids, probe_sets)}
+    )
+    q_ref = ray.put(q)
+    qid_ref = ray.put(list(query_ids))
+
+    class ProbeTopK:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.q = ray.get(q_ref)
+            self.qids = np.asarray(ray.get(qid_ref))
+            self.probes = ray.get(probes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            x = _normalize(_emb_matrix(batch.column("embedding")))
+            buckets = (x @ self.cent.T).argmax(axis=1)
+            out_q, out_n, out_s = [], [], []
+            sims = self.q @ x.T
+            for qi in range(len(self.qids)):
+                qid = int(self.qids[qi])
+                probe = self.probes[qid]
+                mask = np.fromiter((int(b) in probe for b in buckets), bool, len(buckets))
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                kk = min(k + 1, len(idx))
+                top = idx[np.argpartition(-sims[qi, idx], kk - 1)[:kk]]
+                out_q.extend([qid] * len(top))
+                out_n.extend(int(ids[i]) for i in top)
+                out_s.extend(float(sims[qi, i]) for i in top)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cand = ds.map_batches(
+        ProbeTopK, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+    return cand.groupby("query_id").map_groups(
+        lambda g: _reduce_topk(g, k, True), batch_format="pyarrow"
+    )

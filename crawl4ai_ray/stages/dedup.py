@@ -1,0 +1,329 @@
+"""Deduplication stages for training-data pipelines.
+
+Five families, all Ray-Data-first:
+
+- exact:       md5(content) → ``groupby(hash).min(id)`` (hash-partition +
+               per-group first; one shuffle of (hash, id) pairs only)
+- minhash+LSH: shingle → vectorized minhash signatures → band buckets →
+               ``groupby(band_key)`` → candidate pairs (± jaccard verify)
+- simhash:     64-bit weighted token simhash → banded buckets → pairs with
+               hamming ≤ r
+- n-gram jaccard: exact verify kernel used by the LSH candidates
+- embedding near-dup: cosine ≥ τ via blocked matmul against a broadcast
+               matrix (brute-force baseline) — the scale path buckets by
+               random-hyperplane LSH first
+
+The shuffles only ever move (id, signature) pairs — never the documents —
+which is what keeps these viable at 100 TB corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..functions.hashing import hash64
+from ..state.bloom import splitmix64
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_keepers(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(content_hash, keep_id): deterministic keeper = min id per hash.
+    Only (hash, id) pairs shuffle; join keepers back to rows downstream if
+    full-row output is needed."""
+    from .textstats import content_hash_batch
+
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow"
+    )
+    keep = hashed.groupby("content_hash").min(id_col)
+    return keep.rename_columns({f"min({id_col})": "keep_id"})
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Vectorized minhash over word shingles. Stateful (permutation tables
+    built once) → actor-pool friendly."""
+
+    def __init__(self, num_perm: int = 64, shingle: int = 3, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        # 61-bit Carter-Wegman permutations a*x+b mod p
+        self.a = rng.randint(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.randint(0, 1 << 61, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        tokens = text.split()
+        k = self.shingle
+        if len(tokens) < k:
+            return hash64([" ".join(tokens)]) if tokens else np.zeros(0, np.uint64)
+        th = hash64(tokens)
+        n = len(th) - k + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * np.uint64(1_000_003) + th[j : j + n]
+        return np.unique(acc)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        x = (sh % _MERSENNE)[None, :]
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * x + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1).astype(np.uint64)
+
+
+class MinHashSignatures:
+    """map_batches UDF: (id, text) → (id, sig list<uint64>)."""
+
+    def __init__(self, num_perm: int = 64, shingle: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.mh = MinHasher(num_perm, shingle)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        sigs = [
+            self.mh.signature(t).tolist()
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        return pa.table(
+            {"id": ids, "sig": pa.array(sigs, pa.list_(pa.uint64()))}
+        )
+
+
+def _band_explode(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
+    """(id, sig) → one row per band: (band, band_hash, id)."""
+    ids = batch.column("id").to_pylist()
+    sigs = batch.column("sig").to_pylist()
+    out_band, out_hash, out_id = [], [], []
+    for i, sig in zip(ids, sigs):
+        arr = np.asarray(sig, dtype=np.uint64)
+        for b in range(bands):
+            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+            with np.errstate(over="ignore"):
+                h = np.uint64(b + 1)
+                for v in chunk:
+                    h = h * np.uint64(1_000_003) + v
+                h = int(splitmix64(np.array([h], dtype=np.uint64))[0])
+            out_band.append(b)
+            out_hash.append(h)
+            out_id.append(i)
+    return pa.table(
+        {
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.uint64()),
+            "id": pa.array(out_id, pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    ids = sorted(group.column("id").to_pylist())
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Candidate near-duplicate pairs (a < b), distinct. The classic
+    shingle→minhash→band→bucket-groupby pipeline; only signatures shuffle."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHashSignatures(num_perm, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    banded = sigs.map_batches(
+        lambda b: _band_explode(b, bands, rows_per_band), batch_format="pyarrow"
+    )
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    # distinct pairs (same pair can fire in many bands)
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
+    """Exact n-gram Jaccard similarity (verification kernel)."""
+    mh = MinHasher(num_perm=1, shingle=shingle)
+    sa = set(mh.shingle_hashes(text_a).tolist())
+    sb = set(mh.shingle_hashes(text_b).tolist())
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+class SimHashSignatures:
+    """map_batches UDF: (id, text) → (id, simhash uint64). 64-bit weighted
+    token simhash, vectorized via bit-count matrix."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        tokens = text.split()
+        if not tokens:
+            return 0
+        th = hash64(tokens)
+        # unpack bits: (n, 64) -> weighted column sums
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(th)
+        sig = np.uint64(0)
+        for k in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(k)
+        return int(sig)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        sigs = [self.simhash(t) for t in batch.column(self.text_col).to_pylist()]
+        return pa.table({"id": ids, "simhash": pa.array(sigs, pa.uint64())})
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the standard
+    4-block bucketing (any pair within distance 3 shares at least one of 4
+    16-bit blocks)."""
+    sigs = ds.map_batches(
+        SimHashSignatures(id_col, text_col), batch_format="pyarrow", batch_size=256
+    )
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        sh = batch.column("simhash").to_numpy()
+        out_blk, out_key, out_id, out_sig = [], [], [], []
+        for i, s in zip(ids, sh):
+            s = np.uint64(s)
+            for blk in range(4):
+                key = int((s >> np.uint64(16 * blk)) & np.uint64(0xFFFF))
+                out_blk.append(blk)
+                out_key.append(key)
+                out_id.append(i)
+                out_sig.append(int(s))
+        return pa.table(
+            {
+                "blk": pa.array(out_blk, pa.int32()),
+                "key": pa.array(out_key, pa.int32()),
+                "id": pa.array(out_id, pa.int64()),
+                "sig": pa.array(out_sig, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_pylist()
+        sigs = group.column("sig").to_numpy()
+        order = np.argsort(ids)
+        a, b = [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+                if ham <= max_hamming:
+                    a.append(min(ids[i], ids[j]))
+                    b.append(max(ids[i], ids[j]))
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    pairs = sigs.map_batches(explode_blocks, batch_format="pyarrow").groupby(
+        ["blk", "key"]
+    ).map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+class EmbeddingNearDup:
+    """map_batches UDF: rows of (id, embedding) vs a broadcast matrix →
+    (a, b) pairs with cosine ≥ tau and a < b. Brute-force baseline: one
+    blocked matmul per batch against the ray.put matrix (read once per
+    worker). Scale path: LSH-bucket by random hyperplanes first (see
+    stages/ann.py) so only same-bucket blocks multiply."""
+
+    def __init__(self, mat_ref, ids_ref, tau: float, id_col: str = "vec_id"):
+        mat = ray.get(mat_ref)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        self.mat = mat / norms[:, None]
+        self.all_ids = np.asarray(ray.get(ids_ref))
+        self.tau = tau
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        emb = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
+        )
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        emb = emb / norms[:, None]
+        sims = emb @ self.mat.T  # (batch, N)
+        out_a, out_b = [], []
+        for r in range(len(ids)):
+            hits = np.nonzero(sims[r] >= self.tau)[0]
+            for c in hits:
+                a, b = int(ids[r]), int(self.all_ids[c])
+                if a < b:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+
+
+def embedding_neardup_pairs(
+    ds: "ray.data.Dataset", tau: float = 0.9, id_col: str = "vec_id"
+) -> "ray.data.Dataset":
+    tbl = ds.select_columns([id_col, "embedding"]).to_arrow_refs()
+    parts = [ray.get(r) for r in tbl]
+    full = pa.concat_tables(parts)
+    ids = full.column(id_col).to_pylist()
+    mat = np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in full.column("embedding").to_pylist()]
+    )
+    mat_ref = ray.put(mat)
+    ids_ref = ray.put(ids)
+    return ds.map_batches(
+        EmbeddingNearDup,
+        fn_constructor_args=(mat_ref, ids_ref, tau, id_col),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 8),
+    )

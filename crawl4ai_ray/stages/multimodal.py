@@ -1,0 +1,122 @@
+"""Multimodal (image/audio/video) stages — real Ray plumbing, stubbed codecs.
+
+Media ride as opaque ``binary`` columns with typed metadata. Decode /
+resize / frame-sample are actor-pool ``map_batches`` stages: the actor
+``__init__`` is where a real build loads codecs/models once per worker; in
+this container the decode kernels are STUBS (no PIL/ffmpeg available) that
+produce deterministic fake outputs from the payload bytes, so schemas,
+batch sizing, actor signatures and output layout are real and tested.
+Swap ``_decode_stub`` for a real decoder to productionize.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("url", pa.string()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """STUB decoder: deterministic pseudo-decode from payload bytes.
+
+    A real implementation would call PIL / libvips / ffmpeg here; those
+    libraries are not in this container (NotImplementedError path guarded
+    by ``strict=True``).
+    """
+    h = hashlib.blake2b(payload or b"", digest_size=32).digest()
+    width = 64 + h[0] * 4
+    height = 64 + h[1] * 4
+    feats = (np.frombuffer(h, dtype=np.uint8)[:FEATURE_DIM].astype(np.float32) / 255.0)
+    return {"width": int(width), "height": int(height), "features": feats.tolist()}
+
+
+class DecodeMedia:
+    """Actor-pool stage: (media_id, payload, mime) → decoded metadata +
+    feature vector. batch_size should be small (payloads are fat)."""
+
+    def __init__(self, strict: bool = False):
+        # real build: self.codec = load_codecs()  (once per actor)
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg, not present in this container"
+            )
+        payloads = batch.column("payload").to_pylist()
+        decoded = [_decode_stub(p) for p in payloads]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "url": batch.column("url"),
+                "mime": batch.column("mime"),
+                "width": pa.array([d["width"] for d in decoded], pa.int32()),
+                "height": pa.array([d["height"] for d in decoded], pa.int32()),
+                "features": pa.array(
+                    [d["features"] for d in decoded], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+class ResizeMedia:
+    """Actor-pool stage: clamp decoded dims to a max edge (stub: arithmetic
+    only; a real build transforms pixels)."""
+
+    def __init__(self, max_edge: int = 256):
+        self.max_edge = max_edge
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy().astype(np.float64)
+        h = batch.column("height").to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, self.max_edge / np.maximum(w, h))
+        return batch.set_column(
+            batch.schema.get_field_index("width"),
+            "width",
+            pa.array((w * scale).astype(np.int32)),
+        ).set_column(
+            batch.schema.get_field_index("height"),
+            "height",
+            pa.array((h * scale).astype(np.int32)),
+        )
+
+
+def synth_media_table(n: int = 64) -> pa.Table:
+    """Deterministic fake media corpus for tests."""
+    ids = list(range(n))
+    payloads = [hashlib.sha256(str(i).encode()).digest() * 8 for i in ids]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "url": pa.array([f"https://img.example.com/img{i}.png" for i in ids]),
+            "mime": pa.array(["image/png"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def media_pipeline(ds, batch_size: int = 16, concurrency=(1, 4)):
+    """decode → resize as actor pools (small batches: fat payloads)."""
+    return ds.map_batches(
+        DecodeMedia,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).map_batches(
+        ResizeMedia,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,175 @@
+"""Text-analysis stages for training-data pipelines over the ``documents``
+table: token counting, quality counters, language-ID heuristic, content
+hashing, rolling-hash fingerprints. All vectorized ``map_batches`` UDFs
+(polars/pyarrow kernels inside; no per-row Python in the hot path except the
+fingerprint's tight loop over token-hash arrays, which is numpy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Fixed stopword list shared verbatim with the DuckDB oracle regex.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+TOKEN_RE = r"\S+"
+# BPE-ish word/number/punct splitter for token_count(mode="bpe")
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_tokens, n_chars)."""
+    text = batch.column("text")
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_chars = pc.utf8_length(text)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+        }
+    )
+
+
+def quality_counts_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → integer quality counters (uppercase / digit /
+    punctuation chars, stopword occurrences, tokens). Integers, not ratios,
+    so the DuckDB oracle comparison is float-exact; ratio scores are a
+    trivial projection downstream."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    out = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.count_matches(r"[A-Z]").cast(pl.Int64).alias("n_upper"),
+        pl.col("text").str.count_matches(r"[0-9]").cast(pl.Int64).alias("n_digit"),
+        pl.col("text").str.count_matches(r"[.,;:!?]").cast(pl.Int64).alias("n_punct"),
+        pl.col("text")
+        .str.to_lowercase()
+        .str.count_matches(STOPWORD_RE)
+        .cast(pl.Int64)
+        .alias("n_stop"),
+        pl.col("text").str.count_matches(TOKEN_RE).cast(pl.Int64).alias("n_tokens"),
+    )
+    return out.to_arrow()
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Composite quality score in [0,1]: penalize extreme length, high
+    punct/digit density, low stopword density (boilerplate/gibberish
+    signals commonly used in web-corpus filtering)."""
+    t = quality_counts_batch(batch)
+    n_chars = pc.utf8_length(batch.column("text")).cast(pa.float64()).to_numpy(zero_copy_only=False)
+    n_tok = t.column("n_tokens").to_numpy().astype(np.float64)
+    n_punct = t.column("n_punct").to_numpy().astype(np.float64)
+    n_digit = t.column("n_digit").to_numpy().astype(np.float64)
+    n_stop = t.column("n_stop").to_numpy().astype(np.float64)
+    safe_chars = np.maximum(n_chars, 1.0)
+    safe_tok = np.maximum(n_tok, 1.0)
+    length_score = np.clip(n_tok / 100.0, 0.0, 1.0)
+    punct_pen = np.clip(1.0 - 5.0 * (n_punct + n_digit) / safe_chars, 0.0, 1.0)
+    stop_score = np.clip(5.0 * n_stop / safe_tok, 0.0, 1.0)
+    score = (length_score + punct_pen + stop_score) / 3.0
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "quality": pa.array(score, pa.float64())}
+    )
+
+
+# --- language ID -----------------------------------------------------------
+
+_LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "que", "une", "pour"),
+    "es": ("el", "la", "los", "de", "que", "y", "es", "en", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "mit", "für", "ein"),
+    "it": ("il", "la", "di", "che", "e", "per", "una", "sono", "con", "del"),
+}
+
+
+class LangId:
+    """Stopword-profile language ID (n-gram-heuristic class; the reference
+    has no lang-id — the input corpus carries a lang column — but a
+    training-data pipeline needs one). Actor-pool friendly: profiles are
+    compiled once in __init__."""
+
+    def __init__(self):
+        self.langs = list(_LANG_PROFILES)
+        self.patterns = {
+            lang: r"\b(" + "|".join(words) + r")\b"
+            for lang, words in _LANG_PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        low = pl.col("text").str.to_lowercase()
+        counts = df.select(
+            pl.col("doc_id"),
+            *[
+                low.str.count_matches(p).cast(pl.Int64).alias(f"c_{lang}")
+                for lang, p in self.patterns.items()
+            ],
+        )
+        arr = counts.select([f"c_{lang}" for lang in self.langs]).to_numpy()
+        best = arr.argmax(axis=1)
+        confident = arr.max(axis=1) > 0
+        langs = np.array(self.langs)[best]
+        langs = np.where(confident, langs, "unknown")
+        return pa.table(
+            {
+                "doc_id": counts.get_column("doc_id").to_arrow(),
+                "lang_pred": pa.array(langs.tolist(), pa.string()),
+            }
+        )
+
+
+def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """md5 content hash (parity with generate_content_hash,
+    utils.py:2681-2685)."""
+    texts = batch.column(col).to_pylist()
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    out = batch.select([c for c in ("doc_id", "url") if c in batch.column_names])
+    return out.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+# --- rolling-hash fingerprint ---------------------------------------------
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_WINDOW = 8
+
+
+def fingerprint_batch(batch: pa.Table, n_keep: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: Rabin-Karp rolling hash over
+    token-hash windows, keep the ``n_keep`` smallest window hashes
+    (order-free near-dup signature)."""
+    from ..functions.hashing import hash64
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    fps: list[list[int]] = []
+    for t in texts:
+        tokens = t.split()
+        if len(tokens) < _FP_WINDOW:
+            h = hash64([" ".join(tokens)])[0] if tokens else np.uint64(0)
+            fps.append([int(h)])
+            continue
+        th = hash64(tokens)
+        # vectorized rolling polynomial hash over windows of _FP_WINDOW
+        n = len(th) - _FP_WINDOW + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(_FP_WINDOW):
+                acc = acc * _FP_BASE + th[j : j + n]
+        k = min(n_keep, len(acc))
+        sel = np.partition(acc, k - 1)[:k]
+        sel.sort()
+        fps.append([int(x) for x in sel])
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "fingerprint": pa.array(fps, pa.list_(pa.uint64())),
+        }
+    )

@@ -1,0 +1,97 @@
+"""Local stand-in for the driver's correctness gate: runs every queries()
+entry at a given sf and compares against oracle_sql() via DuckDB
+(row count + sorted-column value hash, order-insensitive)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+import ray
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        tuple(repr(v) for v in row) for row in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update("|".join(r).encode())
+    return h.hexdigest()
+
+
+def main(sf_dir: str, only: list[str] | None = None):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = to_pandas(fn(sf_dir))
+            dt = round(time.time() - t0, 2)
+            if name not in oracles:
+                results[name] = {"status": "rows_only", "rows": len(df), "sec": dt}
+                continue
+            odf = con.execute(oracles[name]).fetchdf()
+            ok_rows = len(df) == len(odf)
+            ok_schema = sorted(map(str.lower, df.columns)) == sorted(
+                map(str.lower, odf.columns)
+            )
+            df.columns = [c.lower() for c in df.columns]
+            odf.columns = [c.lower() for c in odf.columns]
+            ok_hash = ok_schema and value_hash(df) == value_hash(odf)
+            results[name] = {
+                "status": "match" if (ok_rows and ok_schema and ok_hash) else "MISMATCH",
+                "rows": len(df),
+                "oracle_rows": len(odf),
+                "schema_ok": ok_schema,
+                "hash_ok": ok_hash,
+                "sec": dt,
+            }
+        except Exception as e:
+            results[name] = {"status": "ERROR", "error": f"{type(e).__name__}: {e}"}
+        print(name, "→", json.dumps(results[name]), flush=True)
+    bad = [k for k, v in results.items() if v["status"] in ("MISMATCH", "ERROR")]
+    print("\nSUMMARY:", len(results) - len(bad), "ok /", len(results), "bad:", bad)
+    return results
+
+
+if __name__ == "__main__":
+    ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    main(sf, only)
+    ray.shutdown()

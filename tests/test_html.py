@@ -1,0 +1,140 @@
+"""HTML engine tests: scraping semantics, markdown determinism (the
+byte-identity anchor), metadata/table/image extraction."""
+
+from crawl4ai_ray.config import ScrapeConfig
+from crawl4ai_ray.html.dom import parse_html
+from crawl4ai_ray.html.fit import preprocess_html_for_schema
+from crawl4ai_ray.html.markdown import (
+    convert_links_to_citations,
+    generate_markdown,
+    html_to_markdown,
+)
+from crawl4ai_ray.html.scrape import scrape_page
+from crawl4ai_ray.sources.pages import build_html, url_of
+
+URL = "https://site1.example.com/page/1"
+
+
+def test_scrape_removes_script_style():
+    html = "<html><head><script>x</script><style>y</style></head><body><p>hello world</p></body></html>"
+    r = scrape_page(URL, html)
+    assert "<script>" not in r["cleaned_html"]
+    assert "<style>" not in r["cleaned_html"]
+    assert r["text"] == "hello world"
+
+
+def test_metadata():
+    html = (
+        '<html><head><title>T</title><meta name="description" content="D">'
+        '<meta property="og:title" content="OT"><meta name="twitter:card" content="TC">'
+        "</head><body><p>x</p></body></html>"
+    )
+    r = scrape_page(URL, html)
+    m = r["metadata"]
+    assert m["title"] == "T" and m["description"] == "D"
+    assert m["og:title"] == "OT" and m["twitter:card"] == "TC"
+
+
+def test_link_split_and_dedup():
+    html = (
+        '<body><a href="/a">one</a><a href="/a#x">dup</a>'
+        '<a href="https://other.org/b" title="t">ext</a>'
+        '<a href="mailto:x@y.z">mail</a><a href="javascript:void(0)">js</a></body>'
+    )
+    r = scrape_page(URL, html)
+    internal = [l["href"] for l in r["links_internal"]]
+    external = [l["href"] for l in r["links_external"]]
+    assert internal == ["https://site1.example.com/a"]  # fragment dup removed
+    assert external == ["https://other.org/b", "mailto:x@y.z"]
+    assert r["links_external"][0]["title"] == "t"
+
+
+def test_image_scoring_threshold():
+    keep = '<body><img src="https://x.com/i.png" alt="big" width="300" height="300"><p>ctx words here</p></body>'
+    drop = '<body><img src="https://x.com/icon-only"><p>ctx</p></body>'
+    assert len(scrape_page(URL, keep)["images"]) == 1
+    assert len(scrape_page(URL, drop)["images"]) == 0
+
+
+def test_data_table_detection():
+    layout = "<body><table><tr><td>a</td></tr></table><p>w</p></body>"
+    data = (
+        "<body><table><caption>c</caption><thead><tr><th>h1</th><th>h2</th></tr></thead>"
+        "<tbody><tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></tbody></table></body>"
+    )
+    assert scrape_page(URL, layout)["tables"] == []
+    t = scrape_page(URL, data)["tables"]
+    assert len(t) == 1
+    assert t[0]["headers"] == ["h1", "h2"]
+    assert t[0]["rows"] == [["1", "2"], ["3", "4"]]
+    assert t[0]["caption"] == "c"
+
+
+def test_word_count_threshold():
+    html = "<body><p>tiny</p><p>this paragraph has plenty of words to keep</p></body>"
+    cfg = ScrapeConfig(word_count_threshold=3)
+    r = scrape_page(URL, html, cfg)
+    assert "tiny" not in r["cleaned_html"]
+    assert "plenty of words" in r["cleaned_html"]
+
+
+def test_excluded_tags_and_classes():
+    html = '<body><nav class="menu"><a href="/x">n</a></nav><p>content words</p></body>'
+    r = scrape_page(URL, html, ScrapeConfig(excluded_tags=("nav",)))
+    assert "menu" not in r["cleaned_html"] and "<nav" not in r["cleaned_html"]
+    r2 = scrape_page(URL, html, ScrapeConfig(excluded_classes=("menu",)))
+    assert "<nav" not in r2["cleaned_html"]
+
+
+def test_markdown_blocks():
+    md = html_to_markdown(
+        "<h1>Title</h1><p>Para <strong>bold</strong> and <em>it</em>.</p>"
+        "<ul><li>a</li><li>b</li></ul><pre><code>x = 1</code></pre>"
+        '<blockquote>q</blockquote><p><a href="https://a.com/x">link</a></p>'
+    )
+    assert "# Title" in md
+    assert "Para **bold** and _it_." in md
+    assert "  * a\n  * b" in md
+    assert "```\nx = 1\n```" in md
+    assert "> q" in md
+    assert "[link](https://a.com/x)" in md
+
+
+def test_citations():
+    md = "See [one](https://a.com/1) and [two](https://a.com/2) and [one again](https://a.com/1)."
+    out, refs = convert_links_to_citations(md, "https://a.com")
+    assert "one⟨1⟩" in out and "two⟨2⟩" in out and "one again⟨1⟩" in out
+    assert "## References" in refs
+    assert "⟨1⟩ https://a.com/1: one" in refs
+
+
+def test_extraction_deterministic_byte_identical():
+    html = build_html(7, 500, "some words " * 60, "en").encode()
+    u = url_of(7)
+    outs = set()
+    for _ in range(3):
+        r = scrape_page(u, html)
+        md = generate_markdown(r["cleaned_root"], base_url=u)
+        outs.add((r["cleaned_html"], md["raw_markdown"], md["markdown_with_citations"], r["text"]))
+    assert len(outs) == 1  # byte-identical across repeated runs
+
+
+def test_fit_html_truncates_and_keeps_structure():
+    html = "<body><div id='k' class='c'><p>" + ("x" * 2000) + "</p></div></body>"
+    fit = preprocess_html_for_schema(html, text_threshold=100)
+    assert 'id="k"' in fit and "<p>" in fit
+    assert len(fit) < len(html)
+    assert "..." in fit
+
+
+def test_malformed_html_recovery():
+    html = "<body><p>unclosed<div>block<p>another</body>"
+    r = scrape_page(URL, html)
+    assert r["success"]
+    assert "unclosed" in r["text"] and "another" in r["text"]
+
+
+def test_dom_autoclose_li():
+    root = parse_html("<ul><li>a<li>b<li>c</ul>")
+    lis = root.find_all("li")
+    assert [li.text() for li in lis] == ["a", "b", "c"]

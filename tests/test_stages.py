@@ -1,0 +1,195 @@
+"""Stage-level tests: extraction batch UDF, dedup families, ANN,
+text stats, multimodal plumbing, filters/scorers batch parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from crawl4ai_ray.functions.filters import (
+    ContentTypeFilter,
+    DomainFilter,
+    FilterChain,
+    KeywordRelevanceScorer,
+    PathDepthScorer,
+    URLPatternFilter,
+)
+from crawl4ai_ray.sources.pages import build_html, url_of
+from crawl4ai_ray.stages import ann, dedup, textstats
+from crawl4ai_ray.stages.extract import ExtractPages
+
+
+def _page_batch(n=8):
+    urls = [url_of(i) for i in range(n)]
+    htmls = [build_html(i, 100, "alpha beta gamma " * 40, "en").encode() for i in range(n)]
+    return pa.table({"url": urls, "html": htmls})
+
+
+def test_extract_batch_schema_and_content():
+    out = ExtractPages()(_page_batch())
+    assert out.num_rows == 8
+    assert out.column("success").to_pylist() == [True] * 8
+    assert all("# Page" in m for m in out.column("markdown").to_pylist())
+    assert all(n >= 4 for n in out.column("n_links").to_pylist())
+
+
+def test_filters_batch_scalar_parity():
+    urls = [
+        "https://a.example.com/page/1.html",
+        "https://b.other.org/x/y.pdf",
+        "https://c.example.com/page/22",
+    ]
+    for f in (
+        URLPatternFilter(["*.example.com/page/*"]),
+        DomainFilter(allowed_domains=["example.com"]),
+        ContentTypeFilter(["text/html"]),
+    ):
+        batch = f.apply_batch(urls)
+        assert [f.apply(u) for u in urls] == list(batch)
+    chain = FilterChain(
+        [URLPatternFilter(["*example.com*"]), ContentTypeFilter(["text/html"])]
+    )
+    mask = chain.apply_batch(urls)
+    assert list(mask) == [True, False, True]
+    assert chain.stats.total == 3 and chain.stats.passed == 2
+
+
+def test_scorer_batch_scalar_parity():
+    urls = ["https://a.com/x", "https://a.com/x/y/z", "https://a.com/k/x/page/9"]
+    for s in (KeywordRelevanceScorer(["page", "x"]), PathDepthScorer(3)):
+        assert list(s.score_batch(urls)) == [s.score(u) for u in urls]
+
+
+def test_exact_dedup(ray_session):
+    tbl = pa.table(
+        {"doc_id": [0, 1, 2, 3], "text": ["aa", "bb", "aa", "cc"]}
+    )
+    ds = ray.data.from_arrow(tbl)
+    keep = dedup.exact_dedup_keepers(ds).to_pandas()
+    kept = set(keep["keep_id"])
+    assert kept == {0, 1, 3}
+
+
+def test_minhash_finds_near_dups(ray_session):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    texts = [base, base + "extra", "совершенно другой текст " * 20, "unrelated words entirely " * 20]
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+    pairs = dedup.minhash_lsh_pairs(ds, num_perm=64, bands=16).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in got
+    assert (2, 3) not in got
+
+
+def test_ngram_jaccard():
+    a = "one two three four five six seven"
+    assert dedup.ngram_jaccard(a, a) == 1.0
+    assert dedup.ngram_jaccard(a, "totally different words here now ok") == 0.0
+
+
+def test_simhash_near_dups(ray_session):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [base, base + " iota", "qq ww ee rr tt yy uu ii " * 5],
+            }
+        )
+    )
+    pairs = dedup.simhash_pairs(ds, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in got and (0, 2) not in got
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    rng = np.random.RandomState(0)
+    mat = rng.randn(100, 16)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    q = np.asarray(tbl.column("embedding").to_pylist()[:2], dtype=np.float64)
+    out = ann.brute_force_topk(ds, q, [0, 1], k=5).to_pandas()
+    # numpy golden
+    m = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn[:2] @ mn.T
+    for qid in (0, 1):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        golden = set(np.argsort(-s)[:5])
+        got = set(out[out.query_id == qid]["neighbor_id"])
+        assert got == golden
+
+
+def test_ivf_recall(ray_session):
+    rng = np.random.RandomState(1)
+    mat = rng.randn(200, 8)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    q = mat[:3].astype(np.float64)
+    exact = ann.brute_force_topk(ds, q, [0, 1, 2], k=5).to_pandas()
+    approx = ann.ivf_topk(ds, q, [0, 1, 2], k=5, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=4/8 buckets
+
+
+def test_token_and_quality_stats():
+    batch = pa.table({"doc_id": [0, 1], "text": ["Hello, World 42!", "the the a"]})
+    t = textstats.token_stats_batch(batch)
+    assert t.column("n_tokens").to_pylist() == [3, 3]
+    q = textstats.quality_counts_batch(batch)
+    assert q.column("n_upper").to_pylist() == [2, 0]
+    assert q.column("n_digit").to_pylist() == [2, 0]
+    assert q.column("n_stop").to_pylist() == [0, 3]
+
+
+def test_langid():
+    batch = pa.table(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "the cat and the dog walked to the park with it",
+                "le chat et la maison est une grande pour les gens",
+            ],
+        }
+    )
+    out = textstats.LangId()(batch)
+    assert out.column("lang_pred").to_pylist() == ["en", "fr"]
+
+
+def test_fingerprint_deterministic():
+    batch = pa.table({"doc_id": [0], "text": ["word " * 50]})
+    a = textstats.fingerprint_batch(batch).column("fingerprint").to_pylist()
+    b = textstats.fingerprint_batch(batch).column("fingerprint").to_pylist()
+    assert a == b and len(a[0]) == 8
+
+
+def test_multimodal_pipeline(ray_session):
+    from crawl4ai_ray.stages.multimodal import media_pipeline, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(32))
+    out = media_pipeline(ds).to_pandas()
+    assert len(out) == 32
+    assert (out["width"] <= 256).all() and (out["height"] <= 256).all()
+    assert all(len(f) == 16 for f in out["features"])
+
+
+def test_multimodal_strict_raises(ray_session):
+    from crawl4ai_ray.stages.multimodal import DecodeMedia, synth_media_table
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(strict=True)(synth_media_table(2))

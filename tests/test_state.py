@@ -1,0 +1,120 @@
+"""Bloom filter, URL-seen shards, politeness — the stateful layer."""
+
+import numpy as np
+import pytest
+
+from crawl4ai_ray.functions.hashing import hash64
+from crawl4ai_ray.state.bloom import BloomFilter, splitmix64
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter(capacity=10_000, error_rate=0.01)
+    keys = hash64([f"https://x.com/{i}" for i in range(5_000)])
+    bf.add_hashes(keys)
+    assert bf.contains_hashes(keys).all()
+
+
+def test_bloom_fpp_reasonable():
+    bf = BloomFilter(capacity=10_000, error_rate=0.01)
+    bf.add_hashes(hash64([f"https://x.com/{i}" for i in range(10_000)]))
+    other = hash64([f"https://y.com/{i}" for i in range(10_000)])
+    fpp = bf.contains_hashes(other).mean()
+    assert fpp < 0.03  # ~1% designed, generous bound
+
+
+def test_bloom_cardinality_estimate():
+    bf = BloomFilter(capacity=50_000, error_rate=0.01)
+    bf.add_hashes(hash64([str(i) for i in range(20_000)]))
+    est = bf.estimated_cardinality()
+    assert 18_000 < est < 22_000
+
+
+def test_bloom_roundtrip():
+    bf = BloomFilter(capacity=1000, error_rate=0.01)
+    keys = hash64(["a", "b", "c"])
+    bf.add_hashes(keys)
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert bf2.contains_hashes(keys).all()
+    assert bf2.num_bits == bf.num_bits and bf2.num_hashes == bf.num_hashes
+
+
+def test_splitmix_deterministic():
+    x = np.array([1, 2, 3], dtype=np.uint64)
+    assert (splitmix64(x) == splitmix64(x.copy())).all()
+
+
+def test_hash64_stable_and_vectorized():
+    a = hash64(["abc", "def"])
+    b = hash64(["abc", "def"])
+    assert (a == b).all()
+    assert a[0] != a[1]
+
+
+def test_seen_set_check_add(ray_session):
+    from crawl4ai_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=10_000)
+    try:
+        urls = [f"https://a.com/{i}" for i in range(100)]
+        assert not seen.check(urls).any()
+        seen.add(urls[:50])
+        mask = seen.check(urls)
+        assert mask[:50].all() and not mask[50:].any()
+        # check_and_add marks the rest
+        m2 = seen.check_and_add(urls)
+        assert m2[:50].all() and not m2[50:].any()
+        assert seen.check(urls).all()
+        assert seen.stats()["exact_size"] == 100
+    finally:
+        seen.shutdown()
+
+
+def test_seen_set_dump_load(ray_session):
+    from crawl4ai_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=1000)
+    try:
+        seen.add(["u1", "u2", "u3"])
+        payloads = seen.dump_all()
+    finally:
+        seen.shutdown()
+    seen2 = SeenSet(num_shards=2, capacity_per_shard=1000)
+    try:
+        seen2.load_all(payloads)
+        assert seen2.check(["u1", "u2", "u3"]).all()
+        assert not seen2.check(["u4"]).any()
+    finally:
+        seen2.shutdown()
+
+
+def test_politeness_admission_cap(ray_session):
+    from crawl4ai_ray.state.politeness import PolitenessPool
+
+    pool = PolitenessPool(num_shards=2)
+    try:
+        hosts = ["a.com"] * 5 + ["b.com"] * 2
+        mask = pool.admit(hosts, per_host_cap=3)
+        assert mask[:3].all() and not mask[3:5].any()
+        assert mask[5:].all()
+        stats = pool.stats()
+        assert stats["total_fetched"] == 5
+    finally:
+        pool.shutdown()
+
+
+def test_robots(ray_session):
+    from crawl4ai_ray.state.politeness import PolitenessPool
+
+    rules = {"a.com": "User-agent: *\nDisallow: /private/\n"}
+    pool = PolitenessPool(num_shards=2, robots_rules=rules)
+    try:
+        hosts = ["a.com", "a.com", "b.com"]
+        urls = [
+            "https://a.com/private/x",
+            "https://a.com/public/x",
+            "https://b.com/private/x",
+        ]
+        allowed = pool.robots_allowed(hosts, urls)
+        assert list(allowed) == [False, True, True]
+    finally:
+        pool.shutdown()
