@@ -1,0 +1,215 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ...}
+
+--scaling: runs the headline extraction pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both throughputs
+plus scaling efficiency (the sandbox substitute for N vs 4N nodes — see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "4"))
+
+
+def _init_ray(num_cpus: int):
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level=logging.ERROR,
+        )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_extract() -> tuple[float, int]:
+    """Headline: pages corpus → full extraction → parquet sink."""
+    from crawl4ai_ray.pipelines.extract_pipeline import extract_dataset
+    from crawl4ai_ray.sources.pages import n_pages, read_pages
+
+    out_dir = f"/tmp/bench_docs_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages = read_pages(SF_DIR, replicate=REPLICATE, columns=["url", "html"])
+    n = n_pages(SF_DIR, replicate=REPLICATE)
+    t0 = time.time()
+    docs = extract_dataset(pages, batch_size=64)
+    docs.write_parquet(out_dir)
+    return time.time() - t0, n
+
+
+def bench_crawl() -> float:
+    from crawl4ai_ray.config import CrawlConfig
+    from crawl4ai_ray.pipelines.crawl import crawl
+    from crawl4ai_ray.sources.pages import url_of
+
+    t0 = time.time()
+    cfg = CrawlConfig(max_depth=3, seen_shards=8)
+    crawl(SF_DIR, seeds=[url_of(0), url_of(1), url_of(2)], cfg=cfg)
+    return time.time() - t0
+
+
+def bench_minhash() -> float:
+    import ray
+
+    from crawl4ai_ray.stages.dedup import minhash_lsh_pairs
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    minhash_lsh_pairs(docs).materialize()
+    return time.time() - t0
+
+
+def bench_ann() -> float:
+    import numpy as np
+
+    import ray
+
+    from crawl4ai_ray.stages.ann import brute_force_topk
+
+    t0 = time.time()
+    emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qrows = emb.filter(expr="vec_id < 8").take_all()
+    q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    brute_force_topk(emb, q, qids, k=10).materialize()
+    return time.time() - t0
+
+
+def bench_textstats() -> float:
+    import ray
+
+    from crawl4ai_ray.stages.textstats import quality_counts_batch
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs.map_batches(quality_counts_batch, batch_format="pyarrow").materialize()
+    return time.time() - t0
+
+
+def _warmup():
+    """Spin up Ray workers + imports outside timed regions (a fixed-size
+    cluster is already warm in production; cold-start isn't the metric)."""
+    import ray
+
+    from crawl4ai_ray.stages.extract import ExtractPages
+
+    ds = ray.data.from_items(
+        [{"url": f"https://w.example.com/{i}", "html": b"<p>warm up</p>"} for i in range(512)]
+    )
+    ds.map_batches(ExtractPages(), batch_format="pyarrow", batch_size=16).materialize()
+
+
+def run_headline_only():
+    _init_ray(NUM_CPUS)
+    # warm the synth cache + workers outside the timed region
+    from crawl4ai_ray.sources.pages import synthesize_pages
+
+    synthesize_pages(SF_DIR, REPLICATE)
+    _warmup()
+    sec, n = bench_extract()
+    print(json.dumps({"sec": sec, "pages": n, "pages_per_sec": n / sec}))
+
+
+def run_scaling():
+    """Same job, fresh processes, 8 vs 32 cpus; report efficiency."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, __file__, "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["pages_per_sec"]
+    t32 = results[32]["pages_per_sec"]
+    eff = (t32 / t8) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 4),
+                "unit": "ratio",
+                "pages_per_sec_8": round(t8, 1),
+                "pages_per_sec_32": round(t32, 1),
+                "pages": results[32]["pages"],
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+
+
+def main():
+    _init_ray(NUM_CPUS)
+    from crawl4ai_ray.sources.pages import synthesize_pages
+
+    synthesize_pages(SF_DIR, REPLICATE)  # cache synth outside timings
+    _warmup()
+    queries = {}
+    extract_sec, n = bench_extract()
+    queries["extract"] = round(extract_sec, 3)
+    queries["crawl_bfs"] = round(bench_crawl(), 3)
+    queries["dedup_minhash"] = round(bench_minhash(), 3)
+    queries["ann_topk"] = round(bench_ann(), 3)
+    queries["textstats"] = round(bench_textstats(), 3)
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pages_extracted_per_sec",
+                "value": round(n / extract_sec, 1),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_label(SF_DIR),
+                "num_cpus": NUM_CPUS,
+                "pages": n,
+                "total_sec": total,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--headline-only" in sys.argv:
+        run_headline_only()
+    else:
+        main()
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

@@ -1,0 +1,271 @@
+"""Structured extraction strategies — clean-room re-expression of the
+reference's ExtractionStrategy surface (extraction_strategy.py):
+
+- JsonCssExtractionStrategy (:838-892): user-supplied schema dict
+  {baseSelector, fields: [{name, selector, type, ...}]} with field types
+  text / attribute / html / regex / nested / list / nested_list.
+- RegexExtractionStrategy (:1711-1812): the 21-pattern built-in catalog,
+  emitting {url, label, value, span} match records.
+- Chunking strategies (chunking_strategy.py): Identity / RegexChunking /
+  sliding window / overlapping window.
+
+All are pure per-row callables designed to run inside ``map_batches``
+(ExtractStage below); an extraction strategy instance IS the batch UDF
+state, so user strategies plug in unchanged conceptually (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+from ..html.dom import Element, decode_html, parse_html
+from ..html.selectors import Selector, select
+
+
+class ExtractionStrategy:
+    """Base: extract(url, content) -> list[dict]."""
+
+    input_format = "html"
+
+    def extract(self, url: str, content: str) -> list[dict]:  # pragma: no cover
+        raise NotImplementedError
+
+    def run(self, url: str, sections: list[str]) -> list[dict]:
+        out: list[dict] = []
+        for s in sections:
+            out.extend(self.extract(url, s))
+        return out
+
+
+class JsonCssExtractionStrategy(ExtractionStrategy):
+    """Schema-driven extraction (reference extraction_strategy.py:838-892).
+
+    schema = {
+      "baseSelector": "div.item",
+      "fields": [
+        {"name": "title", "selector": "h2", "type": "text"},
+        {"name": "link", "selector": "a", "type": "attribute", "attribute": "href"},
+        {"name": "raw", "selector": ".body", "type": "html"},
+        {"name": "price", "selector": ".p", "type": "regex", "pattern": "\\d+"},
+        {"name": "tags", "selector": "li", "type": "list",
+         "fields": [{"name": "t", "type": "text"}]},
+        {"name": "sub", "selector": ".sub", "type": "nested", "fields": [...]},
+      ],
+    }
+    """
+
+    def __init__(self, schema: dict):
+        self.schema = schema
+        self._sel_cache: dict[str, Selector] = {}
+
+    def _select(self, root: Element, selector: str | None) -> list[Element]:
+        if not selector:
+            return [root]
+        sel = self._sel_cache.get(selector)
+        if sel is None:
+            sel = Selector(selector)
+            self._sel_cache[selector] = sel
+        return sel.select(root)
+
+    def _field_value(self, el: Element, field: dict):
+        ftype = field.get("type", "text")
+        if ftype == "text":
+            return el.text()
+        if ftype == "attribute":
+            return el.get(field.get("attribute", ""), "")
+        if ftype == "html":
+            return el.serialize()
+        if ftype == "regex":
+            m = re.search(field.get("pattern", ""), el.text())
+            return m.group(0) if m else None
+        if ftype in ("nested", "nested_list"):
+            targets = self._select(el, field.get("selector"))
+            items = [self._extract_fields(t, field.get("fields", [])) for t in targets]
+            return items if ftype == "nested_list" else (items[0] if items else None)
+        if ftype == "list":
+            targets = self._select(el, field.get("selector"))
+            sub_fields = field.get("fields")
+            if sub_fields and len(sub_fields) == 1 and not sub_fields[0].get("selector"):
+                return [self._field_value(t, sub_fields[0]) for t in targets]
+            if sub_fields:
+                return [self._extract_fields(t, sub_fields) for t in targets]
+            return [t.text() for t in targets]
+        return None
+
+    def _extract_fields(self, el: Element, fields: list[dict]) -> dict:
+        item: dict = {}
+        for field in fields:
+            ftype = field.get("type", "text")
+            if ftype in ("nested", "nested_list", "list"):
+                item[field["name"]] = self._field_value(el, field)
+                continue
+            targets = self._select(el, field.get("selector"))
+            if not targets:
+                if "default" in field:
+                    item[field["name"]] = field["default"]
+                continue
+            item[field["name"]] = self._field_value(targets[0], field)
+        return item
+
+    def extract(self, url: str, content: str) -> list[dict]:
+        root = parse_html(content)
+        base = self.schema.get("baseSelector")
+        elements = select(root, base) if base else [root]
+        return [self._extract_fields(el, self.schema.get("fields", [])) for el in elements]
+
+
+# Built-in regex catalog (names + patterns per extraction_strategy.py:1784-1812)
+_BUILTIN_PATTERNS = {
+    "email": r"[\w.+-]+@[\w-]+\.[\w.-]+",
+    "phone_intl": r"\+?\d{1,3}[-.\s]?\(?\d{1,4}\)?[-.\s]?\d{1,4}[-.\s]?\d{1,9}",
+    "url": r"https?://[^\s\"'<>]+",
+    "ipv4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "ipv6": r"(?:[A-Fa-f0-9]{1,4}:){7}[A-Fa-f0-9]{1,4}",
+    "uuid": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "currency": r"[$€£¥]\s?\d+(?:[.,]\d{2,3})*",
+    "percentage": r"\d+(?:\.\d+)?%",
+    "number": r"\b\d{1,3}(?:[,.]\d{3})*(?:\.\d+)?\b",
+    "date_iso": r"\d{4}-\d{2}-\d{2}",
+    "date_us": r"\d{1,2}/\d{1,2}/\d{2,4}",
+    "time_24h": r"\b(?:[01]?\d|2[0-3]):[0-5]\d(?::[0-5]\d)?\b",
+    "postal_us": r"\b\d{5}(?:-\d{4})?\b",
+    "postal_uk": r"\b[A-Z]{1,2}\d[A-Z\d]?\s*\d[A-Z]{2}\b",
+    "hex_color": r"#[0-9a-fA-F]{6}\b",
+    "twitter_handle": r"@\w{1,15}",
+    "hashtag": r"#\w+",
+    "mac_address": r"(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}",
+    "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b",
+    "credit_card": r"\b(?:\d[ -]?){13,16}\b",
+    "htmltag": r"</?\w+[^>]*>",
+}
+
+
+class RegexExtractionStrategy(ExtractionStrategy):
+    """Regex extraction: built-in catalog and/or custom patterns; emits
+    {url, label, value, span} records (extraction_strategy.py:1711-1718)."""
+
+    input_format = "text"
+
+    def __init__(self, patterns: dict[str, str] | None = None, labels=None):
+        if patterns is None:
+            patterns = {
+                k: v
+                for k, v in _BUILTIN_PATTERNS.items()
+                if labels is None or k in labels
+            }
+        self.compiled = {label: re.compile(p) for label, p in patterns.items()}
+
+    def extract(self, url: str, content: str) -> list[dict]:
+        out = []
+        for label, rx in self.compiled.items():
+            for m in rx.finditer(content):
+                out.append(
+                    {
+                        "url": url,
+                        "label": label,
+                        "value": m.group(0),
+                        "span": [m.start(), m.end()],
+                    }
+                )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# chunking (chunking_strategy.py)
+# ---------------------------------------------------------------------------
+
+class ChunkingStrategy:
+    def chunk(self, text: str) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class IdentityChunking(ChunkingStrategy):
+    def chunk(self, text: str) -> list[str]:
+        return [text]
+
+
+class RegexChunking(ChunkingStrategy):
+    def __init__(self, patterns=(r"\n\n",)):
+        self.patterns = list(patterns)
+
+    def chunk(self, text: str) -> list[str]:
+        chunks = [text]
+        for p in self.patterns:
+            chunks = [piece for c in chunks for piece in re.split(p, c)]
+        return [c for c in chunks if c.strip()]
+
+
+class SlidingWindowChunking(ChunkingStrategy):
+    def __init__(self, window_size: int = 100, step: int = 50):
+        self.window_size = window_size
+        self.step = step
+
+    def chunk(self, text: str) -> list[str]:
+        words = text.split()
+        if len(words) <= self.window_size:
+            return [" ".join(words)] if words else []
+        return [
+            " ".join(words[i : i + self.window_size])
+            for i in range(0, len(words) - self.window_size + 1, self.step)
+        ]
+
+
+class OverlappingWindowChunking(ChunkingStrategy):
+    def __init__(self, window_size: int = 1000, overlap: int = 100):
+        self.window_size = window_size
+        self.overlap = overlap
+
+    def chunk(self, text: str) -> list[str]:
+        words = text.split()
+        if not words:
+            return []
+        chunks = []
+        start = 0
+        while start < len(words):
+            end = min(start + self.window_size, len(words))
+            chunks.append(" ".join(words[start:end]))
+            if end == len(words):
+                break
+            start = end - self.overlap
+        return chunks
+
+
+# ---------------------------------------------------------------------------
+# the Ray stage
+# ---------------------------------------------------------------------------
+
+class ExtractStage:
+    """map_batches UDF: applies an ExtractionStrategy to a column of each
+    batch, emitting (url, extracted JSON) — the Ray form of the reference's
+    per-page ``extraction_strategy.run`` step (async_webcrawler.py:592-621).
+    Strategy state (compiled regexes, parsed schema) is built once per
+    worker in __init__ → use with concurrency= for an actor pool."""
+
+    def __init__(
+        self,
+        strategy: ExtractionStrategy,
+        content_col: str = "html",
+        chunking: ChunkingStrategy | None = None,
+    ):
+        self.strategy = strategy
+        self.content_col = content_col
+        self.chunking = chunking or IdentityChunking()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        contents = batch.column(self.content_col).to_pylist()
+        out = []
+        for url, content in zip(urls, contents):
+            content = decode_html(content)
+            sections = self.chunking.chunk(content)
+            records = self.strategy.run(url, sections)
+            out.append(json.dumps(records, ensure_ascii=False))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "extracted": pa.array(out, pa.string()),
+            }
+        )

@@ -1,0 +1,117 @@
+"""Structured extraction, selectors, chunking, content filters."""
+
+import json
+
+import pyarrow as pa
+
+from crawl4ai_ray.functions.content_filter import (
+    BM25ContentFilter,
+    PruningContentFilter,
+    fit_markdown,
+)
+from crawl4ai_ray.functions.extraction import (
+    ExtractStage,
+    IdentityChunking,
+    JsonCssExtractionStrategy,
+    OverlappingWindowChunking,
+    RegexChunking,
+    RegexExtractionStrategy,
+    SlidingWindowChunking,
+)
+from crawl4ai_ray.html.dom import parse_html
+from crawl4ai_ray.html.selectors import select, select_one
+
+HTML = """
+<html><body>
+<div class="item" id="a"><h2>First</h2><a href="/one" class="lnk">go</a>
+  <ul><li>x</li><li>y</li></ul><span class="price">$12.50</span></div>
+<div class="item"><h2>Second</h2><a href="/two">go2</a>
+  <ul><li>z</li></ul><span class="price">$99.00</span></div>
+<div class="other"><h2>Skip</h2></div>
+</body></html>
+"""
+
+
+def test_selectors():
+    root = parse_html(HTML)
+    assert len(select(root, "div.item")) == 2
+    assert select_one(root, "div#a h2").text() == "First"
+    assert len(select(root, "div.item > h2")) == 2
+    assert len(select(root, "ul li")) == 3
+    assert select_one(root, "a.lnk").get("href") == "/one"
+    assert len(select(root, "h2, span.price")) == 5
+
+
+def test_json_css_extraction():
+    schema = {
+        "baseSelector": "div.item",
+        "fields": [
+            {"name": "title", "selector": "h2", "type": "text"},
+            {"name": "link", "selector": "a", "type": "attribute", "attribute": "href"},
+            {"name": "price", "selector": ".price", "type": "regex", "pattern": r"[\d.]+"},
+            {"name": "tags", "selector": "li", "type": "list"},
+        ],
+    }
+    items = JsonCssExtractionStrategy(schema).extract("https://x.com", HTML)
+    assert items == [
+        {"title": "First", "link": "/one", "price": "12.50", "tags": ["x", "y"]},
+        {"title": "Second", "link": "/two", "price": "99.00", "tags": ["z"]},
+    ]
+
+
+def test_regex_extraction():
+    text = "mail a@b.com, visit https://x.com/page on 2024-01-15, 50% off"
+    recs = RegexExtractionStrategy(labels=["email", "url", "date_iso", "percentage"]).extract(
+        "u", text
+    )
+    got = {(r["label"], r["value"]) for r in recs}
+    assert ("email", "a@b.com") in got
+    assert ("url", "https://x.com/page") in got
+    assert ("date_iso", "2024-01-15") in got
+    assert ("percentage", "50%") in got
+    for r in recs:
+        assert text[r["span"][0] : r["span"][1]] == r["value"]
+
+
+def test_chunking():
+    assert IdentityChunking().chunk("a\n\nb") == ["a\n\nb"]
+    assert RegexChunking().chunk("a\n\nb\n\nc") == ["a", "b", "c"]
+    w = SlidingWindowChunking(window_size=3, step=2).chunk("a b c d e")
+    assert w == ["a b c", "c d e"]
+    o = OverlappingWindowChunking(window_size=3, overlap=1).chunk("a b c d e")
+    assert o == ["a b c", "c d e"]
+
+
+def test_extract_stage_batch():
+    batch = pa.table({"url": ["https://x.com"], "html": [HTML.encode()]})
+    stage = ExtractStage(RegexExtractionStrategy(labels=["currency"]), content_col="html")
+    out = stage(batch)
+    recs = json.loads(out.column("extracted")[0].as_py())
+    assert {r["value"] for r in recs} == {"$12.50", "$99.00"}
+
+
+PAGE = """
+<html><head><title>Python guide</title>
+<meta name="description" content="learn python fast"></head><body>
+<nav class="menu"><a href="/">home</a><a href="/about">about</a></nav>
+<article class="content"><p>Python is a programming language that is widely
+used for data processing and machine learning tasks in production systems.</p>
+<p>Learn python with examples: fast iteration, clear syntax, rich libraries
+make python a great language to learn programming fundamentals.</p></article>
+<footer class="footer"><a href="/x">links</a><a href="/y">more</a></footer>
+</body></html>
+"""
+
+
+def test_pruning_filter_drops_nav_footer():
+    frags = PruningContentFilter(threshold=0.45).filter_content(PAGE)
+    joined = " ".join(frags)
+    assert "programming language" in joined
+    assert "home" not in joined
+
+
+def test_bm25_filter_ranks_relevant():
+    frags = BM25ContentFilter(user_query="learn python").filter_content(PAGE)
+    assert frags and "Learn python" in " ".join(frags)
+    md, fh = fit_markdown(PAGE, BM25ContentFilter(user_query="learn python"))
+    assert "python" in md.lower() and "<div>" in fh

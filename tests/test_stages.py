@@ -88,12 +88,13 @@ def test_ngram_jaccard():
 
 
 def test_simhash_near_dups(ray_session):
-    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    # many distinct tokens → stable simhash votes; one-token edit = near-dup
+    base = " ".join(f"word{i}" for i in range(120))
     ds = ray.data.from_arrow(
         pa.table(
             {
                 "doc_id": [0, 1, 2],
-                "text": [base, base + " iota", "qq ww ee rr tt yy uu ii " * 5],
+                "text": [base, base + " extra", " ".join(f"other{i}" for i in range(120))],
             }
         )
     )
