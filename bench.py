@@ -141,10 +141,20 @@ def run_headline_only():
 
 
 def run_scaling():
-    """Same job, fresh processes, 8 vs 32 cpus; report efficiency."""
+    """Same job, fresh processes, 8 vs 32 cpus; report efficiency.
+
+    Uses a larger replication so the 32-cpu run is compute-bound (tens of
+    seconds), not scheduling-overhead-bound — the sandbox stand-in for the
+    north rule's N vs 4N cluster sizes."""
+    replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "24"))
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(cpus),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_REPLICATE=str(replicate),
+        )
         out = subprocess.run(
             [sys.executable, __file__, "--headline-only"],
             env=env,

@@ -97,7 +97,10 @@ class CrawlRun:
         self.out_dir = out_dir
         self.waves: list[dict] = []
         self.docs_dirs: list[str] = []
+        self.docs_mats: list = []  # materialized per-wave docs when no out_dir
         self.pages_crawled = 0
+        self.final_pending = None
+        self.seen_payloads: list[bytes] | None = None
 
     @property
     def crawl_order(self) -> list[tuple[str, int]]:
@@ -109,7 +112,14 @@ class CrawlRun:
 
     def docs_dataset(self):
         dirs = [d for d in self.docs_dirs if os.path.exists(d)]
-        return ray.data.read_parquet(dirs) if dirs else None
+        if dirs:
+            return ray.data.read_parquet(dirs)
+        if self.docs_mats:
+            ds = self.docs_mats[0]
+            for other in self.docs_mats[1:]:
+                ds = ds.union(other)
+            return ds
+        return None
 
 
 def crawl(
@@ -227,6 +237,7 @@ def crawl(
             else:
                 docs = docs.materialize()
                 docs_for_links = docs
+                run.docs_mats.append(docs)
 
             n_crawled = docs_for_links.count()
             run.pages_crawled += n_crawled
@@ -300,6 +311,10 @@ def crawl(
             wave += 1
             if wave > 10_000:  # safety
                 break
+        # expose final state so callers (adaptive crawler, drivers) can
+        # continue the crawl without re-reading disk checkpoints
+        run.final_pending = _sort_pending(pending, cfg.strategy)
+        run.seen_payloads = seen.dump_all()
         return run
     finally:
         seen.shutdown()

@@ -414,6 +414,35 @@ def q_politeness_budget(sf_dir: str):
 # relational demonstrators (TPC-H-ish; exercise join + groupby at scale)
 # ---------------------------------------------------------------------------
 
+def q_link_preview(sf_dir: str):
+    """Link targets joined to corpus head metadata (Dataset.join path)."""
+    from ..sources.pages import read_pages
+    from ..stages.link_preview import link_preview
+
+    docs = _docs(sf_dir)
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    return link_preview(docs, pages)
+
+
+def q_adaptive_crawl(sf_dir: str):
+    """Statistical-stopping adaptive crawl (rows-only: iterative algorithm)."""
+    from .adaptive import adaptive_crawl
+
+    res = adaptive_crawl(
+        sf_dir, [url_of(0)], query="table scan merge join",
+        max_waves=4, wave_size=8, max_pages=40,
+    )
+    return pa.table(
+        {
+            "wave": pa.array([w["wave"] for w in res.waves], pa.int64()),
+            "pages": pa.array([w["pages"] for w in res.waves], pa.int64()),
+            "confidence": pa.array(
+                [w["confidence"] for w in res.waves], pa.float64()
+            ),
+        }
+    )
+
+
 def q_orders_per_nation(sf_dir: str):
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     customer = ray.data.read_parquet(
@@ -486,6 +515,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "best_first_order": q_best_first_order,
     "politeness_budget": q_politeness_budget,
+    "link_preview": q_link_preview,
+    "adaptive_crawl": q_adaptive_crawl,
     "orders_per_nation": q_orders_per_nation,
     "qty_by_flag": q_qty_by_flag,
 }
@@ -607,6 +638,11 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+""",
+    "link_preview": f"""
+WITH {SQL_PAGES}, {SQL_EDGES}
+SELECT e.src, e.dst, 'Page ' || u2.doc_id || ' — ' || u2.host AS dst_title
+FROM edges e JOIN purl u2 ON u2.url = e.dst
 """,
     "orders_per_nation": """
 SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -1,0 +1,67 @@
+"""Pipeline-level tests: extraction pipeline, link preview join, adaptive
+stopping, entry-point contract."""
+
+import pandas as pd
+import pytest
+
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extract_pipeline_rows_and_schema(ray_session):
+    from crawl4ai_ray.pipelines.extract_pipeline import extract_pipeline
+
+    docs = extract_pipeline(SF)
+    df = docs.limit(5).to_pandas()
+    assert len(df) == 5
+    for col in ("url", "markdown", "cleaned_html", "text", "links_internal"):
+        assert col in df.columns
+    assert df["success"].all()
+
+
+def test_link_preview_join(ray_session):
+    from crawl4ai_ray.pipelines.extract_pipeline import extract_pipeline
+    from crawl4ai_ray.sources.pages import read_pages
+    from crawl4ai_ray.stages.link_preview import link_preview
+
+    docs = extract_pipeline(SF)
+    pages = read_pages(SF, columns=["url", "html"])
+    lp = link_preview(docs, pages).to_pandas()
+    # every page has 3 child links (some self/dup-collapsed) joined to titles
+    assert len(lp) > 1000
+    row = lp[lp.dst == "https://site1.example.com/page/1"].iloc[0]
+    assert row["dst_title"] == "Page 1 — site1.example.com"
+
+
+def test_adaptive_confidence_stops(ray_session):
+    from crawl4ai_ray.pipelines.adaptive import adaptive_crawl
+    from crawl4ai_ray.sources.pages import url_of
+
+    res = adaptive_crawl(
+        SF, [url_of(0)], query="table scan merge join",
+        max_waves=4, wave_size=8, max_pages=40,
+    )
+    assert res.stopped_reason in ("confidence", "budget", "frontier_exhausted")
+    assert res.pages_crawled > 0
+    assert 0.0 <= res.confidence <= 1.0
+    # confidence should be monotone-ish upward on this corpus
+    confs = [w["confidence"] for w in res.waves]
+    assert confs[-1] >= confs[0]
+
+
+def test_entry_contract(ray_session):
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.entry()
+    assert isinstance(res, ray.data.Dataset)
+    assert res.count() >= 0
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) >= 20
+    assert set(oracles) <= set(qs)
+    assert all(callable(f) for f in qs.values())

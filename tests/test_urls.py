@@ -93,7 +93,10 @@ def test_path_depth_and_extension_and_year():
     assert path_depth("https://a.com/") == 0
     assert path_depth("https://a.com/a/b") == 2
     assert extract_extension("https://a.com/f.html?q=1") == "html"
-    assert extract_extension("https://a.com/f") == ""
+    # reference's _quick_extension scans the whole URL (scorers.py:272-302):
+    # extensionless path falls back to the domain's TLD — kept for parity
+    assert extract_extension("https://a.com/f") == "com"
+    assert extract_extension("no-dots-here") == ""
     assert extract_year("https://a.com/blog/2021/post") == 2021
     assert extract_year("https://a.com/blog/1850/x") is None
     assert host_of("https://A.b.COM:443/x") == "a.b.com"
