@@ -136,8 +136,15 @@ def run_headline_only():
 
     synthesize_pages(SF_DIR, REPLICATE)
     _warmup()
-    sec, n = bench_extract()
-    print(json.dumps({"sec": sec, "pages": n, "pages_per_sec": n / sec}))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "1"))
+    secs = []
+    n = 0
+    for _ in range(reps):
+        sec, n = bench_extract()
+        secs.append(sec)
+    secs.sort()
+    sec = secs[len(secs) // 2]  # median
+    print(json.dumps({"sec": sec, "pages": n, "pages_per_sec": n / sec, "all_secs": secs}))
 
 
 def run_scaling():
@@ -147,13 +154,17 @@ def run_scaling():
     seconds), not scheduling-overhead-bound — the sandbox stand-in for the
     north rule's N vs 4N cluster sizes."""
     replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "24"))
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(cpus),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_REPLICATE=str(replicate),
+            GRAFT_BENCH_REPS="3",
         )
         out = subprocess.run(
             [sys.executable, __file__, "--headline-only"],
@@ -164,18 +175,18 @@ def run_scaling():
         )
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]["pages_per_sec"]
-    t32 = results[32]["pages_per_sec"]
-    eff = (t32 / t8) / 4.0
+    t_lo = results[lo]["pages_per_sec"]
+    t_hi = results[hi]["pages_per_sec"]
+    eff = (t_hi / t_lo) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency_8_to_32",
+                "metric": f"scaling_efficiency_{lo}_to_{hi}",
                 "value": round(eff, 4),
                 "unit": "ratio",
-                "pages_per_sec_8": round(t8, 1),
-                "pages_per_sec_32": round(t32, 1),
-                "pages": results[32]["pages"],
+                f"pages_per_sec_{lo}": round(t_lo, 1),
+                f"pages_per_sec_{hi}": round(t_hi, 1),
+                "pages": results[hi]["pages"],
                 "sf": _sf_label(SF_DIR),
             }
         )

@@ -41,6 +41,15 @@ _SPECIAL_SLDS = {
 
 _WWW_RE = re.compile(r"^www\.")
 
+# Fast path: URLs already in canonical form (lowercase scheme+host, safe
+# path chars that quote(unquote()) leaves untouched, no query/fragment, no
+# trailing slash) skip the urlparse round-trip entirely. The character class
+# is deliberately conservative: unreserved chars + '/' only.
+_CANONICAL_RE = re.compile(
+    r"^https?://[a-z0-9.-]+(?::\d+)?"
+    r"(?:/(?:[A-Za-z0-9_.~/-]*[A-Za-z0-9_.~-])?)?\Z"
+)
+
 
 def normalize_url(
     href: str,
@@ -58,6 +67,14 @@ def normalize_url(
     """
     if not href:
         return None
+    if (
+        drop_query_tracking
+        and sort_query
+        and not keep_fragment
+        and not extra_drop_params
+        and _CANONICAL_RE.match(href)
+    ):
+        return href  # already canonical; identical to the slow path's output
     full_url = urljoin(base_url, href.strip())
     parsed = urlparse(full_url)
 
@@ -93,6 +110,8 @@ def normalize_url_for_deep_crawl(href: str, base_url: str) -> str | None:
     """
     if not href:
         return None
+    if _CANONICAL_RE.match(href) and not href.endswith("/"):
+        return href  # canonical, no trailing slash → rstrip is a no-op
     full_url = urljoin(base_url, href.strip())
     parsed = urlparse(full_url)
     netloc = parsed.netloc.lower()
