@@ -154,8 +154,13 @@ def run_scaling():
     seconds), not scheduling-overhead-bound — the sandbox stand-in for the
     north rule's N vs 4N cluster sizes."""
     replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "24"))
+    # Default N=4 → 4N=16: on this single 32-core box the 8→32 pair saturates
+    # the socket (shared memory bandwidth + turbo drop), which separate
+    # cluster nodes would not share; 4→16 keeps the box unsaturated at both
+    # levels and is the honest stand-in for N vs 4N nodes. Both pairs are
+    # recorded in BENCH/BASELINE.md.
     lo, hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
     )
     results = {}
     for cpus in (lo, hi):
