@@ -32,6 +32,7 @@ class ScrapeConfig:
     image_description_min_words: int = 1
     only_text: bool = False
     keep_data_attributes: bool = False
+    score_links: bool = False
     citations: bool = True
     # markdown content source: cleaned_html | raw_html | fit_html
     content_source: str = "cleaned_html"

@@ -46,3 +46,8 @@ def md5_hex(strings) -> list[str]:
     """Content hash parity with the reference's generate_content_hash
     (utils.py:2681-2685): md5 hexdigest of the utf-8 text."""
     return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings]
+
+
+def sha1_hex(s: str) -> str:
+    """Cache-key hash parity (async_url_seeder.py:242-244)."""
+    return hashlib.sha1(s.encode("utf-8")).hexdigest()

@@ -331,6 +331,17 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
 
     body = root.find("body") or root
 
+    page_context = None
+    if cfg.score_links:
+        from ..functions.link_scoring import extract_page_context
+
+        headlines = " ".join(
+            h.text() for h in body.find_all("h1", "h2", "h3")
+        )
+        page_context = extract_page_context(
+            metadata.get("title", ""), headlines, metadata.get("description", ""), url
+        )
+
     # --- links (before cleaning, on the full tree: reference does the same
     # link pass over the parsed doc) — first-wins dedup per page keyed by
     # the normalized href (content_scraping_strategy.py:683-691).
@@ -357,6 +368,17 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
             "title": a.get("title", "") or "",
             "base_domain": base_domain,
         }
+        if page_context is not None:
+            from ..functions.link_scoring import (
+                calculate_link_intrinsic_score,
+                calculate_total_score,
+            )
+
+            rec["intrinsic_score"] = calculate_link_intrinsic_score(
+                rec["text"], resolved, rec["title"],
+                a.get("class", "") or "", a.get("rel", "") or "", page_context,
+            )
+            rec["total_score"] = calculate_total_score(rec["intrinsic_score"], None)
         if is_external_url(resolved, base_domain):
             if not cfg.exclude_external_links:
                 links_external.append(rec)

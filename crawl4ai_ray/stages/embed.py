@@ -1,0 +1,139 @@
+"""Embedding + cosine-cluster extraction — the reference's CosineStrategy
+(extraction_strategy.py:98-478: sentence-transformers model loaded once,
+chunk texts, hierarchical cosine clustering with sim_threshold, optional
+semantic filter against a query).
+
+sentence-transformers is not in this container, so the EMBEDDER is a
+clearly-marked deterministic stub (hashed bag-of-words projection) behind
+the same actor-pool interface — model load happens once per actor in
+``__init__`` exactly where a real model would; the clustering math, batch
+plumbing and output layout are real. Swap ``_StubEmbedder`` for a real
+encoder to productionize.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+
+EMBED_DIM = 64
+
+
+class _StubEmbedder:
+    """Deterministic fake sentence encoder: hashed bag-of-words signed
+    projection (a real build loads all-MiniLM-L6-v2 here — once per actor,
+    extraction_strategy.py:188-199)."""
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), EMBED_DIM), dtype=np.float64)
+        for i, t in enumerate(texts):
+            tokens = t.lower().split()
+            if not tokens:
+                continue
+            h = hash64(tokens)
+            idx = (h % np.uint64(EMBED_DIM)).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)) > 0, 1.0, -1.0)
+            np.add.at(out[i], idx, sign)
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
+        return out
+
+
+def cosine_cluster(vectors: np.ndarray, sim_threshold: float = 0.4) -> np.ndarray:
+    """Greedy single-link clustering by cosine similarity (deterministic:
+    chunks in order, join the first cluster whose centroid clears the
+    threshold)."""
+    labels = -np.ones(len(vectors), dtype=np.int64)
+    centroids: list[np.ndarray] = []
+    counts: list[int] = []
+    for i, v in enumerate(vectors):
+        best, best_sim = -1, sim_threshold
+        for c, cent in enumerate(centroids):
+            denom = np.linalg.norm(cent) * np.linalg.norm(v)
+            sim = float(cent @ v / denom) if denom > 0 else 0.0
+            if sim >= best_sim:
+                best, best_sim = c, sim
+        if best == -1:
+            centroids.append(v.copy())
+            counts.append(1)
+            labels[i] = len(centroids) - 1
+        else:
+            centroids[best] = (centroids[best] * counts[best] + v) / (counts[best] + 1)
+            counts[best] += 1
+            labels[i] = best
+    return labels
+
+
+class CosineClusterStage:
+    """Actor-pool map_batches UDF: (url, text) → clustered sections.
+
+    Chunks each doc (word windows), embeds once per actor-held model,
+    clusters by cosine, optionally keeps only clusters relevant to
+    ``semantic_filter`` (cosine vs the query embedding ≥ filter_threshold).
+    Output: one row per (url, cluster): concatenated section text + size.
+    """
+
+    def __init__(
+        self,
+        semantic_filter: str | None = None,
+        sim_threshold: float = 0.4,
+        filter_threshold: float = 0.2,
+        window_words: int = 40,
+    ):
+        self.model = _StubEmbedder()  # once per actor (the whole point)
+        self.sim_threshold = sim_threshold
+        self.filter_threshold = filter_threshold
+        self.window_words = window_words
+        self.query_vec = (
+            self.model.encode([semantic_filter])[0] if semantic_filter else None
+        )
+
+    def _chunks(self, text: str) -> list[str]:
+        words = text.split()
+        w = self.window_words
+        return [" ".join(words[i : i + w]) for i in range(0, len(words), w)] or []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls_out, cluster_ids, sections, sizes = [], [], [], []
+        for url, text in zip(
+            batch.column("url").to_pylist(), batch.column("text").to_pylist()
+        ):
+            chunks = self._chunks(text or "")
+            if not chunks:
+                continue
+            vecs = self.model.encode(chunks)
+            labels = cosine_cluster(vecs, self.sim_threshold)
+            for c in sorted(set(labels.tolist())):
+                idx = np.nonzero(labels == c)[0]
+                if self.query_vec is not None:
+                    cent = vecs[idx].mean(axis=0)
+                    denom = np.linalg.norm(cent) * np.linalg.norm(self.query_vec)
+                    rel = float(cent @ self.query_vec / denom) if denom > 0 else 0.0
+                    if rel < self.filter_threshold:
+                        continue
+                urls_out.append(url)
+                cluster_ids.append(int(c))
+                sections.append(" ".join(chunks[i] for i in idx))
+                sizes.append(int(len(idx)))
+        return pa.table(
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "cluster": pa.array(cluster_ids, pa.int32()),
+                "section": pa.array(sections, pa.string()),
+                "n_chunks": pa.array(sizes, pa.int32()),
+            }
+        )
+
+
+def cosine_sections(ds, semantic_filter=None, concurrency=(1, 4), batch_size=64):
+    """docs(url, text) → clustered sections via an actor pool."""
+    return ds.map_batches(
+        CosineClusterStage,
+        fn_constructor_kwargs={"semantic_filter": semantic_filter},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -26,6 +26,7 @@ LINK_STRUCT = pa.struct(
         ("text", pa.string()),
         ("title", pa.string()),
         ("base_domain", pa.string()),
+        ("intrinsic_score", pa.float64()),  # null unless cfg.score_links
     ]
 )
 IMAGE_STRUCT = pa.struct(
@@ -70,6 +71,7 @@ def _link_rows(links: list[dict]) -> list[dict]:
             "text": l["text"],
             "title": l["title"],
             "base_domain": l["base_domain"],
+            "intrinsic_score": l.get("intrinsic_score"),
         }
         for l in links
     ]

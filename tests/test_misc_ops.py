@@ -1,0 +1,112 @@
+"""Coverage for the long tail of SURVEY §2 operators: link scoring,
+cosine-cluster stage, LLM stubs, raw/file sources, text helpers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from crawl4ai_ray.config import ScrapeConfig
+from crawl4ai_ray.functions.link_scoring import (
+    calculate_link_intrinsic_score,
+    calculate_total_score,
+    extract_page_context,
+)
+from crawl4ai_ray.functions.llm import (
+    LLMContentFilter,
+    LLMConfig,
+    LLMExtractionStrategy,
+)
+from crawl4ai_ray.functions.text import (
+    advanced_split,
+    clean_tokens,
+    extract_xml_data,
+    sanitize_input_encode,
+    split_and_parse_json_objects,
+)
+from crawl4ai_ray.html.scrape import scrape_page
+
+
+def test_link_scoring_in_scrape():
+    html = (
+        "<html><head><title>Python tutorial guide</title></head><body>"
+        "<h1>Python tutorial</h1>"
+        '<a href="https://a.com/docs/python" title="good docs">python tutorial docs</a>'
+        '<a href="https://a.com/x/y/z/w/k/j/click/">here</a>'
+        "</body></html>"
+    )
+    r = scrape_page("https://a.com/base", html, ScrapeConfig(score_links=True))
+    links = {l["href"]: l for l in r["links_internal"]}
+    good = links["https://a.com/docs/python"]["intrinsic_score"]
+    bad = links["https://a.com/x/y/z/w/k/j/click"]["intrinsic_score"]
+    assert good > bad
+    assert 0.0 <= bad <= 10.0 and 0.0 <= good <= 10.0
+
+
+def test_page_context_and_total_score():
+    ctx = extract_page_context("Py docs", "API guide", "reference manual", "https://docs.x.com")
+    assert ctx["is_docs_site"]
+    assert "guide" in ctx["terms"]
+    s = calculate_link_intrinsic_score("api guide", "https://docs.x.com/api/", "title here", "", "", ctx)
+    assert s > 3
+    assert calculate_total_score(8.0, 0.5) == pytest.approx(0.7 * 0.8 + 0.3 * 0.5)
+    assert calculate_total_score(None, None) is None
+
+
+def test_cosine_cluster_stage(ray_session):
+    from crawl4ai_ray.stages.embed import cosine_sections
+
+    rows = [
+        {"url": "u1", "text": ("spark data engine " * 30) + (" cooking pasta recipe " * 30)},
+        {"url": "u2", "text": "tiny"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = cosine_sections(ds).to_pandas()
+    assert set(out["url"]) == {"u1", "u2"}
+    # u1's two topic runs should split into >1 cluster
+    assert len(out[out.url == "u1"]) >= 2
+
+
+def test_llm_stubs():
+    with pytest.raises(NotImplementedError):
+        LLMExtractionStrategy().extract("u", "content")
+    with pytest.raises(NotImplementedError):
+        LLMContentFilter().filter_content("<p>x</p>")
+    # injected completion path works end-to-end
+    strat = LLMExtractionStrategy(
+        llm_config=LLMConfig(provider="stub"),
+        instruction="extract",
+        completion_fn=lambda prompt: '[{"k": 1}]',
+    )
+    assert strat.extract("u", "text") == [{"k": 1}]
+    filt = LLMContentFilter(completion_fn=lambda p: "kept")
+    assert filt.filter_content("<p>x</p>") == ["kept"]
+    assert filt.filter_content("<p>x</p>") == ["kept"]  # cached
+
+
+def test_raw_and_file_sources(ray_session, tmp_path):
+    from crawl4ai_ray.sources.raw import from_raw_html, read_html_files, seed_urls
+
+    ds = from_raw_html([("raw://1", "<p>hello world</p>")])
+    assert ds.count() == 1
+    f = tmp_path / "page.html"
+    f.write_text("<p>file content</p>")
+    fds = read_html_files([str(f)])
+    row = fds.take(1)[0]
+    assert row["url"].startswith("file://") and b"file content" in row["html"]
+    seeds = seed_urls(
+        ["https://a.com/docs/1", "https://a.com/blog/2"], pattern="*/docs/*"
+    )
+    assert seeds.count() == 1
+
+
+def test_text_helpers():
+    assert clean_tokens(["the", "Spark", "engine", "to", "x"]) == ["Spark", "engine"]
+    assert advanced_split("a-b_c, d.e") == ["a", "b", "c", "d", "e"]
+    parsed, bad = split_and_parse_json_objects('x {"a": 1} y {"b": {"c": 2}} {broken}')
+    assert parsed == [{"a": 1}, {"b": {"c": 2}}]
+    assert len(bad) == 1
+    assert extract_xml_data(["t"], "<t attr='1'>val</t>") == {"t": "val"}
+    assert sanitize_input_encode(b"caf\xc3\xa9") == "café"
+    assert sanitize_input_encode(None) == ""
