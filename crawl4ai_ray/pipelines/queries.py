@@ -443,6 +443,109 @@ def q_adaptive_crawl(sf_dir: str):
     )
 
 
+def q_schema_extract(sf_dir: str):
+    """JsonCssExtractionStrategy over the pages corpus: h1 text per page."""
+    from ..functions.extraction import ExtractStage, JsonCssExtractionStrategy
+
+    pages = _pages_ds(sf_dir, columns=["url", "html"])
+    schema = {
+        "baseSelector": "h1",
+        "fields": [{"name": "h1", "type": "text"}],
+    }
+    stage = ExtractStage(JsonCssExtractionStrategy(schema), content_col="html")
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        urls, h1s = [], []
+        for u, ex in zip(
+            batch.column("url").to_pylist(), batch.column("extracted").to_pylist()
+        ):
+            for rec in _json.loads(ex):
+                urls.append(u)
+                h1s.append(rec.get("h1", ""))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "h1": pa.array(h1s, pa.string())}
+        )
+
+    return pages.map_batches(stage, batch_format="pyarrow").map_batches(
+        flatten, batch_format="pyarrow"
+    )
+
+
+def q_regex_extract(sf_dir: str):
+    """RegexExtractionStrategy with a custom pattern over page HTML: the
+    deterministic code-block function names (every 7th page)."""
+    from ..functions.extraction import ExtractStage, RegexExtractionStrategy
+
+    pages = _pages_ds(sf_dir, columns=["url", "html"])
+    stage = ExtractStage(
+        RegexExtractionStrategy(patterns={"fn": r"sample_\d+"}), content_col="html"
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        urls, values = [], []
+        for u, ex in zip(
+            batch.column("url").to_pylist(), batch.column("extracted").to_pylist()
+        ):
+            seen = set()
+            for rec in _json.loads(ex):
+                if rec["value"] not in seen:
+                    seen.add(rec["value"])
+                    urls.append(u)
+                    values.append(rec["value"])
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "value": pa.array(values, pa.string())}
+        )
+
+    return pages.map_batches(stage, batch_format="pyarrow").map_batches(
+        flatten, batch_format="pyarrow"
+    )
+
+
+def q_cosine_sections(sf_dir: str):
+    """Cosine-cluster section extraction (rows-only: stub embedder)."""
+    from ..stages.embed import cosine_sections
+
+    pages = _pages_ds(sf_dir, columns=["url", "text"])
+    return cosine_sections(pages).select_columns(["url", "cluster", "n_chunks"])
+
+
+def q_top_k_relevant(sf_dir: str):
+    """BM25 top-k most relevant documents for a query (adaptive
+    get_relevant_content analogue; rows-only: float scores)."""
+    import math
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    query_terms = ["table", "scan", "merge"]
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        scores = []
+        for t in texts:
+            toks = t.lower().split()
+            n = len(toks) or 1
+            s = sum(toks.count(q) / n for q in query_terms)
+            scores.append(s)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(10)
+        .select_columns(["doc_id"])
+    )
+
+
 def q_orders_per_nation(sf_dir: str):
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     customer = ray.data.read_parquet(
@@ -517,6 +620,10 @@ QUERIES = {
     "politeness_budget": q_politeness_budget,
     "link_preview": q_link_preview,
     "adaptive_crawl": q_adaptive_crawl,
+    "schema_extract": q_schema_extract,
+    "regex_extract": q_regex_extract,
+    "cosine_sections": q_cosine_sections,
+    "top_k_relevant": q_top_k_relevant,
     "orders_per_nation": q_orders_per_nation,
     "qty_by_flag": q_qty_by_flag,
 }
@@ -643,6 +750,14 @@ WHERE a.vec_id < b.vec_id
 WITH {SQL_PAGES}, {SQL_EDGES}
 SELECT e.src, e.dst, 'Page ' || u2.doc_id || ' — ' || u2.host AS dst_title
 FROM edges e JOIN purl u2 ON u2.url = e.dst
+""",
+    "schema_extract": f"""
+WITH {SQL_PAGES}
+SELECT url, 'Page ' || doc_id AS h1 FROM purl
+""",
+    "regex_extract": f"""
+WITH {SQL_PAGES}
+SELECT url, 'sample_' || doc_id AS value FROM purl WHERE doc_id % 7 = 0
 """,
     "orders_per_nation": """
 SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders

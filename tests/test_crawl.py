@@ -109,6 +109,56 @@ def test_dfs_and_best_first_run(ray_session):
         assert len(urls) == len(set(urls))
 
 
+def reference_best_first(seed_id, n, scorer, max_depth, max_pages, batch=10):
+    """Sequential priority-queue simulator (independent golden for the
+    distributed best-first wave loop): pop top-`batch` by
+    (score desc, depth asc, url asc), crawl, discover, repeat."""
+    seed = url_of(seed_id)
+    pending = {seed: (0, scorer.score(seed))}  # url -> (depth, score)
+    seen = {seed}
+    crawled = 0
+    waves = []
+    while pending and crawled < max_pages:
+        order = sorted(pending.items(), key=lambda kv: (-kv[1][1], kv[1][0], kv[0]))
+        wave = order[: min(batch, max_pages - crawled)]
+        waves.append([u for u, _ in wave])
+        for u, (d, _) in wave:
+            del pending[u]
+            if "/page/" not in u:
+                continue  # fetch miss: no doc, no links, not counted
+            crawled += 1
+            if d + 1 > max_depth:
+                continue
+            pid = int(u.rsplit("/", 1)[1])
+            home = f"https://site{host_id_of(pid)}.example.com"
+            for t in [home] + [url_of(c) for c in children_of(pid, n)]:
+                if t not in seen:
+                    seen.add(t)
+                    pending[t] = (d + 1, scorer.score(t))
+    return waves
+
+
+def test_best_first_order_matches_reference_sim(ray_session):
+    from crawl4ai_ray.functions.filters import KeywordRelevanceScorer
+
+    n = n_pages(SF)
+    cfg = CrawlConfig(
+        strategy="best_first",
+        max_depth=2,
+        max_pages=40,
+        seen_shards=4,
+        url_scorer=KeywordRelevanceScorer(["page/1", "page/2"], weight=1.0),
+    )
+    run = crawl(SF, seeds=[url_of(0)], cfg=cfg)
+    golden = reference_best_first(
+        0, n, KeywordRelevanceScorer(["page/1", "page/2"], weight=1.0),
+        max_depth=2, max_pages=40,
+    )
+    ours = [sorted(w["frontier_urls"]) for w in run.waves]
+    golden_sorted = [sorted(w) for w in golden]
+    assert ours == golden_sorted
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     out1 = str(tmp_path / "full")
     cfg = CrawlConfig(max_depth=2, seen_shards=2)
