@@ -546,6 +546,56 @@ def q_top_k_relevant(sf_dir: str):
     )
 
 
+def q_events_window(sf_dir: str):
+    """Tumbling 1h window counts per event_type (custom windowed-aggregate
+    operator; count-only so the oracle compare is float-free)."""
+    from ..stages.windows import tumbling_window_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    out = tumbling_window_counts(events, "1h", value_col=None)
+    return out.select_columns(["window_start", "event_type", "n_events"])
+
+
+def q_asof_orders(sf_dir: str):
+    """As-of join: each event picks the customer's latest order at or
+    before the event time (custom operator: union-tag → groupby(entity) →
+    per-group vectorized merge_asof)."""
+    from ..stages.windows import asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    # pre-reduce the right side to one row per (entity, ts) so ties are
+    # deterministic on both engines
+    best = orders.groupby(["o_custkey", "o_orderdate"]).max("o_totalprice")
+    best = best.rename_columns({"max(o_totalprice)": "best_price"})
+    out = asof_join(
+        events,
+        best,
+        by_left="user_id",
+        by_right="o_custkey",
+        ts_left="ts",
+        ts_right="o_orderdate",
+        right_value_cols=["best_price"],
+    )
+    def project(batch: pa.Table) -> pa.Table:
+        # union with the tagged right side promoted l_event_id to float
+        return pa.table(
+            {
+                "event_id": batch.column("l_event_id").cast(pa.int64()),
+                "best_price": batch.column("best_price"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_orders_per_nation(sf_dir: str):
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     customer = ray.data.read_parquet(
@@ -624,6 +674,8 @@ QUERIES = {
     "regex_extract": q_regex_extract,
     "cosine_sections": q_cosine_sections,
     "top_k_relevant": q_top_k_relevant,
+    "events_window": q_events_window,
+    "asof_orders": q_asof_orders,
     "orders_per_nation": q_orders_per_nation,
     "qty_by_flag": q_qty_by_flag,
 }
@@ -758,6 +810,20 @@ SELECT url, 'Page ' || doc_id AS h1 FROM purl
     "regex_extract": f"""
 WITH {SQL_PAGES}
 SELECT url, 'sample_' || doc_id AS value FROM purl WHERE doc_id % 7 = 0
+""",
+    "events_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    "asof_orders": """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS best_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, r.best_price
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
 """,
     "orders_per_nation": """
 SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -1,0 +1,140 @@
+"""Windowed aggregates and as-of joins over event streams.
+
+Ray Data lacks both natively; per the build brief they're composed from
+``map_batches`` (window-key assignment — embarrassingly parallel) +
+``groupby`` (one shuffle on the window/entity key) + per-group vectorized
+logic. Partitioning assumption: one (entity) group fits in a worker's heap
+— true for per-user event history; salt the key if an entity is pathological.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def tumbling_window_counts(
+    events: "ray.data.Dataset",
+    window: str = "1h",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str | None = "value",
+) -> "ray.data.Dataset":
+    """Tumbling-window aggregate: floor(ts, window) × key → count (+ sum).
+    Window assignment is a vectorized per-batch transform; the only shuffle
+    is the final groupby on (window_start, key)."""
+    unit = {"1h": "hour", "1d": "day", "1m": "minute"}[window]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(batch.column(ts_col), unit=unit)
+        cols = {
+            "window_start": ws,
+            key_col: batch.column(key_col),
+        }
+        if value_col and value_col in batch.column_names:
+            cols[value_col] = batch.column(value_col)
+        return pa.table(cols)
+
+    assigned = events.map_batches(assign, batch_format="pyarrow")
+    grouped = assigned.groupby(["window_start", key_col])
+    if value_col:
+        out = grouped.aggregate(
+            ray.data.aggregate.Count(alias_name="n_events"),
+            ray.data.aggregate.Sum(value_col, alias_name="sum_value"),
+        )
+    else:
+        out = grouped.aggregate(ray.data.aggregate.Count(alias_name="n_events"))
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_events"),
+            "n_events",
+            b.column("n_events").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by_left: str,
+    by_right: str,
+    ts_left: str,
+    ts_right: str,
+    right_value_cols: list[str],
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """As-of (backward) join: for each left row, attach the latest right
+    row of the same entity with ts_right <= ts_left.
+
+    Composition: tag + union (no data leaves its partition until the one
+    groupby on the entity key co-locates each entity's full history), then
+    a per-group vectorized ``pandas.merge_asof``. Assumes one entity's
+    history fits in a worker (salt the entity key otherwise).
+    """
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "entity": batch.column(by_left).cast(pa.int64()),
+            "ts": batch.column(ts_left),
+            "side": pa.array(["L"] * n, pa.string()),
+        }
+        for c in right_value_cols:
+            cols[c] = pa.nulls(n, _rtype(right, c))
+        for c in batch.column_names:
+            if c not in (by_left, ts_left):
+                cols[f"l_{c}"] = batch.column(c)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "entity": batch.column(by_right).cast(pa.int64()),
+            "ts": batch.column(ts_right),
+            "side": pa.array(["R"] * n, pa.string()),
+        }
+        for c in right_value_cols:
+            cols[c] = batch.column(c)
+        left_extra = [
+            f"l_{c}"
+            for c in left.schema().names
+            if c not in (by_left, ts_left)
+        ]
+        for name in left_extra:
+            cols[name] = pa.nulls(n, _ltype(left, name[2:]))
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def per_entity(group: pd.DataFrame) -> pd.DataFrame:
+        lrows = group[group["side"] == "L"].sort_values("ts", kind="mergesort")
+        rrows = group[group["side"] == "R"].sort_values("ts", kind="mergesort")
+        if lrows.empty:
+            return lrows.drop(columns=["side"]).iloc[0:0]
+        lcols = [c for c in lrows.columns if c.startswith("l_")] + ["entity", "ts"]
+        out = pd.merge_asof(
+            lrows[lcols],
+            rrows[["ts"] + right_value_cols],
+            on="ts",
+            direction="backward",
+        )
+        return out
+
+    return both.groupby("entity").map_groups(per_entity, batch_format="pandas")
+
+
+def _rtype(ds, col):
+    sch = ds.schema()
+    return sch.base_schema.field(col).type
+
+
+def _ltype(ds, col):
+    sch = ds.schema()
+    return sch.base_schema.field(col).type
