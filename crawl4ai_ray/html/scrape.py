@@ -323,7 +323,8 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
         return {
             "success": False, "cleaned_html": "", "cleaned_root": None,
             "metadata": {}, "links_internal": [], "links_external": [],
-            "images": [], "tables": [], "text": "", "fit_html": "",
+            "images": [], "videos": [], "audios": [], "tables": [],
+            "text": "", "fit_html": "",
         }
 
     metadata = extract_metadata(root)
@@ -404,6 +405,18 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
         if is_data_table(t, cfg.table_score_threshold)
     ]
 
+    # --- video/audio with nested <source> (content_scraping_strategy.py:764-787)
+    videos, audios = [], []
+    for tag, sink in (("video", videos), ("audio", audios)):
+        for el in body.find_all(tag):
+            srcs = []
+            if el.get("src"):
+                srcs.append({"src": el.get("src"), "type": el.get("type", "") or ""})
+            for s in el.find_all("source"):
+                if s.get("src"):
+                    srcs.append({"src": s.get("src"), "type": s.get("type", "") or ""})
+            sink.extend(srcs)
+
     # --- fit_html from the raw tree (reference computes it from raw html,
     # async_webcrawler.py:513), non-mutating, before cleaning
     fit_html = fit_html_from_root(root, cfg.fit_text_threshold, cfg.fit_max_size)
@@ -423,6 +436,8 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
         "links_internal": links_internal,
         "links_external": links_external,
         "images": images,
+        "videos": videos,
+        "audios": audios,
         "tables": tables,
         "text": text,
         "fit_html": fit_html,

@@ -67,6 +67,8 @@ edges AS (
              JOIN purl u2 ON u2.doc_id = child.dst_id
   UNION
   SELECT DISTINCT url AS src, site AS dst FROM purl
+  UNION
+  SELECT url AS src, url || '?page=2' AS dst FROM purl WHERE doc_id % 37 = 0
 )
 """
 

@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 
 import ray
 
-PAGES_VERSION = "v1"
+PAGES_VERSION = "v2"
 N_HOSTS = 50
 HEAVY_EVERY = 7  # doc_id % 7 == 0 → host 0
 EPOCH = datetime(2024, 1, 1)
@@ -76,6 +76,11 @@ def _paragraphs(text: str, width: int = 220, max_paras: int = 6) -> list[str]:
 
 
 def build_html(doc_id: int, n: int, text: str, lang: str) -> str:
+    """One synthetic page. Feature coverage follows FIXTURES.md §1's matrix
+    (every extraction branch hit on a deterministic doc_id stride); the
+    SQL-reconstructable invariants are: exactly one <h1>, the four internal
+    link rules (home + c1/c2/c3) plus the %37 query-link, the %7 code
+    sample and the %10 data table."""
     host = f"site{host_id_of(doc_id)}.example.com"
     c1, c2, c3 = children_of(doc_id, n)
     h3 = host_id_of(c3)
@@ -87,8 +92,15 @@ def build_html(doc_id: int, n: int, text: str, lang: str) -> str:
         else:
             body.append(f"<p>{p}</p>")
     if doc_id % 5 == 0:
+        nested = (
+            "<ul><li>nested one</li><li>nested two</li></ul>"
+            if doc_id % 15 == 0
+            else ""
+        )
         body.append(
-            "<ul>" + "".join(f"<li>list item {doc_id}-{k}</li>" for k in range(3)) + "</ul>"
+            "<ul>"
+            + "".join(f"<li>list item {doc_id}-{k}</li>" for k in range(2))
+            + f"<li>list item {doc_id}-2{nested}</li></ul>"
         )
     if doc_id % 7 == 0:
         body.append(
@@ -106,20 +118,75 @@ def build_html(doc_id: int, n: int, text: str, lang: str) -> str:
         )
     if doc_id % 11 == 0:
         body.append(f"<blockquote>Quoted wisdom number {doc_id}.</blockquote>")
+    if doc_id % 17 == 0:
+        # layout table: must be rejected by is_data_table (role=presentation)
+        body.append(
+            '<table role="presentation"><tr><td>layout</td><td>only</td></tr></table>'
+        )
+    if doc_id % 19 == 0:
+        body.append(
+            "<ol>" + "".join(f"<li>step {k}</li>" for k in range(1, 4)) + "</ol>"
+        )
+    if doc_id % 21 == 0:
+        body.append(f"<p>Entities &amp; dashes &#8212; for page {doc_id}.</p>")
+    if doc_id % 23 == 0:
+        body.append(f"<p>line one<br>line two of {doc_id}</p><hr>")
+    if doc_id % 43 == 0:
+        body.append(
+            f"<h3>Sub {doc_id}</h3><p>h3 text</p><h4>Deep</h4><p>h4 text</p>"
+            "<h5>Deeper</h5><h6>Deepest</h6>"
+        )
+    if doc_id % 31 == 0:
+        body.append("<p>中文内容测试 — النص العربي here.</p>")
+    if doc_id % 29 == 0:
+        body.append(
+            '<!-- synthetic comment --><form class="promo" action="/sub">'
+            '<input name="q" type="text"></form>'
+        )
     body.append(f'<h2>Related pages for {doc_id}</h2>')
     body.append(f'<p><a href="{url_of(c1)}">first link {c1}</a></p>')
     body.append(
         f'<p><a href="{url_of(c2)}?utm_source=feed&ref=rss#section-2">second link {c2}</a></p>'
     )
     body.append(f'<p><a href="//site{h3}.example.com/page/{c3}">third link {c3}</a></p>')
+    if doc_id % 37 == 0:
+        body.append('<p><a href="?page=2">pagination link</a></p>')
     body.append(
         f'<p><a href="https://www.external-site.org/ref/{doc_id}" title="ext">external resource</a>'
-        f' and <a href="mailto:info@example.com">contact</a></p>'
+        f' and <a href="mailto:info@example.com">contact</a>'
+        f' and <a href="javascript:void(0)">noop</a></p>'
     )
     body.append(
         f'<img src="https://img.example.com/img{doc_id}.png" alt="figure {doc_id}" width="320" height="240">'
     )
+    if doc_id % 9 == 0:
+        body.append(
+            f'<img src="https://img.example.com/s{doc_id}.jpg" '
+            f'srcset="https://img.example.com/s{doc_id}-640.jpg 640w, '
+            f'https://img.example.com/s{doc_id}-1024.jpg 1024w" '
+            f'alt="responsive {doc_id}" width="200" height="200">'
+        )
+    if doc_id % 13 == 0:
+        # icon inside a skip-class parent: must be dropped by process_image
+        body.append(
+            f'<span class="icon"><img src="https://img.example.com/tiny{doc_id}.png"></span>'
+        )
+    if doc_id % 25 == 0:
+        body.append('<img src="data:image/png;base64,AAAA" alt="inline">')
+    if doc_id % 27 == 0:
+        body.append(
+            f'<video width="640"><source src="https://media.example.com/v{doc_id}.mp4" '
+            'type="video/mp4"></video>'
+            f'<audio><source src="https://media.example.com/a{doc_id}.ogg" '
+            'type="audio/ogg"></audio>'
+        )
     body.append(f'<p class="footer">Footer boilerplate for {host}.</p>')
+    extra_meta = (
+        '<meta name="twitter:card" content="summary">'
+        f'<meta property="article:author" content="gen-{doc_id}">'
+        if doc_id % 3 == 0
+        else ""
+    )
     return (
         "<html><head>"
         f"<title>Page {doc_id} — {host}</title>"
@@ -127,7 +194,8 @@ def build_html(doc_id: int, n: int, text: str, lang: str) -> str:
         f'<meta name="keywords" content="synthetic,crawl,page{doc_id}">'
         '<meta name="author" content="corpus-generator">'
         f'<meta property="og:title" content="OG Page {doc_id}">'
-        "<script>var x = 1;</script><style>body { margin: 0 }</style>"
+        + extra_meta
+        + "<script>var x = 1;</script><style>body { margin: 0 }</style>"
         "</head><body>"
         '<nav class="menu"><a href="/">home</a></nav>'
         + "".join(body)

@@ -40,6 +40,7 @@ IMAGE_STRUCT = pa.struct(
         ("width", pa.string()),
     ]
 )
+MEDIA_SRC_STRUCT = pa.struct([("src", pa.string()), ("type", pa.string())])
 
 DOCS_SCHEMA = pa.schema(
     [
@@ -57,6 +58,8 @@ DOCS_SCHEMA = pa.schema(
         ("links_internal", pa.list_(LINK_STRUCT)),
         ("links_external", pa.list_(LINK_STRUCT)),
         ("images", pa.list_(IMAGE_STRUCT)),
+        ("videos", pa.list_(MEDIA_SRC_STRUCT)),
+        ("audios", pa.list_(MEDIA_SRC_STRUCT)),
         ("tables", pa.string()),  # JSON [{headers, rows, caption, summary}]
         ("n_links", pa.int32()),
         ("n_images", pa.int32()),
@@ -131,6 +134,8 @@ class ExtractPages:
             cols["links_internal"].append(_link_rows(r["links_internal"]))
             cols["links_external"].append(_link_rows(r["links_external"]))
             cols["images"].append(_image_rows(r["images"]))
+            cols["videos"].append(r["videos"])
+            cols["audios"].append(r["audios"])
             cols["tables"].append(json.dumps(r["tables"], ensure_ascii=False))
             cols["n_links"].append(len(r["links_internal"]) + len(r["links_external"]))
             cols["n_images"].append(len(r["images"]))

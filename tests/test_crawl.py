@@ -34,9 +34,13 @@ def reference_bfs(seed_ids, n, max_depth):
             # home links only exist on real pages (page/<id> urls)
             if "/page/" not in u:
                 continue
+            if "?" in u:
+                continue  # pagination targets have no page rows
             pid = int(u.rsplit("/", 1)[1])
             home = f"https://site{host_id_of(pid)}.example.com"
             targets = [url_of(c) for c in children_of(pid, n)] + [home]
+            if pid % 37 == 0:
+                targets.append(f"{u}?page=2")
             for t in targets:
                 if t not in depth:
                     depth[t] = d + 1
@@ -124,14 +128,17 @@ def reference_best_first(seed_id, n, scorer, max_depth, max_pages, batch=10):
         waves.append([u for u, _ in wave])
         for u, (d, _) in wave:
             del pending[u]
-            if "/page/" not in u:
+            if "/page/" not in u or "?" in u:
                 continue  # fetch miss: no doc, no links, not counted
             crawled += 1
             if d + 1 > max_depth:
                 continue
             pid = int(u.rsplit("/", 1)[1])
             home = f"https://site{host_id_of(pid)}.example.com"
-            for t in [home] + [url_of(c) for c in children_of(pid, n)]:
+            targets = [home] + [url_of(c) for c in children_of(pid, n)]
+            if pid % 37 == 0:
+                targets.append(f"{u}?page=2")
+            for t in targets:
                 if t not in seen:
                     seen.add(t)
                     pending[t] = (d + 1, scorer.score(t))
