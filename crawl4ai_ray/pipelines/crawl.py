@@ -212,17 +212,34 @@ def crawl(
                 )
             }
             fref = ray.put(fdict)
-            fetched = pages.map_batches(
-                FetchFromCorpus,
-                fn_constructor_args=(fref,),
-                batch_format="pyarrow",
-                concurrency=(1, 8),
-                batch_size=1024,
-            )
-            docs = fetched.map_batches(
-                ExtractPages(cfg.scrape),
-                batch_format="pyarrow",
-                batch_size=cfg.scrape_batch_size,
+            # ONE fused streaming pipeline per wave: fetch ⋉ → extract →
+            # candidate discovery (side-effect into the seen shards) → sink.
+            docs = (
+                pages.map_batches(
+                    FetchFromCorpus,
+                    fn_constructor_args=(fref,),
+                    batch_format="pyarrow",
+                    concurrency=(1, 8),
+                    batch_size=1024,
+                )
+                .map_batches(
+                    ExtractPages(cfg.scrape),
+                    batch_format="pyarrow",
+                    batch_size=cfg.scrape_batch_size,
+                )
+                .map_batches(
+                    DiscoverCandidates(
+                        seen,
+                        filter_chain=cfg_filter_chain(cfg),
+                        scorer=cfg_scorer(cfg),
+                        score_threshold=cfg.score_threshold,
+                        include_external=cfg.include_external,
+                        max_depth=cfg.max_depth,
+                        passthrough=True,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=cfg.scrape_batch_size,
+                )
             )
             wave_dir = None
             if out_dir:
@@ -231,31 +248,14 @@ def crawl(
                 os.makedirs(docs_dir, exist_ok=True)
                 docs.write_parquet(docs_dir)
                 run.docs_dirs.append(docs_dir)
-                docs_for_links = ray.data.read_parquet(
-                    docs_dir, columns=["url", "depth", "links_internal", "links_external"]
-                )
+                n_crawled = ray.data.read_parquet(docs_dir, columns=["url"]).count()
             else:
                 docs = docs.materialize()
-                docs_for_links = docs
                 run.docs_mats.append(docs)
-
-            n_crawled = docs_for_links.count()
+                n_crawled = docs.count()
             run.pages_crawled += n_crawled
 
-            # ---- candidate discovery → shard dedup/anti-join/mark
-            stats = docs_for_links.map_batches(
-                DiscoverCandidates(
-                    seen,
-                    filter_chain=cfg_filter_chain(cfg),
-                    scorer=cfg_scorer(cfg),
-                    score_threshold=cfg.score_threshold,
-                    include_external=cfg.include_external,
-                    max_depth=cfg.max_depth,
-                ),
-                batch_format="pyarrow",
-                batch_size=256,
-            ).sum(["n_candidates", "n_skipped"], ignore_nulls=True) or {}
-
+            stats = {}
             new_parts = seen.finalize_wave()
             new_tables = [
                 pa.table(

@@ -67,6 +67,7 @@ class DiscoverCandidates:
         score_threshold: float | None = None,
         include_external: bool = False,
         max_depth: int = 3,
+        passthrough: bool = False,
     ):
         self.seen = seen_set
         self.filter_chain = filter_chain
@@ -74,6 +75,11 @@ class DiscoverCandidates:
         self.score_threshold = score_threshold
         self.include_external = include_external
         self.max_depth = max_depth
+        # passthrough=True fuses discovery into the extract pipeline: the
+        # batch flows through unchanged while candidates are offered to the
+        # shards as a side effect. Offering is idempotent (deterministic
+        # canonical pick), so Ray task retries are safe.
+        self.passthrough = passthrough
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         src_urls = batch.column("url").to_pylist()
@@ -145,6 +151,8 @@ class DiscoverCandidates:
                 [cand_parent[i] for i in idx],
                 [float(scores[i]) for i in idx],
             )
+        if self.passthrough:
+            return batch
         return pa.table(
             {
                 "n_candidates": pa.array([len(idx)], pa.int64()),
