@@ -77,10 +77,18 @@ def asof_join(
     history fits in a worker (salt the entity key otherwise).
     """
 
+    num_partitions = max(1, num_partitions)
+
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        entity = batch.column(by_left).cast(pa.int64())
+        bucket = pa.array(
+            (entity.to_numpy(zero_copy_only=False) % num_partitions).tolist(),
+            pa.int64(),
+        )
         cols = {
-            "entity": batch.column(by_left).cast(pa.int64()),
+            "bucket": bucket,
+            "entity": entity,
             "ts": batch.column(ts_left),
             "side": pa.array(["L"] * n, pa.string()),
         }
@@ -93,8 +101,14 @@ def asof_join(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        entity = batch.column(by_right).cast(pa.int64())
+        bucket = pa.array(
+            (entity.to_numpy(zero_copy_only=False) % num_partitions).tolist(),
+            pa.int64(),
+        )
         cols = {
-            "entity": batch.column(by_right).cast(pa.int64()),
+            "bucket": bucket,
+            "entity": entity,
             "ts": batch.column(ts_right),
             "side": pa.array(["R"] * n, pa.string()),
         }
@@ -113,21 +127,29 @@ def asof_join(
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     both = lt.union(rt)
 
-    def per_entity(group: pd.DataFrame) -> pd.DataFrame:
-        lrows = group[group["side"] == "L"].sort_values("ts", kind="mergesort")
-        rrows = group[group["side"] == "R"].sort_values("ts", kind="mergesort")
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized merge_asof(by=entity) per hash bucket — NOT per
+        entity: P calls total instead of |entities|."""
+        lrows = group[group["side"] == "L"].sort_values(
+            "ts", kind="mergesort"
+        )
+        rrows = group[group["side"] == "R"].sort_values(
+            "ts", kind="mergesort"
+        )
         if lrows.empty:
-            return lrows.drop(columns=["side"]).iloc[0:0]
+            lcols = [c for c in group.columns if c.startswith("l_")]
+            return group[lcols + ["entity", "ts"] + right_value_cols].iloc[0:0]
         lcols = [c for c in lrows.columns if c.startswith("l_")] + ["entity", "ts"]
         out = pd.merge_asof(
             lrows[lcols],
-            rrows[["ts"] + right_value_cols],
+            rrows[["entity", "ts"] + right_value_cols],
             on="ts",
+            by="entity",
             direction="backward",
         )
         return out
 
-    return both.groupby("entity").map_groups(per_entity, batch_format="pandas")
+    return both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def _rtype(ds, col):
