@@ -1,0 +1,110 @@
+"""User-facing facade — the Ray-Data analogue of the reference's
+``AsyncWebCrawler`` surface (async_webcrawler.py): a user of the reference
+maps their calls 1:1:
+
+    AsyncWebCrawler.arun(url, config)        → RayWebCrawler.run(url)
+    AsyncWebCrawler.arun_many(urls, config)  → RayWebCrawler.run_many(urls)
+    deep_crawl_strategy=BFS/DFS/BestFirst    → RayWebCrawler.deep_crawl(...)
+    AdaptiveCrawler.digest(start, query)     → RayWebCrawler.digest(...)
+
+The corpus plays the network: fetches resolve against the pages table
+(live HTTP is out of scope for an offline data engine — SURVEY.md §2.11).
+Results come back as Arrow-friendly dicts / Datasets, flattened per the
+docs schema (stages/extract.py) rather than CrawlResult objects.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+from .config import CrawlConfig, ScrapeConfig
+from .pipelines.crawl import CrawlRun, crawl
+from .pipelines.extract_pipeline import extract_dataset
+from .stages.extract import ExtractPages
+
+
+class RayWebCrawler:
+    def __init__(self, pages: "ray.data.Dataset | str", scrape: ScrapeConfig | None = None):
+        """``pages``: the corpus Dataset (url, html, …) or an sf_dir path."""
+        if isinstance(pages, str):
+            from .sources.pages import read_pages
+
+            pages = read_pages(pages, columns=["url", "html"])
+        self.pages = pages
+        self.scrape = scrape or ScrapeConfig()
+
+    # -- single page (arun) ------------------------------------------------
+    def run(self, url: str) -> dict | None:
+        """Extract one page from the corpus; None if the url isn't there.
+        (Driver-side convenience — the distributed path is run_many.)"""
+        rows = self.pages.filter(expr=f'url == "{url}"').take(1)
+        if not rows:
+            return None
+        batch = pa.table({"url": [rows[0]["url"]], "html": [rows[0]["html"]]})
+        out = ExtractPages(self.scrape)(batch)
+        return {c: out.column(c)[0].as_py() for c in out.column_names}
+
+    # -- many pages (arun_many) -------------------------------------------
+    def run_many(self, urls: list[str] | None = None) -> "ray.data.Dataset":
+        """Extraction pipeline over the corpus (optionally a url subset).
+        Lazy Dataset: consume with write_parquet / iter_batches (the
+        reference's stream=True maps to batch-wise iteration here)."""
+        pages = self.pages
+        if urls is not None:
+            want = ray.put(set(urls))
+
+            class FilterUrls:
+                def __init__(self):
+                    self.want = ray.get(want)
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    mask = pa.array(
+                        [u in self.want for u in batch.column("url").to_pylist()],
+                        pa.bool_(),
+                    )
+                    return batch.filter(mask)
+
+            pages = pages.map_batches(
+                FilterUrls, batch_format="pyarrow", concurrency=(1, 4)
+            )
+        return extract_dataset(pages, self.scrape)
+
+    # -- deep crawl --------------------------------------------------------
+    def deep_crawl(
+        self,
+        seeds: list[str] | str,
+        strategy: str = "bfs",
+        max_depth: int = 3,
+        max_pages: int | None = None,
+        out_dir: str | None = None,
+        **cfg_kwargs,
+    ) -> CrawlRun:
+        if isinstance(seeds, str):
+            seeds = [seeds]
+        cfg = CrawlConfig(
+            strategy=strategy,
+            max_depth=max_depth,
+            max_pages=max_pages,
+            scrape=self.scrape,
+            **cfg_kwargs,
+        )
+        return crawl(self.pages, seeds=seeds, cfg=cfg, out_dir=out_dir)
+
+    # -- adaptive (digest) -------------------------------------------------
+    def digest(self, start_url: str, query: str, **kwargs):
+        from .pipelines.adaptive import adaptive_crawl
+
+        if not hasattr(self, "_sf_dir"):
+            raise ValueError(
+                "digest() needs a corpus sf_dir; construct RayWebCrawler with "
+                "an sf_dir path to enable it"
+            )
+        return adaptive_crawl(self._sf_dir, [start_url], query, **kwargs)
+
+    @classmethod
+    def from_sf_dir(cls, sf_dir: str, scrape: ScrapeConfig | None = None) -> "RayWebCrawler":
+        inst = cls(sf_dir, scrape)
+        inst._sf_dir = sf_dir
+        return inst

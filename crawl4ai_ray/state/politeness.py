@@ -38,7 +38,9 @@ class HostState:
         self.pages_fetched = 0
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)  # lightweight state actor: never reserve CPUs —
+# reserving would deadlock placement on small sessions (probes are bursty
+# and short; at cluster scale, shard count is sized to nodes, not cores)
 class PolitenessShard:
     """Politeness + robots state for a hash partition of hosts."""
 

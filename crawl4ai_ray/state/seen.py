@@ -29,7 +29,9 @@ import ray
 from ..functions.hashing import hash64
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)  # lightweight state actor: never reserve CPUs —
+# reserving would deadlock placement on small sessions (probes are bursty
+# and short; at cluster scale, shard count is sized to nodes, not cores)
 class UrlSeenShard:
     """One partition of the URL-seen set.
 
