@@ -248,12 +248,26 @@ def crawl(
                 os.makedirs(docs_dir, exist_ok=True)
                 docs.write_parquet(docs_dir)
                 run.docs_dirs.append(docs_dir)
-                n_crawled = ray.data.read_parquet(docs_dir, columns=["url"]).count()
+                crawled_urls = {
+                    r["url"]
+                    for r in ray.data.read_parquet(docs_dir, columns=["url"]).take_all()
+                }
             else:
                 docs = docs.materialize()
                 run.docs_mats.append(docs)
-                n_crawled = docs.count()
+                crawled_urls = {
+                    r["url"] for r in docs.select_columns(["url"]).take_all()
+                }
+            n_crawled = len(crawled_urls)
             run.pages_crawled += n_crawled
+
+            # politeness feedback (RateLimiter dynamics, async_dispatcher.py:
+            # 63-83): success → ×0.75 recovery; fetch miss → 404 (no backoff;
+            # only 429/503 would double the delay)
+            statuses = [200 if u in crawled_urls else 404 for u in frontier_urls]
+            politeness.report_status(
+                [host_of(u) for u in frontier_urls], statuses
+            )
 
             stats = {}
             new_parts = seen.finalize_wave()

@@ -185,6 +185,19 @@ class PolitenessPool:
             out[idx] = res[0]
         return out
 
+    def report_status(self, hosts: list[str], statuses: list[int]) -> None:
+        sid = self._split(hosts)
+        refs = []
+        for s in range(self.num_shards):
+            idx = np.nonzero(sid == s)[0]
+            if len(idx):
+                refs.append(
+                    self.shards[s].report_status.remote(
+                        [hosts[i] for i in idx], [statuses[i] for i in idx]
+                    )
+                )
+        ray.get(refs)
+
     def stats(self) -> dict:
         per = ray.get([s.stats.remote() for s in self.shards])
         return {
