@@ -292,9 +292,28 @@ def crawl(
                 else _empty_frontier()
             )
 
+            try:
+                # dispatcher-parity memory/queue telemetry (the reference's
+                # MemoryAdaptiveDispatcher monitors psutil, async_dispatcher
+                # .py:147-187; here Ray's own accounting stands in)
+                avail = ray.available_resources()
+                total = ray.cluster_resources()
+                mem_stats = {
+                    "cpu_available": avail.get("CPU", 0.0),
+                    "cpu_total": total.get("CPU", 0.0),
+                    "object_store_total_gb": round(
+                        total.get("object_store_memory", 0.0) / 1e9, 2
+                    ),
+                    "object_store_available_gb": round(
+                        avail.get("object_store_memory", 0.0) / 1e9, 2
+                    ),
+                }
+            except Exception:
+                mem_stats = {}
             manifest = {
                 "wave": wave,
                 "strategy": cfg.strategy,
+                "resources": mem_stats,
                 "frontier_size": len(frontier_urls),
                 "pages_crawled": n_crawled,
                 "cumulative_pages": run.pages_crawled,

@@ -598,6 +598,29 @@ def q_asof_orders(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_events_props(sf_dir: str):
+    """JSON property extraction from the events props column (the
+    split_and_parse_json_objects capability, vectorized)."""
+    import json as _json
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                ks.append(int(_json.loads(p).get("k")))
+            except Exception:
+                ks.append(None)
+        return pa.table(
+            {"event_id": batch.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return events.map_batches(extract_k, batch_format="pyarrow")
+
+
 def q_orders_per_nation(sf_dir: str):
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     customer = ray.data.read_parquet(
@@ -678,6 +701,7 @@ QUERIES = {
     "top_k_relevant": q_top_k_relevant,
     "events_window": q_events_window,
     "asof_orders": q_asof_orders,
+    "events_props": q_events_props,
     "orders_per_nation": q_orders_per_nation,
     "qty_by_flag": q_qty_by_flag,
 }
@@ -812,6 +836,9 @@ SELECT url, 'Page ' || doc_id AS h1 FROM purl
     "regex_extract": f"""
 WITH {SQL_PAGES}
 SELECT url, 'sample_' || doc_id AS value FROM purl WHERE doc_id % 7 = 0
+""",
+    "events_props": """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
 """,
     "events_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

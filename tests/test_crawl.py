@@ -166,6 +166,45 @@ def test_best_first_order_matches_reference_sim(ray_session):
     assert ours == golden_sorted
 
 
+def reference_dfs(seed_ids, n, max_depth, max_pages):
+    """Sequential simulator for the engine's DFS variant: pending sorted
+    (depth desc, score desc, url asc), whole frontier each wave."""
+    pending = {url_of(i): 0 for i in seed_ids}
+    seen = set(pending)
+    crawled = 0
+    waves = []
+    while pending and crawled < max_pages:
+        order = sorted(pending.items(), key=lambda kv: (-kv[1], kv[0]))
+        wave = order[: max_pages - crawled] if max_pages else order
+        waves.append(sorted(u for u, _ in wave))
+        for u, d in wave:
+            del pending[u]
+            if "/page/" not in u or "?" in u:
+                continue
+            crawled += 1
+            if d + 1 > max_depth:
+                continue
+            pid = int(u.rsplit("/", 1)[1])
+            home = f"https://site{host_id_of(pid)}.example.com"
+            targets = [home] + [url_of(c) for c in children_of(pid, n)]
+            if pid % 37 == 0:
+                targets.append(f"{u}?page=2")
+            for t in targets:
+                if t not in seen:
+                    seen.add(t)
+                    pending[t] = d + 1
+    return waves
+
+
+def test_dfs_order_matches_reference_sim(ray_session):
+    n = n_pages(SF)
+    cfg = CrawlConfig(strategy="dfs", max_depth=2, max_pages=30, seen_shards=2)
+    run = crawl(SF, seeds=[url_of(0)], cfg=cfg)
+    golden = reference_dfs([0], n, max_depth=2, max_pages=30)
+    ours = [sorted(w["frontier_urls"]) for w in run.waves]
+    assert ours == golden
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     out1 = str(tmp_path / "full")
     cfg = CrawlConfig(max_depth=2, seen_shards=2)
