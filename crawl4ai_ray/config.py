@@ -63,6 +63,10 @@ class CrawlConfig:
     scrape_concurrency: int | None = None
     # checkpointing
     checkpoint_dir: str | None = None
+    # frontier-scale fetch: when set, waves read only the hash buckets the
+    # frontier touches (sources/bucketed.py) instead of broadcast-scanning
+    # the whole corpus
+    corpus_bucket_dir: str | None = None
     # link gating/prioritization (functions.filters instances; picklable)
     filter_chain: object | None = None
     url_scorer: object | None = None

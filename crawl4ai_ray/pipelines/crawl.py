@@ -211,18 +211,23 @@ def crawl(
                     admitted.column("score").to_pylist(),
                 )
             }
-            fref = ray.put(fdict)
             # ONE fused streaming pipeline per wave: fetch ⋉ → extract →
             # candidate discovery (side-effect into the seen shards) → sink.
-            docs = (
-                pages.map_batches(
+            if cfg.corpus_bucket_dir:
+                from ..sources.bucketed import fetch_bucketed
+
+                fetched = fetch_bucketed(cfg.corpus_bucket_dir, fdict)
+            else:
+                fref = ray.put(fdict)
+                fetched = pages.map_batches(
                     FetchFromCorpus,
                     fn_constructor_args=(fref,),
                     batch_format="pyarrow",
                     concurrency=(1, 8),
                     batch_size=1024,
                 )
-                .map_batches(
+            docs = (
+                fetched.map_batches(
                     ExtractPages(cfg.scrape),
                     batch_format="pyarrow",
                     batch_size=cfg.scrape_batch_size,

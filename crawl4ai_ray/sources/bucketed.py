@@ -70,7 +70,16 @@ def fetch_bucketed(
         )
     ]
     if not files:
-        return ray.data.from_items([])
+        empty = pa.schema(
+            [
+                ("url", pa.string()),
+                ("html", pa.binary()),
+                ("depth", pa.int32()),
+                ("parent_url", pa.string()),
+                ("score", pa.float64()),
+            ]
+        ).empty_table()
+        return ray.data.from_arrow(empty)
     ds = ray.data.read_parquet(files, columns=["url", "html"])
     fref = ray.put(frontier)
 

@@ -47,3 +47,35 @@ def test_bucketed_corpus_fetch(ray_session, tmp_path):
     out = fetch_bucketed(corpus_dir, frontier).to_pandas()
     assert sorted(out["url"]) == sorted(frontier)
     assert set(out.columns) >= {"url", "html", "depth", "parent_url", "score"}
+
+
+def test_crawl_with_bucketed_corpus(ray_session, tmp_path):
+    from crawl4ai_ray.config import CrawlConfig
+    from crawl4ai_ray.pipelines.crawl import crawl
+
+    pages = read_pages(SF, columns=["url", "html"])
+    corpus_dir = str(tmp_path / "bucketed_crawl")
+    partition_corpus(pages, corpus_dir, num_buckets=8)
+    cfg_b = CrawlConfig(max_depth=1, seen_shards=2, corpus_bucket_dir=corpus_dir)
+    cfg_n = CrawlConfig(max_depth=1, seen_shards=2)
+    run_b = crawl(pages, seeds=[url_of(0), url_of(1)], cfg=cfg_b)
+    run_n = crawl(pages, seeds=[url_of(0), url_of(1)], cfg=cfg_n)
+    # bucket-pruned fetch must produce exactly the same crawl
+    assert [w["frontier_urls"] for w in run_b.waves] == [
+        w["frontier_urls"] for w in run_n.waves
+    ]
+    assert run_b.pages_crawled == run_n.pages_crawled
+
+
+def test_crawler_hub():
+    from crawl4ai_ray.config import ScrapeConfig
+    from crawl4ai_ray.hub import CrawlerHub
+
+    hub = CrawlerHub()
+    hub.register("docs", "https://docs.*", scrape=ScrapeConfig(word_count_threshold=2))
+    hub.register("generic", "https://*")
+    assert hub.resolve("https://docs.example.com/x").name == "docs"
+    assert hub.resolve("https://other.com/").name == "generic"
+    assert hub.resolve("ftp://x") is None
+    assert hub.get("docs").scrape.word_count_threshold == 2
+    assert hub.names() == ["docs", "generic"]
