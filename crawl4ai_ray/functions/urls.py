@@ -51,6 +51,19 @@ _CANONICAL_RE = re.compile(
 )
 
 
+def resolve_url(href: str, base_url: str) -> str:
+    """Plain reference-resolution (the reference's FIRST normalize_url
+    definition, utils.py:2100-2117 — shadowed there by the extended
+    normalizer below, but it's what tests/test_normalize_url.py asserts):
+    validate base scheme/netloc, strip href, urljoin. Fragments kept."""
+    parsed_base = urlparse(base_url)
+    if not parsed_base.scheme or not parsed_base.netloc:
+        raise ValueError(f"Invalid base URL format: {base_url}")
+    if parsed_base.scheme.lower() not in ("http", "https"):
+        raise ValueError(f"Invalid base URL format: {base_url}")
+    return urljoin(base_url, href.strip())
+
+
 def normalize_url(
     href: str,
     base_url: str,

@@ -1,0 +1,52 @@
+"""The reference's own tests/test_normalize_url.py cases, ported verbatim
+against resolve_url (the function those tests actually exercise — the
+reference's first normalize_url definition, utils.py:2100-2117)."""
+
+import pytest
+
+from crawl4ai_ray.functions.urls import resolve_url
+
+
+@pytest.mark.parametrize(
+    "href,base,expected",
+    [
+        ("path/to/page.html", "http://example.com/base/", "http://example.com/base/path/to/page.html"),
+        ("page.html", "http://example.com/base/", "http://example.com/base/page.html"),
+        ("page.html", "http://example.com/base", "http://example.com/page.html"),
+        ("http://another.com/page.html", "http://example.com/", "http://another.com/page.html"),
+        ("  page.html  ", "http://example.com/", "http://example.com/page.html"),
+        ("", "http://example.com/base/", "http://example.com/base/"),
+        ("", "http://example.com/base", "http://example.com/base"),
+        ("page.html?query=test", "http://example.com/", "http://example.com/page.html?query=test"),
+        ("page.html#section", "http://example.com/", "http://example.com/page.html#section"),
+        ("https://secure.example.com/page.html", "http://example.com/", "https://secure.example.com/page.html"),
+        ("../otherpage.html", "http://example.com/base/current/", "http://example.com/base/otherpage.html"),
+        ("/otherpage.html", "http://example.com/base/current/", "http://example.com/otherpage.html"),
+        ("file.html", "http://example.com/path", "http://example.com/file.html"),
+        ("page.html", "http://example.com", "http://example.com/page.html"),
+        ("?query=true", "http://example.com/page.html", "http://example.com/page.html?query=true"),
+        ("#fragment", "http://example.com/page.html", "http://example.com/page.html#fragment"),
+        (
+            "./P020241203375994691134.xlsx",
+            "http://example.com/zwgk/fdzdgk/zdxx/spaq/t19360680.shtml",
+            "http://example.com/zwgk/fdzdgk/zdxx/spaq/P020241203375994691134.xlsx",
+        ),
+        (
+            "another.doc",
+            "http://example.com/zwgk/fdzdgk/zdxx/spaq/t19360680.shtml",
+            "http://example.com/zwgk/fdzdgk/zdxx/spaq/another.doc",
+        ),
+    ],
+)
+def test_reference_cases(href, base, expected):
+    assert resolve_url(href, base) == expected
+
+
+def test_invalid_base_scheme():
+    with pytest.raises(ValueError, match="Invalid base URL format"):
+        resolve_url("page.html", "ftp://example.com/")
+
+
+def test_invalid_base_netloc():
+    with pytest.raises(ValueError, match="Invalid base URL format"):
+        resolve_url("page.html", "not-a-url")
