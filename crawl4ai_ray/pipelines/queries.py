@@ -598,6 +598,16 @@ def q_asof_orders(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows per user (30-min gap)."""
+    from ..stages.windows import sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(events, gap_minutes=30)
+
+
 def q_events_props(sf_dir: str):
     """JSON property extraction from the events props column (the
     split_and_parse_json_objects capability, vectorized)."""
@@ -702,6 +712,7 @@ QUERIES = {
     "events_window": q_events_window,
     "asof_orders": q_asof_orders,
     "events_props": q_events_props,
+    "sessionize": q_sessionize,
     "orders_per_nation": q_orders_per_nation,
     "qty_by_flag": q_qty_by_flag,
 }
@@ -839,6 +850,22 @@ SELECT url, 'sample_' || doc_id AS value FROM purl WHERE doc_id % 7 = 0
 """,
     "events_props": """
 SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+""",
+    "sessionize": """
+SELECT event_id, user_id,
+       CAST(SUM(new_sess) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS session_idx
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+)
 """,
     "events_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -58,6 +58,34 @@ def tumbling_window_counts(
     )
 
 
+def sessionize(
+    events: "ray.data.Dataset",
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> "ray.data.Dataset":
+    """Session windows: per user, a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. One groupby(user) shuffle, then
+    vectorized pandas (sort → diff → cumsum) per group. Output:
+    (event_id, user_id, session_idx) with session_idx 1-based per user.
+    Deterministic tie-break: (ts, event_id)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col], kind="mergesort")
+        new_sess = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                user_col: g[user_col].to_numpy(),
+                "session_idx": new_sess.cumsum().astype("int64").to_numpy(),
+            }
+        )
+
+    return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
