@@ -200,11 +200,124 @@ class _DomBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
-def parse_html(html: str) -> Element:
+def _parse_html_slow(html: str) -> Element:
     builder = _DomBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Fast path: single-regex tokenizer. Produces the IDENTICAL tree to the
+# HTMLParser-based builder for common HTML; any leftover tag-like text it
+# can't consume (`<x`/`</x` outside CDATA) triggers a full fallback to the
+# slow parser, so the two can never disagree on tag structure. Differential-
+# tested (tests/test_fast_parser.py) over the corpus + hypothesis inputs.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TOKEN_RE = _re.compile(
+    r"<!--.*?-->"                       # comments
+    r"|<!\[CDATA\[.*?\]\]>"             # cdata blocks
+    r"|<![^>]*>"                        # doctype / other declarations
+    r"|<\?[^>]*>"                       # processing instructions
+    r"|</([a-zA-Z][-\w:.]*)\s*>"        # end tag      (group 1)
+    r"|<([a-zA-Z][-\w:.]*)"             # start tag    (group 2)
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs (3)
+    r"\s*(/?)>",                        # self-closing (group 4)
+    _re.S,
+)
+_ATTR_RE = _re.compile(
+    r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_TAGISH_RE = _re.compile(r"</?[a-zA-Z]")
+_CDATA_TAGS = ("script", "style")
+
+
+def _parse_html_fast(html: str) -> Element | None:
+    root = Element("[doc]")
+    stack = [root]
+    pos = 0
+    n = len(html)
+    out_append_text = []
+
+    def autoclose(tag: str):
+        while len(stack) > 1:
+            closers = _AUTOCLOSE_SIBLING.get(stack[-1].tag)
+            if closers and tag in closers:
+                stack.pop()
+            else:
+                break
+
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        text = html[pos : m.start()] if m else html[pos:]
+        if text:
+            if _TAGISH_RE.search(text):
+                return None  # tag-like residue the fast path can't place
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].children.append(text)
+        if not m:
+            break
+        pos = m.end()
+        if m.group(1):  # end tag
+            tag = m.group(1).lower()
+            if tag in VOID_TAGS:
+                continue
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+        elif m.group(2):  # start tag
+            tag = m.group(2).lower()
+            autoclose(tag)
+            attrs = {}
+            raw_attrs = m.group(3)
+            if raw_attrs:
+                for am in _ATTR_RE.finditer(raw_attrs):
+                    k = am.group(1).lower()
+                    if k in attrs:
+                        continue
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    if v is None:
+                        v = ""
+                    elif "&" in v:
+                        v = unescape(v)
+                    attrs[k] = v
+            el = Element(tag, attrs, parent=stack[-1])
+            stack[-1].children.append(el)
+            self_closing = bool(m.group(4))
+            if tag in VOID_TAGS or self_closing:
+                continue
+            if tag in _CDATA_TAGS:
+                # raw text until the matching close tag (HTMLParser CDATA
+                # mode: content NOT unescaped)
+                close = _re.compile(rf"</{tag}\s*>", _re.I)
+                cm = close.search(html, pos)
+                if cm is None:
+                    # HTMLParser drops unterminated CDATA content at EOF
+                    pos = n
+                    continue
+                content = html[pos : cm.start()]
+                if content:
+                    el.children.append(content)
+                pos = cm.end()
+                continue
+            stack.append(el)
+    return root
+
+
+def parse_html(html: str) -> Element:
+    fast = _parse_html_fast(html)
+    if fast is not None:
+        return fast
+    return _parse_html_slow(html)
 
 
 def decode_html(raw) -> str:
