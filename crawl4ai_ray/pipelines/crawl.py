@@ -260,9 +260,13 @@ def crawl(
             else:
                 docs = docs.materialize()
                 run.docs_mats.append(docs)
-                crawled_urls = {
-                    r["url"] for r in docs.select_columns(["url"]).take_all()
-                }
+                # read urls straight from the materialized blocks (zero-copy
+                # plasma reads; no extra Dataset execution per wave)
+                crawled_urls = set()
+                for ref in docs.to_arrow_refs():
+                    tbl = ray.get(ref)
+                    if "url" in tbl.column_names:  # skip schema-less empties
+                        crawled_urls.update(tbl.column("url").to_pylist())
             n_crawled = len(crawled_urls)
             run.pages_crawled += n_crawled
 

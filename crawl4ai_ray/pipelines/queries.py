@@ -88,22 +88,19 @@ def _docs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_pages_per_host(sf_dir: str):
+    """Pages per host via map-side partial aggregation (stages/agg.py):
+    only (host, partial) rows shuffle, so the heavy-hitter host (site0,
+    ~16% of the corpus) never concentrates raw rows on one reducer."""
     from ..functions.urls import hosts_array
+    from ..stages.agg import partial_count
 
     pages = _pages_ds(sf_dir, columns=["url"])
 
     def add_host(batch: pa.Table) -> pa.Table:
         return pa.table({"host": hosts_array(batch.column("url"))})
 
-    out = pages.map_batches(add_host, batch_format="pyarrow").groupby("host").count()
-    return out.rename_columns({"count()": "n_pages"}).map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("n_pages"),
-            "n_pages",
-            b.column("n_pages").cast(pa.int64()),
-        ),
-        batch_format="pyarrow",
-    )
+    hosts = pages.map_batches(add_host, batch_format="pyarrow")
+    return partial_count(hosts, "host", out_col="n_pages")
 
 
 def q_top_hosts(sf_dir: str):
