@@ -595,6 +595,37 @@ def q_asof_orders(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_fit_markdown(sf_dir: str):
+    """Content-filtered fit_markdown over the corpus (PruningContentFilter;
+    rows-only: heuristic scores aren't SQL-expressible)."""
+    from ..functions.content_filter import PruningContentFilter, fit_markdown
+
+    pages = _pages_ds(sf_dir, columns=["url", "html"])
+
+    class FitStage:
+        def __init__(self):
+            self.filt = PruningContentFilter(threshold=0.4)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..html.dom import decode_html
+
+            urls = batch.column("url").to_pylist()
+            out = []
+            for h in batch.column("html").to_pylist():
+                md, _ = fit_markdown(decode_html(h), self.filt)
+                out.append(len(md))
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "n_fit_chars": pa.array(out, pa.int64()),
+                }
+            )
+
+    return pages.map_batches(
+        FitStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user (30-min gap)."""
     from ..stages.windows import sessionize
@@ -710,6 +741,7 @@ QUERIES = {
     "asof_orders": q_asof_orders,
     "events_props": q_events_props,
     "sessionize": q_sessionize,
+    "fit_markdown": q_fit_markdown,
     "orders_per_nation": q_orders_per_nation,
     "qty_by_flag": q_qty_by_flag,
 }
