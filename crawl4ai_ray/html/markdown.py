@@ -234,7 +234,11 @@ def _render_children(el: Element, out: list[str], list_stack: list):
 
 
 def dom_to_markdown(root: Element) -> str:
-    """Cleaned DOM → raw markdown; blocks joined by single blank lines."""
+    """Cleaned DOM → raw markdown; blocks joined by single blank lines.
+    Full documents render from <body> (head metadata never reaches md)."""
+    body = root.find("body")
+    if body is not None:
+        root = body
     blocks: list[str] = []
     _render_children(root, blocks, [])
     md = "\n\n".join(b for b in blocks if b)

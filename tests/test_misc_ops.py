@@ -110,3 +110,23 @@ def test_text_helpers():
     assert extract_xml_data(["t"], "<t attr='1'>val</t>") == {"t": "val"}
     assert sanitize_input_encode(b"caf\xc3\xa9") == "café"
     assert sanitize_input_encode(None) == ""
+
+
+def test_strategy_class_surface():
+    from crawl4ai_ray.strategies import (
+        DefaultMarkdownGenerator,
+        LXMLWebScrapingStrategy,
+        PruningContentFilter,
+        WebScrapingStrategy,
+    )
+
+    s = WebScrapingStrategy()
+    r = s.scrap("https://a.example.com/p", "<body><h1>T</h1><p>hello world text</p></body>")
+    assert r["success"] and "hello world" in r["cleaned_html"]
+    assert "internal" in r["links"] and "images" in r["media"]
+    assert LXMLWebScrapingStrategy is WebScrapingStrategy
+
+    g = DefaultMarkdownGenerator(content_filter=PruningContentFilter(threshold=0.2))
+    out = g.generate_markdown("<body><h1>T</h1><p>some sufficiently long paragraph of text here</p></body>")
+    assert "# T" in out["raw_markdown"]
+    assert "fit_markdown" in out and "fit_html" in out
