@@ -231,7 +231,9 @@ _TOKEN_RE = _re.compile(
 _ATTR_RE = _re.compile(
     r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
-_TAGISH_RE = _re.compile(r"</?[a-zA-Z]")
+# any unconsumed '</', '<letter', '<!' or '<?' residue → full fallback
+# (HTMLParser has bespoke recovery for these, e.g. it swallows '</>')
+_TAGISH_RE = _re.compile(r"</|<[a-zA-Z!?]")
 _CDATA_TAGS = ("script", "style")
 
 
