@@ -1,0 +1,125 @@
+"""CLI — the Ray-Data analogue of the reference's `crwl` command surface
+(cli.py: crawl a URL, output markdown/json). Offline corpus in, Parquet or
+stdout out.
+
+  python -m crawl4ai_ray extract --sf-dir /root/testdata/sf0.001 --out /tmp/docs
+  python -m crawl4ai_ray crawl   --sf-dir ... --seeds 0,1,2 --depth 3 --out /tmp/crawl
+  python -m crawl4ai_ray show    --sf-dir ... --doc-id 7          # one page's markdown
+  python -m crawl4ai_ray queries --sf-dir ... --name token_stats  # run a named query
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level=logging.ERROR,
+        )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="crawl4ai_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="pages corpus → docs parquet")
+    pe.add_argument("--sf-dir", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--replicate", type=int, default=1)
+
+    pc = sub.add_parser("crawl", help="deep crawl with checkpoints")
+    pc.add_argument("--sf-dir", required=True)
+    pc.add_argument("--seeds", default="0,1,2", help="comma doc_ids or urls")
+    pc.add_argument("--strategy", default="bfs", choices=["bfs", "dfs", "best_first"])
+    pc.add_argument("--depth", type=int, default=3)
+    pc.add_argument("--max-pages", type=int, default=None)
+    pc.add_argument("--out", default=None)
+
+    ps = sub.add_parser("show", help="print one page's extraction")
+    ps.add_argument("--sf-dir", required=True)
+    ps.add_argument("--doc-id", type=int, required=True)
+
+    pq = sub.add_parser("queries", help="run a named query (or list them)")
+    pq.add_argument("--sf-dir", required=True)
+    pq.add_argument("--name", default=None)
+    pq.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "extract":
+            from .pipelines.extract_pipeline import extract_pipeline
+
+            ds = extract_pipeline(args.sf_dir, replicate=args.replicate, out_dir=args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
+        elif args.cmd == "crawl":
+            from .config import CrawlConfig
+            from .pipelines.crawl import crawl
+            from .sources.pages import url_of
+
+            seeds = [
+                s if s.startswith("http") else url_of(int(s))
+                for s in args.seeds.split(",")
+            ]
+            cfg = CrawlConfig(
+                strategy=args.strategy, max_depth=args.depth, max_pages=args.max_pages
+            )
+            run = crawl(args.sf_dir, seeds=seeds, cfg=cfg, out_dir=args.out)
+            print(
+                json.dumps(
+                    {
+                        "waves": len(run.waves),
+                        "pages_crawled": run.pages_crawled,
+                        "out": args.out,
+                    }
+                )
+            )
+        elif args.cmd == "show":
+            from .api import RayWebCrawler
+            from .sources.pages import url_of
+
+            doc = RayWebCrawler(args.sf_dir).run(url_of(args.doc_id))
+            if doc is None:
+                print("not found", file=sys.stderr)
+                return 1
+            print(doc["markdown"])
+        elif args.cmd == "queries":
+            from .pipelines.queries import ORACLES, QUERIES
+
+            if not args.name:
+                for name in QUERIES:
+                    mode = "oracle" if name in ORACLES else "rows-only"
+                    print(f"{name}\t{mode}")
+                return 0
+            res = QUERIES[args.name](args.sf_dir)
+            import pandas as pd
+            import pyarrow as pa
+
+            if isinstance(res, ray.data.Dataset):
+                df = res.limit(args.limit).to_pandas()
+            elif isinstance(res, pa.Table):
+                df = res.slice(0, args.limit).to_pandas()
+            else:
+                df = res.head(args.limit)
+            print(df.to_string(index=False))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
