@@ -67,6 +67,10 @@ class CrawlConfig:
     # frontier touches (sources/bucketed.py) instead of broadcast-scanning
     # the whole corpus
     corpus_bucket_dir: str | None = None
+    # pin the corpus in the object store once and reuse across waves —
+    # right when the corpus fits cluster memory (it spills otherwise);
+    # set False at true 100 TB scale (then prefer corpus_bucket_dir)
+    materialize_corpus: bool = True
     # link gating/prioritization (functions.filters instances; picklable)
     filter_chain: object | None = None
     url_scorer: object | None = None

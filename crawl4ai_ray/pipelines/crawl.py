@@ -140,6 +140,9 @@ def crawl(
     cfg = cfg or CrawlConfig()
     if isinstance(pages, str):
         pages = read_pages(pages, columns=["url", "html"])
+    if cfg.materialize_corpus and not cfg.corpus_bucket_dir:
+        # one read; every wave then maps over plasma-resident blocks
+        pages = pages.materialize()
 
     seen = SeenSet(num_shards=cfg.seen_shards)
     politeness = PolitenessPool(
