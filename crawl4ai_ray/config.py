@@ -57,6 +57,17 @@ class CrawlConfig:
     max_delay_s: float = 60.0
     max_retries: int = 3
     check_robots: bool = False
+    # queue aging (fairness): per-wave score boost for rows that have waited,
+    # the wave analogue of the reference dispatcher's −wait_time priority
+    # bump after 600 s (async_dispatcher.py:189-198). 0.0 = off (keeps
+    # ordering a pure function of depth/score for the parity oracles);
+    # set >0 so politeness-deferred hosts cannot starve behind fresh
+    # high-score work.
+    aging_rate: float = 0.0
+    # frontier sizing: pending sets larger than this leave the driver and
+    # become a parquet-backed Dataset with distributed sort+limit per wave
+    # (state/frontier_store.py)
+    frontier_small_threshold: int = 200_000
     # execution sizing
     seen_shards: int = 16
     scrape_batch_size: int = 64
@@ -67,6 +78,12 @@ class CrawlConfig:
     # frontier touches (sources/bucketed.py) instead of broadcast-scanning
     # the whole corpus
     corpus_bucket_dir: str | None = None
+    # DEFAULT scale path for multi-wave crawls over a parquet corpus dir:
+    # auto-partition the corpus by hash(url) under /tmp on first use (keyed
+    # by path+mtime, amortized across runs) and fetch via bucket pruning.
+    # Set False to force the broadcast-scan path.
+    auto_bucket: bool = True
+    auto_bucket_num_buckets: int = 64
     # pin the corpus in the object store once and reuse across waves —
     # right when the corpus fits cluster memory (it spills otherwise);
     # set False at true 100 TB scale (then prefer corpus_bucket_dir)

@@ -1,10 +1,23 @@
 """Stable, vectorized 64-bit hashing for partitioning / Bloom filters.
 
 The reference prototypes its Bloom filter on mmh3 (deep_crawling/crazy.py:124);
-mmh3 isn't available here, so we standardise on polars' xxhash64 (vectorized,
-seeded, deterministic across processes for a fixed polars version) with a
-blake2b fallback. All partitioning keys and Bloom probes in the engine go
-through these two functions so every stage agrees on the hash.
+mmh3 isn't available here. Round 1 used polars' xxhash64, but that is only
+stable *for a fixed polars version* while the engine persists hash values in
+durable artifacts (seen-shard checkpoint dumps, the on-disk bucketed-corpus
+layout) — a silent-wrong-results hazard flagged in round-1 ADVICE. We now pin
+our own spec: a seeded FNV-1a 64 variant, vectorized across a batch with numpy
+over the Arrow string buffers (one masked pass per byte position; ~O(max_len)
+numpy kernels per batch, independent of batch size). The spec below is frozen —
+any change must bump HASH_SPEC and every persisted artifact records it.
+
+Spec (HASH_SPEC = "fnv1a64-seeded-v1"):
+    h0     = 0xcbf29ce484222325 XOR (seed * 0x100000001b3 mod 2^64)
+    h_i+1  = (h_i XOR byte_i) * 0x100000001b3   (mod 2^64)
+over the utf-8 bytes of the string. seed=42 everywhere in the engine.
+
+All partitioning keys and Bloom probes in the engine go through these
+functions so every stage — and every *run*, on any node, under any library
+version — agrees on the hash.
 """
 
 from __future__ import annotations
@@ -12,34 +25,91 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-
-try:
-    import polars as pl
-
-    _HAS_POLARS = True
-except Exception:  # pragma: no cover
-    _HAS_POLARS = False
+import pyarrow as pa
 
 HASH_SEED = 42
+HASH_SPEC = "fnv1a64-seeded-v1"
+
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _as_string_array(strings) -> pa.Array:
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if isinstance(strings, pa.Array):
+        if pa.types.is_large_string(strings.type) or pa.types.is_string(strings.type):
+            return strings
+        return strings.cast(pa.string())
+    return pa.array(list(strings), type=pa.string())
 
 
 def hash64(strings, seed: int = HASH_SEED) -> np.ndarray:
-    """Vectorized string → uint64 hash over a batch."""
-    if _HAS_POLARS:
-        s = pl.Series(values=list(strings), dtype=pl.String)
-        return s.hash(seed=seed).to_numpy().astype(np.uint64)
-    return np.fromiter(
-        (_blake64(x, seed) for x in strings), dtype=np.uint64, count=len(strings)
+    """Vectorized string → uint64 seeded FNV-1a hash over a batch.
+
+    Accepts a list/ndarray of str or a pyarrow (Large)StringArray (zero-copy
+    over its buffers). Deterministic across processes, nodes and library
+    versions — safe to persist (HASH_SPEC above).
+    """
+    arr = _as_string_array(strings)
+    n = len(arr)
+    with np.errstate(over="ignore"):
+        h0 = _FNV_BASIS ^ (np.uint64(seed) * _FNV_PRIME)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    off_buf = arr.buffers()[1]
+    data_buf = arr.buffers()[2]
+    if pa.types.is_large_string(arr.type):
+        offsets = np.frombuffer(off_buf, dtype=np.int64, count=n + 1, offset=8 * arr.offset)
+    else:
+        offsets = np.frombuffer(off_buf, dtype=np.int32, count=n + 1, offset=4 * arr.offset).astype(np.int64)
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None and len(data_buf)
+        else np.zeros(0, dtype=np.uint8)
     )
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
+    h = np.full(n, h0, dtype=np.uint64)
+    max_len = int(lengths.max()) if n else 0
+    live = np.arange(n)
+    with np.errstate(over="ignore"):
+        for i in range(max_len):
+            keep = lengths[live] > i
+            live = live[keep]
+            if live.size == 0:
+                break
+            b = data[starts[live] + i].astype(np.uint64)
+            h[live] = (h[live] ^ b) * _FNV_PRIME
+    return h
 
 
 def hash64_one(s: str, seed: int = HASH_SEED) -> int:
     return int(hash64([s], seed)[0])
 
 
+def fnv1a64_py(s: str, seed: int = HASH_SEED) -> int:
+    """Pure-python reference implementation of the pinned spec (for tests)."""
+    mask = (1 << 64) - 1
+    h = 0xCBF29CE484222325 ^ ((seed * 0x100000001B3) & mask)
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & mask
+    return h
+
+
 def _blake64(s: str, seed: int) -> int:
+    """Secondary independent 64-bit hash (collision arbitration in the
+    URL-seen exact store — see state/seen.py)."""
     h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little"))
     return int.from_bytes(h.digest(), "little")
+
+
+def hash64_alt(strings, seed: int = HASH_SEED) -> np.ndarray:
+    """Second, independent seeded hash family (different basis rotation) for
+    128-bit combined keys. Same stability guarantees as hash64."""
+    return hash64(strings, seed=seed ^ 0x9E3779B97F4A7C15 & 0xFFFFFFFF)
 
 
 def md5_hex(strings) -> list[str]:

@@ -176,13 +176,22 @@ class _DomBuilder(HTMLParser):
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
+        # HTML5 semantics (matching lxml/BS4, which the reference uses): the
+        # trailing slash on a non-void tag is ignored — '<p/>' opens a <p>.
+        # Exception: script/style stay childless, because HTMLParser's lexer
+        # does not enter CDATA mode for a self-closing token and the fast
+        # tokenizer mirrors that (documented divergence from browsers).
         tag = tag.lower()
-        attr_dict = {}
-        for k, v in attrs:
-            if k not in attr_dict:
-                attr_dict[k.lower()] = v if v is not None else ""
-        el = Element(tag, attr_dict, parent=self.stack[-1])
-        self.stack[-1].children.append(el)
+        if tag in VOID_TAGS or tag in _CDATA_TAGS:
+            self._autoclose(tag)
+            attr_dict = {}
+            for k, v in attrs:
+                if k not in attr_dict:
+                    attr_dict[k.lower()] = v if v is not None else ""
+            el = Element(tag, attr_dict, parent=self.stack[-1])
+            self.stack[-1].children.append(el)
+            return
+        self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -295,7 +304,14 @@ def _parse_html_fast(html: str) -> Element | None:
             el = Element(tag, attrs, parent=stack[-1])
             stack[-1].children.append(el)
             self_closing = bool(m.group(4))
-            if tag in VOID_TAGS or self_closing:
+            if tag in VOID_TAGS:
+                continue
+            # HTML5: a trailing slash on a non-void tag is ignored ('<p/>'
+            # opens a <p>), matching lxml/BS4 and _DomBuilder. script/style
+            # with a self-closing token stay childless (no CDATA scan),
+            # mirroring HTMLParser's lexer which only enters CDATA mode on a
+            # plain start tag.
+            if self_closing and tag in _CDATA_TAGS:
                 continue
             if tag in _CDATA_TAGS:
                 # raw text until the matching close tag (HTMLParser CDATA

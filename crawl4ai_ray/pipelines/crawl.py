@@ -2,19 +2,30 @@
 
 Ray-Data-native rebuild of the reference's deep-crawl strategies
 (bfs_strategy.py / dfs_strategy.py / bff_strategy.py): the asyncio
-PriorityQueue becomes a per-wave ``sort(keys) + limit(budget)``; the
-``visited`` set becomes the sharded Bloom+exact UrlSeenShard pool; the
-RateLimiter becomes host-partitioned virtual-time politeness actors; each
-wave is one streaming Dataset pipeline
+PriorityQueue becomes a FrontierStore — a parquet-backed Dataset with a
+distributed ``sort(keys).limit(budget)`` per wave (driver-side Arrow fast
+path below a size threshold; identical ordering, tested); the ``visited``
+set becomes the sharded Bloom+exact UrlSeenShard pool; the RateLimiter
+becomes host-partitioned virtual-time politeness actors; each wave is one
+streaming Dataset pipeline
 
     pages ⋉ frontier → extract → write docs → discover candidates
-    → shard finalize (dedup + seen anti-join + mark) → sort + limit
-    → robots/politeness admission → next frontier (+ checkpoint)
+    → shard finalize (dedup + seen anti-join + mark, spilled to parquet)
+    → distributed sort + limit → robots/politeness admission
+    → next frontier (+ checkpoint)
 
 Strategy = the wave's sort key (SURVEY.md §2.6):
     bfs        (depth asc,  score desc, url asc)
     dfs        (depth desc, score desc, url asc)
     best_first (score desc, depth asc,  url asc)
+with optional queue aging (cfg.aging_rate — the reference dispatcher's
+−wait_time fairness boost, async_dispatcher.py:189-198).
+
+The driver only ever materializes the budget-bounded admitted slice of the
+frontier; new candidates flow shard → parquet → Dataset without touching
+the driver. The corpus fetch defaults to the hash-bucketed layout
+(sources/bucketed.py, auto-partitioned under /tmp on first use) so a wave
+reads only the buckets its frontier hashes into.
 
 Determinism: every wave's membership and order is a pure function of the
 corpus + config (canonical dedup tie-breaks, sorted shard finalize, seeded
@@ -30,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 
 import pyarrow as pa
@@ -41,29 +53,18 @@ from ..config import CrawlConfig
 from ..functions.urls import host_of, normalize_url_for_deep_crawl
 from ..sources.pages import read_pages
 from ..stages.extract import ExtractPages
-from ..stages.frontier import DiscoverCandidates, FetchFromCorpus
+from ..stages.frontier import DiscoverCandidates, DiscoveryStats
+from ..state.frontier_store import (
+    FRONTIER_SCHEMA,
+    FrontierStore,
+    empty_frontier,
+    sort_frontier,
+)
 from ..state.politeness import PolitenessPool
 from ..state.seen import SeenSet
 
-_SORT_KEYS = {
-    "bfs": (["depth", "neg_score", "url_norm"], [False, False, False]),
-    "dfs": (["depth", "neg_score", "url_norm"], [True, False, False]),
-    "best_first": (["neg_score", "depth", "url_norm"], [False, False, False]),
-}
-
-FRONTIER_SCHEMA = pa.schema(
-    [
-        ("url_norm", pa.string()),
-        ("host", pa.string()),
-        ("depth", pa.int32()),
-        ("parent_url", pa.string()),
-        ("score", pa.float64()),
-    ]
-)
-
-
-def _empty_frontier() -> pa.Table:
-    return FRONTIER_SCHEMA.empty_table()
+# backward-compat aliases (round-1 module surface)
+_empty_frontier = empty_frontier
 
 
 def _frontier_from_seeds(seeds: list[str]) -> pa.Table:
@@ -75,19 +76,33 @@ def _frontier_from_seeds(seeds: list[str]) -> pa.Table:
             "depth": pa.array([0] * len(norm), pa.int32()),
             "parent_url": pa.array([""] * len(norm), pa.string()),
             "score": pa.array([0.0] * len(norm), pa.float64()),
+            "enqueued_wave": pa.array([0] * len(norm), pa.int32()),
         }
     )
 
 
-def _sort_pending(pending: pa.Table, strategy: str) -> pa.Table:
-    import polars as pl
+def _ensure_bucketed(sf_dir: str, cfg: CrawlConfig) -> str:
+    """Partition the corpus by hash(url) once (amortized across runs: the
+    layout is keyed on the synthesized corpus cache dir + generator version
+    + bucket count, so a corpus change invalidates it)."""
+    import hashlib
 
-    if pending.num_rows == 0:
-        return pending
-    keys, desc = _SORT_KEYS[strategy]
-    df = pl.from_arrow(pending).with_columns((-pl.col("score")).alias("neg_score"))
-    df = df.sort(keys, descending=desc).drop("neg_score")
-    return df.to_arrow().cast(FRONTIER_SCHEMA)
+    from ..sources.bucketed import partition_corpus
+    from ..sources.pages import PAGES_VERSION, synthesize_pages
+
+    pages_dir = synthesize_pages(sf_dir)
+    slug = hashlib.sha1(
+        f"{os.path.realpath(pages_dir)}|{PAGES_VERSION}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "c4r_buckets",
+        f"{slug}_b{cfg.auto_bucket_num_buckets}",
+    )
+    if not os.path.exists(os.path.join(out, "_BUCKETS")):
+        pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+        partition_corpus(pages, out, cfg.auto_bucket_num_buckets)
+    return out
 
 
 class CrawlRun:
@@ -137,10 +152,20 @@ def crawl(
 
     ``pages``: a Dataset of (url, html, …) or an sf_dir path.
     """
+    from ..sources.bucketed import BucketedCorpus, frontier_meta_table, make_fetch_filter
+
     cfg = cfg or CrawlConfig()
+    bucket_dir = cfg.corpus_bucket_dir
+    corpus = None
     if isinstance(pages, str):
-        pages = read_pages(pages, columns=["url", "html"])
-    if cfg.materialize_corpus and not cfg.corpus_bucket_dir:
+        if bucket_dir is None and cfg.auto_bucket:
+            bucket_dir = _ensure_bucketed(pages, cfg)
+        else:
+            pages = read_pages(pages, columns=["url", "html"])
+    if bucket_dir is not None:
+        # bucket-pruned fetch; per-bucket Datasets cached across waves
+        corpus = BucketedCorpus(bucket_dir, materialize=cfg.materialize_corpus)
+    elif cfg.materialize_corpus:
         # one read; every wave then maps over plasma-resident blocks
         pages = pages.materialize()
 
@@ -151,34 +176,48 @@ def crawl(
         max_delay=cfg.max_delay_s,
         robots_rules=robots_rules,
     )
+    stats_actor = DiscoveryStats.remote()
     run = CrawlRun(out_dir)
     run.pages_crawled = pages_crawled0
+    # frontier spill scratch: checkpoints when out_dir is set, /tmp otherwise
+    scratch = out_dir or tempfile.mkdtemp(prefix="c4r_frontier_")
+    store = FrontierStore(
+        strategy=cfg.strategy,
+        aging_rate=cfg.aging_rate,
+        spill_dir=os.path.join(scratch, "_frontier_spill"),
+        small_threshold=cfg.frontier_small_threshold,
+    )
 
     try:
         if seen_payloads is not None:
             seen.load_all(seen_payloads)
-            pending = pending0 if pending0 is not None else _empty_frontier()
+            if pending0 is not None and pending0.num_rows:
+                if "enqueued_wave" not in pending0.column_names:
+                    pending0 = pending0.append_column(
+                        "enqueued_wave",
+                        pa.array([start_wave] * pending0.num_rows, pa.int32()),
+                    )
+                store.push(pending0)
         else:
-            pending = _frontier_from_seeds(seeds)
+            seeds_tbl = _frontier_from_seeds(seeds)
             # the engine marks seeds visited up front (deterministic variant
             # of the reference's empty-start visited set, SURVEY.md §7.4)
-            seen.add(pending.column("url_norm").to_pylist())
+            seen.add(seeds_tbl.column("url_norm").to_pylist())
+            store.push(seeds_tbl)
 
         wave = start_wave
-        while pending.num_rows > 0:
+        while len(store) > 0:
             if cfg.max_pages is not None and run.pages_crawled >= cfg.max_pages:
                 break
-            pending = _sort_pending(pending, cfg.strategy)
 
-            # ---- wave selection: sort + limit = the priority queue pop
-            budget = pending.num_rows
+            # ---- wave selection: distributed sort + limit = the queue pop
+            budget = len(store)
             if cfg.max_pages is not None:
                 budget = min(budget, cfg.max_pages - run.pages_crawled)
             if cfg.strategy == "best_first":
                 # reference pops batches of 10 (bff_strategy.py:19,129-213)
                 budget = min(budget, 10)
-            frontier = pending.slice(0, budget)
-            deferred = pending.slice(budget)
+            frontier = store.pop_wave(budget, wave)
 
             # ---- robots + politeness admission (deterministic order)
             hosts = frontier.column("host").to_pylist()
@@ -192,13 +231,17 @@ def crawl(
             admitted = frontier.filter(pa.array(admitted_mask))
             rejected = frontier.filter(pa.array(~admitted_mask))
             # politeness defers, never drops: rejected go back to pending
+            # (keeping their original enqueued_wave so aging accumulates)
             if rejected.num_rows:
-                deferred = pa.concat_tables([rejected, deferred])
+                store.push(rejected)
 
             if admitted.num_rows == 0:
-                if rejected.num_rows:
+                if rejected.num_rows and cfg.aging_rate == 0.0:
                     break  # pathological cap: nothing admissible this wave
-                pending = deferred
+                if rejected.num_rows:
+                    wave += 1  # aging will eventually admit a starved host
+                    if wave > 10_000:
+                        break
                 continue
 
             frontier_urls = admitted.column("url_norm").to_pylist()
@@ -216,19 +259,20 @@ def crawl(
             }
             # ONE fused streaming pipeline per wave: fetch ⋉ → extract →
             # candidate discovery (side-effect into the seen shards) → sink.
-            if cfg.corpus_bucket_dir:
-                from ..sources.bucketed import fetch_bucketed
-
-                fetched = fetch_bucketed(cfg.corpus_bucket_dir, fdict)
+            # Both fetch paths are plain-function map_batches over a
+            # zero-copy plasma Arrow meta table (no per-wave actor pools).
+            if corpus is not None:
+                fetched = corpus.fetch(fdict)
+                fetch_bytes = corpus.last_fetch_bytes
+                fetch_bytes_total = corpus.total_bytes
             else:
-                fref = ray.put(fdict)
+                meta_ref = ray.put(frontier_meta_table(fdict))
                 fetched = pages.map_batches(
-                    FetchFromCorpus,
-                    fn_constructor_args=(fref,),
+                    make_fetch_filter(meta_ref),
                     batch_format="pyarrow",
-                    concurrency=(1, 8),
                     batch_size=1024,
                 )
+                fetch_bytes = fetch_bytes_total = None
             docs = (
                 fetched.map_batches(
                     ExtractPages(cfg.scrape),
@@ -244,11 +288,21 @@ def crawl(
                         include_external=cfg.include_external,
                         max_depth=cfg.max_depth,
                         passthrough=True,
+                        stats_actor=stats_actor,
                     ),
                     batch_format="pyarrow",
                     batch_size=cfg.scrape_batch_size,
                 )
             )
+            # one execution: materialize the wave's docs (budget-bounded,
+            # spillable), then write from the plasma-resident blocks and read
+            # urls zero-copy — no second read of the written parquet
+            docs = docs.materialize()
+            crawled_urls = set()
+            for ref in docs.to_arrow_refs():
+                tbl = ray.get(ref)
+                if "url" in tbl.column_names:  # skip schema-less empties
+                    crawled_urls.update(tbl.column("url").to_pylist())
             wave_dir = None
             if out_dir:
                 wave_dir = os.path.join(out_dir, f"wave={wave:04d}")
@@ -256,20 +310,8 @@ def crawl(
                 os.makedirs(docs_dir, exist_ok=True)
                 docs.write_parquet(docs_dir)
                 run.docs_dirs.append(docs_dir)
-                crawled_urls = {
-                    r["url"]
-                    for r in ray.data.read_parquet(docs_dir, columns=["url"]).take_all()
-                }
             else:
-                docs = docs.materialize()
                 run.docs_mats.append(docs)
-                # read urls straight from the materialized blocks (zero-copy
-                # plasma reads; no extra Dataset execution per wave)
-                crawled_urls = set()
-                for ref in docs.to_arrow_refs():
-                    tbl = ray.get(ref)
-                    if "url" in tbl.column_names:  # skip schema-less empties
-                        crawled_urls.update(tbl.column("url").to_pylist())
             n_crawled = len(crawled_urls)
             run.pages_crawled += n_crawled
 
@@ -281,28 +323,12 @@ def crawl(
                 [host_of(u) for u in frontier_urls], statuses
             )
 
-            stats = {}
-            new_parts = seen.finalize_wave()
-            new_tables = [
-                pa.table(
-                    {
-                        "url_norm": pa.array(p["url_norm"], pa.string()),
-                        "host": pa.array(p["host"], pa.string()),
-                        "depth": pa.array(p["depth"], pa.int32()),
-                        "parent_url": pa.array(p["parent_url"], pa.string()),
-                        "score": pa.array(p["score"], pa.float64()),
-                    }
-                )
-                for p in new_parts
-            ]
-            new_frontier = (
-                pa.concat_tables(new_tables) if new_tables else _empty_frontier()
-            )
-            pending = (
-                pa.concat_tables([deferred, new_frontier])
-                if deferred.num_rows or new_frontier.num_rows
-                else _empty_frontier()
-            )
+            stats = ray.get(stats_actor.read_and_reset.remote())
+            # ---- shard finalize → parquet spill → frontier push (new
+            # candidate rows never route through the driver)
+            spill = os.path.join(scratch, "_newfront", f"wave={wave:04d}")
+            new_paths = seen.finalize_wave_parquet(spill, enqueued_wave=wave + 1)
+            n_new = store.push_parquet(new_paths)
 
             try:
                 # dispatcher-parity memory/queue telemetry (the reference's
@@ -327,12 +353,15 @@ def crawl(
                 "strategy": cfg.strategy,
                 "resources": mem_stats,
                 "frontier_size": len(frontier_urls),
+                "frontier_dataset_mode": store.dataset_mode,
+                "corpus_scan_bytes": fetch_bytes,
+                "corpus_total_bytes": fetch_bytes_total,
                 "pages_crawled": n_crawled,
                 "cumulative_pages": run.pages_crawled,
-                "candidates_offered": int(stats.get("sum(n_candidates)", 0) or 0),
-                "candidates_skipped": int(stats.get("sum(n_skipped)", 0) or 0),
-                "new_urls": new_frontier.num_rows,
-                "deferred": deferred.num_rows,
+                "candidates_offered": int(stats["n_candidates"]),
+                "candidates_skipped": int(stats["n_skipped"]),
+                "new_urls": n_new,
+                "deferred": len(store) - n_new,
                 "politeness_rejected": int(rejected.num_rows),
                 "seen": seen.stats(),
                 "politeness": politeness.stats(),
@@ -340,15 +369,14 @@ def crawl(
                 "frontier_urls": frontier_urls,
             }
             if out_dir and wave_dir:
-                pq.write_table(
-                    _sort_pending(pending, cfg.strategy),
-                    os.path.join(wave_dir, "pending.parquet"),
-                )
+                store.spill(os.path.join(wave_dir, "pending.parquet"))
                 for i, payload in enumerate(seen.dump_all()):
                     with open(os.path.join(wave_dir, f"seen_shard_{i:03d}.bloom"), "wb") as f:
                         f.write(payload)
                 with open(os.path.join(wave_dir, "manifest.json"), "w") as f:
                     json.dump(manifest, f)
+            elif store.dataset_mode:
+                store.spill()  # reset lazy lineage (lineage depth ≤ 1 wave)
             # in-memory extras (not JSON-serializable, used by queries/tests)
             manifest["frontier_table"] = admitted
             run.waves.append(manifest)
@@ -358,12 +386,13 @@ def crawl(
                 break
         # expose final state so callers (adaptive crawler, drivers) can
         # continue the crawl without re-reading disk checkpoints
-        run.final_pending = _sort_pending(pending, cfg.strategy)
+        run.final_pending = store.to_table()
         run.seen_payloads = seen.dump_all()
         return run
     finally:
         seen.shutdown()
         politeness.shutdown()
+        ray.kill(stats_actor)
 
 
 def cfg_filter_chain(cfg: CrawlConfig):
@@ -372,6 +401,20 @@ def cfg_filter_chain(cfg: CrawlConfig):
 
 def cfg_scorer(cfg: CrawlConfig):
     return getattr(cfg, "url_scorer", None)
+
+
+def _read_pending_checkpoint(path: str) -> pa.Table:
+    """pending.parquet may be a single file (driver-mode spill) or a
+    directory of part files (Dataset-mode spill)."""
+    if os.path.isdir(path):
+        parts = [
+            pq.read_table(os.path.join(path, f))
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+        parts = [p for p in parts if p.num_rows]
+        return pa.concat_tables(parts) if parts else empty_frontier()
+    return pq.read_table(path)
 
 
 def resume_crawl(
@@ -392,7 +435,7 @@ def resume_crawl(
     wave_dir = os.path.join(out_dir, last)
     with open(os.path.join(wave_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    pending = pq.read_table(os.path.join(wave_dir, "pending.parquet"))
+    pending = _read_pending_checkpoint(os.path.join(wave_dir, "pending.parquet"))
     payloads = []
     i = 0
     while os.path.exists(os.path.join(wave_dir, f"seen_shard_{i:03d}.bloom")):

@@ -49,6 +49,26 @@ class FetchFromCorpus:
         )
 
 
+@ray.remote(num_cpus=0)
+class DiscoveryStats:
+    """Tiny counter actor: per-wave discovery/filter telemetry that survives
+    passthrough fusing (r1 ADVICE: manifests carried always-zero counters)."""
+
+    def __init__(self):
+        self.n_candidates = 0
+        self.n_skipped = 0
+
+    def add(self, n_candidates: int, n_skipped: int) -> None:
+        self.n_candidates += int(n_candidates)
+        self.n_skipped += int(n_skipped)
+
+    def read_and_reset(self) -> dict:
+        out = {"n_candidates": self.n_candidates, "n_skipped": self.n_skipped}
+        self.n_candidates = 0
+        self.n_skipped = 0
+        return out
+
+
 class DiscoverCandidates:
     """docs batch → candidate links offered to the seen shards.
 
@@ -56,7 +76,8 @@ class DiscoverCandidates:
     per link — seen-key normalization, validity gate, FilterChain,
     scorer, score_threshold — then an in-batch partial dedup (keep max
     score) before scattering to the UrlSeenShard actors. Emits per-batch
-    discovery stats as its output batch (tiny).
+    discovery stats as its output batch (tiny), or — in passthrough mode —
+    reports them to a DiscoveryStats actor (fire-and-forget RPC).
     """
 
     def __init__(
@@ -68,6 +89,7 @@ class DiscoverCandidates:
         include_external: bool = False,
         max_depth: int = 3,
         passthrough: bool = False,
+        stats_actor=None,
     ):
         self.seen = seen_set
         self.filter_chain = filter_chain
@@ -80,6 +102,7 @@ class DiscoverCandidates:
         # shards as a side effect. Offering is idempotent (deterministic
         # canonical pick), so Ray task retries are safe.
         self.passthrough = passthrough
+        self.stats_actor = stats_actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         src_urls = batch.column("url").to_pylist()
@@ -152,6 +175,10 @@ class DiscoverCandidates:
                 [float(scores[i]) for i in idx],
             )
         if self.passthrough:
+            if self.stats_actor is not None:
+                # fire-and-forget; counters are advisory telemetry (a Ray
+                # task retry may double-count a batch — manifest-only data)
+                self.stats_actor.add.remote(len(idx), n_skipped)
             return batch
         return pa.table(
             {

@@ -1,0 +1,286 @@
+"""Dataset-native frontier "pending" store — the priority queue at scale.
+
+The reference holds its frontier in an in-process asyncio.PriorityQueue
+(bfs_strategy.py:124-131, bff_strategy.py:129-213). Round 1 kept the
+pending set as a driver-resident Arrow table — fine at wave ≤1e6, the
+scale-killer at the north rule's 10^10-URL frontier (r1 VERDICT #2). This
+store makes the frontier a first-class distributed object:
+
+- **Large frontiers** live as a ``ray.data.Dataset`` backed by spilled
+  parquet. Each wave is a distributed ``sort(keys).limit(budget)`` — the
+  driver only ever materializes the budget-bounded admitted slice. The
+  remainder is carried by a broadcast anti-join on the admitted urls
+  (``ray.put`` once, ``pc.is_in`` per batch) and then spilled back to
+  parquet, so the lazy lineage never grows beyond one wave.
+- **Small frontiers** (≤ ``small_threshold`` rows) short-circuit to a
+  driver-side Arrow ``sort_by`` — identical keys, identical total order
+  (url_norm is unique, so the sort is a total order and both paths are
+  byte-deterministic; tested for equality in tests/test_frontier_store.py).
+
+Sort keys per strategy (SURVEY.md §2.6), with queue aging: the effective
+score is ``score + aging_rate * (wave - enqueued_wave)`` — the per-wave
+analogue of the reference dispatcher's −wait_time fairness boost
+(async_dispatcher.py:189-198) so politeness-deferred hosts cannot starve.
+
+    bfs        (depth asc,  eff_score desc, url asc)
+    dfs        (depth desc, eff_score desc, url asc)
+    best_first (eff_score desc, depth asc,  url asc)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url_norm", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("parent_url", pa.string()),
+        ("score", pa.float64()),
+        ("enqueued_wave", pa.int32()),
+    ]
+)
+
+_SORT_SPECS = {
+    # (key, ascending) triples; _negeff = -(score + aging) so "ascending"
+    # on it means score-descending
+    "bfs": [("depth", "ascending"), ("_negeff", "ascending"), ("url_norm", "ascending")],
+    "dfs": [("depth", "descending"), ("_negeff", "ascending"), ("url_norm", "ascending")],
+    "best_first": [("_negeff", "ascending"), ("depth", "ascending"), ("url_norm", "ascending")],
+}
+
+
+def empty_frontier() -> pa.Table:
+    return FRONTIER_SCHEMA.empty_table()
+
+
+def _with_sort_key(tbl: pa.Table, wave: int, aging_rate: float) -> pa.Table:
+    """Append the _negeff column = -(score + aging_rate * age)."""
+    score = tbl.column("score").to_numpy(zero_copy_only=False)
+    if aging_rate:
+        age = wave - tbl.column("enqueued_wave").to_numpy(zero_copy_only=False)
+        eff = score + aging_rate * np.maximum(age, 0)
+    else:
+        eff = score
+    return tbl.append_column("_negeff", pa.array(-eff, pa.float64()))
+
+
+def sort_frontier(tbl: pa.Table, strategy: str, wave: int = 0, aging_rate: float = 0.0) -> pa.Table:
+    """Driver-side total-order sort (small-frontier fast path)."""
+    if tbl.num_rows == 0:
+        return tbl.cast(FRONTIER_SCHEMA) if tbl.schema != FRONTIER_SCHEMA else tbl
+    keyed = _with_sort_key(tbl, wave, aging_rate)
+    out = keyed.sort_by(_SORT_SPECS[strategy])
+    return out.drop_columns(["_negeff"])
+
+
+def _make_not_in_urls(urls_ref):
+    """Plain-function map_batches UDF: drop rows whose url_norm is in the
+    broadcast set. The value set is a plasma Arrow array — zero-copy per
+    task, no actor-pool spin-up per wave."""
+
+    def not_in_urls(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(urls_ref)
+        mask = pc.is_in(batch.column("url_norm"), value_set=value_set)
+        return batch.filter(pc.invert(mask))
+
+    return not_in_urls
+
+
+class FrontierStore:
+    """Pending-frontier priority queue with a driver fast path and a
+    Dataset-native scale path (mode switches on ``small_threshold``)."""
+
+    def __init__(
+        self,
+        strategy: str = "bfs",
+        aging_rate: float = 0.0,
+        spill_dir: str | None = None,
+        small_threshold: int = 200_000,
+    ):
+        if strategy not in _SORT_SPECS:
+            raise ValueError(f"unknown strategy {strategy!r}")
+        self.strategy = strategy
+        self.aging_rate = aging_rate
+        self.spill_dir = spill_dir
+        self.small_threshold = small_threshold
+        self._table: pa.Table = empty_frontier()  # driver mode storage
+        self._ds = None  # Dataset mode storage (parquet-backed, lineage ≤ 1)
+        self._count = 0
+        self._spill_seq = 0
+
+    # ------------------------------------------------------------------ sizing
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def dataset_mode(self) -> bool:
+        return self._ds is not None
+
+    # ------------------------------------------------------------------ insert
+    def push(self, tbl: pa.Table) -> None:
+        """Add rows (FRONTIER_SCHEMA, enqueued_wave already stamped)."""
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+        self._count += tbl.num_rows
+        if self._ds is not None:
+            self._ds = self._ds.union(ray.data.from_arrow(tbl))
+        else:
+            self._table = (
+                pa.concat_tables([self._table, tbl]) if self._table.num_rows else tbl
+            )
+
+    def push_parquet(self, paths: list[str]) -> int:
+        """Add rows spilled to parquet by the seen shards — the new-frontier
+        path that never routes candidate rows through the driver."""
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return 0
+        n = sum(pq.read_metadata(p).num_rows for p in paths)
+        if n == 0:
+            return 0
+        self._count += n
+        add = ray.data.read_parquet(paths).map_batches(
+            lambda b: b.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
+            batch_format="pyarrow",
+        )
+        if self._ds is not None:
+            self._ds = self._ds.union(add)
+        elif self._count > self.small_threshold:
+            self._to_dataset_mode()
+            self._ds = self._ds.union(add)
+        else:
+            tbls = [pq.read_table(p).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA) for p in paths]
+            self._table = pa.concat_tables([self._table, *tbls])
+        return n
+
+    def _to_dataset_mode(self) -> None:
+        self._ds = ray.data.from_arrow(self._table if self._table.num_rows else empty_frontier())
+        self._table = empty_frontier()
+
+    def _to_driver_mode(self) -> None:
+        parts = [ray.get(r) for r in self._ds.to_arrow_refs()]
+        parts = [p.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA) for p in parts if p.num_rows]
+        self._table = pa.concat_tables(parts) if parts else empty_frontier()
+        self._ds = None
+
+    # ------------------------------------------------------------------ pop
+    def pop_wave(self, budget: int, wave: int) -> pa.Table:
+        """Admit the top-``budget`` rows in strategy order; remove them from
+        pending. Driver holds only the returned (budget-bounded) slice."""
+        if self._count == 0 or budget <= 0:
+            return empty_frontier()
+        # mode normalization at the pop boundary
+        if self._ds is None and self._count > self.small_threshold:
+            self._to_dataset_mode()
+        elif self._ds is not None and self._count <= self.small_threshold:
+            self._to_driver_mode()
+
+        if self._ds is None:  # driver fast path
+            s = sort_frontier(self._table, self.strategy, wave, self.aging_rate)
+            admitted = s.slice(0, budget)
+            self._table = s.slice(budget)
+            self._count = self._table.num_rows
+            return admitted
+
+        # Dataset path: distributed sort + limit; anti-join out the admitted
+        rate, w = self.aging_rate, wave
+        keyed = self._ds.map_batches(
+            lambda b: _with_sort_key(b, w, rate), batch_format="pyarrow"
+        )
+        keys = [k for k, _ in _SORT_SPECS[self.strategy]]
+        desc = [d == "descending" for _, d in _SORT_SPECS[self.strategy]]
+        admitted_parts = [
+            ray.get(r)
+            for r in keyed.sort(keys, descending=desc).limit(budget).to_arrow_refs()
+        ]
+        admitted_parts = [p for p in admitted_parts if p.num_rows]
+        admitted = (
+            pa.concat_tables(admitted_parts)
+            if admitted_parts
+            else _with_sort_key(empty_frontier(), w, rate)
+        )
+        # re-assert total order on the (budget-bounded) driver slice — block
+        # order from to_arrow_refs is the sorted order, this is a cheap guard
+        admitted = admitted.sort_by(_SORT_SPECS[self.strategy]).drop_columns(["_negeff"])
+        urls_ref = ray.put(admitted.column("url_norm").combine_chunks())
+        self._ds = self._ds.map_batches(
+            _make_not_in_urls(urls_ref), batch_format="pyarrow"
+        )
+        self._count -= admitted.num_rows
+        return admitted
+
+    # ------------------------------------------------------------------ spill
+    def spill(self, path: str | None = None) -> str | None:
+        """End-of-wave: persist pending and reset lineage. In Dataset mode
+        this writes partitioned parquet (the checkpoint artifact) and re-reads
+        it lazily; in driver mode it writes a single file if a path is given.
+        Returns the written path."""
+        if path is None and self.spill_dir is not None:
+            path = os.path.join(self.spill_dir, f"pending_{self._spill_seq:05d}")
+            self._spill_seq += 1
+        if self._ds is not None:
+            if path is None:
+                return None
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path, exist_ok=True)
+            self._ds.write_parquet(path)
+            self._ds = ray.data.read_parquet(path)
+            # refresh the exact count from the written files (cheap metadata)
+            self._count = sum(
+                pq.read_metadata(os.path.join(path, f)).num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            return path
+        if path is not None:
+            if path.endswith(".parquet"):
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                target = path
+            else:
+                os.makedirs(path, exist_ok=True)
+                target = os.path.join(path, "part-0.parquet")
+            pq.write_table(
+                sort_frontier(self._table, self.strategy, 0, 0.0), target
+            )
+            return path
+        return None
+
+    # ------------------------------------------------------------------ views
+    def to_table(self) -> pa.Table:
+        """Materialize the full pending set on the driver, sorted. ONLY for
+        end-of-run views / tests / adaptive continuation — never called in
+        the wave loop (driver-bound by definition)."""
+        if self._ds is not None:
+            parts = [ray.get(r) for r in self._ds.to_arrow_refs()]
+            parts = [p.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA) for p in parts if p.num_rows]
+            tbl = pa.concat_tables(parts) if parts else empty_frontier()
+        else:
+            tbl = self._table
+        return sort_frontier(tbl, self.strategy, 0, 0.0)
+
+    @staticmethod
+    def from_table(
+        tbl: pa.Table,
+        strategy: str,
+        aging_rate: float = 0.0,
+        spill_dir: str | None = None,
+        small_threshold: int = 200_000,
+    ) -> "FrontierStore":
+        fs = FrontierStore(strategy, aging_rate, spill_dir, small_threshold)
+        if "enqueued_wave" not in tbl.column_names:  # legacy checkpoint
+            tbl = tbl.append_column(
+                "enqueued_wave", pa.array([0] * tbl.num_rows, pa.int32())
+            )
+        fs.push(tbl)
+        return fs

@@ -1,19 +1,26 @@
-"""Sharded URL-seen set: Bloom fast-path + exact arbitration.
+"""Sharded URL-seen set: Bloom fast-path + 128-bit exact arbitration.
 
 The reference keeps one in-process ``visited: Set[str]`` per deep crawl
 (bfs_strategy.py:105-121) and prototypes a Bloom filter for scale
 (deep_crawling/crazy.py). Here the seen set is S hash-partitioned
 ``UrlSeenShard`` actors, each holding
 
-- a BloomFilter over the shard's key hashes (answers "definitely new"
-  without touching the exact store), and
-- an exact key-hash set that arbitrates Bloom positives, so the final
-  URL-seen SET is exact — the parity requirement of the north rule.
+- a BloomFilter over the shard's primary key hashes (answers "definitely
+  new" without touching the exact store), and
+- an exact store keyed on a **128-bit combined key** — two independent
+  seeded FNV-1a-64 families (functions/hashing.hash64 / hash64_alt) — that
+  arbitrates Bloom positives.
 
-Keys are canonicalized urls (normalize_url_for_deep_crawl); all routing and
-membership uses the shared 64-bit hash (functions/hashing.hash64), so a
-shard stores uint64s, not strings (10^10 urls ≈ 80 GB of uint64s across the
-cluster, spillable; the Bloom keeps the common probe cheap).
+Collision bound: with 128-bit keys the birthday expectation at the north
+rule's 10^10 urls is ~(10^10)^2 / 2^129 ≈ 1.5e-19 conflations — negligible,
+unlike the handful expected from a single 64-bit key (round-1 ADVICE). We
+store 16 bytes/url instead of full url strings (10^10 urls ≈ 160 GB across
+the cluster, spillable; the Bloom keeps the common negative probe cheap).
+This is "exact up to 128-bit collisions"; byte-exact string arbitration
+would triple memory for no observable gain.
+
+Checkpoint dumps embed hashing.HASH_SPEC and fail loudly on mismatch, so a
+resume can never silently mix hash functions.
 
 Calls from inside map_batches tasks are plain actor RPCs — this is the one
 place the Dataset API can't express the semantics (shared mutable index),
@@ -26,7 +33,12 @@ import numpy as np
 
 import ray
 
-from ..functions.hashing import hash64
+from ..functions.hashing import HASH_SPEC, hash64, hash64_alt
+
+
+def _combine(h1: np.ndarray, h2: np.ndarray) -> list[int]:
+    """(uint64, uint64) → python int 128-bit keys."""
+    return [(int(a) << 64) | int(b) for a, b in zip(h1, h2)]
 
 
 @ray.remote(num_cpus=0)  # lightweight state actor: never reserve CPUs —
@@ -48,71 +60,87 @@ class UrlSeenShard:
         from .bloom import BloomFilter  # import inside actor
 
         self.bloom = BloomFilter(capacity, error_rate)
-        self.exact: set[int] = set()
-        # wave accumulation: key_hash -> (url_norm, host, depth, parent, score)
+        self.exact: set[int] = set()  # 128-bit combined keys
+        # wave accumulation: key128 -> (url_norm, host, depth, parent, score, h1)
         self.wave: dict[int, tuple] = {}
 
-    def offer(
-        self, hashes, url_norms, hosts, depths, parents, scores
-    ) -> int:
+    def offer(self, h1, h2, url_norms, hosts, depths, parents, scores) -> int:
         """Accumulate wave candidates (already partially deduped per batch).
         Deterministic canonical pick regardless of arrival order."""
-        for h, u, ho, d, p, s in zip(hashes, url_norms, hosts, depths, parents, scores):
-            h = int(h)
-            cur = self.wave.get(h)
+        for a, b, u, ho, d, p, s in zip(h1, h2, url_norms, hosts, depths, parents, scores):
+            k = (int(a) << 64) | int(b)
+            cur = self.wave.get(k)
             # canonical: higher score wins, then smaller depth, then smaller parent
-            cand = (u, ho, int(d), p, float(s))
+            cand = (u, ho, int(d), p, float(s), int(a))
             if cur is None or (-cand[4], cand[2], cand[3]) < (-cur[4], cur[2], cur[3]):
-                self.wave[h] = cand
+                self.wave[k] = cand
         return len(self.wave)
 
-    def finalize_wave(self):
+    def finalize_wave(self, out_path: str | None = None, enqueued_wave: int = 0):
         """Seen-anti-join the accumulated wave, mark new urls seen, return
         the canonical new candidates as arrays (sorted by url for
-        determinism). Clears the accumulator."""
-        import numpy as np  # noqa: F811
+        determinism). Clears the accumulator.
 
+        With ``out_path`` set, the shard writes its partition straight to
+        parquet (FRONTIER_SCHEMA) and returns only the row count — the
+        new-frontier rows never touch the driver (north-rule scale path)."""
         if not self.wave:
             return None
         items = sorted(self.wave.items(), key=lambda kv: kv[1][0])  # by url_norm
         self.wave = {}
-        hashes = np.fromiter((h for h, _ in items), dtype=np.uint64, count=len(items))
-        seen = self.check(hashes)
-        new_idx = np.nonzero(~seen)[0]
-        if len(new_idx) == 0:
+        new = [(k, v) for k, v in items if k not in self.exact]
+        if not new:
             return None
-        new_hashes = hashes[new_idx]
-        self.add(new_hashes)
-        vals = [items[i][1] for i in new_idx]
+        h1 = np.fromiter((v[5] for _, v in new), dtype=np.uint64, count=len(new))
+        self.bloom.add_hashes(h1)
+        self.exact.update(k for k, _ in new)
+        if out_path is not None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.table(
+                {
+                    "url_norm": pa.array([v[0] for _, v in new], pa.string()),
+                    "host": pa.array([v[1] for _, v in new], pa.string()),
+                    "depth": pa.array([v[2] for _, v in new], pa.int32()),
+                    "parent_url": pa.array([v[3] for _, v in new], pa.string()),
+                    "score": pa.array([v[4] for _, v in new], pa.float64()),
+                    "enqueued_wave": pa.array(
+                        [enqueued_wave] * len(new), pa.int32()
+                    ),
+                }
+            )
+            pq.write_table(tbl, out_path)
+            return len(new)
         return {
-            "url_norm": [v[0] for v in vals],
-            "host": [v[1] for v in vals],
-            "depth": [v[2] for v in vals],
-            "parent_url": [v[3] for v in vals],
-            "score": [v[4] for v in vals],
+            "url_norm": [v[0] for _, v in new],
+            "host": [v[1] for _, v in new],
+            "depth": [v[2] for _, v in new],
+            "parent_url": [v[3] for _, v in new],
+            "score": [v[4] for _, v in new],
         }
 
-    def check(self, hashes: np.ndarray) -> np.ndarray:
+    def check(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """True where the key was already seen. Read-only."""
-        maybe = self.bloom.contains_hashes(hashes)
-        out = np.zeros(len(hashes), dtype=bool)
+        maybe = self.bloom.contains_hashes(h1)
+        out = np.zeros(len(h1), dtype=bool)
         idx = np.nonzero(maybe)[0]
-        for i in idx:  # bloom positives arbitrated exactly
-            out[i] = int(hashes[i]) in self.exact
+        for i in idx:  # bloom positives arbitrated against the 128-bit store
+            out[i] = ((int(h1[i]) << 64) | int(h2[i])) in self.exact
         return out
 
-    def add(self, hashes: np.ndarray) -> int:
+    def add(self, h1: np.ndarray, h2: np.ndarray) -> int:
         """Mark keys seen; returns number newly added."""
         before = len(self.exact)
-        self.bloom.add_hashes(hashes)
-        self.exact.update(int(h) for h in hashes)
+        self.bloom.add_hashes(h1)
+        self.exact.update(_combine(h1, h2))
         return len(self.exact) - before
 
-    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
-        seen = self.check(hashes)
-        new = hashes[~seen]
-        if len(new):
-            self.add(new)
+    def check_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        seen = self.check(h1, h2)
+        new = ~seen
+        if new.any():
+            self.add(h1[new], h2[new])
         return seen
 
     def stats(self) -> dict:
@@ -123,19 +151,43 @@ class UrlSeenShard:
         }
 
     def dump(self) -> bytes:
-        """Checkpoint payload: bloom bytes + sorted exact hashes."""
-        arr = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
-        arr.sort()
+        """Checkpoint payload: hash-spec header + bloom bytes + sorted
+        128-bit exact keys (as h1,h2 uint64 pairs)."""
+        keys = sorted(self.exact)
+        h1 = np.fromiter((k >> 64 for k in keys), dtype=np.uint64, count=len(keys))
+        h2 = np.fromiter((k & 0xFFFFFFFFFFFFFFFF for k in keys), dtype=np.uint64, count=len(keys))
+        spec = HASH_SPEC.encode("utf-8")
         bloom_b = self.bloom.to_bytes()
-        return len(bloom_b).to_bytes(8, "little") + bloom_b + arr.tobytes()
+        return (
+            len(spec).to_bytes(2, "little")
+            + spec
+            + len(bloom_b).to_bytes(8, "little")
+            + bloom_b
+            + h1.tobytes()
+            + h2.tobytes()
+        )
 
     def load(self, data: bytes) -> int:
         from .bloom import BloomFilter
 
-        n = int.from_bytes(data[0:8], "little")
-        self.bloom = BloomFilter.from_bytes(data[8 : 8 + n])
-        arr = np.frombuffer(data[8 + n :], dtype=np.uint64)
-        self.exact = set(int(x) for x in arr)
+        ns = int.from_bytes(data[0:2], "little")
+        spec = data[2 : 2 + ns].decode("utf-8")
+        if spec != HASH_SPEC:
+            raise ValueError(
+                f"seen-shard checkpoint was written with hash spec {spec!r}, "
+                f"engine uses {HASH_SPEC!r} — refusing to resume with a "
+                "mismatched hash function (would silently re-crawl / skip urls)"
+            )
+        off = 2 + ns
+        n = int.from_bytes(data[off : off + 8], "little")
+        off += 8
+        self.bloom = BloomFilter.from_bytes(data[off : off + n])
+        off += n
+        rest = data[off:]
+        half = len(rest) // 2
+        h1 = np.frombuffer(rest[:half], dtype=np.uint64)
+        h2 = np.frombuffer(rest[half:], dtype=np.uint64)
+        self.exact = set(_combine(h1, h2))
         return len(self.exact)
 
 
@@ -150,58 +202,56 @@ class SeenSet:
             for _ in range(num_shards)
         ]
 
-    def _route(self, hashes: np.ndarray):
-        shard_ids = (hashes % np.uint64(self.num_shards)).astype(np.int64)
-        return shard_ids
+    def _route(self, h1: np.ndarray):
+        return (h1 % np.uint64(self.num_shards)).astype(np.int64)
 
-    def _scatter_gather(self, hashes: np.ndarray, method: str) -> np.ndarray:
+    def _scatter_gather(self, h1, h2, method: str) -> np.ndarray:
         """Partition a hash batch by shard, issue one RPC per shard, and
         stitch results back into input order."""
-        if len(hashes) == 0:
+        if len(h1) == 0:
             return np.zeros(0, dtype=bool)
-        shard_ids = self._route(hashes)
+        shard_ids = self._route(h1)
         refs, idxs = [], []
         for s in range(self.num_shards):
             idx = np.nonzero(shard_ids == s)[0]
             if len(idx) == 0:
                 continue
-            refs.append(getattr(self.shards[s], method).remote(hashes[idx]))
+            refs.append(getattr(self.shards[s], method).remote(h1[idx], h2[idx]))
             idxs.append(idx)
-        out = np.zeros(len(hashes), dtype=bool)
+        out = np.zeros(len(h1), dtype=bool)
         for idx, res in zip(idxs, ray.get(refs)):
             if res is not None and not np.isscalar(res):
                 out[idx] = res
         return out
 
-    def check(self, keys_or_hashes) -> np.ndarray:
-        return self._scatter_gather(self._as_hashes(keys_or_hashes), "check")
+    def check(self, keys) -> np.ndarray:
+        return self._scatter_gather(*self._as_hashes(keys), "check")
 
-    def add(self, keys_or_hashes) -> None:
-        h = self._as_hashes(keys_or_hashes)
-        if len(h) == 0:
+    def add(self, keys) -> None:
+        h1, h2 = self._as_hashes(keys)
+        if len(h1) == 0:
             return
-        shard_ids = self._route(h)
+        shard_ids = self._route(h1)
         refs = []
         for s in range(self.num_shards):
             idx = np.nonzero(shard_ids == s)[0]
             if len(idx):
-                refs.append(self.shards[s].add.remote(h[idx]))
+                refs.append(self.shards[s].add.remote(h1[idx], h2[idx]))
         ray.get(refs)
 
-    def check_and_add(self, keys_or_hashes) -> np.ndarray:
-        return self._scatter_gather(self._as_hashes(keys_or_hashes), "check_and_add")
+    def check_and_add(self, keys) -> np.ndarray:
+        return self._scatter_gather(*self._as_hashes(keys), "check_and_add")
 
     @staticmethod
-    def _as_hashes(keys) -> np.ndarray:
-        if isinstance(keys, np.ndarray) and keys.dtype == np.uint64:
-            return keys
-        return hash64(list(keys))
+    def _as_hashes(keys) -> tuple[np.ndarray, np.ndarray]:
+        keys = list(keys)
+        return hash64(keys), hash64_alt(keys)
 
     def offer_candidates(self, url_norms, hosts, depths, parents, scores) -> None:
         """Partition one batch of candidates across shards (used inside
         map_batches tasks; blocks until the shards acked)."""
-        h = hash64(list(url_norms))
-        shard_ids = self._route(h)
+        h1, h2 = self._as_hashes(url_norms)
+        shard_ids = self._route(h1)
         refs = []
         for s in range(self.num_shards):
             idx = np.nonzero(shard_ids == s)[0]
@@ -209,7 +259,8 @@ class SeenSet:
                 continue
             refs.append(
                 self.shards[s].offer.remote(
-                    h[idx],
+                    h1[idx],
+                    h2[idx],
                     [url_norms[i] for i in idx],
                     [hosts[i] for i in idx],
                     [int(depths[i]) for i in idx],
@@ -223,6 +274,24 @@ class SeenSet:
         """Gather each shard's canonical new candidates (marks them seen)."""
         res = ray.get([s.finalize_wave.remote() for s in self.shards])
         return [r for r in res if r is not None]
+
+    def finalize_wave_parquet(self, spill_dir: str, enqueued_wave: int) -> list[str]:
+        """Shard-parallel finalize with direct-to-parquet spill: each shard
+        writes its own partition file; the driver only sees paths + counts."""
+        import os
+
+        os.makedirs(spill_dir, exist_ok=True)
+        paths = [
+            os.path.join(spill_dir, f"shard_{i:03d}.parquet")
+            for i in range(self.num_shards)
+        ]
+        res = ray.get(
+            [
+                s.finalize_wave.remote(out_path=p, enqueued_wave=enqueued_wave)
+                for s, p in zip(self.shards, paths)
+            ]
+        )
+        return [p for p, n in zip(paths, res) if n]
 
     def stats(self) -> dict:
         per = ray.get([s.stats.remote() for s in self.shards])

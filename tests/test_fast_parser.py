@@ -43,9 +43,37 @@ def test_handwritten_cases():
         "<p>a</p\n>odd close</p>",
         "<svg/><math/>",
         "<p att1 att2='b' att1='dup'>first wins</p>",
+        # HTML5 self-closing-on-non-void shapes (ADVICE r1): slash ignored,
+        # element stays open; autoclose runs for the sibling rules.
+        "<ul><li>a<li/>b</li></ul>",
+        "<p>x<p/>y",
+        "<td/>",
+        "<div/>trailing text",
+        "<li/><li/>two",
+        "<table><tr><td/>cell<td/>cell2</tr></table>",
+        "<script/>var x = '<p>not a tag</p>';",
+        "<style/>.a { color: red }",
+        "<pre/>raw  text",
+        "<dt/>term<dd/>def",
     ]
     for c in cases:
         _same(c)
+
+
+def test_html5_self_closing_keeps_element_open():
+    """'<p/>y' parses as <p>y</p> (HTML5 / lxml semantics), both parsers."""
+    for parse in (_parse_html_fast, _parse_html_slow):
+        root = parse("<p/>y")
+        assert root is not None
+        (p,) = [c for c in root.children if not isinstance(c, str)]
+        assert p.tag == "p" and p.children == ["y"]
+    # li sibling autoclose still applies to a self-closing token
+    for parse in (_parse_html_fast, _parse_html_slow):
+        root = parse("<ul><li>a<li/>b</li></ul>")
+        ul = root.children[0]
+        lis = [c for c in ul.children if not isinstance(c, str)]
+        assert [li.tag for li in lis] == ["li", "li"]
+        assert lis[0].children == ["a"] and lis[1].children == ["b"]
 
 
 tag = st.sampled_from(

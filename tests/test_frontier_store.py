@@ -1,0 +1,107 @@
+"""FrontierStore: driver fast path vs Dataset scale path must produce
+byte-identical wave membership and order; queue aging drains starved hosts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crawl4ai_ray.state.frontier_store import FRONTIER_SCHEMA, FrontierStore
+
+
+def _mk_frontier(n: int, seed: int = 3) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    scores = rng.uniform(0, 1, n).round(6)
+    return pa.table(
+        {
+            "url_norm": pa.array([f"https://s{i % 17}.ex.com/p/{i}" for i in range(n)]),
+            "host": pa.array([f"s{i % 17}.ex.com" for i in range(n)]),
+            "depth": pa.array((np.arange(n) % 4).astype("int32"), pa.int32()),
+            "parent_url": pa.array([""] * n),
+            "score": pa.array(scores, pa.float64()),
+            "enqueued_wave": pa.array([0] * n, pa.int32()),
+        }
+    )
+
+
+@pytest.mark.parametrize("strategy", ["bfs", "dfs", "best_first"])
+def test_driver_vs_dataset_mode_identical(ray_session, strategy, tmp_path):
+    tbl = _mk_frontier(5_000)
+    waves_small, waves_big = [], []
+    used_dataset_mode = False
+    for threshold, sink in ((1_000_000, waves_small), (100, waves_big)):
+        fs = FrontierStore(
+            strategy=strategy,
+            spill_dir=str(tmp_path / f"spill_{strategy}_{threshold}"),
+            small_threshold=threshold,
+        )
+        fs.push(tbl)
+        wave = 0
+        while len(fs) > 0:
+            admitted = fs.pop_wave(700, wave)
+            sink.append(admitted.column("url_norm").to_pylist())
+            if threshold == 100:
+                used_dataset_mode = used_dataset_mode or fs.dataset_mode
+            fs.spill()
+            wave += 1
+    assert used_dataset_mode  # the threshold=100 store really ran distributed
+    assert waves_small == waves_big
+
+
+def test_dataset_mode_count_and_push_parquet(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    fs = FrontierStore("bfs", spill_dir=str(tmp_path / "sp"), small_threshold=10)
+    fs.push(_mk_frontier(50))
+    p = str(tmp_path / "extra.parquet")
+    pq.write_table(_mk_frontier(30, seed=9).set_column(
+        0, "url_norm", pa.array([f"https://x.com/{i}" for i in range(30)])
+    ), p)
+    fs.push_parquet([p])
+    assert len(fs) == 80
+    got = fs.pop_wave(25, 0)
+    assert got.num_rows == 25 and len(fs) == 55
+    total = got.num_rows
+    while len(fs):
+        total += fs.pop_wave(40, 1).num_rows
+        fs.spill()
+    assert total == 80
+
+
+def test_aging_promotes_waiting_rows():
+    """A low-score row waiting many waves overtakes fresh high-score work."""
+    fs = FrontierStore("best_first", aging_rate=0.1)
+    old = _mk_frontier(1).set_column(4, "score", pa.array([0.1], pa.float64()))
+    fs.push(old)  # enqueued_wave=0
+    fresh = (
+        _mk_frontier(1)
+        .set_column(0, "url_norm", pa.array(["https://fresh.ex.com/p"]))
+        .set_column(4, "score", pa.array([0.5], pa.float64()))
+        .set_column(5, "enqueued_wave", pa.array([10], pa.int32()))
+    )
+    fs.push(fresh)
+    # at wave 10: old eff = 0.1 + 0.1*10 = 1.1 > fresh 0.5
+    top = fs.pop_wave(1, 10)
+    assert top.column("url_norm")[0].as_py().startswith("https://s0.ex.com")
+
+
+def test_starved_host_drains_with_aging(ray_session):
+    """Politeness-capped host is deferred but — with aging — eventually
+    crawled before the run ends (reference async_dispatcher.py:189-198)."""
+    from crawl4ai_ray.config import CrawlConfig
+    from crawl4ai_ray.pipelines.crawl import crawl
+    from crawl4ai_ray.sources.pages import url_of
+
+    cfg = CrawlConfig(
+        max_depth=2,
+        strategy="best_first",
+        aging_rate=0.5,
+        max_pages_per_host_per_wave=2,
+        seen_shards=2,
+    )
+    run = crawl("/root/testdata/sf0.001", seeds=[url_of(0), url_of(7), url_of(14)], cfg=cfg)
+    # host site0 is the heavy hitter: all three seeds live there, cap is 2 →
+    # one seed must be deferred at wave 0 yet still crawled later
+    crawled = [u for u, _ in run.crawl_order]
+    for s in (url_of(0), url_of(7), url_of(14)):
+        assert s in crawled
+    assert run.pages_crawled > 0

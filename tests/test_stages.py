@@ -194,3 +194,41 @@ def test_multimodal_strict_raises(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeMedia(strict=True)(synth_media_table(2))
+
+
+def test_mulmod_p_exact_carter_wegman():
+    """Limb-split (a·x+b) mod 2^61-1 equals python big-int arithmetic."""
+    import numpy as np
+
+    from crawl4ai_ray.stages.dedup import _MERSENNE, _mod_p, _mulmod_p
+
+    rng = np.random.RandomState(0)
+    p = int(_MERSENNE)
+    a = rng.randint(0, p, size=500).astype(np.uint64)
+    x = rng.randint(0, p, size=500).astype(np.uint64)
+    got = _mulmod_p(a, x)
+    want = [(int(ai) * int(xi)) % p for ai, xi in zip(a, x)]
+    assert got.tolist() == want
+    b = rng.randint(0, p, size=500).astype(np.uint64)
+    got2 = _mod_p(_mulmod_p(a, x) + b)
+    want2 = [(int(ai) * int(xi) + int(bi)) % p for ai, xi, bi in zip(a, x, b)]
+    assert got2.tolist() == want2
+
+
+def test_simhash_wider_radius_complete(ray_session):
+    """Block bucketing with r=6 → 7 blocks: a pair at hamming 5 is found."""
+    import ray as _ray
+
+    from crawl4ai_ray.stages import dedup
+
+    base = " ".join(f"tok{i}" for i in range(300))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("tok5", "zz5").replace("tok7", "zz7")},
+        {"doc_id": 3, "text": " ".join(f"other{i}" for i in range(300))},
+    ]
+    ds = _ray.data.from_items(rows)
+    pairs = dedup.simhash_pairs(ds, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got

@@ -43,6 +43,43 @@ def test_splitmix_deterministic():
     assert (splitmix64(x) == splitmix64(x.copy())).all()
 
 
+def test_hash64_matches_pinned_spec():
+    """hash64 is a frozen spec (fnv1a64-seeded-v1) — independent of any
+    library version, verified against the pure-python reference impl."""
+    from crawl4ai_ray.functions.hashing import fnv1a64_py, hash64_alt
+
+    import pyarrow as pa
+
+    cases = ["", "a", "https://example.com/path?q=1", "ünïcødé ✓", "x" * 500]
+    got = hash64(cases)
+    assert list(got) == [fnv1a64_py(s) for s in cases]
+    # pinned value: if this changes, every persisted artifact breaks
+    assert int(hash64(["https://example.com/"])[0]) == fnv1a64_py("https://example.com/")
+    # arrow input (sliced, offset ≠ 0) hashes identically
+    arr = pa.array(["pad"] + cases).slice(1)
+    assert list(hash64(arr)) == list(got)
+    # second family is independent
+    assert not (hash64_alt(cases) == got).any()
+
+
+def test_seen_checkpoint_rejects_wrong_hash_spec(ray_session):
+    from crawl4ai_ray.state.seen import SeenSet
+
+    s = SeenSet(num_shards=1, capacity_per_shard=100)
+    try:
+        s.add(["u1"])
+        payload = s.dump_all()[0]
+        # corrupt the spec header
+        bad = (4).to_bytes(2, "little") + b"oops" + payload[2 + len("fnv1a64-seeded-v1"):]
+        import pytest as _pytest
+        import ray as _ray
+
+        with _pytest.raises(_ray.exceptions.RayTaskError):
+            s.load_all([bad])
+    finally:
+        s.shutdown()
+
+
 def test_hash64_stable_and_vectorized():
     a = hash64(["abc", "def"])
     b = hash64(["abc", "def"])
