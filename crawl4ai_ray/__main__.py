@@ -105,6 +105,13 @@ def main(argv=None):
                     mode = "oracle" if name in ORACLES else "rows-only"
                     print(f"{name}\t{mode}")
                 return 0
+            if args.name not in QUERIES:
+                print(
+                    f"unknown query {args.name!r}; available: "
+                    + ", ".join(sorted(QUERIES)),
+                    file=sys.stderr,
+                )
+                return 2
             res = QUERIES[args.name](args.sf_dir)
             import pandas as pd
             import pyarrow as pa

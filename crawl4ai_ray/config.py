@@ -83,7 +83,8 @@ class CrawlConfig:
     # by path+mtime, amortized across runs) and fetch via bucket pruning.
     # Set False to force the broadcast-scan path.
     auto_bucket: bool = True
-    auto_bucket_num_buckets: int = 64
+    # None → sized from corpus bytes (~64 MB/bucket, sources/bucketed.py)
+    auto_bucket_num_buckets: int | None = None
     # pin the corpus in the object store once and reuse across waves —
     # right when the corpus fits cluster memory (it spills otherwise);
     # set False at true 100 TB scale (then prefer corpus_bucket_dir)

@@ -87,21 +87,27 @@ def _ensure_bucketed(sf_dir: str, cfg: CrawlConfig) -> str:
     + bucket count, so a corpus change invalidates it)."""
     import hashlib
 
-    from ..sources.bucketed import partition_corpus
+    from ..sources.bucketed import choose_num_buckets, partition_corpus
     from ..sources.pages import PAGES_VERSION, synthesize_pages
 
     pages_dir = synthesize_pages(sf_dir)
+    num_buckets = cfg.auto_bucket_num_buckets
+    if num_buckets is None:
+        total = sum(
+            os.path.getsize(os.path.join(pages_dir, f))
+            for f in os.listdir(pages_dir)
+            if f.endswith(".parquet")
+        )
+        num_buckets = choose_num_buckets(total)
     slug = hashlib.sha1(
         f"{os.path.realpath(pages_dir)}|{PAGES_VERSION}".encode()
     ).hexdigest()[:16]
     out = os.path.join(
-        tempfile.gettempdir(),
-        "c4r_buckets",
-        f"{slug}_b{cfg.auto_bucket_num_buckets}",
+        tempfile.gettempdir(), "c4r_buckets", f"{slug}_b{num_buckets}"
     )
     if not os.path.exists(os.path.join(out, "_BUCKETS")):
         pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-        partition_corpus(pages, out, cfg.auto_bucket_num_buckets)
+        partition_corpus(pages, out, num_buckets)
     return out
 
 

@@ -146,28 +146,21 @@ def q_bfs_depth(sf_dir: str):
 
 
 def q_robots_filter(sf_dir: str):
+    """Distributed robots evaluation: rules broadcast per actor, pages
+    streamed through map_batches (never materialized on the driver)."""
+    from ..state.politeness import RobotsFilterBatch
+
     rules = {
         "site0.example.com": "User-agent: *\nDisallow: /page/\n",
         "site1.example.com": "User-agent: *\nDisallow: /page/1\n",
     }
-    pool = PolitenessPool(num_shards=2, robots_rules=rules)
-    try:
-        pages = _pages_ds(sf_dir, columns=["url"])
-        parts = [ray.get(r) for r in pages.to_arrow_refs()]
-        tbl = pa.concat_tables(parts)
-        urls = tbl.column("url").to_pylist()
-        from ..functions.urls import host_batch
-
-        hosts = host_batch(urls)
-        allowed = pool.robots_allowed(hosts, urls)
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "allowed": pa.array(allowed.tolist(), pa.bool_()),
-            }
-        )
-    finally:
-        pool.shutdown()
+    pages = _pages_ds(sf_dir, columns=["url"])
+    return pages.map_batches(
+        RobotsFilterBatch,
+        fn_constructor_args=(rules,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
 
 def q_url_normalize(sf_dir: str):
@@ -329,31 +322,67 @@ def q_embedding_neardup(sf_dir: str):
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
-def q_minhash_pairs(sf_dir: str):
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Scale-path cosine near-dup: random-hyperplane LSH bucketing + exact
+    in-bucket cosine ≥ 0.9 verification, over embeddings with planted
+    identical copies (vec_id + N). Identical vectors share every bucket →
+    100% recall by construction; no full-matrix broadcast anywhere
+    (contrast q_embedding_neardup, the brute-force baseline)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+
+    def copy(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.add(batch.column("vec_id"), n)
+        return batch.set_column(
+            batch.schema.get_field_index("vec_id"), "vec_id", ids
+        )
+
+    dup = emb.union(emb.map_batches(copy, batch_format="pyarrow"))
+    return dedup.embedding_neardup_pairs_lsh(dup, tau=0.9, id_col="vec_id")
+
+
+def _docs_with_exact_copies(sf_dir: str):
+    """documents ∪ byte-identical copies at doc_id + N (planted exact dups
+    whose pair set the oracle reconstructs in SQL)."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     n = docs.count()
 
-    def near_dup_copy(batch: pa.Table) -> pa.Table:
+    def copy(batch: pa.Table) -> pa.Table:
         ids = [i + n for i in batch.column("doc_id").to_pylist()]
-        texts = [t + " extra token" for t in batch.column("text").to_pylist()]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "text": pa.array(texts, pa.string()),
+                "text": batch.column("text"),
             }
         )
 
-    dup = docs.union(docs.map_batches(near_dup_copy, batch_format="pyarrow"))
-    return dedup.minhash_lsh_pairs(dup, num_perm=64, bands=16)
+    return docs.union(docs.map_batches(copy, batch_format="pyarrow")), docs
 
 
-def q_simhash_pairs(sf_dir: str):
+def q_minhash_pairs(sf_dir: str):
+    """Near-dup pairs = LSH candidates over the raw corpus, then EXACT
+    3-gram-Jaccard verification at tau=0.9 (candidate→verify, the standard
+    minhash dedup pipeline). The oracle recomputes all-pairs 3-gram Jaccard
+    in SQL; the Ray side must therefore have 100% recall at tau (16 bands ×
+    4 rows: miss prob ≤ (1-0.9⁴)¹⁶ ≈ 3e-8 per pair)."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    cands = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16)
+    return dedup.verify_pairs(cands, docs, mode="jaccard", tau=0.9)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """Exact-dup pairs via simhash candidates (hamming ≤ 3 block bucketing)
+    + byte-equality verification over the corpus with planted identical
+    copies. Identical texts share all blocks → 100% recall by construction;
+    the equality verify kills near-miss candidates, so the output is exactly
+    the planted pair set (SQL-reconstructable)."""
+    dup, _ = _docs_with_exact_copies(sf_dir)
+    cands = dedup.simhash_pairs(dup, max_hamming=3)
+    return dedup.verify_pairs(cands, dup, mode="equal")
 
 
 def q_fingerprints(sf_dir: str):
@@ -361,6 +390,16 @@ def q_fingerprints(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+
+
+def q_fingerprint_dups(sf_dir: str):
+    """Exact-dup pairs via winnowing-fingerprint candidates (docs sharing a
+    kept window-hash) + byte-equality verification, planted identical
+    copies. Identical token streams keep identical window minima → 100%
+    recall; equality verify → exactly the planted pairs."""
+    dup, _ = _docs_with_exact_copies(sf_dir)
+    cands = dedup.fingerprint_candidate_pairs(dup)
+    return dedup.verify_pairs(cands, dup, mode="equal")
 
 
 def q_lang_id(sf_dir: str):
@@ -725,9 +764,11 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
+    "fingerprint_dups": q_fingerprint_dups,
     "lang_id": q_lang_id,
     "best_first_order": q_best_first_order,
     "politeness_budget": q_politeness_budget,
@@ -863,6 +904,257 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+""",
+    "embedding_neardup_lsh": """
+WITH nn AS (SELECT COUNT(*) AS c FROM embeddings),
+dup AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + nn.c, embedding FROM embeddings, nn
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM dup a CROSS JOIN dup b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+""",
+    "minhash_pairs": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ) AS g
+  FROM toks
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
+      >= 0.9
+""",
+    "simhash_pairs": """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents)
+SELECT doc_id AS a, doc_id + nn.c AS b FROM documents, nn
+""",
+    "fingerprint_dups": """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents)
+SELECT doc_id AS a, doc_id + nn.c AS b FROM documents, nn
+""",
+    "extract_docs": f"""
+WITH {SQL_PAGES}
+SELECT url, TRUE AS success,
+       CAST(6 + CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS INT) AS n_links,
+       CAST(1 + CASE WHEN doc_id % 9 = 0 THEN 3 ELSE 0 END AS INT) AS n_images
+FROM purl
+""",
+    "ann_topk_ivf": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10
+""",
+    "lang_id": r"""
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|with)\b')) AS c_en,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|de|des|et|est|que|une|pour)\b')) AS c_fr,
+    len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y|es|en|una|por)\b')) AS c_es,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|den|mit|für|ein)\b')) AS c_de,
+    len(regexp_extract_all(lower(text), '\b(il|la|di|che|e|per|una|sono|con|del)\b')) AS c_it
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(c_en, c_fr, c_es, c_de, c_it) = 0 THEN 'unknown'
+       WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de AND c_en >= c_it THEN 'en'
+       WHEN c_fr >= c_es AND c_fr >= c_de AND c_fr >= c_it THEN 'fr'
+       WHEN c_es >= c_de AND c_es >= c_it THEN 'es'
+       WHEN c_de >= c_it THEN 'de'
+       ELSE 'it' END AS lang_pred
+FROM c
+""",
+    # best_first_order / politeness_budget: full wave-loop simulations as
+    # recursive CTEs carrying (visited, pending, output) as list-typed state
+    # — one row per wave. The corpus link graph is pure doc_id arithmetic
+    # (sources/pages.py), so fetch, discovery, scoring (keyword-substring),
+    # and the positional per-host politeness cap are all scalar SQL.
+    # (DuckDB 1.0 quirk: a cross join breaks lambda binding, so N rides in
+    # the recursion state instead of a joined CTE.)
+    "best_first_order": r"""
+WITH RECURSIVE
+sim(wave, crawled, n, visited, pending, outp) AS (
+  SELECT 0, 0, (SELECT COUNT(*) FROM documents),
+         ['https://site0.example.com/page/0'],
+         [{'ns': -0.0, 'd': 0, 'u': 'https://site0.example.com/page/0'}],
+         CAST([] AS STRUCT(u VARCHAR, w INTEGER)[])
+  UNION ALL
+  SELECT s.wave + 1,
+         s.crawled + len(s.fetched),
+         s.n,
+         s.visited || s.newu,
+         list_slice(s.sp, s.budget + 1, len(s.sp))
+           || list_transform(s.newu, u -> {
+                'ns': -((CASE WHEN contains(lower(u), 'page/1') THEN 0.5 ELSE 0.0 END)
+                       + (CASE WHEN contains(lower(u), 'page/2') THEN 0.5 ELSE 0.0 END)),
+                'd': list_aggregate(list_transform(list_filter(s.cands, c -> c.u = u), c -> c.d), 'min'),
+                'u': u}),
+         s.outp || list_transform(list_slice(s.sp, 1, s.budget), x -> {'u': x.u, 'w': s.wave})
+  FROM (
+    SELECT wave, crawled, n, visited, outp, sp, budget, fetched, cands,
+           list_distinct(list_transform(cands, c -> c.u)) AS newu
+    FROM (
+      SELECT wave, crawled, n, visited, outp, sp, budget, fetched,
+             list_filter(
+               flatten(list_transform(list_filter(fetched, x -> x.d < 2), x ->
+                 list_concat(
+                   [{'u': 'https://site' || regexp_extract(x.u, 'site(\d+)', 1) || '.example.com',
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n) % 7 = 0 THEN 0
+                                ELSE ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n) % 50 END)
+                          || '.example.com/page/' || ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n),
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n) % 7 = 0 THEN 0
+                                ELSE ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n) % 50 END)
+                          || '.example.com/page/' || ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n),
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n) % 7 = 0 THEN 0
+                                ELSE ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n) % 50 END)
+                          || '.example.com/page/' || ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n),
+                     'd': x.d + 1}],
+                   CASE WHEN CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT) % 37 = 0
+                        THEN [{'u': x.u || '?page=2', 'd': x.d + 1}]
+                        ELSE CAST([] AS STRUCT(u VARCHAR, d INTEGER)[]) END))),
+               c -> NOT list_contains(visited, c.u)) AS cands
+      FROM (
+        SELECT wave, crawled, n, visited, outp, sp,
+               least(10, 40 - crawled, len(sp)) AS budget,
+               list_filter(list_slice(sp, 1, least(10, 40 - crawled, len(sp))),
+                           x -> regexp_matches(x.u, '^https://site\d+\.example\.com/page/\d+$')) AS fetched
+        FROM (
+          SELECT wave, crawled, n, visited, outp, list_sort(pending) AS sp
+          FROM sim
+          WHERE len(pending) > 0 AND crawled < 40
+        )
+      )
+    )
+  ) s
+),
+last AS (SELECT outp FROM sim ORDER BY wave DESC LIMIT 1),
+flat AS (SELECT unnest(outp) AS r FROM last)
+SELECT r.u AS url, CAST(r.w AS BIGINT) AS wave FROM flat
+""",
+    "politeness_budget": r"""
+WITH RECURSIVE
+sim(wave, n, visited, pending, outp) AS (
+  SELECT 0, (SELECT COUNT(*) FROM documents),
+         ['https://site0.example.com/page/0', 'https://site1.example.com/page/1', 'https://site2.example.com/page/2'],
+         [{'d': 0, 'u': 'https://site0.example.com/page/0'},
+          {'d': 0, 'u': 'https://site1.example.com/page/1'},
+          {'d': 0, 'u': 'https://site2.example.com/page/2'}],
+         CAST([] AS STRUCT(u VARCHAR, w INTEGER)[])
+  UNION ALL
+  SELECT s.wave + 1, s.n,
+         s.visited || s.newu,
+         s.rejected || list_transform(s.newu, u -> {
+             'd': list_aggregate(list_transform(list_filter(s.cands, c -> c.u = u), c -> c.d), 'min'),
+             'u': u}),
+         s.outp || list_transform(s.admitted, x -> {'u': x.u, 'w': s.wave})
+  FROM (
+    SELECT wave, n, visited, outp, admitted, rejected, cands,
+           list_distinct(list_transform(cands, c -> c.u)) AS newu
+    FROM (
+      SELECT wave, n, visited, outp, admitted, rejected,
+             list_filter(
+               flatten(list_transform(
+                 list_filter(admitted, x -> x.d < 2
+                             AND regexp_matches(x.u, '^https://site\d+\.example\.com/page/\d+$')), x ->
+                 list_concat(
+                   [{'u': 'https://site' || regexp_extract(x.u, 'site(\d+)', 1) || '.example.com',
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n) % 7 = 0 THEN 0
+                                ELSE ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n) % 50 END)
+                          || '.example.com/page/' || ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n),
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n) % 7 = 0 THEN 0
+                                ELSE ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n) % 50 END)
+                          || '.example.com/page/' || ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n),
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n) % 7 = 0 THEN 0
+                                ELSE ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n) % 50 END)
+                          || '.example.com/page/' || ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n),
+                     'd': x.d + 1}],
+                   CASE WHEN CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT) % 37 = 0
+                        THEN [{'u': x.u || '?page=2', 'd': x.d + 1}]
+                        ELSE CAST([] AS STRUCT(u VARCHAR, d INTEGER)[]) END))),
+               c -> NOT list_contains(visited, c.u)) AS cands
+      FROM (
+        SELECT wave, n, visited, outp,
+               list_transform(
+                 list_filter(range(1, len(sp) + 1),
+                   i -> len(list_filter(list_slice(sp, 1, i - 1),
+                            y -> regexp_extract(y.u, '^https://([^/]+)', 1)
+                                 = regexp_extract(sp[i].u, '^https://([^/]+)', 1))) < 2),
+                 i -> sp[i]) AS admitted,
+               list_transform(
+                 list_filter(range(1, len(sp) + 1),
+                   i -> len(list_filter(list_slice(sp, 1, i - 1),
+                            y -> regexp_extract(y.u, '^https://([^/]+)', 1)
+                                 = regexp_extract(sp[i].u, '^https://([^/]+)', 1))) >= 2),
+                 i -> sp[i]) AS rejected
+        FROM (
+          SELECT wave, n, visited, outp, list_sort(pending) AS sp
+          FROM sim
+          WHERE len(pending) > 0
+        )
+      )
+      WHERE len(admitted) > 0
+    )
+  ) s
+),
+last AS (SELECT outp FROM sim ORDER BY wave DESC LIMIT 1),
+flat AS (SELECT unnest(outp) AS r FROM last)
+SELECT r.u AS url, CAST(r.w AS BIGINT) AS wave FROM flat
+""",
+    "top_k_relevant": r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x = 'table')) AS c1,
+         len(list_filter(t, x -> x = 'scan')) AS c2,
+         len(list_filter(t, x -> x = 'merge')) AS c3,
+         greatest(len(t), 1) AS n
+  FROM s
+)
+SELECT doc_id FROM scored
+ORDER BY (CAST(c1 AS DOUBLE) / n + CAST(c2 AS DOUBLE) / n + CAST(c3 AS DOUBLE) / n) DESC,
+         doc_id
+LIMIT 10
 """,
     "link_preview": f"""
 WITH {SQL_PAGES}, {SQL_EDGES}

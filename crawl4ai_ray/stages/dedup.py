@@ -206,6 +206,93 @@ def minhash_lsh_pairs(
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
+def verify_pairs(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    mode: str = "jaccard",
+    tau: float = 0.9,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Exact verification of candidate (a, b) pairs — the second half of the
+    standard candidate→verify dedup pipeline. Two hash joins ship each
+    candidate pair its two texts (only candidate rows move, never the
+    corpus), then a vectorized map_batches computes the exact metric:
+
+    - mode='jaccard': keep pairs with exact ``shingle``-gram Jaccard ≥ tau
+    - mode='equal':   keep byte-identical texts (strict exact-dup check)
+
+    Output: distinct (a, b) with a < b.
+    """
+    ta = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "a", text_col: "text_a"}
+    )
+    tb = docs.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "b", text_col: "text_b"}
+    )
+    j = pairs.join(ta, join_type="inner", num_partitions=8, on=("a",))
+    j = j.join(tb, join_type="inner", num_partitions=8, on=("b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("a").to_pylist()
+        b_ids = batch.column("b").to_pylist()
+        t_a = batch.column("text_a").to_pylist()
+        t_b = batch.column("text_b").to_pylist()
+        out_a, out_b = [], []
+        for ai, bi, xa, xb in zip(a_ids, b_ids, t_a, t_b):
+            if mode == "equal":
+                ok = xa == xb
+            else:
+                ok = ngram_jaccard(xa, xb, shingle) >= tau
+            if ok:
+                out_a.append(ai)
+                out_b.append(bi)
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        )
+
+    verified = j.map_batches(verify, batch_format="pyarrow")
+    return verified.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def fingerprint_candidate_pairs(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Winnowing-fingerprint candidate pairs: docs sharing any kept
+    window-hash land in one bucket (groupby fp value), like an LSH band.
+    Compose with verify_pairs for exact dedup semantics."""
+    from .textstats import fingerprint_batch
+
+    fps = ds.map_batches(
+        lambda b: fingerprint_batch(
+            b.rename_columns(
+                {id_col: "doc_id", text_col: "text"}
+            ) if (id_col, text_col) != ("doc_id", "text") else b
+        ),
+        batch_format="pyarrow",
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, vals = [], []
+        for i, fp in zip(
+            batch.column("doc_id").to_pylist(), batch.column("fingerprint").to_pylist()
+        ):
+            for v in fp:
+                ids.append(i)
+                vals.append(v)
+        return pa.table(
+            {"fp": pa.array(vals, pa.uint64()), "id": pa.array(ids, pa.int64())}
+        )
+
+    pairs = (
+        fps.map_batches(explode, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     """Exact n-gram Jaccard similarity (verification kernel)."""
     mh = MinHasher(num_perm=1, shingle=shingle)
