@@ -1,17 +1,41 @@
-"""Markdown generation from the cleaned DOM.
+"""Markdown generation from the cleaned DOM — byte-parity with the
+reference's converter.
 
-Re-expression of the reference's DefaultMarkdownGenerator contract
-(markdown_generation_strategy.py:148-260): html2text-style conversion with
-``body_width=0`` (no wrap), ``single_line_break=True`` (blocks separated by
-one blank line marker "\\n"), fenced code blocks, ``[text](url "title")``
-links, then the ``"    ```" → "```"`` fixup, then optional link→citation
-conversion (⟨n⟩ markers + "## References" section,
+The reference generates markdown with its vendored ``CustomHTML2Text``
+under fixed options (markdown_generation_strategy.py:181-214: body_width=0,
+single_line_break=True, mark_code=True, escape_snob=False,
+ignore_mailto_links=True) followed by the ``"    ```" → "```"`` fixup.
+This module is an independent DOM-walking implementation of that exact
+output contract — byte-for-byte equality is asserted against the
+reference converter itself in tests/test_reference_markdown_cases.py
+(the reference's html2text package is pure stdlib and is executed
+read-only from /root/reference at test time to generate goldens; no code
+is copied).
+
+Output rules replicated (all verified empirically against the reference):
+
+- blocks separated by a single newline (single_line_break)
+- a top-level list is followed by two blank lines; a <pre> block by one
+- ``<pre>`` → fenced block preserving content verbatim (incl. trailing
+  newline), closing fence on its own line
+- tables: first row is ALWAYS the header; cells joined ``"| "`` with no
+  outer pipes; every table line carries two trailing spaces (markdown
+  line-break); separator ``---|---``; ``<caption>`` text is concatenated
+  directly before the first header cell
+- ``<br>`` → ``"  \\n"``
+- emphasis: inner whitespace stripped, a separating space is forced
+  around the marker when glued to adjacent content
+- links ``[text](url)`` with ``(`` / ``)`` in urls backslash-escaped;
+  mailto links dropped (text kept); images ``![alt](src)``
+- inline code preserves whitespace (newlines → spaces)
+- entity refs for —, –, curly quotes, ©, ·, →, ← unify to ASCII
+  (``--``, ``-``, ``'``, ``"``, ``(C)``, ``*``, ``->``, ``<-``); literal
+  unicode characters pass through untouched
+- trailing spaces of the final output line are stripped; empty input
+  renders as a single newline
+
+Then optional link→citation conversion (⟨n⟩ markers + "## References",
 markdown_generation_strategy.py:82-146).
-
-html2text itself is unavailable here, so the conversion is this module's own
-deterministic spec — the engine's byte-identity anchor. Given the same
-cleaned_html, output is byte-stable across runs, batch sizes and
-parallelism (no dict-order, time or randomness dependence).
 """
 
 from __future__ import annotations
@@ -19,12 +43,54 @@ from __future__ import annotations
 import re
 from urllib.parse import urljoin
 
-from .dom import BLOCK_TAGS, Element, parse_html
+from .dom import Element, parse_html
 
 # Reference markdown_generation_strategy.py:11
 LINK_PATTERN = re.compile(r'!?\[([^\]]+)\]\(([^)]+?)(?:\s+"([^"]*)")?\)')
 
 _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+# entity-reference unification (behavioral parity with the reference
+# converter's charref handling; literal unicode chars are NOT mapped)
+_UNIFY_CHARS = {
+    "—": "--",   # mdash
+    "–": "-",    # ndash
+    "’": "'",    # rsquo
+    "‘": "'",    # lsquo
+    "“": '"',    # ldquo
+    "”": '"',    # rdquo
+    "©": "(C)",  # copy
+    "·": "*",    # middot
+    "→": "->",   # rarr
+    "←": "<-",   # larr
+    " ": " ",    # nbsp (numeric ref; named &nbsp; keeps a hard space)
+}
+_ENT_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+_NBSP_SENTINEL = "\ue000"  # named &nbsp; survives collapse as a hard space
+_ENT_NAMES = {
+    "mdash": "--", "ndash": "-", "rsquo": "'", "lsquo": "'",
+    "ldquo": '"', "rdquo": '"', "copy": "(C)", "middot": "*",
+    "rarr": "->", "larr": "<-", "nbsp": _NBSP_SENTINEL,
+}
+
+
+def _unify_entities(html: str) -> str:
+    """Rewrite unifiable entity refs to their ASCII forms BEFORE parsing,
+    so the DOM the renderer sees matches what the reference converter's
+    charref handler would have produced. Other refs unescape normally."""
+
+    def sub(m: re.Match) -> str:
+        ref = m.group(1)
+        if ref.startswith("#"):
+            try:
+                cp = int(ref[2:], 16) if ref[1] in "xX" else int(ref[1:])
+                ch = chr(cp)
+            except (ValueError, OverflowError):
+                return m.group(0)
+            return _UNIFY_CHARS.get(ch, m.group(0))
+        return _ENT_NAMES.get(ref, m.group(0))
+
+    return _ENT_RE.sub(sub, html)
 
 
 def fast_urljoin(base: str, url: str) -> str:
@@ -38,216 +104,376 @@ def fast_urljoin(base: str, url: str) -> str:
     return urljoin(base, url)
 
 
-def _inline(el: Element) -> str:
-    """Render inline content of an element to markdown (whitespace
-    collapsed; strong/em/code/a/img handled)."""
-    parts: list[str] = []
+_SKIP_TAGS = frozenset(
+    {"script", "style", "head", "video", "audio", "source", "track",
+     "iframe", "form", "input", "button", "select", "option", "textarea",
+     "template", "noscript"}
+)
+
+_LIST_TAGS = ("ul", "ol")
+
+
+def _escape_url(url: str) -> str:
+    return url.replace("(", "\\(").replace(")", "\\)")
+
+
+import string as _string
+
+_STRESS_NOSPACE_RE = re.compile(r"[^][(){}\s.!?]")
+
+
+class _Inline:
+    """Inline accumulator replicating the reference converter's whitespace
+    model: runs of whitespace become a pending-space flag that materializes
+    when the next token arrives (or at block end); leading space suppressed.
+    Emphasis spacing follows the reference exactly: an opening ``_`` is
+    space-padded when the preceding text data ends in a non-space,
+    non-punctuation char (``**`` only when it ends in ``*``); after a
+    stressed span, the next text data gets a leading space unless it starts
+    with whitespace or one of ``][(){}.!?`` or flows into a link/code."""
+
+    def __init__(self):
+        self.parts: list[str] = []
+        self.pending_space = False
+        self.after_br = False
+        self.last_data_char = ""   # last char of preceding TEXT data
+        self.preceding_stressed = False
+
+    def text(self, s: str, collapse: bool = True):
+        if not s:
+            return
+        if self.preceding_stressed:
+            if _STRESS_NOSPACE_RE.match(s[0]):
+                self.pending_space = True
+            self.preceding_stressed = False
+        if not collapse:
+            self.flush()
+            self.parts.append(s)
+            self.last_data_char = s[-1:]
+            return
+        tokens = s.split()
+        if not tokens:
+            if self.parts and not self.after_br:
+                self.pending_space = True
+            self.last_data_char = " "
+            return
+        if s[:1].isspace():
+            if self.parts and not self.after_br:
+                self.pending_space = True
+        for i, tok in enumerate(tokens):
+            if i > 0:
+                self.pending_space = True
+            self.flush()
+            self.parts.append(tok)
+            self.after_br = False
+        self.last_data_char = tokens[-1][-1]
+        if s[-1:].isspace():
+            self.pending_space = True
+            self.last_data_char = " "
+
+    def stressed(self, marker: str, inner: str):
+        """Emphasis span: marker is '_' or '**'."""
+        if marker == "_":
+            pad = bool(
+                self.last_data_char
+                and self.last_data_char not in _string.whitespace
+                and self.last_data_char not in _string.punctuation
+            )
+        else:
+            pad = self.last_data_char == marker[0]
+        if pad:
+            self.pending_space = True
+            self.last_data_char = " "
+        self.preceding_stressed = False
+        self.flush()
+        self.parts.append(f"{marker}{inner}{marker}")
+        self.after_br = False
+        if inner:
+            self.last_data_char = inner[-1]
+        self.preceding_stressed = True
+
+    def raw(self, s: str, is_data: bool = False):
+        """Emit a token verbatim (markers/links are not subject to the
+        post-stress spacing rule; is_data applies it)."""
+        if is_data and self.preceding_stressed and s and _STRESS_NOSPACE_RE.match(s[0]):
+            self.pending_space = True
+        self.preceding_stressed = False
+        self.flush()
+        self.parts.append(s)
+        self.after_br = False
+
+    def data_seen(self, s: str):
+        """Record that text data flowed through a sub-renderer (link/code
+        inner content updates preceding_data in the reference)."""
+        if s:
+            self.last_data_char = s[-1:]
+        self.preceding_stressed = False
+
+    def br(self):
+        self.pending_space = False
+        self.preceding_stressed = False
+        self.parts.append("  \n")
+        self.after_br = True
+
+    def flush(self):
+        if self.pending_space:
+            self.parts.append(" ")
+            self.pending_space = False
+
+    def result(self, keep_trailing_space: bool = True) -> str:
+        out = "".join(self.parts)
+        if self.pending_space and keep_trailing_space and out:
+            out += " "
+        return out
+
+
+def _render_inline_into(acc: _Inline, el: Element):
     for c in el.children:
         if isinstance(c, str):
-            parts.append(c)
+            acc.text(c)
             continue
         tag = c.tag
+        if tag in _SKIP_TAGS:
+            continue
         if tag in ("strong", "b"):
-            inner = _collapse(_inline(c))
+            inner = _inline_text(c).strip()
             if inner:
-                parts.append(f"**{inner}**")
+                acc.stressed("**", inner)
         elif tag in ("em", "i"):
-            inner = _collapse(_inline(c))
+            inner = _inline_text(c).strip()
             if inner:
-                parts.append(f"_{inner}_")
+                acc.stressed("_", inner)
         elif tag == "code":
-            inner = c.text()
+            inner = "".join(c.itertext()).replace("\n", " ")
             if inner:
-                parts.append(f"`{inner}`")
+                acc.raw(f"`{inner}`")
+                acc.data_seen(inner)
         elif tag == "a":
-            inner = _collapse(_inline(c)) or c.text()
             href = c.get("href", "") or ""
-            title = c.get("title")
-            if not href:
-                parts.append(inner)
-            elif title:
-                parts.append(f'[{inner}]({href} "{title}")')
+            inner = _inline_text(c).strip()
+            if not href or href.startswith("mailto:"):
+                if inner:  # ignore_mailto_links: text kept, link dropped
+                    acc.raw(inner, is_data=True)
+                    acc.data_seen(inner)
             else:
-                parts.append(f"[{inner}]({href})")
+                title = c.get("title")
+                if title is not None and title != "":
+                    acc.raw(f'[{inner}]({_escape_url(href)} "{title}")')
+                else:
+                    acc.raw(f"[{inner}]({_escape_url(href)})")
+                acc.data_seen(inner)
         elif tag == "img":
             alt = c.get("alt", "") or ""
             src = c.get("src", "") or ""
-            title = c.get("title")
             if src:
-                if title:
-                    parts.append(f'![{alt}]({src} "{title}")')
+                title = c.get("title")
+                if title is not None and title != "":
+                    acc.raw(f'![{alt}]({_escape_url(src)} "{title}")')
                 else:
-                    parts.append(f"![{alt}]({src})")
+                    acc.raw(f"![{alt}]({_escape_url(src)})")
         elif tag == "br":
-            parts.append("\n")
+            acc.br()
         else:
-            parts.append(_inline(c))
-    return "".join(parts)
+            _render_inline_into(acc, c)
 
 
-_WS_RE = re.compile(r"[ \t\r\f\v]*\n[ \t\r\f\v]*|[ \t\r\f\v]+")
+def _inline_text(el: Element) -> str:
+    acc = _Inline()
+    _render_inline_into(acc, el)
+    return acc.result()
 
 
-def _collapse(s: str) -> str:
-    # collapse runs of whitespace to single spaces, preserving nothing else
-    return re.sub(r"\s+", " ", s).strip()
+def _render_inline(el: Element) -> str:
+    """Inline content of a block element (trailing source space kept)."""
+    return _inline_text(el)
 
 
-def _render_table(t: Element) -> str:
-    rows = t.find_all("tr")
+class _Block:
+    __slots__ = ("text", "kind")
+
+    def __init__(self, text: str, kind: str = "normal"):
+        self.text = text
+        self.kind = kind  # normal | list | pre
+
+
+def _render_table(t: Element) -> str | None:
+    rows = []
+    for r in t.find_all("tr"):
+        cells = [
+            c for c in r.children
+            if isinstance(c, Element) and c.tag in ("td", "th")
+        ]
+        if cells:
+            rows.append([_inline_text(c).strip() for c in cells])
     if not rows:
-        return ""
-    lines: list[str] = []
+        return None
     caption = t.find("caption")
-    header_done = False
-    body_lines: list[str] = []
-    header_cells: list[str] | None = None
-    for r in rows:
-        cells = [c for c in r.children if isinstance(c, Element) and c.tag in ("td", "th")]
-        if not cells:
+    cap = _inline_text(caption).strip() if caption is not None else ""
+    lines = [cap + "| ".join(rows[0]) + "  "]
+    lines.append("|".join("---" for _ in rows[0]) + "  ")
+    for r in rows[1:]:
+        lines.append("| ".join(r) + "  ")
+    return "\n".join(lines)
+
+
+def _render_list(el: Element, depth: int, counter_start: int = 1) -> list[str]:
+    lines: list[str] = []
+    idx = counter_start
+    if el.tag == "ol":
+        try:
+            idx = int(el.get("start", "1") or "1")
+        except ValueError:
+            idx = 1
+    indent = " " * (2 + 2 * depth)
+    for c in el.children:
+        if not isinstance(c, Element) or c.tag != "li":
             continue
-        vals = [_collapse(_inline(c)) for c in cells]
-        if not header_done and all(c.tag == "th" for c in cells):
-            header_cells = vals
-            header_done = True
-        else:
-            body_lines.append("| " + " | ".join(vals) + " |")
-    if header_cells is None and body_lines:
-        # headerless table: synthesize an empty header of the right arity
-        ncols = body_lines[0].count(" | ") + 1
-        header_cells = [""] * ncols
-    out = []
-    if caption is not None:
-        cap = caption.text()
-        if cap:
-            out.append(cap)
-    if header_cells is not None:
-        out.append("| " + " | ".join(header_cells) + " |")
-        out.append("|" + "|".join("---" for _ in header_cells) + "|")
-    out.extend(body_lines)
-    return "\n".join(out)
+        item_acc = _Inline()
+        sublists: list[Element] = []
+        for lc in c.children:
+            if isinstance(lc, str):
+                item_acc.text(lc)
+            elif lc.tag in _LIST_TAGS:
+                sublists.append(lc)
+            elif lc.tag in _SKIP_TAGS:
+                continue
+            elif lc.tag in ("p", "div"):
+                _render_inline_into(item_acc, lc)
+            else:
+                _render_inline_into(item_acc, _wrap(lc))
+        content = item_acc.result(keep_trailing_space=False).strip()
+        marker = f"{indent}* " if el.tag == "ul" else f"{indent}{idx}. "
+        idx += 1
+        lines.append(marker + content)
+        for sub in sublists:
+            lines.extend(_render_list(sub, depth + 1))
+    return lines
 
 
-def _render_block(el: Element, out: list[str], list_stack: list):
-    tag = el.tag
-    if tag in _HEADINGS:
-        txt = _collapse(_inline(el))
-        if txt:
-            out.append("#" * _HEADINGS[tag] + " " + txt)
-    elif tag == "p":
-        txt = _collapse(_inline(el))
-        if txt:
-            out.append(txt)
-    elif tag == "pre":
-        code = el.text(strip=False, collapse=False)
-        out.append("```\n" + code.strip("\n") + "\n```")
-    elif tag == "blockquote":
-        inner: list[str] = []
-        _render_children(el, inner, list_stack)
-        quoted = "\n".join(
-            "> " + line if line else ">" for block in inner for line in block.split("\n")
-        )
-        if quoted:
-            out.append(quoted)
-    elif tag in ("ul", "ol"):
-        items: list[str] = []
-        idx = 1
-        depth = len(list_stack)
-        indent = "  " * depth
-        for c in el.children:
-            if isinstance(c, Element) and c.tag == "li":
-                sub: list[str] = []
-                _render_li(c, sub, list_stack + [tag])
-                content = "\n".join(sub)
-                marker = f"{indent}  * " if tag == "ul" else f"{indent}  {idx}. "
-                idx += 1
-                items.append(marker + content)
-        if items:
-            out.append("\n".join(items))
-    elif tag == "table":
-        rendered = _render_table(el)
-        if rendered:
-            out.append(rendered)
-    elif tag == "hr":
-        out.append("* * *")
-    elif tag in ("div", "section", "article", "main", "header", "footer",
-                 "nav", "aside", "figure", "figcaption", "address", "form",
-                 "fieldset", "body", "[doc]", "html"):
-        _render_children(el, out, list_stack)
-    else:
-        # treat any other element as inline content in its own block
-        txt = _collapse(_inline(el))
-        if txt:
-            out.append(txt)
+def _wrap(c: Element) -> Element:
+    w = Element("[doc]")
+    w.children = [c]
+    return w
 
 
-def _render_li(li: Element, out: list[str], list_stack: list):
-    inline_parts: list[str] = []
-    for c in li.children:
-        if isinstance(c, str):
-            inline_parts.append(c)
-        elif c.tag in ("ul", "ol"):
-            txt = _collapse("".join(inline_parts))
-            inline_parts = []
-            if txt:
-                out.append(txt)
-            sub: list[str] = []
-            _render_block(c, sub, list_stack)
-            out.extend(sub)
-        elif c.tag in BLOCK_TAGS:
-            txt = _collapse("".join(inline_parts))
-            inline_parts = []
-            if txt:
-                out.append(txt)
-            _render_block(c, out, list_stack)
-        else:
-            inline_parts.append(_inline_one(c))
-    txt = _collapse("".join(inline_parts))
-    if txt:
-        out.append(txt)
+def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0):
+    acc = _Inline()
 
-
-def _inline_one(c: Element) -> str:
-    wrapper = Element("[doc]")
-    wrapper.children = [c]
-    return _inline(wrapper)
-
-
-def _render_children(el: Element, out: list[str], list_stack: list):
-    inline_parts: list[str] = []
-
-    def flush():
-        txt = _collapse("".join(inline_parts))
-        inline_parts.clear()
-        if txt:
-            out.append(txt)
+    def flush_inline():
+        txt = acc.result()
+        if txt.strip():
+            blocks.append(_Block(txt))
+        acc.parts.clear()
+        acc.pending_space = False
+        acc.after_br = False
 
     for c in el.children:
         if isinstance(c, str):
-            inline_parts.append(c)
-        elif c.tag in BLOCK_TAGS or c.tag in ("table",):
-            flush()
-            _render_block(c, out, list_stack)
+            acc.text(c)
+            continue
+        tag = c.tag
+        if tag in _SKIP_TAGS:
+            continue
+        if tag in _HEADINGS:
+            flush_inline()
+            txt = _inline_text(c).strip()
+            if txt:
+                blocks.append(_Block("#" * _HEADINGS[tag] + " " + txt))
+        elif tag == "p":
+            flush_inline()
+            txt = _render_inline(c)
+            if txt.strip():
+                blocks.append(_Block(txt))
+        elif tag == "pre":
+            flush_inline()
+            code = "".join(c.itertext())
+            blocks.append(_Block("```\n" + code + "\n```", kind="pre"))
+        elif tag == "blockquote":
+            flush_inline()
+            inner: list[_Block] = []
+            _render_blocks(c, inner, quote_depth + 1)
+            if inner:
+                quoted_lines: list[str] = []
+                for b in inner:
+                    for line in b.text.split("\n"):
+                        quoted_lines.append(("> " + line).rstrip() if not line else "> " + line)
+                blocks.append(_Block("\n".join(quoted_lines)))
+        elif tag in _LIST_TAGS:
+            flush_inline()
+            lines = _render_list(c, 0)
+            if lines:
+                blocks.append(_Block("\n".join(lines), kind="list"))
+        elif tag == "table":
+            flush_inline()
+            rendered = _render_table(c)
+            if rendered is not None:
+                blocks.append(_Block(rendered, kind="table"))
+        elif tag == "hr":
+            flush_inline()
+            blocks.append(_Block("* * *"))
+        elif tag == "dl":
+            flush_inline()
+            lines = []
+            for dc in c.children:
+                if isinstance(dc, Element) and dc.tag == "dt":
+                    lines.append(_inline_text(dc).strip())
+                elif isinstance(dc, Element) and dc.tag == "dd":
+                    lines.append("    " + _inline_text(dc).strip())
+            if lines:
+                blocks.append(_Block("\n".join(lines)))
+        elif tag in ("div", "section", "article", "main", "header", "footer",
+                     "nav", "aside", "figure", "figcaption", "address",
+                     "fieldset", "body", "html", "center", "details",
+                     "summary", "li", "td", "th", "tr", "tbody", "thead",
+                     "tfoot"):
+            flush_inline()
+            _render_blocks(c, blocks, quote_depth)
         else:
-            inline_parts.append(_inline_one(c))
-    flush()
+            # inline element at block level: accumulate
+            _render_inline_into(acc, _wrap(c))
+    flush_inline()
 
 
 def dom_to_markdown(root: Element) -> str:
-    """Cleaned DOM → raw markdown; blocks joined by single blank lines.
+    """Cleaned DOM → raw markdown under the engine's fixed option set.
     Full documents render from <body> (head metadata never reaches md)."""
     body = root.find("body")
     if body is not None:
         root = body
-    blocks: list[str] = []
-    _render_children(root, blocks, [])
-    md = "\n\n".join(b for b in blocks if b)
+    blocks: list[_Block] = []
+    _render_blocks(root, blocks)
+    # Assembly mirrors the reference's pending-newline (p_p) model:
+    # normal blocks request one separating newline on start (p()); a list
+    # CLOSE emits two newlines directly; a pre block carries its own
+    # trailing newline and requests nothing on start — so list→pre shows
+    # one blank line while list→p shows two, and pre→table glues the
+    # caption right under the closing fence. Document end emits one \n.
+    parts: list[str] = []
+    pending = 0
+    for i, b in enumerate(blocks):
+        if b.kind in ("pre", "table"):
+            emit = pending  # no p() on start for these
+        else:
+            emit = max(pending, 1) if i > 0 else pending
+        parts.append("\n" * emit)
+        parts.append(b.text)
+        if b.kind == "list":
+            parts.append("\n\n")
+            pending = 0
+        elif b.kind == "pre":
+            parts.append("\n")
+            pending = 0
+        else:
+            pending = 1
+    md = "".join(parts) + "\n"
     md = md.replace("    ```", "```")  # parity fixup (strategy.py:214)
-    return md + "\n" if md else ""
+    # strip trailing spaces on the final line (reference end-of-doc behavior)
+    md = re.sub(r"[ \t]+\n\Z", "\n", md)
+    return md.replace(_NBSP_SENTINEL, " ")
 
 
 def html_to_markdown(html: str) -> str:
-    return dom_to_markdown(parse_html(html))
+    return dom_to_markdown(parse_html(_unify_entities(html)))
 
 
 def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:
@@ -298,7 +524,7 @@ def generate_markdown(
     root = (
         input_html_or_root
         if isinstance(input_html_or_root, Element)
-        else parse_html(input_html_or_root or "")
+        else parse_html(_unify_entities(input_html_or_root or ""))
     )
     raw = dom_to_markdown(root)
     with_cit, refs = (raw, "")

@@ -13,7 +13,8 @@ def test_empty_and_missing_body():
         assert r["success"]
         assert r["text"] == ""
         md = generate_markdown(r["cleaned_root"], base_url=URL)
-        assert md["raw_markdown"] == ""
+        # reference converter renders empty input as a single newline
+        assert md["raw_markdown"] == "\n"
 
 
 def test_large_page_1mb():

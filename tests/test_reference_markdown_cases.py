@@ -1,0 +1,118 @@
+"""Byte-parity against the REFERENCE's own markdown converter.
+
+The reference's vendored html2text package is pure stdlib; we execute it
+READ-ONLY from /root/reference (importlib, no code copied) under the exact
+options the reference pipeline uses (markdown_generation_strategy.py:181-214)
+and assert our generator produces byte-identical output. This replaces the
+round-1 self-referential golden snapshots with proven parity (r1 VERDICT #3).
+
+Known, documented divergences (not asserted): empty emphasis ('<em></em>'),
+<li> outside a list, lists nested inside blockquotes, adjacent <pre><pre>,
+<ul></ul> (reference emits a stray blank line), named &nbsp; hard-space
+placement. None occur in cleaned real-page content.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REF_H2T = "/root/reference/crawl4ai/html2text/__init__.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_H2T), reason="reference html2text not present"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_md():
+    spec = importlib.util.spec_from_file_location(
+        "ref_html2text", REF_H2T,
+        submodule_search_locations=[os.path.dirname(REF_H2T)])
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_html2text"] = mod
+    spec.loader.exec_module(mod)
+
+    def convert(html: str, baseurl: str = "") -> str:
+        h = mod.CustomHTML2Text(baseurl=baseurl)
+        h.update_params(
+            body_width=0, ignore_emphasis=False, ignore_links=False,
+            ignore_images=False, protect_links=False, single_line_break=True,
+            mark_code=True, escape_snob=False,
+        )
+        return h.handle(html).replace("    ```", "```")
+
+    return convert
+
+
+CASES = [
+    '<h1>Title</h1><p>Some <strong>bold</strong> and <em>italic</em> text.</p>',
+    '<p>A <a href="https://x.com/a">link</a> here.</p>',
+    '<p>A <a href="https://x.com/a" title="t">titled link</a>.</p>',
+    '<ul><li>one</li><li>two</li></ul>',
+    '<ul><li>one</li><li>two<ul><li>nested</li></ul></li></ul>',
+    '<ol><li>first</li><li>second</li></ol>',
+    '<ol start="3"><li>three</li></ol>',
+    '<pre><code>def f():\n    return 1\n</code></pre>',
+    '<pre>raw  spaced\ncontent</pre>',
+    '<table><thead><tr><th>a</th><th>b</th></tr></thead><tbody><tr><td>1</td><td>2</td></tr></tbody></table>',
+    '<table><caption>Cap</caption><tbody><tr><td>x</td><td>y</td></tr></tbody></table>',
+    '<table><tr><td>x</td><td>y</td></tr><tr><td>1</td><td>2</td></tr></table><p>after</p>',
+    '<blockquote>quoted wisdom</blockquote>',
+    '<blockquote><p>one</p><p>two</p></blockquote><p>x</p>',
+    '<p>line one<br>line two</p>',
+    '<h2>Sub</h2><p>text</p><hr><p>after</p>',
+    '<p>inline <code>x=1</code> code</p>',
+    '<p><code>a  b</code></p>',
+    '<img src="https://x.com/i.png" alt="pic">',
+    '<p>x <img src="i.png"> y</p>',
+    '<p>entity &amp; dash &#8212; here</p>',
+    '<p>&nbsp;|&mdash;|&ndash;|&rsquo;|&lsquo;|&rdquo;|&ldquo;|&copy;|&middot;|&rarr;|&larr;|&hellip;</p>',
+    '<h3>H3</h3><h4>H4</h4><h5>H5</h5><h6>H6</h6>',
+    '<div><p>in div</p></div>',
+    '<p>star * under _ score</p>',
+    '<p>brackets [x] and (y) and #hash and 1. dot</p>',
+    '<nav><a href="/">home</a></nav><p>body</p>',
+    '<p></p><p>after empty</p>',
+    '<ul><li><p>para in li</p></li></ul>',
+    '<p><em><strong>both</strong></em></p>',
+    '<p><strong>b</strong><em>i</em>tail</p>',
+    '<p><strong> spaced bold </strong>x</p>',
+    '<p>covers <strong>synthetic</strong> content in <em>en</em>.</p>',
+    '<span>bare span</span> tail',
+    '<p>before</p>bare between<p>after</p>',
+    '<p><a href="mailto:info@example.com">contact</a> x</p>',
+    '<p><a href="javascript:void(0)">noop</a> y</p>',
+    '<p><a href="https://x.com/p?utm_source=feed&ref=rss#section-2">second</a></p>',
+    '<p><a href="//site3.example.com/page/3">third</a></p>',
+    '<video width="640"><source src="v.mp4"></video><p>x</p>',
+    '<form class="promo" action="/sub"><input name="q" type="text"></form><p>x</p>',
+    '<p>中文内容 &mdash; test</p>',
+    '<ul><li>a</li><li>b<ol><li>n1</li></ol></li></ul><p>x</p>',
+    '<p>first</p><ul><li>a</li></ul>',
+    '<h2>h</h2><ul><li>a</li></ul><h2>g</h2>',
+    '<p>t</p><hr><p>u</p>',
+    '<table><tr><th>a</th></tr><tr><td><strong>b</strong></td></tr></table>',
+    '<ul><li>item with <a href="u">link</a></li></ul>',
+    '<p>trailing space </p><p>next</p>',
+    '',
+]
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_case_byte_parity(ref_md, i):
+    from crawl4ai_ray.html.markdown import html_to_markdown
+
+    html = CASES[i]
+    assert html_to_markdown(html) == ref_md(html), html[:80]
+
+
+def test_corpus_pages_byte_parity(ref_md):
+    """Every synthesized corpus page converts byte-identically."""
+    from crawl4ai_ray.html.markdown import html_to_markdown
+    from crawl4ai_ray.sources.pages import build_html
+
+    for d in range(0, 300):
+        html = build_html(d, 500, f"word{d} alpha beta gamma " * 40, "en")
+        assert html_to_markdown(html) == ref_md(html), f"doc {d}"
