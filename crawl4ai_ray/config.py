@@ -32,6 +32,17 @@ class ScrapeConfig:
     image_description_min_words: int = 1
     only_text: bool = False
     keep_data_attributes: bool = False
+    # scoping knobs (CrawlerRunConfig parity, async_configs.py:850-905):
+    # css_selector scopes the ENTIRE scrape to matching subtrees;
+    # target_elements scopes only content (cleaned_html/text/markdown) while
+    # links/media still come from the full page; excluded_selector drops
+    # matching elements before any processing.
+    css_selector: str | None = None
+    target_elements: tuple = ()
+    excluded_selector: str | None = None
+    # inline <iframe srcdoc="..."> content into the page tree (the offline
+    # analogue of the reference's iframe fetch+inline, utils.py format_html)
+    process_iframes: bool = False
     score_links: bool = False
     citations: bool = True
     # markdown content source: cleaned_html | raw_html | fit_html

@@ -13,6 +13,7 @@ per-instance counters that stages surface into wave manifests.
 from __future__ import annotations
 
 import fnmatch
+import math
 import re
 from urllib.parse import urlparse
 
@@ -389,3 +390,199 @@ class CompositeScorer(URLScorer):
         if self._normalize and self._scorers:
             total /= len(self._scorers)
         return total
+
+
+# ---------------------------------------------------------------------------
+# head-peek filters (reference deep_crawling/filters.py:501-690): evaluate a
+# candidate url against its target page's <head> section. Offline, the HEAD
+# fetch is the corpus head-prefix parse (stages/link_preview.head_meta_batch
+# machinery); these classes hold the pure, vectorizable scoring.
+# ---------------------------------------------------------------------------
+
+
+def head_fields(head_html: str) -> dict:
+    """Title + insertion-ordered meta dict from raw head HTML, mirroring
+    the reference's HeadPeekr regex extraction (utils.py:2840-2861)."""
+    meta: dict[str, str] = {}
+    for m in re.finditer(r"<meta[^>]+>", head_html):
+        tag = m.group(0)
+        name = re.search(r'name=["\'](.*?)["\']', tag)
+        prop = re.search(r'property=["\'](.*?)["\']', tag)
+        content = re.search(r'content=["\'](.*?)["\']', tag)
+        if content and (name or prop):
+            key = name.group(1) if name else prop.group(1)
+            meta[key] = content.group(1)
+    tm = re.search(r"<title>(.*?)</title>", head_html, re.IGNORECASE | re.DOTALL)
+    return {"title": tm.group(1) if tm else "", "meta": meta}
+
+
+class ContentRelevanceFilter(URLFilter):
+    """BM25 head-relevance filter (reference deep_crawling/filters.py:
+    501-575). The document is built from weighted head fields exactly as the
+    reference does (title*3 ‖ description*2 ‖ keywords ‖ all meta values),
+    scored with its simplified-IDF BM25 and thresholded. Deterministic
+    variant: query terms iterate in first-occurrence order (the reference
+    iterates a set — nondeterministic float-sum order)."""
+
+    def __init__(self, query: str, threshold: float, k1: float = 1.2,
+                 b: float = 0.75, avgdl: int = 1000):
+        super().__init__(name="BM25RelevanceFilter")
+        seen = set()
+        self.query_terms = [
+            t for t in query.lower().split() if not (t in seen or seen.add(t))
+        ]
+        self.threshold = threshold
+        self.k1 = k1
+        self.b = b
+        self.avgdl = avgdl
+
+    @staticmethod
+    def build_document(title: str, meta: dict) -> str:
+        return " ".join(
+            [
+                title * 3,
+                meta.get("description", "") * 2,
+                meta.get("keywords", ""),
+                " ".join(meta.values()),
+            ]
+        )
+
+    def score(self, title: str, meta: dict) -> float:
+        doc_terms = self.build_document(title, meta).lower().split()
+        doc_len = len(doc_terms)
+        tf: dict[str, int] = {}
+        for t in doc_terms:
+            tf[t] = tf.get(t, 0) + 1
+        score = 0.0
+        for term in self.query_terms:
+            term_freq = tf.get(term, 0)
+            idf = math.log((1 + 1) / (term_freq + 0.5) + 1)  # simplified IDF
+            numerator = term_freq * (self.k1 + 1)
+            denominator = term_freq + self.k1 * (
+                1 - self.b + self.b * (doc_len / self.avgdl)
+            )
+            score += idf * (numerator / denominator)
+        return score
+
+    def apply_head_batch(self, heads: list[dict]) -> np.ndarray:
+        """heads: list of head_fields() dicts (empty head → reject, like
+        the reference's failed HEAD fetch)."""
+        out = np.zeros(len(heads), dtype=bool)
+        for i, h in enumerate(heads):
+            if not h or (not h.get("title") and not h.get("meta")):
+                continue
+            out[i] = self.score(h.get("title", ""), h.get("meta", {})) >= self.threshold
+        self.stats.update(out)
+        return out
+
+    def _mask(self, urls):  # head-based filter: use apply_head_batch
+        raise NotImplementedError("ContentRelevanceFilter needs head content")
+
+
+class SEOFilter(URLFilter):
+    """Quantitative SEO quality filter (reference deep_crawling/filters.py:
+    576-690): weighted factors over title length, keyword presence, meta
+    description length, canonical match, robots noindex, schema.org
+    presence and url shape."""
+
+    DEFAULT_WEIGHTS = {
+        "title_length": 0.15,
+        "title_kw": 0.18,
+        "meta_description": 0.12,
+        "canonical": 0.10,
+        "robot_ok": 0.20,
+        "schema_org": 0.10,
+        "url_quality": 0.15,
+    }
+
+    def __init__(self, threshold: float = 0.65, keywords=None, weights=None):
+        super().__init__(name="SEOFilter")
+        self.threshold = threshold
+        self._weights = weights or self.DEFAULT_WEIGHTS
+        self._kw_patterns = (
+            re.compile(
+                r"\b({})\b".format("|".join(map(re.escape, keywords or []))), re.I
+            )
+            if keywords
+            else None
+        )
+
+    def score(self, url: str, head_html: str) -> float:
+        from urllib.parse import urlparse
+
+        f = head_fields(head_html)
+        meta, title = f["meta"], f["title"]
+        parsed = urlparse(url)
+        scores = {
+            "title_length": self._score_title_length(title),
+            "title_kw": self._score_keyword_presence(title),
+            "meta_description": self._score_meta_description(
+                meta.get("description", "")
+            ),
+            "canonical": self._score_canonical(meta.get("canonical"), url),
+            "robot_ok": 1.0 if "noindex" not in meta.get("robots", "") else 0.0,
+            "schema_org": self._score_schema_org(head_html),
+            "url_quality": self._score_url_quality(parsed),
+        }
+        return sum(w * scores[k] for k, w in self._weights.items())
+
+    @staticmethod
+    def _score_title_length(title: str) -> float:
+        length = len(title)
+        if 50 <= length <= 60:
+            return 1.0
+        if 40 <= length < 50 or 60 < length <= 70:
+            return 0.7
+        return 0.3
+
+    def _score_keyword_presence(self, text: str) -> float:
+        if not self._kw_patterns:
+            return 0.0
+        return min(len(self._kw_patterns.findall(text)) * 0.3, 1.0)
+
+    @staticmethod
+    def _score_meta_description(desc: str) -> float:
+        length = len(desc)
+        if 140 <= length <= 160:
+            return 1.0
+        return 0.5 if 120 <= length <= 200 else 0.2
+
+    @staticmethod
+    def _score_canonical(canonical, original: str) -> float:
+        if not canonical:
+            return 0.5
+        return 1.0 if canonical == original else 0.2
+
+    @staticmethod
+    def _score_schema_org(html: str) -> float:
+        return (
+            1.0
+            if re.search(r'<script[^>]+type=["\']application/ld\+json', html)
+            else 0.0
+        )
+
+    @staticmethod
+    def _score_url_quality(parsed) -> float:
+        score = 1.0
+        path = parsed.path.lower()
+        if len(path) > 80:
+            score *= 0.7
+        if re.search(r"\d{4}", path):
+            score *= 0.8
+        if parsed.query:
+            score *= 0.6
+        if "_" in path:
+            score *= 0.9
+        return score
+
+    def apply_head_batch(self, urls: list[str], head_htmls: list[str]) -> np.ndarray:
+        out = np.zeros(len(urls), dtype=bool)
+        for i, (u, h) in enumerate(zip(urls, head_htmls)):
+            if not h:
+                continue
+            out[i] = self.score(u, h) >= self.threshold
+        self.stats.update(out)
+        return out
+
+    def _mask(self, urls):
+        raise NotImplementedError("SEOFilter needs head content")

@@ -233,12 +233,14 @@ _TOKEN_RE = _re.compile(
     r"|<\?[^>]*>"                       # processing instructions
     r"|</([a-zA-Z][-\w:.]*)\s*>"        # end tag      (group 1)
     r"|<([a-zA-Z][-\w:.]*)"             # start tag    (group 2)
-    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs (3)
+    r"((?:\s+[^\s/>=]+(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?)*)"  # attrs (3)
     r"\s*(/?)>",                        # self-closing (group 4)
     _re.S,
 )
 _ATTR_RE = _re.compile(
-    r"([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+    # '=+' separator and unquoted-value-not-starting-with-quote mirror
+    # HTMLParser's attrfind_tolerant (';==' parses as attr ';' = '')
+    r"([^\s/>=]+)(?:\s*=+\s*(?:\"([^\"]*)\"|'([^']*)'|((?![\"'])[^\s>]*)))?"
 )
 # any unconsumed '</', '<letter', '<!' or '<?' residue → full fallback
 # (HTMLParser has bespoke recovery for these, e.g. it swallows '</>')

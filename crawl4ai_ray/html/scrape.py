@@ -332,6 +332,37 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
 
     body = root.find("body") or root
 
+    # --- scoping knobs (CrawlerRunConfig parity, async_configs.py:850-905)
+    if cfg.excluded_selector:
+        from .selectors import select
+
+        for el in select(body, cfg.excluded_selector):
+            el.detach()
+    if cfg.css_selector:
+        # scope the ENTIRE scrape (links/media/content) to matching subtrees
+        from .dom import Element
+        from .selectors import select
+
+        matches = select(body, cfg.css_selector)
+        scoped = Element("[doc]")
+        scoped.children = list(matches)
+        body = scoped
+    if cfg.process_iframes:
+        # inline <iframe srcdoc> content (offline analogue of the
+        # reference's iframe fetch + inline, utils.py format_html)
+        for fr in body.find_all("iframe"):
+            srcdoc = fr.get("srcdoc")
+            if srcdoc:
+                from .dom import Element
+
+                inner = parse_html(srcdoc)
+                div = Element("div", {"class": "iframe-content"}, parent=fr.parent)
+                div.children = list(inner.children)
+                if fr.parent is not None:
+                    fr.parent.children = [
+                        div if c is fr else c for c in fr.parent.children
+                    ]
+
     page_context = None
     if cfg.score_links:
         from ..functions.link_scoring import extract_page_context
@@ -421,12 +452,34 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
     # async_webcrawler.py:513), non-mutating, before cleaning
     fit_html = fit_html_from_root(root, cfg.fit_text_threshold, cfg.fit_max_size)
 
+    # --- content scoping: target_elements narrows cleaned_html/text (and
+    # thus markdown) to matching subtrees while links/media above already
+    # came from the full page (async_configs.py target_elements semantics)
+    content_body = body
+    if cfg.target_elements:
+        from .dom import Element
+        from .selectors import select
+
+        matches: list = []
+        for sel in cfg.target_elements:
+            for el in select(body, sel):
+                if el not in matches:
+                    matches.append(el)
+        content_body = Element("[doc]")
+        content_body.children = matches
+
     # --- cleaning (mutates the tree; links/images already captured)
-    _clean_tree(body, cfg)
-    cleaned_html = "".join(
-        c if isinstance(c, str) else c.serialize() for c in body.children
-    ).strip()
-    text = page_text(body)
+    _clean_tree(content_body, cfg)
+    text = page_text(content_body)
+    if cfg.only_text:
+        # text-only mode (CrawlerRunConfig.only_text): no markup survives
+        cleaned_html = text
+    else:
+        cleaned_html = "".join(
+            c if isinstance(c, str) else c.serialize()
+            for c in content_body.children
+        ).strip()
+    body = content_body
 
     return {
         "success": True,

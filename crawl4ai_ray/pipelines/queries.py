@@ -163,6 +163,49 @@ def q_robots_filter(sf_dir: str):
     )
 
 
+def q_head_filters(sf_dir: str):
+    """ContentRelevanceFilter (BM25 over head fields) + SEOFilter over the
+    corpus heads (reference deep_crawling/filters.py:501-690). The head
+    'fetch' is the corpus head-prefix slice; evaluation is a streaming
+    map_batches with the filters compiled once per actor. Thresholds sit in
+    the verified gaps of the deterministic score distributions, so the
+    decisions are exactly (doc_id%3==0) and (host_id==0) — which is what
+    the oracle reconstructs."""
+    from ..functions.filters import ContentRelevanceFilter, SEOFilter, head_fields
+
+    pages = _pages_ds(sf_dir, columns=["url", "html"])
+
+    class HeadFilters:
+        def __init__(self):
+            self.rel = ContentRelevanceFilter("summary synthetic", threshold=1.8)
+            self.seo = SEOFilter(threshold=0.5, keywords=["site0"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            heads = []
+            for h in batch.column("html").to_pylist():
+                if isinstance(h, bytes):
+                    cut = h.find(b"</head>")
+                    h = (h[: cut + 7] if cut != -1 else h[:65536]).decode(
+                        "utf-8", errors="replace"
+                    )
+                heads.append(h)
+            fields = [head_fields(h) for h in heads]
+            rel = self.rel.apply_head_batch(fields)
+            seo = self.seo.apply_head_batch(urls, heads)
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "relevant": pa.array(rel.tolist(), pa.bool_()),
+                    "seo_ok": pa.array(seo.tolist(), pa.bool_()),
+                }
+            )
+
+    return pages.map_batches(
+        HeadFilters, batch_format="pyarrow", concurrency=(1, 4), batch_size=128
+    )
+
+
 def q_url_normalize(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
@@ -752,6 +795,7 @@ QUERIES = {
     "link_graph_edges": q_link_graph_edges,
     "bfs_depth": q_bfs_depth,
     "robots_filter": q_robots_filter,
+    "head_filters": q_head_filters,
     "url_normalize": q_url_normalize,
     "url_filter_pattern": q_url_filter_pattern,
     "url_scores": q_url_scores,
@@ -820,6 +864,13 @@ SELECT url,
        CASE WHEN host_id = 0 THEN FALSE
             WHEN host_id = 1 AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN FALSE
             ELSE TRUE END AS allowed
+FROM purl
+""",
+    "head_filters": f"""
+WITH {SQL_PAGES}
+SELECT url,
+       (doc_id % 3 = 0) AS relevant,
+       (host_id = 0) AS seo_ok
 FROM purl
 """,
     "url_normalize": """

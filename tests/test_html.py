@@ -138,3 +138,49 @@ def test_dom_autoclose_li():
     root = parse_html("<ul><li>a<li>b<li>c</ul>")
     lis = root.find_all("li")
     assert [li.text() for li in lis] == ["a", "b", "c"]
+
+
+def test_scrape_scoping_knobs():
+    """css_selector / target_elements / excluded_selector / only_text /
+    process_iframes (CrawlerRunConfig parity, async_configs.py:850-905)."""
+    from crawl4ai_ray.config import ScrapeConfig
+    from crawl4ai_ray.html.scrape import scrape_page
+
+    html = (
+        '<html><body>'
+        '<nav class="menu"><a href="/nav">navlink</a></nav>'
+        '<article id="main"><h1>Main</h1><p>main text</p>'
+        '<a href="/inside">inside</a></article>'
+        '<aside class="ads"><p>ad words</p><a href="/ad">adlink</a></aside>'
+        '</body></html>'
+    )
+    u = "https://x.example.com/p"
+
+    # css_selector scopes EVERYTHING (links included) to the match
+    r = scrape_page(u, html, ScrapeConfig(css_selector="#main"))
+    assert "main text" in r["text"] and "ad words" not in r["text"]
+    hrefs = [l["href"] for l in r["links_internal"]]
+    assert hrefs == ["https://x.example.com/inside"]
+
+    # target_elements scopes content only; links still come from full page
+    r = scrape_page(u, html, ScrapeConfig(target_elements=("article",)))
+    assert "main text" in r["text"] and "ad words" not in r["text"]
+    hrefs = {l["href"] for l in r["links_internal"]}
+    assert "https://x.example.com/ad" in hrefs
+    assert "https://x.example.com/nav" in hrefs
+
+    # excluded_selector drops subtrees before anything else
+    r = scrape_page(u, html, ScrapeConfig(excluded_selector=".ads"))
+    assert "ad words" not in r["text"]
+    assert all(l["href"] != "https://x.example.com/ad" for l in r["links_internal"])
+
+    # only_text: cleaned output carries no markup
+    r = scrape_page(u, html, ScrapeConfig(only_text=True))
+    assert "<" not in r["cleaned_html"] and "main text" in r["cleaned_html"]
+
+    # process_iframes inlines srcdoc content
+    ihtml = '<body><p>before</p><iframe srcdoc="&lt;p&gt;framed words&lt;/p&gt;"></iframe></body>'
+    r = scrape_page(u, ihtml, ScrapeConfig(process_iframes=True))
+    assert "framed words" in r["text"]
+    r = scrape_page(u, ihtml, ScrapeConfig(process_iframes=False))
+    assert "framed words" not in r["text"]
