@@ -154,13 +154,12 @@ def run_scaling():
     seconds), not scheduling-overhead-bound — the sandbox stand-in for the
     north rule's N vs 4N cluster sizes."""
     replicate = int(os.environ.get("GRAFT_SCALING_REPLICATE", "24"))
-    # Default N=4 → 4N=16: on this single 32-core box the 8→32 pair saturates
-    # the socket (shared memory bandwidth + turbo drop), which separate
-    # cluster nodes would not share; 4→16 keeps the box unsaturated at both
-    # levels and is the honest stand-in for N vs 4N nodes. Both pairs are
-    # recorded in BENCH/BASELINE.md.
+    # Round 2: the 8→32 pair now measures 0.99 efficiency at low ambient
+    # load (r1's 0.64–0.74 was co-tenant noise, not an engine ceiling), so
+    # the demanding pair is the default. Both 4→16 and 8→32 recorded in
+    # BENCH/BASELINE.md.
     lo, hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
     )
     results = {}
     for cpus in (lo, hi):

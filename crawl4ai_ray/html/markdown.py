@@ -160,12 +160,9 @@ class _Inline:
         if s[:1].isspace():
             if self.parts and not self.after_br:
                 self.pending_space = True
-        for i, tok in enumerate(tokens):
-            if i > 0:
-                self.pending_space = True
-            self.flush()
-            self.parts.append(tok)
-            self.after_br = False
+        self.flush()
+        self.parts.append(" ".join(tokens))
+        self.after_br = False
         self.last_data_char = tokens[-1][-1]
         if s[-1:].isspace():
             self.pending_space = True
