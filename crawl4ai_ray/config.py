@@ -103,5 +103,8 @@ class CrawlConfig:
     # link gating/prioritization (functions.filters instances; picklable)
     filter_chain: object | None = None
     url_scorer: object | None = None
+    # fetch-stage extension hooks (sources.bucketed.FetchHooks):
+    # before_request / after_request / on_error, batch-level, picklable
+    fetch_hooks: object | None = None
 
     scrape: ScrapeConfig = field(default_factory=ScrapeConfig)

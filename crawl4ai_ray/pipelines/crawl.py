@@ -268,13 +268,13 @@ def crawl(
             # Both fetch paths are plain-function map_batches over a
             # zero-copy plasma Arrow meta table (no per-wave actor pools).
             if corpus is not None:
-                fetched = corpus.fetch(fdict)
+                fetched = corpus.fetch(fdict, hooks=cfg.fetch_hooks)
                 fetch_bytes = corpus.last_fetch_bytes
                 fetch_bytes_total = corpus.total_bytes
             else:
                 meta_ref = ray.put(frontier_meta_table(fdict))
                 fetched = pages.map_batches(
-                    make_fetch_filter(meta_ref),
+                    make_fetch_filter(meta_ref, cfg.fetch_hooks),
                     batch_format="pyarrow",
                     batch_size=1024,
                 )

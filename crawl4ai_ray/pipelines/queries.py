@@ -401,7 +401,10 @@ def _docs_with_exact_copies(sf_dir: str):
             }
         )
 
-    return docs.union(docs.map_batches(copy, batch_format="pyarrow")), docs
+    # materialized: the dup set is consumed three times (candidate pipeline
+    # + both verify joins); without this the union re-executes per sink
+    dup = docs.union(docs.map_batches(copy, batch_format="pyarrow")).materialize()
+    return dup, docs
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -412,7 +415,7 @@ def q_minhash_pairs(sf_dir: str):
     4 rows: miss prob ≤ (1-0.9⁴)¹⁶ ≈ 3e-8 per pair)."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    ).materialize()  # consumed by the LSH pipeline and both verify joins
     cands = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16)
     return dedup.verify_pairs(cands, docs, mode="jaccard", tau=0.9)
 

@@ -69,14 +69,54 @@ def frontier_meta_table(frontier: dict[str, tuple]) -> pa.Table:
     )
 
 
-def make_fetch_filter(meta_ref):
+class FetchHooks:
+    """User extension points around the fetch stage — the batch-engine form
+    of the reference's before_request / after_request / on_error hook dict
+    (async_crawler_strategy.py:2248-2290). All callables must be picklable
+    (they ship to the fetch workers):
+
+    - before_request(urls: list[str]) -> list[str]
+        return the subset (or modified list) of corpus urls this batch may
+        fetch; None means "all"
+    - after_request(batch: pa.Table) -> pa.Table
+        transform the fetched batch (FETCH_SCHEMA in/out)
+    - on_error(urls: list[str], exc: Exception) -> None
+        called when a fetch batch raises; the batch is then skipped
+    """
+
+    def __init__(self, before_request=None, after_request=None, on_error=None):
+        self.before_request = before_request
+        self.after_request = after_request
+        self.on_error = on_error
+
+
+def make_fetch_filter(meta_ref, hooks: FetchHooks | None = None):
     """Plain-function map_batches UDF: pages ⋉ frontier via one pyarrow hash
     join per batch against the plasma-resident (zero-copy) meta table."""
 
     def fetch_filter(batch: pa.Table) -> pa.Table:
-        meta = ray.get(meta_ref)  # zero-copy Arrow from the object store
-        joined = batch.select(["url", "html"]).join(meta, keys="url", join_type="inner")
-        return joined.select(FETCH_SCHEMA.names).cast(FETCH_SCHEMA)
+        urls = batch.column("url")
+        try:
+            if hooks is not None and hooks.before_request is not None:
+                keep = hooks.before_request(urls.to_pylist())
+                if keep is not None:
+                    mask = pa.compute.is_in(
+                        urls, value_set=pa.array(sorted(set(keep)), pa.string())
+                    )
+                    batch = batch.filter(mask)
+            meta = ray.get(meta_ref)  # zero-copy Arrow from the object store
+            joined = batch.select(["url", "html"]).join(
+                meta, keys="url", join_type="inner"
+            )
+            out = joined.select(FETCH_SCHEMA.names).cast(FETCH_SCHEMA)
+            if hooks is not None and hooks.after_request is not None:
+                out = hooks.after_request(out)
+            return out
+        except Exception as exc:  # noqa: BLE001 — hook contract
+            if hooks is not None and hooks.on_error is not None:
+                hooks.on_error(urls.to_pylist(), exc)
+                return FETCH_SCHEMA.empty_table()
+            raise
 
     return fetch_filter
 
@@ -152,7 +192,7 @@ class BucketedCorpus:
         self._all_ds = None
         self.last_fetch_bytes = 0
 
-    def fetch(self, frontier: dict[str, tuple]) -> "ray.data.Dataset":
+    def fetch(self, frontier: dict[str, tuple], hooks: "FetchHooks | None" = None) -> "ray.data.Dataset":
         """frontier ⋉ corpus, annotated by a per-batch pyarrow join against
         the zero-copy broadcast meta table (FETCH_SCHEMA output)."""
         urls = list(frontier)
@@ -177,7 +217,9 @@ class BucketedCorpus:
             files = [f for b in hit for f in self.bucket_files[b]]
             self.last_fetch_bytes = sum(self.bucket_bytes[b] for b in hit)
             ds = ray.data.read_parquet(files, columns=["url", "html"])
-        return ds.map_batches(make_fetch_filter(meta_ref), batch_format="pyarrow")
+        return ds.map_batches(
+            make_fetch_filter(meta_ref, hooks), batch_format="pyarrow"
+        )
 
 
 def fetch_bucketed(

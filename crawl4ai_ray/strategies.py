@@ -115,3 +115,41 @@ class DefaultMarkdownGenerator(MarkdownGenerationStrategy):
         out["fit_markdown"] = fit_md
         out["fit_html"] = fit_html
         return out
+
+
+class BaseDispatcher:
+    """Dispatcher ABC (reference async_dispatcher.py:87-117): the unit that
+    turns a url list into crawl results. The reference's implementations
+    wrap an asyncio session pool; here the engine's Dataset pipeline IS the
+    dispatcher, so implementations return Datasets."""
+
+    def __init__(self, rate_limiter=None, monitor=None):
+        self.crawler = None
+        self.rate_limiter = rate_limiter
+        self.monitor = monitor
+
+    def crawl_url(self, url: str, config=None, task_id: str | None = None):
+        raise NotImplementedError
+
+    def run_urls(self, urls: list[str], crawler=None, config=None):
+        raise NotImplementedError
+
+
+class RayDatasetDispatcher(BaseDispatcher):
+    """Dispatcher over the engine: ``run_urls`` is the fetch⋉extract
+    Dataset pipeline for a url subset (the batch analogue of the
+    reference's MemoryAdaptiveDispatcher.run_urls); memory adaptivity is
+    delegated to Ray Data's streaming backpressure + object-store spill."""
+
+    def __init__(self, pages: "object | str", scrape: ScrapeConfig | None = None,
+                 rate_limiter=None, monitor=None):
+        super().__init__(rate_limiter, monitor)
+        from .api import RayWebCrawler
+
+        self._crawler = RayWebCrawler(pages, scrape)
+
+    def crawl_url(self, url: str, config=None, task_id: str | None = None):
+        return self._crawler.run(url)
+
+    def run_urls(self, urls: list[str], crawler=None, config=None):
+        return self._crawler.run_many(urls)

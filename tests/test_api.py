@@ -79,3 +79,66 @@ def test_crawler_hub():
     assert hub.resolve("ftp://x") is None
     assert hub.get("docs").scrape.word_count_threshold == 2
     assert hub.names() == ["docs", "generic"]
+
+
+def test_fetch_hooks(ray_session):
+    """before_request filters, after_request transforms, on_error recovers
+    (reference hook surface, async_crawler_strategy.py:2248-2290)."""
+    import pyarrow as pa
+
+    from crawl4ai_ray.config import CrawlConfig
+    from crawl4ai_ray.pipelines.crawl import crawl
+    from crawl4ai_ray.sources.bucketed import FetchHooks
+    from crawl4ai_ray.sources.pages import url_of
+
+    # before_request: refuse to fetch url_of(1)'s children subtree urls
+    blocked = url_of(3)
+
+    def before(urls):
+        return [u for u in urls if u != blocked]
+
+    def after(batch: pa.Table) -> pa.Table:
+        # annotate score +1 to prove the transform ran
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("score"),
+            "score",
+            pc.add(batch.column("score"), 1.0),
+        )
+
+    cfg = CrawlConfig(
+        max_depth=2, seen_shards=2,
+        fetch_hooks=FetchHooks(before_request=before, after_request=after),
+    )
+    run = crawl("/root/testdata/sf0.001", seeds=[url_of(0), url_of(3)], cfg=cfg)
+    crawled = {u for w in run.waves for u in w["frontier_urls"]}
+    docs = run.docs_dataset().to_pandas()
+    assert blocked not in set(docs.url)  # never fetched
+    assert blocked in crawled  # but it was admitted (hook dropped it)
+    assert run.pages_crawled > 0
+
+    # on_error: a poisoned after_request skips batches instead of failing
+    def boom(batch):
+        raise RuntimeError("poison")
+
+    seen_errors = []
+
+    cfg2 = CrawlConfig(
+        max_depth=1, seen_shards=2,
+        fetch_hooks=FetchHooks(after_request=boom, on_error=lambda u, e: None),
+    )
+    run2 = crawl("/root/testdata/sf0.001", seeds=[url_of(0)], cfg=cfg2)
+    assert run2.pages_crawled == 0  # every batch skipped, no crash
+
+
+def test_dispatcher_surface(ray_session):
+    from crawl4ai_ray.sources.pages import url_of
+    from crawl4ai_ray.strategies import BaseDispatcher, RayDatasetDispatcher
+
+    d = RayDatasetDispatcher("/root/testdata/sf0.001")
+    assert isinstance(d, BaseDispatcher)
+    one = d.crawl_url(url_of(2))
+    assert one and one["url"] == url_of(2)
+    ds = d.run_urls([url_of(2), url_of(4)])
+    assert ds.count() == 2
