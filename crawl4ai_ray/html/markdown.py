@@ -104,17 +104,28 @@ def fast_urljoin(base: str, url: str) -> str:
     return urljoin(base, url)
 
 
-_SKIP_TAGS = frozenset(
-    {"script", "style", "head", "video", "audio", "source", "track",
-     "iframe", "form", "input", "button", "select", "option", "textarea",
-     "template", "noscript"}
-)
+# the reference converter goes "quiet" ONLY inside these (html2text
+# handle_tag head/style/script); buttons/forms/etc. render their text
+_SKIP_TAGS = frozenset({"script", "style", "head"})
 
 _LIST_TAGS = ("ul", "ol")
 
 
-def _escape_url(url: str) -> str:
-    return url.replace("(", "\\(").replace(")", "\\)")
+_MD_CHARS_RE = re.compile(r"([\\\[\]()])")
+_BACKSLASH_SECTION_RE = re.compile(r"(\\)(?=[\\`*_{}\[\]()#+\-.!])")
+_ABS_URL_RE = re.compile(r"^[a-zA-Z+]+://")
+
+
+def _escape_md(text: str) -> str:
+    """escape \\ [ ] ( ) — the reference's escape_md (urls, titles, alts)."""
+    return _MD_CHARS_RE.sub(r"\\\1", text)
+
+
+def _escape_data(text: str) -> str:
+    """Body-text escaping under the engine's options: only backslashes
+    preceding a markdown special get doubled (escape_md_section with
+    snob/dot/plus/dash all off, escape_backslash on)."""
+    return _BACKSLASH_SECTION_RE.sub(r"\\\1", text)
 
 
 import string as _string
@@ -138,10 +149,18 @@ class _Inline:
         self.after_br = False
         self.last_data_char = ""   # last char of preceding TEXT data
         self.preceding_stressed = False
+        self.strip_first_text = False  # emphasis strips its FIRST data chunk
 
     def text(self, s: str, collapse: bool = True):
         if not s:
             return
+        if self.strip_first_text:
+            s = s.strip()
+            self.strip_first_text = False
+            if not s:
+                return
+        if collapse and "\\" in s:
+            s = _escape_data(s)
         if self.preceding_stressed:
             if _STRESS_NOSPACE_RE.match(s[0]):
                 self.pending_space = True
@@ -153,6 +172,8 @@ class _Inline:
             return
         tokens = s.split()
         if not tokens:
+            # whitespace-only chunk → space FLAG (dies unflushed at block
+            # end, unlike an in-chunk trailing space — reference o() model)
             if self.parts and not self.after_br:
                 self.pending_space = True
             self.last_data_char = " "
@@ -161,12 +182,17 @@ class _Inline:
             if self.parts and not self.after_br:
                 self.pending_space = True
         self.flush()
-        self.parts.append(" ".join(tokens))
-        self.after_br = False
-        self.last_data_char = tokens[-1][-1]
+        body = " ".join(tokens)
         if s[-1:].isspace():
-            self.pending_space = True
+            # in-chunk trailing whitespace is written LITERALLY (the
+            # reference collapses the run to ' ' inside the data and only
+            # converts a LEADING space to the flag)
+            body += " "
             self.last_data_char = " "
+        else:
+            self.last_data_char = tokens[-1][-1]
+        self.parts.append(body)
+        self.after_br = False
 
     def stressed(self, marker: str, inner: str):
         """Emphasis span: marker is '_' or '**'."""
@@ -189,12 +215,16 @@ class _Inline:
             self.last_data_char = inner[-1]
         self.preceding_stressed = True
 
-    def raw(self, s: str, is_data: bool = False):
+    def raw(self, s: str, is_data: bool = False, keep_stress: bool = False):
         """Emit a token verbatim (markers/links are not subject to the
-        post-stress spacing rule; is_data applies it)."""
+        post-stress spacing rule; is_data applies it; keep_stress leaves the
+        post-stress state alive — the reference's o() never clears it, so a
+        table separator or image between a stressed span and the next text
+        does not eat the forced space)."""
         if is_data and self.preceding_stressed and s and _STRESS_NOSPACE_RE.match(s[0]):
             self.pending_space = True
-        self.preceding_stressed = False
+        if not keep_stress:
+            self.preceding_stressed = False
         self.flush()
         self.parts.append(s)
         self.after_br = False
@@ -217,7 +247,9 @@ class _Inline:
             self.parts.append(" ")
             self.pending_space = False
 
-    def result(self, keep_trailing_space: bool = True) -> str:
+    def result(self, keep_trailing_space: bool = False) -> str:
+        """keep_trailing_space flushes a pending space FLAG (used only where
+        the reference writes a token right after, e.g. a link's ']')."""
         out = "".join(self.parts)
         if self.pending_space and keep_trailing_space and out:
             out += " "
@@ -233,11 +265,11 @@ def _render_inline_into(acc: _Inline, el: Element):
         if tag in _SKIP_TAGS:
             continue
         if tag in ("strong", "b"):
-            inner = _inline_text(c).strip()
+            inner = _stressed_inner_text(c)
             if inner:
                 acc.stressed("**", inner)
         elif tag in ("em", "i"):
-            inner = _inline_text(c).strip()
+            inner = _stressed_inner_text(c)
             if inner:
                 acc.stressed("_", inner)
         elif tag == "code":
@@ -247,27 +279,28 @@ def _render_inline_into(acc: _Inline, el: Element):
                 acc.data_seen(inner)
         elif tag == "a":
             href = c.get("href", "") or ""
-            inner = _inline_text(c).strip()
             if not href or href.startswith("mailto:"):
-                if inner:  # ignore_mailto_links: text kept, link dropped
-                    acc.raw(inner, is_data=True)
-                    acc.data_seen(inner)
+                # ignore_mailto_links: text kept, link dropped — content
+                # flows through the normal data pipeline
+                _render_inline_into(acc, c)
             else:
-                title = c.get("title")
-                if title is not None and title != "":
-                    acc.raw(f'[{inner}]({_escape_url(href)} "{title}")')
-                else:
-                    acc.raw(f"[{inner}]({_escape_url(href)})")
+                inner = _link_inner_text(c, strip_first=acc.strip_first_text)
+                acc.strip_first_text = False
+                # automatic link: text == href and absolute → <href>
+                if inner == href and _ABS_URL_RE.match(href):
+                    acc.raw(f"<{href}>")
+                    acc.data_seen(inner)
+                    continue
+                title = c.get("title") or ""
+                tpart = f' "{_escape_md(title)}"' if title.strip() else ""
+                acc.raw(f"[{inner}]({_escape_md(href)}{tpart})")
                 acc.data_seen(inner)
         elif tag == "img":
             alt = c.get("alt", "") or ""
             src = c.get("src", "") or ""
             if src:
-                title = c.get("title")
-                if title is not None and title != "":
-                    acc.raw(f'![{alt}]({_escape_url(src)} "{title}")')
-                else:
-                    acc.raw(f"![{alt}]({_escape_url(src)})")
+                acc.raw(f"![{_escape_md(alt)}]({_escape_md(src)})",
+                        keep_stress=True)
         elif tag == "br":
             acc.br()
         else:
@@ -278,6 +311,31 @@ def _inline_text(el: Element) -> str:
     acc = _Inline()
     _render_inline_into(acc, el)
     return acc.result()
+
+
+def _stressed_inner_text(el: Element) -> str:
+    """Emphasis content: the reference strips the FIRST data chunk inside a
+    stressed span (handle_data 'stressed' flag) — so a space before an
+    inner link vanishes ('See[media help]') — and we strip the outer ends
+    of the final rendering."""
+    acc = _Inline()
+    acc.strip_first_text = True
+    _render_inline_into(acc, el)
+    return acc.result().strip()
+
+
+def _link_inner_text(el: Element, strip_first: bool = False) -> str:
+    """Link text with the reference's lazy-bracket spacing: the '[' is
+    already on the line when the text arrives, so leading/trailing source
+    whitespace materializes INSIDE the brackets ('[ Search ](url)').
+    strip_first propagates an enclosing emphasis span's first-data-chunk
+    strip into the link text."""
+    acc = _Inline()
+    acc.parts.append("\x00")  # sentinel 'already started' marker
+    acc.strip_first_text = strip_first
+    _render_inline_into(acc, el)
+    out = acc.result(keep_trailing_space=True)
+    return out[1:] if out.startswith("\x00") else out
 
 
 def _render_inline(el: Element) -> str:
@@ -294,22 +352,73 @@ class _Block:
 
 
 def _render_table(t: Element) -> str | None:
+    """Row-level flow-through rendering: cell contents and the whitespace
+    between <td> tags stream through one accumulator per row, so in-chunk
+    trailing spaces and inter-cell space flags reproduce the reference's
+    'cell  | next' artifacts exactly. Every row line gets the soft-br '  '
+    suffix; a pending space flag at row end dies (the newline flush clears
+    it). First row is always the header; separator arity = its cell count;
+    caption content flows in front of the first row's cells."""
+    all_rows = t.find_all("tr")
+    caption = t.find("caption")
     rows = []
-    for r in t.find_all("tr"):
-        cells = [
-            c for c in r.children
-            if isinstance(c, Element) and c.tag in ("td", "th")
-        ]
-        if cells:
-            rows.append([_inline_text(c).strip() for c in cells])
+    for r in all_rows:
+        if any(isinstance(c, Element) and c.tag in ("td", "th") for c in r.children):
+            rows.append(r)
     if not rows:
         return None
-    caption = t.find("caption")
-    cap = _inline_text(caption).strip() if caption is not None else ""
-    lines = [cap + "| ".join(rows[0]) + "  "]
-    lines.append("|".join("---" for _ in rows[0]) + "  ")
-    for r in rows[1:]:
-        lines.append("| ".join(r) + "  ")
+    lines: list[str] = []
+    for i, r in enumerate(rows):
+        acc = _Inline()
+        if i == 0 and caption is not None:
+            _render_inline_into(acc, caption)
+        first = True
+        cells = 0
+
+        def walk_cell(node):
+            # cell content with nested-list support: a ul/ol inside a td
+            # fires the reference's list machinery mid-row — newline, items,
+            # double-newline close — then content continues on a fresh line
+            for cc in node.children:
+                if isinstance(cc, str):
+                    acc.text(cc)
+                elif cc.tag in _LIST_TAGS:
+                    items = _render_list(cc, 0)
+                    acc.pending_space = False
+                    lead = "\n" if acc.parts else ""
+                    acc.parts.append(lead + "\n".join(items) + "\n\n")
+                    acc.after_br = True  # suppress a leading space flag
+                elif cc.tag == "hr":
+                    acc.pending_space = False
+                    lead = "\n" if acc.parts else ""
+                    acc.parts.append(lead + "* * *" + "\n")
+                    acc.after_br = True
+                elif cc.tag in ("p", "div", "form", "fieldset", "section",
+                                "article", "header", "footer", "nav",
+                                "aside", "figure", "figcaption", "center",
+                                "details", "summary"):
+                    # p()/div are suppressed inside a started cell
+                    # (split_next_td) — recurse so nested lists still fire
+                    walk_cell(cc)
+                elif cc.tag in _SKIP_TAGS:
+                    continue
+                else:
+                    _render_inline_into(acc, _wrap(cc))
+
+        for ch in r.children:
+            if isinstance(ch, str):
+                acc.text(ch)
+            elif isinstance(ch, Element) and ch.tag in ("td", "th"):
+                if not first:
+                    acc.raw("| ", keep_stress=True)
+                first = False
+                cells += 1
+                walk_cell(ch)
+            elif isinstance(ch, Element) and ch.tag not in _SKIP_TAGS:
+                _render_inline_into(acc, _wrap(ch))
+        lines.append(acc.result() + "  ")
+        if i == 0:
+            lines.append("|".join(["---"] * max(cells, 1)) + "  ")
     return "\n".join(lines)
 
 
@@ -325,25 +434,51 @@ def _render_list(el: Element, depth: int, counter_start: int = 1) -> list[str]:
     for c in el.children:
         if not isinstance(c, Element) or c.tag != "li":
             continue
+        # segments: block children (div/p) inside an li break the line —
+        # the reference's p() fires mid-item, emitting a plain newline with
+        # no list indent ('  * Small\nStandard\nLarge')
+        segments: list[str] = []
         item_acc = _Inline()
-        sublists: list[Element] = []
-        for lc in c.children:
-            if isinstance(lc, str):
-                item_acc.text(lc)
-            elif lc.tag in _LIST_TAGS:
-                sublists.append(lc)
-            elif lc.tag in _SKIP_TAGS:
-                continue
-            elif lc.tag in ("p", "div"):
-                _render_inline_into(item_acc, lc)
-            else:
-                _render_inline_into(item_acc, _wrap(lc))
-        content = item_acc.result(keep_trailing_space=False).strip()
+        sub_lines: list[str] = []
+
+        def flush_seg():
+            txt = item_acc.result().strip()
+            if txt:
+                segments.append(txt)
+            item_acc.parts.clear()
+            item_acc.pending_space = False
+            item_acc.after_br = False
+            item_acc.preceding_stressed = False
+
+        def walk(node):
+            for lc in node.children:
+                if isinstance(lc, str):
+                    item_acc.text(lc)
+                elif lc.tag in _LIST_TAGS:
+                    flush_seg()
+                    sub_lines.extend(_render_list(lc, depth + 1))
+                elif lc.tag in _SKIP_TAGS:
+                    continue
+                elif lc.tag in ("p", "div"):
+                    # p() fires mid-item at any depth → line segment break
+                    flush_seg()
+                    walk(lc)
+                    flush_seg()
+                elif lc.tag in ("form", "fieldset", "section", "article",
+                                "header", "footer", "nav", "aside", "figure",
+                                "center", "details", "summary", "blockquote",
+                                "table", "dl"):
+                    walk(lc)  # block-transparent inside an li
+                else:
+                    _render_inline_into(item_acc, _wrap(lc))
+
+        walk(c)
+        flush_seg()
+        content = "\n".join(segments)
         marker = f"{indent}* " if el.tag == "ul" else f"{indent}{idx}. "
         idx += 1
         lines.append(marker + content)
-        for sub in sublists:
-            lines.extend(_render_list(sub, depth + 1))
+        lines.extend(sub_lines)
     return lines
 
 
@@ -353,16 +488,27 @@ def _wrap(c: Element) -> Element:
     return w
 
 
-def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0):
-    acc = _Inline()
+def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0,
+                   acc: "_Inline | None" = None):
+    owns_acc = acc is None
+    if owns_acc:
+        acc = _Inline()
 
     def flush_inline():
         txt = acc.result()
         if txt.strip():
-            blocks.append(_Block(txt))
+            # bare inline run: written with NO p() — separates from prior
+            # output only by whatever newline was already pending
+            blocks.append(_Block(txt, kind="inline"))
         acc.parts.clear()
         acc.pending_space = False
         acc.after_br = False
+
+    def bset():
+        # block-element boundary: the reference's p() sets p_p=1 even when
+        # the element renders nothing (observable when an empty list's
+        # close flushes it) — modeled as a zero-width "pset" marker
+        blocks.append(_Block("", kind="pset"))
 
     for c in el.children:
         if isinstance(c, str):
@@ -373,14 +519,18 @@ def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0):
             continue
         if tag in _HEADINGS:
             flush_inline()
+            bset()
             txt = _inline_text(c).strip()
             if txt:
                 blocks.append(_Block("#" * _HEADINGS[tag] + " " + txt))
+            bset()
         elif tag == "p":
             flush_inline()
+            bset()
             txt = _render_inline(c)
             if txt.strip():
                 blocks.append(_Block(txt))
+            bset()
         elif tag == "pre":
             flush_inline()
             code = "".join(c.itertext())
@@ -389,6 +539,7 @@ def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0):
             flush_inline()
             inner: list[_Block] = []
             _render_blocks(c, inner, quote_depth + 1)
+            inner = [b for b in inner if b.kind != "pset"]
             if inner:
                 quoted_lines: list[str] = []
                 for b in inner:
@@ -398,8 +549,8 @@ def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0):
         elif tag in _LIST_TAGS:
             flush_inline()
             lines = _render_list(c, 0)
-            if lines:
-                blocks.append(_Block("\n".join(lines), kind="list"))
+            # even an EMPTY list emits its close artifact (a newline)
+            blocks.append(_Block("\n".join(lines), kind="list"))
         elif tag == "table":
             flush_inline()
             rendered = _render_table(c)
@@ -418,17 +569,27 @@ def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0):
                     lines.append("    " + _inline_text(dc).strip())
             if lines:
                 blocks.append(_Block("\n".join(lines)))
-        elif tag in ("div", "section", "article", "main", "header", "footer",
+        elif tag == "div":
+            # div is a block element (the reference's p() fires on both
+            # boundaries)
+            flush_inline()
+            bset()
+            _render_blocks(c, blocks, quote_depth, acc)
+            flush_inline()
+            bset()
+        elif tag in ("section", "article", "main", "header", "footer",
                      "nav", "aside", "figure", "figcaption", "address",
                      "fieldset", "body", "html", "center", "details",
                      "summary", "li", "td", "th", "tr", "tbody", "thead",
-                     "tfoot"):
-            flush_inline()
-            _render_blocks(c, blocks, quote_depth)
+                     "tfoot", "form"):
+            # transparent containers: no p() in the reference — content
+            # flows through the SAME accumulator (space flags survive)
+            _render_blocks(c, blocks, quote_depth, acc)
         else:
             # inline element at block level: accumulate
             _render_inline_into(acc, _wrap(c))
-    flush_inline()
+    if owns_acc:
+        flush_inline()
 
 
 def dom_to_markdown(root: Element) -> str:
@@ -447,21 +608,41 @@ def dom_to_markdown(root: Element) -> str:
     # caption right under the closing fence. Document end emits one \n.
     parts: list[str] = []
     pending = 0
-    for i, b in enumerate(blocks):
-        if b.kind in ("pre", "table"):
+    written = False  # the reference's start flag: pending drops until
+    # the first actual output
+    for b in blocks:
+        if b.kind == "pset":
+            pending = max(pending, 1)
+            continue
+        if b.kind == "list" and not b.text:
+            # empty list: nothing is written before the close, so the
+            # close's flush IS the pending newline (+ the literal one)
+            parts.append("\n" * (pending if written else 0))
+            parts.append("\n")
+            pending = 0
+            written = True
+            continue
+        if not written:
+            emit = 0
+        elif b.kind in ("pre", "table", "inline"):
             emit = pending  # no p() on start for these
         else:
-            emit = max(pending, 1) if i > 0 else pending
+            emit = max(pending, 1)
         parts.append("\n" * emit)
         parts.append(b.text)
+        written = True
         if b.kind == "list":
+            # close artifact: pending-flush newline + the literal one
             parts.append("\n\n")
             pending = 0
         elif b.kind == "pre":
             parts.append("\n")
             pending = 0
+        elif b.kind == "inline":
+            pending = 0  # plain data never sets p_p
         else:
             pending = 1
+        prev_kind = b.kind
     md = "".join(parts) + "\n"
     md = md.replace("    ```", "```")  # parity fixup (strategy.py:214)
     # strip trailing spaces on the final line (reference end-of-doc behavior)

@@ -116,3 +116,28 @@ def test_corpus_pages_byte_parity(ref_md):
     for d in range(0, 300):
         html = build_html(d, 500, f"word{d} alpha beta gamma " * 40, "en")
         assert html_to_markdown(html) == ref_md(html), f"doc {d}"
+
+
+def test_wikipedia_sample_near_parity(ref_md):
+    """Real-world 768 KB page: ≥99% of output lines byte-identical with the
+    reference converter at the pipeline seam (cleaned_html → markdown).
+    Remaining divergences are deep html2text internals (tables nested inside
+    table cells, links inside <code> spans) — ratchet this threshold up if
+    they get fixed, never down."""
+    from crawl4ai_ray.html.markdown import generate_markdown
+    from crawl4ai_ray.html.scrape import scrape_page
+
+    html = open("/root/reference/tests/async/sample_wikipedia.html",
+                encoding="utf-8").read()
+    r = scrape_page("https://en.wikipedia.org/wiki/Apple", html)
+    ours = generate_markdown(r["cleaned_root"])["raw_markdown"].splitlines()
+    theirs = ref_md(r["cleaned_html"]).splitlines()
+    import difflib
+
+    removed = sum(
+        1
+        for l in difflib.unified_diff(theirs, ours, lineterm="")
+        if l.startswith("-") and not l.startswith("---")
+    )
+    identical = len(theirs) - removed
+    assert identical / len(theirs) >= 0.99, f"{identical}/{len(theirs)}"
