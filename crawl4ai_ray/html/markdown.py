@@ -273,7 +273,7 @@ def _render_inline_into(acc: _Inline, el: Element):
             if inner:
                 acc.stressed("_", inner)
         elif tag == "code":
-            inner = "".join(c.itertext()).replace("\n", " ")
+            inner = _code_inner(c)
             if inner:
                 acc.raw(f"`{inner}`")
                 acc.data_seen(inner)
@@ -305,6 +305,36 @@ def _render_inline_into(acc: _Inline, el: Element):
             acc.br()
         else:
             _render_inline_into(acc, c)
+
+
+def _code_inner(el: Element) -> str:
+    """Inline-code content: newlines → spaces; nested emphasis keeps its
+    markers; a nested link renders as its text followed by an EMPTY bracket
+    pair '[](url "title")' — the reference's inside-code link quirk."""
+    parts: list[str] = []
+
+    def w(node):
+        for c in node.children:
+            if isinstance(c, str):
+                parts.append(c.replace("\n", " "))
+            elif c.tag in ("strong", "b"):
+                parts.append("**"); w(c); parts.append("**")
+            elif c.tag in ("em", "i"):
+                parts.append("_"); w(c); parts.append("_")
+            elif c.tag == "a":
+                href = c.get("href", "") or ""
+                w(c)
+                if href and not href.startswith("mailto:"):
+                    title = c.get("title") or ""
+                    tpart = f' "{_escape_md(title)}"' if title.strip() else ""
+                    parts.append(f"[]({_escape_md(href)}{tpart})")
+            elif c.tag in _SKIP_TAGS:
+                continue
+            else:
+                w(c)
+
+    w(el)
+    return "".join(parts)
 
 
 def _inline_text(el: Element) -> str:
@@ -368,8 +398,11 @@ def _render_table(t: Element) -> str | None:
     if not rows:
         return None
     lines: list[str] = []
+    carry_char, carry_stressed = "", False
     for i, r in enumerate(rows):
         acc = _Inline()
+        acc.last_data_char = carry_char
+        acc.preceding_stressed = carry_stressed
         if i == 0 and caption is not None:
             _render_inline_into(acc, caption)
         first = True
@@ -417,6 +450,7 @@ def _render_table(t: Element) -> str | None:
             elif isinstance(ch, Element) and ch.tag not in _SKIP_TAGS:
                 _render_inline_into(acc, _wrap(ch))
         lines.append(acc.result() + "  ")
+        carry_char, carry_stressed = acc.last_data_char, acc.preceding_stressed
         if i == 0:
             lines.append("|".join(["---"] * max(cells, 1)) + "  ")
     return "\n".join(lines)
@@ -442,8 +476,8 @@ def _render_list(el: Element, depth: int, counter_start: int = 1) -> list[str]:
         sub_lines: list[str] = []
 
         def flush_seg():
-            txt = item_acc.result().strip()
-            if txt:
+            txt = item_acc.result().lstrip()
+            if txt.strip():
                 segments.append(txt)
             item_acc.parts.clear()
             item_acc.pending_space = False
