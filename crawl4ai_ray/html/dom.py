@@ -62,20 +62,38 @@ class Element:
     def iter(self):
         """Depth-first pre-order over elements (self included)."""
         stack = [self]
+        pop = stack.pop
+        push = stack.extend
         while stack:
-            node = stack.pop()
+            node = pop()
             yield node
-            stack.extend(c for c in reversed(node.children) if isinstance(c, Element))
+            push([c for c in reversed(node.children) if type(c) is not str])
 
     def find_all(self, *tags: str):
+        # hot path (scrape/fit/markdown all walk the tree): plain loop, no
+        # generator machinery
         tagset = set(tags)
-        return [e for e in self.iter() if e.tag in tagset]
+        out = []
+        stack = [self]
+        pop = stack.pop
+        push = stack.extend
+        while stack:
+            node = pop()
+            if node.tag in tagset:
+                out.append(node)
+            push([c for c in reversed(node.children) if type(c) is not str])
+        return out
 
     def find(self, *tags: str):
         tagset = set(tags)
-        for e in self.iter():
-            if e.tag in tagset:
-                return e
+        stack = [self]
+        pop = stack.pop
+        push = stack.extend
+        while stack:
+            node = pop()
+            if node.tag in tagset:
+                return node
+            push([c for c in reversed(node.children) if type(c) is not str])
         return None
 
     def find_parent(self, tag: str):
