@@ -150,10 +150,12 @@ class _Inline:
         self.last_data_char = ""   # last char of preceding TEXT data
         self.preceding_stressed = False
         self.strip_first_text = False  # emphasis strips its FIRST data chunk
+        self.trailing_soft = False  # last emission was a LAZY soft-br
 
     def text(self, s: str, collapse: bool = True):
         if not s:
             return
+        self.trailing_soft = False
         if self.strip_first_text:
             s = s.strip()
             self.strip_first_text = False
@@ -162,7 +164,8 @@ class _Inline:
         if collapse and "\\" in s:
             s = _escape_data(s)
         if self.preceding_stressed:
-            if _STRESS_NOSPACE_RE.match(s[0]):
+            if (_STRESS_NOSPACE_RE.match(s[0]) and self.parts
+                    and not self.after_br):
                 self.pending_space = True
             self.preceding_stressed = False
         if not collapse:
@@ -225,6 +228,7 @@ class _Inline:
             self.pending_space = True
         if not keep_stress:
             self.preceding_stressed = False
+        self.trailing_soft = False
         self.flush()
         self.parts.append(s)
         self.after_br = False
@@ -239,6 +243,7 @@ class _Inline:
     def br(self):
         self.pending_space = False
         self.preceding_stressed = False
+        self.trailing_soft = False  # literal br writes immediately
         self.parts.append("  \n")
         self.after_br = True
 
@@ -287,7 +292,10 @@ def _render_inline_into(acc: _Inline, el: Element):
                 inner = _link_inner_text(c, strip_first=acc.strip_first_text)
                 acc.strip_first_text = False
                 # automatic link: text == href and absolute → <href>
-                if inner == href and _ABS_URL_RE.match(href):
+                if inner == href and _ABS_URL_RE.match(href) and "&" not in href:
+                    # ('&' in the source is an entity ref that splits the
+                    # reference's data chunk, defeating its automatic-link
+                    # detection — verified)
                     acc.raw(f"<{href}>")
                     acc.data_seen(inner)
                     continue
@@ -389,24 +397,65 @@ def _render_table(t: Element) -> str | None:
     suffix; a pending space flag at row end dies (the newline flush clears
     it). First row is always the header; separator arity = its cell count;
     caption content flows in front of the first row's cells."""
-    all_rows = t.find_all("tr")
+    rows_with_pre = _direct_table_rows_with_text(t)
+    rows = [r for _, r in rows_with_pre]
     caption = t.find("caption")
-    rows = []
-    for r in all_rows:
-        if any(isinstance(c, Element) and c.tag in ("td", "th") for c in r.children):
-            rows.append(r)
     if not rows:
         return None
     lines: list[str] = []
     carry_char, carry_stressed = "", False
-    for i, r in enumerate(rows):
+    saw_nested = [False]  # nested table cancels the outer separator
+    for i, (pre_text, r) in enumerate(rows_with_pre):
         acc = _Inline()
         acc.last_data_char = carry_char
         acc.preceding_stressed = carry_stressed
+        if pre_text and not pre_text.strip():
+            # whitespace between </tr> and <tr> flows through the
+            # reference's handle_data, resetting preceding_data and
+            # consuming a pending stressed state
+            acc.last_data_char = " "
+            acc.preceding_stressed = False
         if i == 0 and caption is not None:
             _render_inline_into(acc, caption)
+        if pre_text and pre_text.strip():
+            acc.text(pre_text)
         first = True
         cells = 0
+
+        def nested_table(tbl: Element):
+            # the reference's converter state is GLOBAL: a table inside a
+            # started cell keeps split_next_td, so EVERY nested td is
+            # prefixed '| '; each nested row soft-brs; the nested first row
+            # gets its own '---' separator; and table_start is overwritten,
+            # CANCELLING the outer table's pending separator (verified
+            # against the reference on minimal nested-table probes)
+            saw_nested[0] = True
+            nrows = _direct_table_rows(tbl)
+            for j, nr in enumerate(nrows):
+                ncells = 0
+                # row 0 inherits the outer cell's split state (every td
+                # prefixed); the first tr END resets it, so later rows'
+                # first td gets no separator
+                skip_sep = j > 0
+                for nch in nr.children:
+                    if isinstance(nch, str):
+                        acc.text(nch)
+                    elif isinstance(nch, Element) and nch.tag in ("td", "th"):
+                        if skip_sep:
+                            skip_sep = False
+                        else:
+                            acc.raw("| ", keep_stress=True)
+                        ncells += 1
+                        walk_cell(nch)
+                    elif isinstance(nch, Element) and nch.tag not in _SKIP_TAGS:
+                        _render_inline_into(acc, _wrap(nch))
+                acc.pending_space = False
+                acc.parts.append("  \n")
+                acc.after_br = True
+                if j == 0:
+                    acc.parts.append("|".join(["---"] * max(ncells, 1)))
+                    acc.parts.append("  \n")
+                acc.trailing_soft = True  # lazy soft-br: merges with row end
 
         def walk_cell(node):
             # cell content with nested-list support: a ul/ol inside a td
@@ -426,10 +475,13 @@ def _render_table(t: Element) -> str | None:
                     lead = "\n" if acc.parts else ""
                     acc.parts.append(lead + "* * *" + "\n")
                     acc.after_br = True
+                elif cc.tag == "table":
+                    nested_table(cc)
                 elif cc.tag in ("p", "div", "form", "fieldset", "section",
                                 "article", "header", "footer", "nav",
                                 "aside", "figure", "figcaption", "center",
-                                "details", "summary"):
+                                "details", "summary", "tbody", "thead",
+                                "tfoot"):
                     # p()/div are suppressed inside a started cell
                     # (split_next_td) — recurse so nested lists still fire
                     walk_cell(cc)
@@ -449,11 +501,50 @@ def _render_table(t: Element) -> str | None:
                 walk_cell(ch)
             elif isinstance(ch, Element) and ch.tag not in _SKIP_TAGS:
                 _render_inline_into(acc, _wrap(ch))
-        lines.append(acc.result() + "  ")
+        row_text = acc.result()
+        # the last nested soft-br merges with the outer row end (pbr is
+        # idempotent) — but a LITERAL <br>'s '  \n' was written immediately
+        # and stays (the row-end soft-br then adds its own '  ' line)
+        if row_text.endswith("  \n") and acc.trailing_soft:
+            row_text = row_text[:-3]
+        lines.append(row_text + "  ")
         carry_char, carry_stressed = acc.last_data_char, acc.preceding_stressed
-        if i == 0:
+        if i == 0 and not saw_nested[0]:
             lines.append("|".join(["---"] * max(cells, 1)) + "  ")
     return "\n".join(lines)
+
+
+def _direct_table_rows(t: Element) -> list[Element]:
+    return [r for _, r in _direct_table_rows_with_text(t)]
+
+
+def _direct_table_rows_with_text(t: Element) -> list[tuple[str, Element]]:
+    """(preceding_text, tr) pairs for THIS table only (nested tables are
+    not descended into); rows need at least one td/th child. The preceding
+    text (usually inter-row whitespace) matters: it flows through the
+    reference's handle_data between rows."""
+    rows: list[tuple[str, Element]] = []
+    pre: list[str] = []
+
+    def walk(node: Element):
+        for c in node.children:
+            if isinstance(c, str):
+                pre.append(c)
+                continue
+            if c.tag == "tr":
+                if any(
+                    isinstance(cc, Element) and cc.tag in ("td", "th")
+                    for cc in c.children
+                ):
+                    rows.append(("".join(pre), c))
+                    pre.clear()
+            elif c.tag in ("table", "caption"):
+                continue  # nested tables excluded; caption rendered separately
+            else:
+                walk(c)
+
+    walk(t)
+    return rows
 
 
 def _render_list(el: Element, depth: int, counter_start: int = 1) -> list[str]:
@@ -678,6 +769,17 @@ def dom_to_markdown(root: Element) -> str:
             pending = 1
         prev_kind = b.kind
     md = "".join(parts) + "\n"
+    # <abbr title=...> definitions collected across the document are dumped
+    # at the end (reference handle_tag abbr + o(force='end'))
+    abbrs: dict[str, str] = {}
+    for ab in root.find_all("abbr"):
+        title = ab.get("title")
+        if title:
+            key = _inline_text(ab).strip()
+            if key:
+                abbrs[key] = title
+    if abbrs:
+        md += "".join(f"  *[{k}]: {v}\n" for k, v in abbrs.items())
     md = md.replace("    ```", "```")  # parity fixup (strategy.py:214)
     # strip trailing spaces on the final line (reference end-of-doc behavior)
     md = re.sub(r"[ \t]+\n\Z", "\n", md)

@@ -206,6 +206,23 @@ def q_head_filters(sf_dir: str):
     )
 
 
+def q_url_seeder(sf_dir: str):
+    """AsyncUrlSeeder analogue (async_url_seeder.py): corpus-wide url
+    discovery with glob pattern + head peek + BM25 relevance filtering.
+    Threshold 1.8 sits in the verified gap of the deterministic score
+    distribution (2.509 for doc_id%3==0 pages vs 1.110 otherwise), so the
+    selected set — and the extracted titles — are SQL-reconstructable."""
+    from ..sources.seeder import seed_urls
+
+    return seed_urls(
+        sf_dir,
+        pattern="*.example.com/page/*",
+        extract_head=True,
+        query="summary synthetic",
+        score_threshold=1.8,
+    ).select_columns(["url", "title", "description"])
+
+
 def q_url_normalize(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
@@ -799,6 +816,7 @@ QUERIES = {
     "bfs_depth": q_bfs_depth,
     "robots_filter": q_robots_filter,
     "head_filters": q_head_filters,
+    "url_seeder": q_url_seeder,
     "url_normalize": q_url_normalize,
     "url_filter_pattern": q_url_filter_pattern,
     "url_scores": q_url_scores,
@@ -877,6 +895,14 @@ SELECT url,
        -- threshold (0.493 < 0.5 < 0.523 — verified score gaps)
        (host_id = 0 AND doc_id < 1000) AS seo_ok
 FROM purl
+""",
+    "url_seeder": f"""
+WITH {SQL_PAGES}
+SELECT url,
+       'Page ' || doc_id || ' — ' || host AS title,
+       'Synthetic page ' || doc_id || ' in lang ' || lang AS description
+FROM purl JOIN documents USING (doc_id)
+WHERE doc_id % 3 = 0
 """,
     "url_normalize": """
 SELECT doc_id,

@@ -142,3 +142,29 @@ def test_dispatcher_surface(ray_session):
     assert one and one["url"] == url_of(2)
     ds = d.run_urls([url_of(2), url_of(4)])
     assert ds.count() == 2
+
+
+def test_url_seeder(ray_session):
+    """AsyncUrlSeeder-analogue surface: pattern, domain, head peek, BM25
+    filter, max_urls cap (reference async_url_seeder.py semantics)."""
+    from crawl4ai_ray.sources.seeder import seed_urls
+
+    sf = "/root/testdata/sf0.001"
+    # plain discovery with glob
+    urls = seed_urls(sf, pattern="*/page/1*").to_pandas()
+    assert len(urls) > 0 and all("/page/1" in u for u in urls.url)
+    # domain restriction
+    d = seed_urls(sf, domain="site7.example.com").to_pandas()
+    assert len(d) > 0 and all("site7.example.com" in u for u in d.url)
+    # head extraction carries title/description
+    h = seed_urls(sf, pattern="*/page/42", extract_head=True).to_pandas()
+    assert h.title.iloc[0].startswith("Page 42")
+    assert "Synthetic page 42" in h.description.iloc[0]
+    # BM25 relevance filter keeps only %3 pages (summary meta present)
+    r = seed_urls(sf, query="summary synthetic", score_threshold=1.8).to_pandas()
+    ids = r.url.str.extract(r"/page/(\d+)")[0].astype(int)
+    assert len(r) > 0 and (ids % 3 == 0).all()
+    assert (r.relevance_score > 1.8).all()
+    # max_urls cap is deterministic (sorted)
+    capped = seed_urls(sf, max_urls=5).to_pandas()
+    assert list(capped.url) == sorted(capped.url) and len(capped) == 5

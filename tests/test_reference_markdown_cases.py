@@ -118,26 +118,41 @@ def test_corpus_pages_byte_parity(ref_md):
         assert html_to_markdown(html) == ref_md(html), f"doc {d}"
 
 
-def test_wikipedia_sample_near_parity(ref_md):
-    """Real-world 768 KB page: ≥99% of output lines byte-identical with the
-    reference converter at the pipeline seam (cleaned_html → markdown).
-    Remaining divergences are deep html2text internals (tables nested inside
-    table cells, links inside <code> spans) — ratchet this threshold up if
-    they get fixed, never down."""
+def test_wikipedia_sample_byte_parity(ref_md):
+    """Real-world 768 KB page, the reference's own test fixture: the FULL
+    document converts BYTE-IDENTICALLY at the pipeline seam (our
+    cleaned_html fed to both converters) — the north rule's per-url
+    byte-identity invariant demonstrated on real-world HTML, covering
+    nested tables in cells, radio-button menus, links in code spans, abbr
+    definition lists, automatic links and the converter's whitespace
+    quirks."""
     from crawl4ai_ray.html.markdown import generate_markdown
     from crawl4ai_ray.html.scrape import scrape_page
 
     html = open("/root/reference/tests/async/sample_wikipedia.html",
                 encoding="utf-8").read()
     r = scrape_page("https://en.wikipedia.org/wiki/Apple", html)
-    ours = generate_markdown(r["cleaned_root"])["raw_markdown"].splitlines()
-    theirs = ref_md(r["cleaned_html"]).splitlines()
+    ours = generate_markdown(r["cleaned_root"])["raw_markdown"]
+    theirs = ref_md(r["cleaned_html"])
+    assert ours == theirs
+
+
+def test_wikipedia_raw_html_near_parity(ref_md):
+    """Direct raw-html conversion (no cleaning): ≥98% line-identity — the
+    residual gap lives in page chrome (menus/forms) that the pipeline's
+    cleaning removes before markdown ever runs."""
     import difflib
 
+    from crawl4ai_ray.html.markdown import html_to_markdown
+
+    html = open("/root/reference/tests/async/sample_wikipedia.html",
+                encoding="utf-8").read()
+    ours = html_to_markdown(html).splitlines()
+    theirs = ref_md(html).splitlines()
     removed = sum(
         1
         for l in difflib.unified_diff(theirs, ours, lineterm="")
         if l.startswith("-") and not l.startswith("---")
     )
     identical = len(theirs) - removed
-    assert identical / len(theirs) >= 0.99, f"{identical}/{len(theirs)}"
+    assert identical / len(theirs) >= 0.98, f"{identical}/{len(theirs)}"
