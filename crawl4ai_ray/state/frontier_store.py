@@ -6,12 +6,12 @@ pending set as a driver-resident Arrow table — fine at wave ≤1e6, the
 scale-killer at the north rule's 10^10-URL frontier (r1 VERDICT #2). This
 store makes the frontier a first-class distributed object:
 
-- **Large frontiers** live as a ``ray.data.Dataset`` backed by spilled
-  parquet. Each wave is a distributed ``sort(keys).limit(budget)`` — the
-  driver only ever materializes the budget-bounded admitted slice. The
-  remainder is carried by a broadcast anti-join on the admitted urls
-  (``ray.put`` once, ``pc.is_in`` per batch) and then spilled back to
-  parquet, so the lazy lineage never grows beyond one wave.
+- **Large frontiers** live as a ``ray.data.Dataset``. Each wave runs ONE
+  distributed sort, materialized into ordered plasma blocks: the admitted
+  slice is the first ``budget`` rows (zero-copy gets, budget-bounded on
+  the driver) and the REMAINDER is the rest of those same blocks —
+  plasma-resident (spillable), flat lineage, never touching the driver.
+  Parquet spills happen only for checkpoint durability.
 - **Small frontiers** (≤ ``small_threshold`` rows) short-circuit to a
   driver-side Arrow ``sort_by`` — identical keys, identical total order
   (url_norm is unique, so the sort is a total order and both paths are
@@ -63,8 +63,15 @@ def empty_frontier() -> pa.Table:
     return FRONTIER_SCHEMA.empty_table()
 
 
+def _drop_negeff(tbl: pa.Table) -> pa.Table:
+    if "_negeff" in tbl.column_names:
+        return tbl.drop_columns(["_negeff"])
+    return tbl
+
+
 def _with_sort_key(tbl: pa.Table, wave: int, aging_rate: float) -> pa.Table:
     """Append the _negeff column = -(score + aging_rate * age)."""
+    tbl = _drop_negeff(tbl)
     score = tbl.column("score").to_numpy(zero_copy_only=False)
     if aging_rate:
         age = wave - tbl.column("enqueued_wave").to_numpy(zero_copy_only=False)
@@ -170,7 +177,11 @@ class FrontierStore:
 
     def _to_driver_mode(self) -> None:
         parts = [ray.get(r) for r in self._ds.to_arrow_refs()]
-        parts = [p.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA) for p in parts if p.num_rows]
+        parts = [
+            _drop_negeff(p).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+            for p in parts
+            if p.num_rows
+        ]
         self._table = pa.concat_tables(parts) if parts else empty_frontier()
         self._ds = None
 
@@ -193,18 +204,36 @@ class FrontierStore:
             self._count = self._table.num_rows
             return admitted
 
-        # Dataset path: distributed sort + limit; anti-join out the admitted
+        # Dataset path: ONE distributed sort, materialized; the admitted
+        # slice is the first `budget` rows across the ordered plasma blocks
+        # (zero-copy gets, budget-bounded on the driver) and the REMAINDER
+        # is the rest of those same blocks — no second execution, no
+        # anti-join scan, and the remainder never touches the driver.
         rate, w = self.aging_rate, wave
         keyed = self._ds.map_batches(
             lambda b: _with_sort_key(b, w, rate), batch_format="pyarrow"
         )
         keys = [k for k, _ in _SORT_SPECS[self.strategy]]
         desc = [d == "descending" for _, d in _SORT_SPECS[self.strategy]]
-        admitted_parts = [
-            ray.get(r)
-            for r in keyed.sort(keys, descending=desc).limit(budget).to_arrow_refs()
-        ]
-        admitted_parts = [p for p in admitted_parts if p.num_rows]
+        sorted_ds = keyed.sort(keys, descending=desc).materialize()
+        admitted_parts: list[pa.Table] = []
+        rem_refs = []
+        taken = 0
+        for ref in sorted_ds.to_arrow_refs():  # ordered blocks
+            if taken >= budget:
+                rem_refs.append(ref)
+                continue
+            tbl = ray.get(ref)  # zero-copy from plasma
+            if tbl.num_rows == 0:
+                continue
+            if taken + tbl.num_rows <= budget:
+                admitted_parts.append(tbl)
+                taken += tbl.num_rows
+            else:
+                k = budget - taken
+                admitted_parts.append(tbl.slice(0, k))
+                rem_refs.append(ray.put(tbl.slice(k).combine_chunks()))
+                taken = budget
         admitted = (
             pa.concat_tables(admitted_parts)
             if admitted_parts
@@ -213,10 +242,18 @@ class FrontierStore:
         # re-assert total order on the (budget-bounded) driver slice — block
         # order from to_arrow_refs is the sorted order, this is a cheap guard
         admitted = admitted.sort_by(_SORT_SPECS[self.strategy]).drop_columns(["_negeff"])
-        urls_ref = ray.put(admitted.column("url_norm").combine_chunks())
-        self._ds = self._ds.map_batches(
-            _make_not_in_urls(urls_ref), batch_format="pyarrow"
-        )
+        if rem_refs:
+            # remainder blocks stay plasma-resident (spillable); lineage is
+            # flat, so per-wave parquet spills are only needed for
+            # CHECKPOINT durability. The helper column drops lazily (one
+            # shallow map at the next consumption).
+            self._ds = ray.data.from_arrow_refs(rem_refs).map_batches(
+                _drop_negeff, batch_format="pyarrow"
+            )
+        else:
+            self._ds = ray.data.from_arrow(
+                _with_sort_key(empty_frontier(), w, rate)
+            )
         self._count -= admitted.num_rows
         return admitted
 
@@ -234,7 +271,7 @@ class FrontierStore:
                 return None
             shutil.rmtree(path, ignore_errors=True)
             os.makedirs(path, exist_ok=True)
-            self._ds.write_parquet(path)
+            self._ds.map_batches(_drop_negeff, batch_format="pyarrow").write_parquet(path)
             self._ds = ray.data.read_parquet(path)
             # refresh the exact count from the written files (cheap metadata)
             self._count = sum(
@@ -263,7 +300,11 @@ class FrontierStore:
         the wave loop (driver-bound by definition)."""
         if self._ds is not None:
             parts = [ray.get(r) for r in self._ds.to_arrow_refs()]
-            parts = [p.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA) for p in parts if p.num_rows]
+            parts = [
+                _drop_negeff(p).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+                for p in parts
+                if p.num_rows
+            ]
             tbl = pa.concat_tables(parts) if parts else empty_frontier()
         else:
             tbl = self._table
