@@ -374,6 +374,32 @@ def q_ann_topk_ivf(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_ann_topk_ivf_bucketed(sf_dir: str):
+    """IVF with bucket-pruned STORAGE: embeddings partitioned by centroid
+    once (deterministic layout under /tmp), queries read only probed
+    partitions. nprobe = all centroids here so the result is exact and the
+    brute-force SQL oracle applies; the bytes-scanned telemetry (logged)
+    demonstrates the pruning path at lower nprobe."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..stages.ann import ivf_topk_bucketed, partition_embeddings
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    slug = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    idx_dir = os.path.join(tempfile.gettempdir(), "c4r_ivf", slug)
+    if not os.path.exists(os.path.join(idx_dir, "_CENTROIDS.npy")):
+        partition_embeddings(emb, idx_dir, n_centroids=8)
+    qrows = sorted(
+        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+    out, telem = ivf_topk_bucketed(idx_dir, queries, qids, k=10, nprobe=8)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q_embedding_neardup(sf_dir: str):
     # tau sized to the synthetic embeddings' cosine range (max ≈ 0.48):
     # validates the machinery; real near-dup thresholds are corpus-specific
@@ -828,6 +854,7 @@ QUERIES = {
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_bucketed": q_ann_topk_ivf_bucketed,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "minhash_pairs": q_minhash_pairs,
@@ -1045,6 +1072,24 @@ SELECT url, TRUE AS success,
        CAST(6 + CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS INT) AS n_links,
        CAST(1 + CASE WHEN doc_id % 9 = 0 THEN 3 ELSE 0 END AS INT) AS n_images
 FROM purl
+""",
+    "ann_topk_ivf_bucketed": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 10
 """,
     "ann_topk_ivf": """
 WITH q AS (

