@@ -685,6 +685,33 @@ def q_events_window(sf_dir: str):
     return out.select_columns(["window_start", "event_type", "n_events"])
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate: 1 h windows every 30 min (each event in 2
+    windows). Oracle: UNION of the two window starts in SQL."""
+    from ..stages.windows import hopping_window_counts
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return hopping_window_counts(events, size_minutes=60, hop_minutes=30)
+
+
+def q_chunk_counts(sf_dir: str):
+    """SlidingWindowChunking over documents → chunks per doc (the chunking
+    strategy family's oracle surface: counts are pure token arithmetic)."""
+    from ..functions.extraction import SlidingWindowChunking
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    chunker = SlidingWindowChunking(window_size=100, step=50)
+
+    def count(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        n = [len(chunker.chunk(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": ids, "n_chunks": pa.array(n, pa.int64())})
+
+    return docs.map_batches(count, batch_format="pyarrow")
+
+
 def q_asof_orders(sf_dir: str):
     """As-of join: each event picks the customer's latest order at or
     before the event time (custom operator: union-tag → groupby(entity) →
@@ -871,6 +898,8 @@ QUERIES = {
     "cosine_sections": q_cosine_sections,
     "top_k_relevant": q_top_k_relevant,
     "events_window": q_events_window,
+    "events_hopping": q_events_hopping,
+    "chunk_counts": q_chunk_counts,
     "asof_orders": q_asof_orders,
     "events_props": q_events_props,
     "sessionize": q_sessionize,
@@ -1326,6 +1355,27 @@ FROM (
               ELSE 0 END AS new_sess
   FROM events
 )
+""",
+    "events_hopping": r"""
+WITH starts AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM events
+)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM starts GROUP BY 1, 2
+""",
+    "chunk_counts": r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN n = 0 THEN 0
+                 WHEN n <= 100 THEN 1
+                 ELSE (n - 100) // 50 + 1 END AS BIGINT) AS n_chunks
+FROM toks
 """,
     "events_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -188,3 +188,52 @@ def _rtype(ds, col):
 def _ltype(ds, col):
     sch = ds.schema()
     return sch.base_schema.field(col).type
+
+
+def hopping_window_counts(
+    events: "ray.data.Dataset",
+    size_minutes: int = 60,
+    hop_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> "ray.data.Dataset":
+    """Hopping (sliding) window aggregate: windows of ``size`` every
+    ``hop``; each event lands in size/hop windows. Assignment is a
+    vectorized per-batch explode (size/hop rows per event — the standard
+    hopping-window expansion); the only shuffle is the final groupby on
+    (window_start, key)."""
+    assert size_minutes % hop_minutes == 0, "size must be a multiple of hop"
+    k = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+        ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts_us // hop_us) * hop_us  # latest window start containing ts
+        keys = batch.column(key_col).to_pylist()
+        out_ws, out_key = [], []
+        for j in range(k):
+            out_ws.append(base - j * hop_us)
+            out_key.extend(keys)
+        import numpy as np
+
+        ws = np.concatenate(out_ws)
+        return pa.table(
+            {
+                "window_start": pa.array(ws, pa.int64()).cast(pa.timestamp("us")),
+                key_col: pa.array(out_key, pa.string()),
+            }
+        )
+
+    assigned = events.map_batches(assign, batch_format="pyarrow")
+    out = assigned.groupby(["window_start", key_col]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_events")
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_events"),
+            "n_events",
+            b.column("n_events").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )

@@ -73,3 +73,25 @@ def test_asof_join_backward(ray_session):
     import math
 
     assert math.isnan(got[3])  # uid 8 has no orders
+
+
+def test_hopping_window_counts(ray_session):
+    """Each event lands in exactly size/hop windows; totals match."""
+    import datetime as dt
+
+    import ray as _ray
+
+    from crawl4ai_ray.stages.windows import hopping_window_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"ts": base + dt.timedelta(minutes=m), "event_type": "a"}
+        for m in (0, 10, 29, 30, 31, 65)
+    ]
+    ds = _ray.data.from_items(rows)
+    out = hopping_window_counts(ds, size_minutes=60, hop_minutes=30).to_pandas()
+    assert out.n_events.sum() == 2 * len(rows)  # every event in 2 windows
+    by_ws = out.set_index("window_start").n_events.to_dict()
+    # window starting at 00:00 covers [00:00, 01:00): minutes 0,10,29,30,31
+    key = [k for k in by_ws if getattr(k, "minute", None) == 0 and k.hour == 0]
+    assert by_ws[key[0]] == 5
