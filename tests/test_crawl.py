@@ -223,3 +223,23 @@ def test_checkpoint_resume(ray_session, tmp_path):
     assert full.waves[0]["frontier_urls"] + resumed_urls == full_urls
     assert os.path.exists(os.path.join(out1, "wave=0000", "manifest.json"))
     assert os.path.exists(os.path.join(out1, "wave=0000", "docs"))
+
+
+def test_checkpoint_resume_dataset_mode_and_strategies(ray_session, tmp_path):
+    """Resume parity holds when the frontier runs in Dataset mode (directory
+    pending.parquet checkpoints) and for dfs / best_first orderings."""
+    for strategy in ("dfs", "best_first"):
+        cfg_kw = dict(max_depth=2, seen_shards=2, strategy=strategy,
+                      frontier_small_threshold=10)
+        full = crawl(SF, seeds=SEEDS, cfg=CrawlConfig(**cfg_kw),
+                     out_dir=str(tmp_path / f"full_{strategy}"))
+        assert any(w["frontier_dataset_mode"] for w in full.waves), strategy
+
+        out2 = str(tmp_path / f"cut_{strategy}")
+        w0 = full.waves[0]["frontier_size"]
+        crawl(SF, seeds=SEEDS, cfg=CrawlConfig(max_pages=w0, **cfg_kw),
+              out_dir=out2)
+        resumed = resume_crawl(SF, CrawlConfig(**cfg_kw), out2)
+        full_urls = [u for w in full.waves for u in w["frontier_urls"]]
+        resumed_urls = [u for w in resumed.waves for u in w["frontier_urls"]]
+        assert full.waves[0]["frontier_urls"] + resumed_urls == full_urls, strategy
