@@ -34,7 +34,6 @@ import shutil
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -88,19 +87,6 @@ def sort_frontier(tbl: pa.Table, strategy: str, wave: int = 0, aging_rate: float
     keyed = _with_sort_key(tbl, wave, aging_rate)
     out = keyed.sort_by(_SORT_SPECS[strategy])
     return out.drop_columns(["_negeff"])
-
-
-def _make_not_in_urls(urls_ref):
-    """Plain-function map_batches UDF: drop rows whose url_norm is in the
-    broadcast set. The value set is a plasma Arrow array — zero-copy per
-    task, no actor-pool spin-up per wave."""
-
-    def not_in_urls(batch: pa.Table) -> pa.Table:
-        value_set = ray.get(urls_ref)
-        mask = pc.is_in(batch.column("url_norm"), value_set=value_set)
-        return batch.filter(pc.invert(mask))
-
-    return not_in_urls
 
 
 class FrontierStore:
