@@ -109,6 +109,22 @@ def fast_urljoin(base: str, url: str) -> str:
 _SKIP_TAGS = frozenset({"script", "style", "head"})
 
 _LIST_TAGS = ("ul", "ol")
+_BLOCKISH = frozenset(
+    {"div", "p", "ul", "ol", "table", "pre", "blockquote", "hr", "dl",
+     "h1", "h2", "h3", "h4", "h5", "h6"}
+)
+
+
+def _has_block_descendant(el) -> bool:
+    stack = list(el.children)
+    while stack:
+        c = stack.pop()
+        if isinstance(c, str):
+            continue
+        if c.tag in _BLOCKISH:
+            return True
+        stack.extend(c.children)
+    return False
 
 
 _MD_CHARS_RE = re.compile(r"([\\\[\]()])")
@@ -283,8 +299,8 @@ def _render_inline_into(acc: _Inline, el: Element):
                 acc.raw(f"`{inner}`")
                 acc.data_seen(inner)
         elif tag == "a":
-            href = c.get("href", "") or ""
-            if not href or href.startswith("mailto:"):
+            href = c.get("href")  # None = attribute absent; "" renders [x]()
+            if href is None or href.startswith("mailto:"):
                 # ignore_mailto_links: text kept, link dropped — content
                 # flows through the normal data pipeline
                 _render_inline_into(acc, c)
@@ -607,6 +623,14 @@ def _render_list(el: Element, depth: int, counter_start: int = 1) -> list[str]:
     return lines
 
 
+def _wrap_list_of(li: Element) -> Element:
+    """Wrap an orphan li in a synthetic ul for _render_list (depth -1 →
+    zero indent, matching the reference's empty list stack)."""
+    w = Element("ul")
+    w.children = [li]
+    return w
+
+
 def _wrap(c: Element) -> Element:
     w = Element("[doc]")
     w.children = [c]
@@ -645,8 +669,8 @@ def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0,
         if tag in _HEADINGS:
             flush_inline()
             bset()
-            txt = _inline_text(c).strip()
-            if txt:
+            txt = _inline_text(c).lstrip()
+            if txt.strip():
                 blocks.append(_Block("#" * _HEADINGS[tag] + " " + txt))
             bset()
         elif tag == "p":
@@ -686,14 +710,18 @@ def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0,
             blocks.append(_Block("* * *"))
         elif tag == "dl":
             flush_inline()
-            lines = []
+            parts_dl: list[str] = []
             for dc in c.children:
                 if isinstance(dc, Element) and dc.tag == "dt":
-                    lines.append(_inline_text(dc).strip())
+                    # every dt is preceded by a literal blank line (the
+                    # reference resets p_p at dl start and o('\n\n')s
+                    # before each term)
+                    parts_dl.append("\n\n" + _inline_text(dc).lstrip())
                 elif isinstance(dc, Element) and dc.tag == "dd":
-                    lines.append("    " + _inline_text(dc).strip())
-            if lines:
-                blocks.append(_Block("\n".join(lines)))
+                    inner = _link_inner_text(dc)  # leading ws materializes
+                    parts_dl.append("    " + inner)
+            if parts_dl:
+                blocks.append(_Block("\n".join(parts_dl), kind="dl"))
         elif tag == "div":
             # div is a block element (the reference's p() fires on both
             # boundaries)
@@ -702,13 +730,26 @@ def _render_blocks(el: Element, blocks: list[_Block], quote_depth: int = 0,
             _render_blocks(c, blocks, quote_depth, acc)
             flush_inline()
             bset()
+        elif tag == "li":
+            # orphan <li> (no list ancestor): the reference renders it as a
+            # bare '* item' line (ListElement('ul', 0), empty indent)
+            flush_inline()
+            item = _render_list(_wrap_list_of(c), -1)
+            if item:
+                blocks.append(_Block("\n".join(item)))
         elif tag in ("section", "article", "main", "header", "footer",
                      "nav", "aside", "figure", "figcaption", "address",
                      "fieldset", "body", "html", "center", "details",
-                     "summary", "li", "td", "th", "tr", "tbody", "thead",
+                     "summary", "td", "th", "tr", "tbody", "thead",
                      "tfoot", "form"):
             # transparent containers: no p() in the reference — content
             # flows through the SAME accumulator (space flags survive)
+            _render_blocks(c, blocks, quote_depth, acc)
+        elif tag != "a" and _has_block_descendant(c):
+            # (links keep their content inline — the reference suppresses
+            # p() inside an open link, astack check)
+            # inline wrapper (span/…) CONTAINING block elements: divs/ps
+            # inside still fire p() in the reference — recurse block-wise
             _render_blocks(c, blocks, quote_depth, acc)
         else:
             # inline element at block level: accumulate
@@ -751,6 +792,9 @@ def dom_to_markdown(root: Element) -> str:
             emit = 0
         elif b.kind in ("pre", "table", "inline"):
             emit = pending  # no p() on start for these
+        elif b.kind == "dl":
+            emit = 0  # dl start DISCARDS pending (p_p reset); each dt
+            # carries its own literal '\n\n'""")
         else:
             emit = max(pending, 1)
         parts.append("\n" * emit)

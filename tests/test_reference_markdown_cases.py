@@ -156,3 +156,41 @@ def test_wikipedia_raw_html_near_parity(ref_md):
     )
     identical = len(theirs) - removed
     assert identical / len(theirs) >= 0.98, f"{identical}/{len(theirs)}"
+
+
+def test_reference_html_sweep(ref_md):
+    """Every .html file in the reference repo through both converters at
+    the pipeline seam: ≥17 of ~25 files byte-identical, aggregate
+    line-identity ≥97%. (The stragglers are template fragments and site
+    chrome — jinja text, form menus — not article content.) Ratchet up."""
+    import difflib
+    import glob
+
+    from crawl4ai_ray.html.markdown import generate_markdown
+    from crawl4ai_ray.html.scrape import scrape_page
+
+    files = sorted(glob.glob("/root/reference/**/*.html", recursive=True))
+    exact = 0
+    ident_lines = 0
+    total_lines = 0
+    for f in files:
+        html = open(f, encoding="utf-8", errors="replace").read()
+        if len(html) > 2_000_000:
+            continue
+        r = scrape_page("https://example.com/x", html)
+        ours = generate_markdown(r["cleaned_root"])["raw_markdown"]
+        theirs = ref_md(r["cleaned_html"])
+        t = theirs.splitlines()
+        total_lines += len(t)
+        if ours == theirs:
+            exact += 1
+            ident_lines += len(t)
+            continue
+        rem = sum(
+            1
+            for l in difflib.unified_diff(t, ours.splitlines(), lineterm="")
+            if l.startswith("-") and not l.startswith("---")
+        )
+        ident_lines += len(t) - rem
+    assert exact >= 17, exact
+    assert ident_lines / max(total_lines, 1) >= 0.97, (ident_lines, total_lines)
