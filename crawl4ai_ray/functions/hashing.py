@@ -14,6 +14,10 @@ Spec (HASH_SPEC = "fnv1a64-seeded-v1"):
     h0     = 0xcbf29ce484222325 XOR (seed * 0x100000001b3 mod 2^64)
     h_i+1  = (h_i XOR byte_i) * 0x100000001b3   (mod 2^64)
 over the utf-8 bytes of the string. seed=42 everywhere in the engine.
+Second family (hash64_alt, the high half of 128-bit seen keys):
+    hash64_alt(s, seed) = hash64(s, seed XOR 0x7f4a7c15)
+Both derivations are frozen; hash64 AND hash64_alt outputs are pinned
+exactly in tests/test_state.py.
 
 All partitioning keys and Bloom probes in the engine go through these
 functions so every stage — and every *run*, on any node, under any library
@@ -100,16 +104,33 @@ def fnv1a64_py(s: str, seed: int = HASH_SEED) -> int:
 
 
 def _blake64(s: str, seed: int) -> int:
-    """Secondary independent 64-bit hash (collision arbitration in the
-    URL-seen exact store — see state/seen.py)."""
+    """Truly independent (cryptographic) 64-bit hash. NOT used in persisted
+    keys — state/seen.py uses the vectorized hash64/hash64_alt pair for
+    speed; this per-string kernel is kept for spot-check tooling and tests
+    that want an unrelated hash family."""
     h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little"))
     return int.from_bytes(h.digest(), "little")
 
 
+#: Frozen seed derivation for the second FNV family (part of HASH_SPEC):
+#:     alt_seed = seed XOR 0x7F4A7C15
+#: Historical note: this constant is the low 32 bits of the golden ratio
+#: 0x9E3779B97F4A7C15 — an early version wrote ``seed ^ GOLDEN & 0xFFFFFFFF``
+#: which parses as ``seed ^ (GOLDEN & 0xFFFFFFFF)`` (``&`` binds tighter than
+#: ``^``). The derived value is what every persisted 128-bit seen key and
+#: checkpoint dump already contains, so it is now pinned DELIBERATELY as the
+#: explicit literal below (round-2 ADVICE). Changing it is a HASH_SPEC bump.
+ALT_SEED_XOR = 0x7F4A7C15
+
+
 def hash64_alt(strings, seed: int = HASH_SEED) -> np.ndarray:
-    """Second, independent seeded hash family (different basis rotation) for
-    128-bit combined keys. Same stability guarantees as hash64."""
-    return hash64(strings, seed=seed ^ 0x9E3779B97F4A7C15 & 0xFFFFFFFF)
+    """Second seeded FNV-1a-64 family (initial basis derived via
+    ``seed ^ ALT_SEED_XOR``) for 128-bit combined keys. Same stability
+    guarantees as hash64; the derivation is part of the frozen spec and its
+    output is pinned in tests. Note the two families share the FNV multiplier
+    and differ only in initial basis — they are NOT independent ideal hashes
+    (see state/seen.py for what that means for the collision bound)."""
+    return hash64(strings, seed=seed ^ ALT_SEED_XOR)
 
 
 def md5_hex(strings) -> list[str]:

@@ -106,8 +106,21 @@ def _ensure_bucketed(sf_dir: str, cfg: CrawlConfig) -> str:
         tempfile.gettempdir(), "c4r_buckets", f"{slug}_b{num_buckets}"
     )
     if not os.path.exists(os.path.join(out, "_BUCKETS")):
+        # build into a private temp dir and atomically rename into place:
+        # two concurrent crawls can otherwise both pass the check and
+        # double-write bucket files (duplicated corpus rows — r2 ADVICE).
+        # The loser of the rename race discards its build.
+        parent = os.path.join(tempfile.gettempdir(), "c4r_buckets")
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{slug}_b{num_buckets}.build.", dir=parent)
         pages = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-        partition_corpus(pages, out, num_buckets)
+        partition_corpus(pages, tmp, num_buckets)
+        try:
+            os.rename(tmp, out)
+        except OSError:  # somebody else won; their layout is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

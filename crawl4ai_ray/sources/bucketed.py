@@ -94,11 +94,23 @@ def make_fetch_filter(meta_ref, hooks: FetchHooks | None = None):
     """Plain-function map_batches UDF: pages ⋉ frontier via one pyarrow hash
     join per batch against the plasma-resident (zero-copy) meta table."""
 
+    class _HookError(Exception):
+        """Wraps an exception raised by a USER hook — only these trigger the
+        documented on_error/skip-batch contract. Engine bugs (join/cast/
+        schema failures) must still fail loudly, not vanish as dropped
+        batches (round-2 ADVICE)."""
+
+    def _call_hook(fn, *args):
+        try:
+            return fn(*args)
+        except Exception as exc:  # noqa: BLE001 — hook contract boundary
+            raise _HookError() from exc
+
     def fetch_filter(batch: pa.Table) -> pa.Table:
         urls = batch.column("url")
         try:
             if hooks is not None and hooks.before_request is not None:
-                keep = hooks.before_request(urls.to_pylist())
+                keep = _call_hook(hooks.before_request, urls.to_pylist())
                 if keep is not None:
                     mask = pa.compute.is_in(
                         urls, value_set=pa.array(sorted(set(keep)), pa.string())
@@ -110,13 +122,14 @@ def make_fetch_filter(meta_ref, hooks: FetchHooks | None = None):
             )
             out = joined.select(FETCH_SCHEMA.names).cast(FETCH_SCHEMA)
             if hooks is not None and hooks.after_request is not None:
-                out = hooks.after_request(out)
+                out = _call_hook(hooks.after_request, out)
             return out
-        except Exception as exc:  # noqa: BLE001 — hook contract
+        except _HookError as werr:
+            exc = werr.__cause__
             if hooks is not None and hooks.on_error is not None:
                 hooks.on_error(urls.to_pylist(), exc)
                 return FETCH_SCHEMA.empty_table()
-            raise
+            raise exc from None
 
     return fetch_filter
 

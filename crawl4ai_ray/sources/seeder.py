@@ -87,7 +87,15 @@ def seed_urls(
                     out = {k: [v[j] for j in sel] for k, v in out.items()}
                     scores = [scores[j] for j in sel]
                 out["relevance_score"] = scores
-        return pa.table(out)
+        # explicit types: a batch where nothing matches must NOT emit
+        # null-typed columns (schema mismatch across blocks — round-2 ADVICE)
+        types = {
+            "url": pa.string(),
+            "title": pa.string(),
+            "description": pa.string(),
+            "relevance_score": pa.float64(),
+        }
+        return pa.table({k: pa.array(v, types[k]) for k, v in out.items()})
 
     ds = pages.map_batches(process, batch_format="pyarrow")
     if max_urls and max_urls > 0:

@@ -7,13 +7,19 @@ The reference keeps one in-process ``visited: Set[str]`` per deep crawl
 
 - a BloomFilter over the shard's primary key hashes (answers "definitely
   new" without touching the exact store), and
-- an exact store keyed on a **128-bit combined key** — two independent
-  seeded FNV-1a-64 families (functions/hashing.hash64 / hash64_alt) — that
+- an exact store keyed on a **128-bit combined key** — two seeded
+  FNV-1a-64 families (functions/hashing.hash64 / hash64_alt) — that
   arbitrates Bloom positives.
 
-Collision bound: with 128-bit keys the birthday expectation at the north
-rule's 10^10 urls is ~(10^10)^2 / 2^129 ≈ 1.5e-19 conflations — negligible,
-unlike the handful expected from a single 64-bit key (round-1 ADVICE). We
+Collision bound: for two INDEPENDENT ideal 64-bit hashes the birthday
+expectation at the north rule's 10^10 urls would be ~(10^10)^2 / 2^129 ≈
+1.5e-19 conflations. Our two families share the FNV multiplier and differ
+only in initial basis (hash64_alt seed derivation, hashing.ALT_SEED_XOR), so
+they are NOT provably independent and that figure is a heuristic, not a
+guarantee — no structural correlation is known for FNV-1a under distinct
+bases, but none is proven absent either (round-2 ADVICE). The practical
+claim: far fewer conflations than the handful expected from a single 64-bit
+key, at 16 bytes/url. We
 store 16 bytes/url instead of full url strings (10^10 urls ≈ 160 GB across
 the cluster, spillable; the Bloom keeps the common negative probe cheap).
 This is "exact up to 128-bit collisions"; byte-exact string arbitration

@@ -55,10 +55,23 @@ def test_hash64_matches_pinned_spec():
     assert list(got) == [fnv1a64_py(s) for s in cases]
     # pinned value: if this changes, every persisted artifact breaks
     assert int(hash64(["https://example.com/"])[0]) == fnv1a64_py("https://example.com/")
+    # EXACT literal pins (not derived): persisted artifacts carry these
+    assert int(hash64(["https://example.com/path?q=1"])[0]) == 2276084662989381247
+    assert int(hash64([""])[0]) == 14696009626648994939
     # arrow input (sliced, offset ≠ 0) hashes identically
     arr = pa.array(["pad"] + cases).slice(1)
     assert list(hash64(arr)) == list(got)
-    # second family is independent
+    # second family: derivation is frozen (seed ^ ALT_SEED_XOR) and its
+    # output is pinned EXACTLY (round-2 ADVICE — a "fix" to the seed
+    # derivation must trip this, not silently change persisted 128-bit keys)
+    from crawl4ai_ray.functions.hashing import ALT_SEED_XOR, HASH_SEED
+
+    assert ALT_SEED_XOR == 0x7F4A7C15
+    assert list(hash64_alt(cases)) == [
+        fnv1a64_py(s, seed=HASH_SEED ^ ALT_SEED_XOR) for s in cases
+    ]
+    assert int(hash64_alt(["https://example.com/path?q=1"])[0]) == 2289636238017913144
+    assert int(hash64_alt([""])[0]) == 9335578559163612200
     assert not (hash64_alt(cases) == got).any()
 
 
