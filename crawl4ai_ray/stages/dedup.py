@@ -214,11 +214,203 @@ def verify_pairs(
     shingle: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_buckets: int = 32,
+    broadcast_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Exact verification of candidate (a, b) pairs — the second half of the
-    standard candidate→verify dedup pipeline. Two hash joins ship each
-    candidate pair its two texts (only candidate rows move, never the
-    corpus), then a vectorized map_batches computes the exact metric:
+    standard candidate→verify dedup pipeline — via sketch-carrying
+    union+groupby (NO Dataset.join: the r2 join-based verify shuffled the
+    full docs table twice and cost ~47 s of fixed overhead at sf0.01; see
+    verify_pairs_join for the retained fallback).
+
+    Plan (2 bucketed groupby shuffles, both over hash(key) % num_buckets —
+    never one scheduling unit per doc or per pair):
+
+    1. docs → (key, sketch) rows: sketch = sorted unique ``shingle``-gram
+       hashes (mode='jaccard') or the 128-bit content hash (mode='equal').
+       When the candidate-pair count is small (≤ broadcast_threshold) the
+       candidate id set is broadcast via ray.put and non-candidate docs are
+       dropped map-side BEFORE the shuffle; above it, all sketches shuffle
+       once (still strictly less data motion than the two doc-shuffling
+       joins it replaces).
+       pairs → two half rows (key=a / key=b).
+       groupby(bucket(key)) attaches each key's sketch to its halves.
+    2. groupby(bucket(a,b)) brings the two sketch-bearing halves of each
+       pair together and computes the exact metric:
+       - mode='jaccard': exact ``shingle``-gram Jaccard ≥ tau
+       - mode='equal':   identical text (up to 128-bit content-hash
+         collision, probability ~2^-128·|pairs| — negligible)
+
+    Output: distinct (a, b) with a < b.
+    """
+    from ..functions.hashing import hash64, hash64_alt
+
+    pairs = pairs.materialize()  # consumed twice (count guard + halves)
+    n_pairs = pairs.count()
+    cand_ref = None
+    if n_pairs <= broadcast_threshold:
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in pairs.to_arrow_refs()]
+        ) if n_pairs else pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())})
+        cand_ids = np.unique(
+            np.concatenate(
+                [
+                    tbl.column("a").to_numpy(zero_copy_only=False),
+                    tbl.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+            if n_pairs
+            else np.zeros(0, np.int64)
+        )
+        cand_ref = ray.put(cand_ids)
+
+    mh = None if mode == "equal" else MinHasher(num_perm=1, shingle=shingle)
+    sketch_type = pa.list_(pa.uint64())
+
+    def doc_sketches(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col)
+        if cand_ref is not None:
+            cand = ray.get(cand_ref)  # zero-copy numpy from plasma
+            keep = np.isin(ids, cand)
+            ids = ids[keep]
+            texts = texts.filter(pa.array(keep))
+        if mode == "equal":
+            ch1 = hash64(texts)
+            ch2 = hash64_alt(texts)
+            sketches = [[int(ch1[i]), int(ch2[i])] for i in range(len(ids))]
+        else:
+            sketches = [
+                mh.shingle_hashes(t).tolist() for t in texts.to_pylist()
+            ]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (ids.astype(np.uint64) % num_buckets).astype(np.int64)
+                ),
+                "key": pa.array(ids, pa.int64()),
+                "a": pa.nulls(len(ids), pa.int64()),
+                "b": pa.nulls(len(ids), pa.int64()),
+                "sketch": pa.array(sketches, sketch_type),
+            }
+        )
+
+    def pair_halves(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
+        aa = np.concatenate([a, a])
+        bb = np.concatenate([b, b])
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (key.astype(np.uint64) % num_buckets).astype(np.int64)
+                ),
+                "key": pa.array(key, pa.int64()),
+                "a": pa.array(aa, pa.int64()),
+                "b": pa.array(bb, pa.int64()),
+                "sketch": pa.nulls(len(key), sketch_type),
+            }
+        )
+
+    sk = docs.select_columns([id_col, text_col]).map_batches(
+        doc_sketches, batch_format="pyarrow"
+    )
+    hv = pairs.map_batches(pair_halves, batch_format="pyarrow")
+
+    def attach(group: pa.Table) -> pa.Table:
+        """One call per hash bucket (NOT per doc): dict of the bucket's
+        sketches, then a pass over the bucket's pair halves."""
+        is_doc = pa.compute.is_null(group.column("a"))
+        drows = group.filter(is_doc)
+        prows = group.filter(pa.compute.invert(is_doc))
+        smap = dict(
+            zip(drows.column("key").to_pylist(), drows.column("sketch").to_pylist())
+        )
+        keys = prows.column("key").to_pylist()
+        a = prows.column("a").to_pylist()
+        b = prows.column("b").to_pylist()
+        out_a, out_b, out_half, out_sketch = [], [], [], []
+        for k, ai, bi in zip(keys, a, b):
+            s = smap.get(k)
+            if s is None:
+                continue
+            out_a.append(ai)
+            out_b.append(bi)
+            out_half.append(0 if k == ai else 1)
+            out_sketch.append(s)
+        pkey = (
+            np.asarray(out_a, np.uint64) * np.uint64(1_000_003)
+            + np.asarray(out_b, np.uint64)
+        ) % np.uint64(num_buckets) if out_a else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                "pbucket": pa.array(pkey.astype(np.int64)),
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "half": pa.array(out_half, pa.int32()),
+                "sketch": pa.array(out_sketch, sketch_type),
+            }
+        )
+
+    def judge(group: pa.Table) -> pa.Table:
+        """One call per pair bucket: sort by (a, b, half); each pair's two
+        halves are adjacent; exact metric per pair."""
+        idx = pa.compute.sort_indices(
+            group, sort_keys=[("a", "ascending"), ("b", "ascending"), ("half", "ascending")]
+        )
+        g = group.take(idx)
+        a = g.column("a").to_pylist()
+        b = g.column("b").to_pylist()
+        half = g.column("half").to_pylist()
+        sketches = g.column("sketch").to_pylist()
+        out_a, out_b = [], []
+        i = 0
+        while i + 1 < len(a):
+            if a[i] == a[i + 1] and b[i] == b[i + 1] and half[i] == 0 and half[i + 1] == 1:
+                sa, sb = sketches[i], sketches[i + 1]
+                if mode == "equal":
+                    ok = sa == sb
+                else:
+                    xa = np.asarray(sa, np.uint64)
+                    xb = np.asarray(sb, np.uint64)
+                    if len(xa) == 0 and len(xb) == 0:
+                        ok = True
+                    else:
+                        inter = len(np.intersect1d(xa, xb, assume_unique=True))
+                        ok = inter / (len(xa) + len(xb) - inter) >= tau
+                if ok:
+                    out_a.append(a[i])
+                    out_b.append(b[i])
+                i += 2
+            else:  # orphan half (partner doc missing) — drop
+                i += 1
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+        )
+
+    attached = sk.union(hv).groupby("bucket").map_groups(
+        attach, batch_format="pyarrow"
+    )
+    return attached.groupby("pbucket").map_groups(judge, batch_format="pyarrow")
+
+
+def verify_pairs_join(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    mode: str = "jaccard",
+    tau: float = 0.9,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Join-based fallback verify (the r2 implementation): two hash joins
+    ship each candidate pair its two texts, then a vectorized map_batches
+    computes the exact metric. Use when sketches would be larger than the
+    texts themselves (pathologically shingle-dense docs); otherwise prefer
+    verify_pairs (2 bucketed groupbys, ~an order of magnitude less fixed
+    overhead and one less full-docs shuffle).
 
     - mode='jaccard': keep pairs with exact ``shingle``-gram Jaccard ≥ tau
     - mode='equal':   keep byte-identical texts (strict exact-dup check)
@@ -231,8 +423,14 @@ def verify_pairs(
     tb = docs.select_columns([id_col, text_col]).rename_columns(
         {id_col: "b", text_col: "text_b"}
     )
-    j = pairs.join(ta, join_type="inner", num_partitions=8, on=("a",))
-    j = j.join(tb, join_type="inner", num_partitions=8, on=("b",))
+    # Ray 2.49's chained Dataset.join crashes when a shuffle partition of the
+    # first join's output is EMPTY (the empty block loses its schema and the
+    # second join can't find its key) — size partitions to the candidate
+    # count so tiny pair sets don't fan out into empty partitions.
+    pairs = pairs.materialize()
+    nparts = max(1, min(8, pairs.count() // 64))
+    j = pairs.join(ta, join_type="inner", num_partitions=nparts, on=("a",))
+    j = j.join(tb, join_type="inner", num_partitions=nparts, on=("b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         a_ids = batch.column("a").to_pylist()

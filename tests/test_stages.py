@@ -81,6 +81,35 @@ def test_minhash_finds_near_dups(ray_session):
     assert (2, 3) not in got
 
 
+def test_verify_pairs_sketch_union(ray_session):
+    """Sketch-carrying union+groupby verify (no Dataset.join): keeps exactly
+    the candidates that pass the exact metric; both modes; matches the
+    retained join-based fallback."""
+    near_a = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    near_b = near_a + "iota"
+    texts = [near_a, near_b, "totally different words " * 12, near_a]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1, 2, 3], "text": texts})
+    )
+    # candidates include one true near-dup, one false candidate, one exact dup
+    cands = ray.data.from_arrow(
+        pa.table({"a": pa.array([0, 0, 0], pa.int64()),
+                  "b": pa.array([1, 2, 3], pa.int64())})
+    )
+    got = dedup.verify_pairs(cands, docs, mode="jaccard", tau=0.8).to_pandas()
+    assert set(map(tuple, got[["a", "b"]].itertuples(index=False))) == {(0, 1), (0, 3)}
+    got_eq = dedup.verify_pairs(cands, docs, mode="equal").to_pandas()
+    assert set(map(tuple, got_eq[["a", "b"]].itertuples(index=False))) == {(0, 3)}
+    # parity with the join fallback
+    old = dedup.verify_pairs_join(cands, docs, mode="jaccard", tau=0.8).to_pandas()
+    assert set(map(tuple, old[["a", "b"]].itertuples(index=False))) == {(0, 1), (0, 3)}
+    # empty candidate set → empty result, not an error
+    empty = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    assert dedup.verify_pairs(empty, docs, mode="jaccard").count() == 0
+
+
 def test_ngram_jaccard():
     a = "one two three four five six seven"
     assert dedup.ngram_jaccard(a, a) == 1.0
