@@ -66,24 +66,51 @@ def sessionize(
     id_col: str = "event_id",
 ) -> "ray.data.Dataset":
     """Session windows: per user, a new session starts when the gap to the
-    previous event exceeds ``gap_minutes``. One groupby(user) shuffle, then
-    vectorized pandas (sort → diff → cumsum) per group. Output:
-    (event_id, user_id, session_idx) with session_idx 1-based per user.
-    Deterministic tie-break: (ts, event_id)."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    previous event exceeds ``gap_minutes``. Output: (event_id, user_id,
+    session_idx) with session_idx 1-based per user. Deterministic tie-break:
+    (ts, event_id).
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([ts_col, id_col], kind="mergesort")
-        new_sess = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
+    Bucketed like asof_join (r1/r2 VERDICT): ONE groupby on hash(user) % P
+    — P scheduling units per shuffle, not |users| — then a single fully
+    vectorized pass per bucket (sort by (user, ts, id) → user-change/gap
+    breaks → cumsum rebased at each user's first row). At 10⁹ users the
+    per-group scheduling overhead of a groupby(user) would dominate; this
+    stays O(P) groups at any user count."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+    num_buckets = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (u.astype(np.uint64) % num_buckets).astype(np.int64)
+                ),
+                id_col: batch.column(id_col),
+                user_col: batch.column(user_col),
+                ts_col: batch.column(ts_col),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        new_user = g[user_col].ne(g[user_col].shift())
+        new_sess = new_user | (g[ts_col].diff() > gap)
+        cs = new_sess.cumsum()
+        base = cs.where(new_user).ffill()  # cumsum at each user's first row
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
                 user_col: g[user_col].to_numpy(),
-                "session_idx": new_sess.cumsum().astype("int64").to_numpy(),
+                "session_idx": (cs - base + 1).astype("int64").to_numpy(),
             }
         )
 
-    return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def asof_join(
