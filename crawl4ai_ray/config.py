@@ -85,6 +85,10 @@ class CrawlConfig:
     scrape_concurrency: int | None = None
     # checkpointing
     checkpoint_dir: str | None = None
+    # debug/conformance only: also embed the wave's full URL list in
+    # manifest.json (normally the JSON carries only a count + the
+    # frontier.parquet pointer so it stays O(1) in wave size)
+    manifest_debug_urls: bool = False
     # frontier-scale fetch: when set, waves read only the hash buckets the
     # frontier touches (sources/bucketed.py) instead of broadcast-scanning
     # the whole corpus
