@@ -17,6 +17,16 @@ def test_run_single(ray_session):
     assert doc["success"] and doc["url"] == url_of(3)
     assert "# Page 3" in doc["markdown"]
     assert crawler.run("https://nowhere.example.com/x") is None
+    # point lookup, not a corpus scan: only the url's hash bucket is read
+    assert crawler.last_lookup_bytes is not None
+    assert 0 < crawler.last_lookup_bytes < crawler._bucketed.total_bytes
+    # parity with the scan fallback (Dataset corpus, no layout)
+    from crawl4ai_ray.sources.pages import read_pages
+
+    scan = RayWebCrawler(read_pages(SF, columns=["url", "html"]))
+    doc2 = scan.run(url_of(3))
+    assert scan.last_lookup_bytes is None
+    assert doc2 == doc
 
 
 def test_run_many_subset(ray_session):
