@@ -16,6 +16,21 @@ TABLE_SCORE_THRESHOLD = 7
 # Tags always removed before cleaning (content_scraping_strategy.py:621-623)
 REMOVE_TAGS = ("script", "style", "link", "meta", "noscript", "head")
 
+# Well-known social domains excluded when exclude_social_media_links is on
+# (reference config.py:74-85; extended per-run via
+# ScrapeConfig.exclude_social_media_domains)
+SOCIAL_MEDIA_DOMAINS = (
+    "facebook.com",
+    "twitter.com",
+    "x.com",
+    "linkedin.com",
+    "instagram.com",
+    "pinterest.com",
+    "tiktok.com",
+    "snapchat.com",
+    "reddit.com",
+)
+
 
 @dataclass
 class ScrapeConfig:
@@ -26,6 +41,15 @@ class ScrapeConfig:
     excluded_classes: tuple = ()  # elements with any of these classes dropped
     exclude_external_links: bool = False
     exclude_internal_links: bool = False
+    # domain-level link exclusion (async_configs.py:1090-1094): external
+    # links (and images) whose base domain is in exclude_domains are removed
+    # from the tree AND the links list (content_scraping_strategy.py:
+    # 1155-1163, 1180-1192); exclude_social_media_links additionally folds
+    # SOCIAL_MEDIA_DOMAINS + exclude_social_media_domains into that set
+    # (ibid:1677-1683)
+    exclude_social_media_links: bool = False
+    exclude_social_media_domains: tuple = ()
+    exclude_domains: tuple = ()
     exclude_external_images: bool = False
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD
     table_score_threshold: int = TABLE_SCORE_THRESHOLD

@@ -380,6 +380,16 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
     links_internal: list[dict] = []
     links_external: list[dict] = []
     seen_hrefs: set[str] = set()
+    # effective excluded-domain set (content_scraping_strategy.py:1677-1683):
+    # exclude_domains ∪ (SOCIAL_MEDIA_DOMAINS ∪ exclude_social_media_domains
+    # when exclude_social_media_links)
+    excl_domains = set(cfg.exclude_domains)
+    if cfg.exclude_social_media_links:
+        from ..config import SOCIAL_MEDIA_DOMAINS
+
+        excl_domains |= set(SOCIAL_MEDIA_DOMAINS) | set(
+            cfg.exclude_social_media_domains
+        )
     for a in body.find_all("a"):
         href = a.get("href")
         if not href:
@@ -412,8 +422,16 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
             )
             rec["total_score"] = calculate_total_score(rec["intrinsic_score"], None)
         if is_external_url(resolved, base_domain):
-            if not cfg.exclude_external_links:
-                links_external.append(rec)
+            # external links carry their own base domain
+            # (content_scraping_strategy.py:1154-1156)
+            link_base_domain = get_base_domain(resolved)
+            rec["base_domain"] = link_base_domain
+            if cfg.exclude_external_links or link_base_domain in excl_domains:
+                # the reference removes the node, so the link disappears
+                # from cleaned_html/markdown too (ibid:1158-1162)
+                a.detach()
+                continue
+            links_external.append(rec)
         elif not cfg.exclude_internal_links:
             links_internal.append(rec)
 
@@ -421,6 +439,11 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
     images: list[dict] = []
     imgs = body.find_all("img")
     for i, img in enumerate(imgs):
+        # excluded-domain images are removed like links
+        # (content_scraping_strategy.py:1180-1192)
+        if excl_domains and get_base_domain(img.get("src") or "") in excl_domains:
+            img.detach()
+            continue
         variants = process_image(img, i, len(imgs), cfg)
         if variants:
             if cfg.exclude_external_images:

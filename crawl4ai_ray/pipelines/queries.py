@@ -132,6 +132,45 @@ def q_link_graph_edges(sf_dir: str):
     return edges.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
 
 
+def q_link_graph_edges_excluded(sf_dir: str):
+    """Edges over internal ∪ EXTERNAL links under domain exclusion
+    (ScrapeConfig.exclude_domains + exclude_social_media_links,
+    async_configs.py:1090-1094): every synthetic page carries exactly one
+    external link to www.external-site.org, which the exclusion removes, so
+    the result must equal the internal-only edge oracle — proving the knobs
+    drop exactly the excluded domain's links and nothing else (if the knob
+    silently broke, the external edges would appear and the hash would
+    mismatch)."""
+    from ..config import ScrapeConfig
+
+    cfg = ScrapeConfig(
+        exclude_social_media_links=True,
+        exclude_domains=("external-site.org",),
+    )
+    docs = extract_pipeline(sf_dir, cfg=cfg).select_columns(
+        ["url", "links_internal", "links_external"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for src, li, le in zip(
+            batch.column("url").to_pylist(),
+            batch.column("links_internal").to_pylist(),
+            batch.column("links_external").to_pylist(),
+        ):
+            for link in list(li) + list(le):
+                key = normalize_url_for_deep_crawl(link["href"], src)
+                if key and key.startswith(("http://", "https://")):
+                    srcs.append(src)
+                    dsts.append(key)
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        )
+
+    edges = docs.map_batches(explode, batch_format="pyarrow")
+    return edges.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+
+
 def q_bfs_depth(sf_dir: str):
     cfg = CrawlConfig(max_depth=3, seen_shards=4)
     run = crawl(sf_dir, seeds=[url_of(0), url_of(1), url_of(2)], cfg=cfg)
@@ -871,6 +910,7 @@ QUERIES = {
     "pages_per_host": q_pages_per_host,
     "top_hosts": q_top_hosts,
     "link_graph_edges": q_link_graph_edges,
+    "link_graph_edges_excluded": q_link_graph_edges_excluded,
     "bfs_depth": q_bfs_depth,
     "robots_filter": q_robots_filter,
     "head_filters": q_head_filters,
@@ -926,6 +966,10 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM purl
 GROUP BY host ORDER BY n_pages DESC, host LIMIT 5
 """,
     "link_graph_edges": f"""
+WITH {SQL_PAGES}, {SQL_EDGES}
+SELECT src, dst FROM edges
+""",
+    "link_graph_edges_excluded": f"""
 WITH {SQL_PAGES}, {SQL_EDGES}
 SELECT src, dst FROM edges
 """,

@@ -184,3 +184,59 @@ def test_scrape_scoping_knobs():
     assert "framed words" in r["text"]
     r = scrape_page(u, ihtml, ScrapeConfig(process_iframes=False))
     assert "framed words" not in r["text"]
+
+
+def test_link_exclusion_knobs():
+    """exclude_domains / exclude_social_media_links remove matching external
+    links (and images) from BOTH the links list and the cleaned tree
+    (content_scraping_strategy.py:1155-1192, async_configs.py:1090-1094)."""
+    u = "https://x.example.com/p"
+    html = (
+        "<body><p>main text here</p>"
+        '<p><a href="https://www.facebook.com/share">fb share</a></p>'
+        '<p><a href="https://tracker.adnet.io/px">ad link</a></p>'
+        '<p><a href="https://ok.partner.org/x">partner link</a></p>'
+        '<p><a href="/local">local link</a></p>'
+        '<img src="https://tracker.adnet.io/pix.png" alt="pixel image here">'
+        "</body>"
+    )
+    # no knobs: all three external links present
+    r = scrape_page(u, html, ScrapeConfig())
+    ext = {l["href"] for l in r["links_external"]}
+    assert ext == {
+        "https://www.facebook.com/share",
+        "https://tracker.adnet.io/px",
+        "https://ok.partner.org/x",
+    }
+    # external links carry their own base domain
+    domains = {l["href"]: l["base_domain"] for l in r["links_external"]}
+    assert domains["https://www.facebook.com/share"] == "facebook.com"
+
+    r = scrape_page(
+        u,
+        html,
+        ScrapeConfig(
+            exclude_social_media_links=True,
+            exclude_domains=("adnet.io",),
+        ),
+    )
+    ext = {l["href"] for l in r["links_external"]}
+    assert ext == {"https://ok.partner.org/x"}  # fb (social) + adnet gone
+    assert {l["href"] for l in r["links_internal"]} == {"https://x.example.com/local"}
+    # removed from the cleaned tree too (markdown/cleaned_html parity)
+    assert "fb share" not in r["cleaned_html"]
+    assert "ad link" not in r["cleaned_html"]
+    assert "partner link" in r["cleaned_html"]
+    # excluded-domain image removed
+    assert all("adnet.io" not in (i.get("src") or "") for i in r["images"])
+
+    # user extension of the social list
+    r = scrape_page(
+        u,
+        html,
+        ScrapeConfig(
+            exclude_social_media_links=True,
+            exclude_social_media_domains=("partner.org",),
+        ),
+    )
+    assert {l["href"] for l in r["links_external"]} == {"https://tracker.adnet.io/px"}
