@@ -676,6 +676,29 @@ def q_regex_extract(sf_dir: str):
     )
 
 
+def q_adaptive_embedding(sf_dir: str):
+    """Embedding-strategy adaptive crawl (adaptive_crawler.py:593-960
+    analogue): deterministic query expansion → distributed best-cosine
+    coverage updates → gap-steered best-first waves. Deterministic output;
+    oracle = pinned golden (iterative algorithm, not SQL-expressible)."""
+    from .adaptive import adaptive_crawl
+
+    res = adaptive_crawl(
+        sf_dir, [url_of(0)], query="table scan merge join",
+        max_waves=4, wave_size=8, max_pages=32, strategy="embedding",
+    )
+    return pa.table(
+        {
+            "wave": pa.array([w["wave"] for w in res.waves], pa.int64()),
+            "pages": pa.array([w["pages"] for w in res.waves], pa.int64()),
+            "gaps": pa.array([w["gaps"] for w in res.waves], pa.int64()),
+            "confidence": pa.array(
+                [round(w["confidence"], 9) for w in res.waves], pa.float64()
+            ),
+        }
+    )
+
+
 def q_cosine_sections(sf_dir: str):
     """Cosine-cluster section extraction (rows-only: stub embedder)."""
     from ..stages.embed import cosine_sections
@@ -938,6 +961,7 @@ QUERIES = {
     "politeness_budget": q_politeness_budget,
     "link_preview": q_link_preview,
     "adaptive_crawl": q_adaptive_crawl,
+    "adaptive_embedding": q_adaptive_embedding,
     "schema_extract": q_schema_extract,
     "regex_extract": q_regex_extract,
     "cosine_sections": q_cosine_sections,

@@ -50,6 +50,32 @@ def test_adaptive_confidence_stops(ray_session):
     assert confs[-1] >= confs[0]
 
 
+def test_adaptive_embedding_strategy(ray_session):
+    """Embedding strategy: coverage confidence from distributed best-cosine
+    updates, gap-steered frontier, deterministic across runs; the
+    'irrelevant' early-stop fires on a nonsense query."""
+    from crawl4ai_ray.pipelines.adaptive import adaptive_crawl
+    from crawl4ai_ray.sources.pages import url_of
+
+    kw = dict(max_waves=3, wave_size=8, max_pages=24, strategy="embedding")
+    res = adaptive_crawl(SF, [url_of(0)], query="table scan merge join", **kw)
+    assert res.stopped_reason in ("confidence", "budget", "frontier_exhausted")
+    assert res.pages_crawled > 0
+    assert 0.0 <= res.confidence <= 1.0
+    assert "val_confidence" in res.metrics
+    confs = [w["confidence"] for w in res.waves]
+    assert confs[-1] >= confs[0]  # running max ⇒ monotone
+    assert all("gaps" in w and "coverage" in w for w in res.waves)
+    # deterministic end to end
+    res2 = adaptive_crawl(SF, [url_of(0)], query="table scan merge join", **kw)
+    assert [w["confidence"] for w in res2.waves] == confs
+    assert res2.stopped_reason == res.stopped_reason
+    # unrelated query → min-confidence early stop after wave 1
+    bad = adaptive_crawl(SF, [url_of(0)], query="zzqx qqzz xxqq", **kw)
+    assert bad.stopped_reason == "irrelevant"
+    assert len(bad.waves) == 1
+
+
 def test_entry_contract(ray_session):
     import importlib.util
     import sys
