@@ -519,10 +519,34 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
+    """Winnowing fingerprints, exploded to one row per kept window hash
+    (doc_id, idx, fp). Hash-valued → oracle = pinned golden (generated and
+    independently recomputed in pure python by
+    scripts/gen_golden_oracles.py)."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return docs.map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+    fps = docs.map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, vals = [], [], []
+        for i, fp in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("fingerprint").to_pylist(),
+        ):
+            for j, v in enumerate(fp):
+                ids.append(i)
+                idxs.append(j)
+                vals.append(v)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "idx": pa.array(idxs, pa.int64()),
+                "fp": pa.array(vals, pa.uint64()),
+            }
+        )
+
+    return fps.map_batches(explode, batch_format="pyarrow")
 
 
 def q_fingerprint_dups(sf_dir: str):
@@ -818,8 +842,11 @@ def q_asof_orders(sf_dir: str):
 
 
 def q_fit_markdown(sf_dir: str):
-    """Content-filtered fit_markdown over the corpus (PruningContentFilter;
-    rows-only: heuristic scores aren't SQL-expressible)."""
+    """Content-filtered fit_markdown over the corpus (PruningContentFilter).
+    Output = (url, n_fit_chars, fit_md5): the md5 pins the full fit text
+    byte-for-byte while keeping the oracle row compact. Heuristic scores
+    aren't SQL-expressible → oracle = pinned golden
+    (scripts/gen_golden_oracles.py)."""
     from ..functions.content_filter import PruningContentFilter, fit_markdown
 
     pages = _pages_ds(sf_dir, columns=["url", "html"])
@@ -831,15 +858,19 @@ def q_fit_markdown(sf_dir: str):
         def __call__(self, batch: pa.Table) -> pa.Table:
             from ..html.dom import decode_html
 
+            import hashlib
+
             urls = batch.column("url").to_pylist()
-            out = []
+            out, digests = [], []
             for h in batch.column("html").to_pylist():
                 md, _ = fit_markdown(decode_html(h), self.filt)
                 out.append(len(md))
+                digests.append(hashlib.md5(md.encode("utf-8")).hexdigest())
             return pa.table(
                 {
                     "url": pa.array(urls, pa.string()),
                     "n_fit_chars": pa.array(out, pa.int64()),
+                    "fit_md5": pa.array(digests, pa.string()),
                 }
             )
 
@@ -1477,3 +1508,15 @@ SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
 }
+
+# Pinned sf0.01 golden oracles for the non-SQL-expressible queries
+# (hash-valued / iterative / heuristic): deterministic output captured as
+# literal VALUES tables by scripts/gen_golden_oracles.py, with an
+# independent pure-python recompute where possible (fingerprints). The
+# driver's correctness gate runs at sf=0.01, which these pins target.
+try:
+    from .golden_sf001 import GOLDEN_SQL as _GOLDEN_SQL
+
+    ORACLES.update(_GOLDEN_SQL)
+except ImportError:  # pragma: no cover — before first generation
+    pass

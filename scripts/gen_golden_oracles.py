@@ -1,0 +1,179 @@
+"""Generate pinned-golden DuckDB oracles for the non-SQL-expressible
+queries (r2 VERDICT #6): fingerprints, cosine_sections, fit_markdown,
+adaptive_crawl, adaptive_embedding.
+
+These five are deterministic but not reconstructable in SQL (hash-valued /
+iterative / heuristic). The driver's correctness gate compares each query
+against its oracle SQL at sf=0.01, so we pin the query's own deterministic
+output as a literal VALUES table — converting "runs" into "checked":
+any regression in the engine (hashing, winnowing, stub embedder, pruning
+filter, adaptive loop) flips the hash compare.
+
+The pin is NOT a blind self-snapshot where an independent check is
+possible:
+
+- fingerprints are recomputed here in PURE PYTHON (fnv1a64_py + a scalar
+  rolling-hash winnowing loop — none of the vectorized numpy path) and
+  asserted equal before pinning;
+- every query is run TWICE and asserted deterministic;
+- the generated module records the sf0.01 documents-table fingerprint so a
+  regenerated corpus is detectable.
+
+Run from the repo root:  python scripts/gen_golden_oracles.py
+Writes crawl4ai_ray/pipelines/golden_sf001.py (committed).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import hashlib
+
+import pyarrow as pa
+
+import ray
+
+SF = "/root/testdata/sf0.01"
+GOLDEN_NAMES = [
+    "fingerprints",
+    "cosine_sections",
+    "fit_markdown",
+    "adaptive_crawl",
+    "adaptive_embedding",
+]
+
+
+def fingerprints_pure_python(sf_dir: str) -> list[tuple[int, int, int]]:
+    """Independent scalar reimplementation of stages/textstats.py
+    fingerprint_batch (winnowing: token fnv hashes → rolling polynomial
+    window hashes → keep 8 smallest, sorted)."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.functions.hashing import fnv1a64_py
+
+    mask = (1 << 64) - 1
+    base = 1_000_003
+    window = 8
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        tokens = text.split()
+        if len(tokens) < window:
+            fp = [fnv1a64_py(" ".join(tokens))] if tokens else [0]
+        else:
+            th = [fnv1a64_py(t) for t in tokens]
+            acc = []
+            for i in range(len(th) - window + 1):
+                h = 0
+                for j in range(window):
+                    h = (h * base + th[i + j]) & mask
+                acc.append(h)
+            fp = sorted(sorted(acc)[:8])
+        for j, v in enumerate(fp):
+            rows.append((int(doc_id), j, int(v)))
+    return rows
+
+
+def sql_literal(v, typ: pa.DataType) -> str:
+    if v is None:
+        return f"CAST(NULL AS {duck_type(typ)})"
+    if pa.types.is_string(typ):
+        return "'" + str(v).replace("'", "''") + "'"
+    if pa.types.is_floating(typ):
+        return repr(float(v))  # 17 sig digits → bit-exact double round-trip
+    return str(int(v))
+
+
+def duck_type(typ: pa.DataType) -> str:
+    if pa.types.is_uint64(typ):
+        return "UBIGINT"
+    if pa.types.is_int64(typ):
+        return "BIGINT"
+    if pa.types.is_int32(typ):
+        return "INTEGER"
+    if pa.types.is_floating(typ):
+        return "DOUBLE"
+    if pa.types.is_string(typ):
+        return "VARCHAR"
+    raise TypeError(f"unsupported golden column type {typ}")
+
+
+def table_to_values_sql(tbl: pa.Table) -> str:
+    cols = tbl.column_names
+    types = [tbl.schema.field(c).type for c in cols]
+    lines = []
+    for row in zip(*[tbl.column(c).to_pylist() for c in cols]):
+        lines.append(
+            "(" + ", ".join(sql_literal(v, t) for v, t in zip(row, types)) + ")"
+        )
+    select = ", ".join(
+        f"CAST({c} AS {duck_type(t)}) AS {c}" for c, t in zip(cols, types)
+    )
+    return (
+        f"SELECT {select} FROM (VALUES\n"
+        + ",\n".join(lines)
+        + f"\n) AS golden({', '.join(cols)})"
+    )
+
+
+def main() -> None:
+    ray.init(address="local", num_cpus=16, include_dashboard=False)
+    from crawl4ai_ray.pipelines.queries import QUERIES
+
+    goldens: dict[str, str] = {}
+    for name in GOLDEN_NAMES:
+        print(f"== {name}")
+        t1 = QUERIES[name](SF)
+        t1 = t1 if isinstance(t1, pa.Table) else pa.Table.from_pandas(t1.to_pandas())
+        t2 = QUERIES[name](SF)
+        t2 = t2 if isinstance(t2, pa.Table) else pa.Table.from_pandas(t2.to_pandas())
+        key = t1.column_names
+        import pandas as pd
+
+        d1 = t1.to_pandas().sort_values(key).reset_index(drop=True)
+        d2 = t2.to_pandas().sort_values(key).reset_index(drop=True)
+        assert d1.equals(d2), f"{name} is NOT deterministic — refusing to pin"
+        if name == "fingerprints":
+            want = sorted(fingerprints_pure_python(SF))
+            got = sorted(
+                zip(d1["doc_id"].tolist(), d1["idx"].tolist(), d1["fp"].tolist())
+            )
+            assert [
+                (int(a), int(b), int(c)) for a, b, c in got
+            ] == want, "fingerprints: vectorized path != pure-python recompute"
+            print(f"   pure-python recompute OK ({len(want)} rows)")
+        goldens[name] = table_to_values_sql(
+            pa.Table.from_pandas(d1, preserve_index=False).cast(
+                pa.schema([t1.schema.field(c) for c in key])
+            )
+        )
+        print(f"   pinned {t1.num_rows} rows")
+
+    docs_md5 = hashlib.md5(open(f"{SF}/documents.parquet", "rb").read()).hexdigest()
+    out = ["'''AUTO-GENERATED by scripts/gen_golden_oracles.py — do not edit."]
+    out.append("")
+    out.append("Pinned sf0.01 golden oracles for the non-SQL-expressible queries")
+    out.append("(deterministic output captured as literal VALUES tables; the")
+    out.append("fingerprints rows were independently recomputed in pure python")
+    out.append("before pinning — see the generator script for the protocol).")
+    out.append(f"Input pin: md5(documents.parquet @ sf0.01) = {docs_md5}")
+    out.append("'''")
+    out.append("")
+    out.append("GOLDEN_SQL = {")
+    for name, sql in goldens.items():
+        out.append(f'    "{name}": """')
+        out.append(sql.replace("\\", "\\\\"))
+        out.append('""",')
+    out.append("}")
+    with open("crawl4ai_ray/pipelines/golden_sf001.py", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("wrote crawl4ai_ray/pipelines/golden_sf001.py")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
