@@ -6,10 +6,11 @@ options the reference pipeline uses (markdown_generation_strategy.py:181-214)
 and assert our generator produces byte-identical output. This replaces the
 round-1 self-referential golden snapshots with proven parity (r1 VERDICT #3).
 
-Known, documented divergences (not asserted): empty emphasis ('<em></em>'),
-<li> outside a list, lists nested inside blockquotes, adjacent <pre><pre>,
-<ul></ul> (reference emits a stray blank line), named &nbsp; hard-space
-placement. None occur in cleaned real-page content.
+Known, documented divergences (not asserted): <li> outside a list, lists
+nested inside blockquotes, adjacent <pre><pre>, <ul></ul> (reference emits
+a stray blank line), named &nbsp; hard-space placement. None occur in
+cleaned real-page content. (Round 3 closed the former empty-emphasis
+divergence — fused markers + next-chunk strip are now replicated.)
 """
 
 import importlib.util
@@ -160,9 +161,10 @@ def test_wikipedia_raw_html_near_parity(ref_md):
 
 def test_reference_html_sweep(ref_md):
     """Every .html file in the reference repo through both converters at
-    the pipeline seam: ≥17 of ~25 files byte-identical, aggregate
-    line-identity ≥97%. (The stragglers are template fragments and site
-    chrome — jinja text, form menus — not article content.) Ratchet up."""
+    the pipeline seam: ALL ~25 files byte-identical (round 3 closed the
+    long tail: heading leading/trailing spaces, empty emphasis, adjacent
+    text-node chunking, dl token stream + space-flag flushes, headings
+    with block children, link-wrapped headings, list stray text)."""
     import difflib
     import glob
 
@@ -192,5 +194,5 @@ def test_reference_html_sweep(ref_md):
             if l.startswith("-") and not l.startswith("---")
         )
         ident_lines += len(t) - rem
-    assert exact >= 17, exact
-    assert ident_lines / max(total_lines, 1) >= 0.97, (ident_lines, total_lines)
+    assert exact == len([f for f in files if len(open(f, encoding="utf-8", errors="replace").read()) <= 2_000_000]), exact
+    assert ident_lines / max(total_lines, 1) >= 0.999, (ident_lines, total_lines)
