@@ -551,12 +551,12 @@ def q_fingerprints(sf_dir: str):
 
 def q_fingerprint_dups(sf_dir: str):
     """Exact-dup pairs via winnowing-fingerprint candidates (docs sharing a
-    kept window-hash) + byte-equality verification, planted identical
-    copies. Identical token streams keep identical window minima → 100%
-    recall; equality verify → exactly the planted pairs."""
+    kept window-hash) with FUSED in-bucket equality verification (content
+    hash rides in the bucket rows — no verify shuffle at all), planted
+    identical copies. Identical token streams keep identical window minima
+    → 100% recall; equality verify → exactly the planted pairs."""
     dup, _ = _docs_with_exact_copies(sf_dir)
-    cands = dedup.fingerprint_candidate_pairs(dup)
-    return dedup.verify_pairs(cands, dup, mode="equal")
+    return dedup.fingerprint_dup_pairs_fused(dup)
 
 
 def q_lang_id(sf_dir: str):

@@ -491,6 +491,114 @@ def fingerprint_candidate_pairs(
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
+def fingerprint_dup_pairs_fused(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> "ray.data.Dataset":
+    """Exact-dup pairs via winnowing-fingerprint buckets with IN-BUCKET
+    equality verification: the 128-bit content hash rides inside the
+    exploded (fp, id) rows, so the candidate→verify hop costs NO extra
+    shuffle — one fp groupby plus the final distinct, versus the composed
+    fingerprint_candidate_pairs → verify_pairs form's two more bucketed
+    groupbys (r2 VERDICT #1 follow-up; equality is exact up to a 128-bit
+    content-hash collision, ~2^-128 per pair).
+
+    Semantics match the composed form exactly: within a bucket all
+    hash-equal pairs fire; hot buckets (> max_bucket members) fall back to
+    star pairs around the min id, equality-filtered."""
+    from ..functions.hashing import hash64, hash64_alt
+    from .textstats import fingerprint_batch
+
+    def explode(batch: pa.Table) -> pa.Table:
+        fpb = fingerprint_batch(
+            batch.rename_columns({id_col: "doc_id", text_col: "text"})
+            if (id_col, text_col) != ("doc_id", "text")
+            else batch
+        )
+        texts = batch.column(text_col)
+        c1 = hash64(texts)
+        c2 = hash64_alt(texts)
+        ids, vals, o1, o2 = [], [], [], []
+        for i, (d, fp) in enumerate(
+            zip(fpb.column("doc_id").to_pylist(), fpb.column("fingerprint").to_pylist())
+        ):
+            for v in fp:
+                ids.append(d)
+                vals.append(v)
+                o1.append(int(c1[i]))
+                o2.append(int(c2[i]))
+        return pa.table(
+            {
+                "fp": pa.array(vals, pa.uint64()),
+                "id": pa.array(ids, pa.int64()),
+                "c1": pa.array(o1, pa.uint64()),
+                "c2": pa.array(o2, pa.uint64()),
+            }
+        )
+
+    def equal_pairs_part(group: pa.Table) -> pa.Table:
+        """One call per HASH PARTITION (hash(fp) % P — P scheduling units,
+        not one per distinct fp value): sort by (fp, c1, c2, id), emit all
+        pairs within each equal-(fp, hash) run; fp buckets larger than
+        max_bucket fall back to star pairs around the min id."""
+        fp = group.column("fp").to_numpy(zero_copy_only=False)
+        ids = np.asarray(group.column("id").to_pylist(), np.int64)
+        c1 = group.column("c1").to_numpy(zero_copy_only=False)
+        c2 = group.column("c2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, c2, c1, fp))
+        fp, ids, c1, c2 = fp[order], ids[order], c1[order], c2[order]
+        n = len(ids)
+        a_out, b_out = [], []
+        # fp-bucket boundaries
+        fb = np.nonzero(np.diff(fp))[0] + 1
+        starts = np.concatenate([[0], fb])
+        ends = np.concatenate([fb, [n]])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > max_bucket:  # hot fp bucket: star around min id
+                r = s + int(np.argmin(ids[s:e]))
+                eq = (c1[s:e] == c1[r]) & (c2[s:e] == c2[r]) & (ids[s:e] != ids[r])
+                for j in np.nonzero(eq)[0] + s:
+                    a_out.append(int(min(ids[r], ids[j])))
+                    b_out.append(int(max(ids[r], ids[j])))
+                continue
+            # equal-(c1, c2) runs within the fp bucket (sorted)
+            k = s
+            while k < e:
+                m = k + 1
+                while m < e and c1[m] == c1[k] and c2[m] == c2[k]:
+                    m += 1
+                run = ids[k:m]
+                for x in range(len(run)):
+                    for y in range(x + 1, len(run)):
+                        if run[x] != run[y]:
+                            a_out.append(int(min(run[x], run[y])))
+                            b_out.append(int(max(run[x], run[y])))
+                k = m
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
+
+    num_parts = 32
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (
+            batch.column("fp").to_numpy(zero_copy_only=False) % num_parts
+        ).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(equal_pairs_part, batch_format="pyarrow")
+    )
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     """Exact n-gram Jaccard similarity (verification kernel)."""
     mh = MinHasher(num_perm=1, shingle=shingle)
