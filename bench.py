@@ -170,8 +170,15 @@ def run_scaling():
             GRAFT_REPLICATE=str(replicate),
             GRAFT_BENCH_REPS="3",
         )
+        # pin affinity to exactly `cpus` cores: ray.init(num_cpus=N) only
+        # caps Ray's task slots — pyarrow's internal thread pools (parquet
+        # read/write, compute kernels) would otherwise leak the full
+        # machine into the "small cluster" run and understate efficiency
+        cmd = [sys.executable, __file__, "--headline-only"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "--headline-only"],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -134,12 +134,21 @@ def asof_join(
 
     num_partitions = max(1, num_partitions)
 
+    # resolve schemas ONCE on the driver: closing over the Datasets and
+    # calling .schema() inside the batch UDFs serialized the Dataset handle
+    # into every task and made driver round-trips PER BATCH (~40 s of the
+    # 58 s asof_orders wall time at sf0.01 — r3 profiling)
+    rtypes = {c: _rtype(right, c) for c in right_value_cols}
+    left_names = list(left.schema().names)
+    ltypes = {
+        c: _ltype(left, c) for c in left_names if c not in (by_left, ts_left)
+    }
+
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         entity = batch.column(by_left).cast(pa.int64())
         bucket = pa.array(
-            (entity.to_numpy(zero_copy_only=False) % num_partitions).tolist(),
-            pa.int64(),
+            (entity.to_numpy(zero_copy_only=False) % num_partitions).astype("int64")
         )
         cols = {
             "bucket": bucket,
@@ -148,7 +157,7 @@ def asof_join(
             "side": pa.array(["L"] * n, pa.string()),
         }
         for c in right_value_cols:
-            cols[c] = pa.nulls(n, _rtype(right, c))
+            cols[c] = pa.nulls(n, rtypes[c])
         for c in batch.column_names:
             if c not in (by_left, ts_left):
                 cols[f"l_{c}"] = batch.column(c)
@@ -158,8 +167,7 @@ def asof_join(
         n = batch.num_rows
         entity = batch.column(by_right).cast(pa.int64())
         bucket = pa.array(
-            (entity.to_numpy(zero_copy_only=False) % num_partitions).tolist(),
-            pa.int64(),
+            (entity.to_numpy(zero_copy_only=False) % num_partitions).astype("int64")
         )
         cols = {
             "bucket": bucket,
@@ -169,13 +177,8 @@ def asof_join(
         }
         for c in right_value_cols:
             cols[c] = batch.column(c)
-        left_extra = [
-            f"l_{c}"
-            for c in left.schema().names
-            if c not in (by_left, ts_left)
-        ]
-        for name in left_extra:
-            cols[name] = pa.nulls(n, _ltype(left, name[2:]))
+        for c, typ in ltypes.items():
+            cols[f"l_{c}"] = pa.nulls(n, typ)
         return pa.table(cols)
 
     lt = left.map_batches(tag_left, batch_format="pyarrow")
