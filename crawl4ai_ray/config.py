@@ -51,6 +51,20 @@ class ScrapeConfig:
     exclude_social_media_domains: tuple = ()
     exclude_domains: tuple = ()
     exclude_external_images: bool = False
+    # remove every <img> before any processing (content_scraping_strategy.py:
+    # 878-882 bs4 / :1615-1619 lxml: "early removal ... to minimize memory")
+    exclude_all_images: bool = False
+    # drop <form> subtrees during cleaning, before their links are collected
+    # (content_scraping_strategy.py:760-762, :1223-1225)
+    remove_forms: bool = False
+    # parity knob: the reference's lxml parser keeps HTML comments unless
+    # remove_comments is set (content_scraping_strategy.py:1622-1626); our
+    # tokenizer never emits comment nodes, so comments are ALWAYS removed —
+    # the knob is accepted (and validated in tests) but is a no-op.
+    remove_comments: bool = False
+    # extra attributes preserved alongside IMPORTANT_ATTRS in cleaned_html
+    # (content_scraping_strategy.py:795 keep_attrs)
+    keep_attrs: tuple = ()
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD
     table_score_threshold: int = TABLE_SCORE_THRESHOLD
     image_description_min_words: int = 1

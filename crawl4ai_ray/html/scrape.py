@@ -297,7 +297,9 @@ def _clean_tree(el: Element, cfg: ScrapeConfig) -> bool:
     el.attrs = {
         k: v
         for k, v in el.attrs.items()
-        if k in IMPORTANT_ATTRS or (cfg.keep_data_attributes and k.startswith("data-"))
+        if k in IMPORTANT_ATTRS
+        or k in cfg.keep_attrs
+        or (cfg.keep_data_attributes and k.startswith("data-"))
     }
     if el.tag in ("a", "img", "br", "hr") or el.tag == "[doc]":
         return True
@@ -331,6 +333,18 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
     base_domain = get_base_domain(url)
 
     body = root.find("body") or root
+
+    # early removal of all images (content_scraping_strategy.py:878-882):
+    # before links/media/cleaning so no <img> reaches any output
+    if cfg.exclude_all_images:
+        for img in body.find_all("img"):
+            img.detach()
+    # forms go before the link pass: the reference decomposes <form> during
+    # the same traversal that collects links, so links inside forms never
+    # surface (content_scraping_strategy.py:760-762)
+    if cfg.remove_forms:
+        for form in body.find_all("form"):
+            form.detach()
 
     # --- scoping knobs (CrawlerRunConfig parity, async_configs.py:850-905)
     if cfg.excluded_selector:

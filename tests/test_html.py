@@ -240,3 +240,59 @@ def test_link_exclusion_knobs():
         ),
     )
     assert {l["href"] for l in r["links_external"]} == {"https://tracker.adnet.io/px"}
+
+
+def test_exclude_all_images():
+    """exclude_all_images removes every <img> before ANY processing
+    (content_scraping_strategy.py:878-882): media list empty, no <img> in
+    cleaned_html, internal images gone too."""
+    html = (
+        '<body><img src="/local.png" alt="big" width="300" height="300">'
+        '<img src="https://cdn.other.org/i.png" alt="big" width="300" height="300">'
+        "<p>context words around the images here</p></body>"
+    )
+    base = scrape_page(URL, html)
+    assert len(base["images"]) == 2
+    r = scrape_page(URL, html, ScrapeConfig(exclude_all_images=True))
+    assert r["images"] == []
+    assert "<img" not in r["cleaned_html"]
+    assert "context words" in r["cleaned_html"]
+
+
+def test_remove_forms():
+    """remove_forms drops <form> subtrees before the link pass, so links
+    inside forms never surface (content_scraping_strategy.py:760-762)."""
+    html = (
+        '<body><form action="/search"><input name="q">'
+        '<a href="/form-link">inside form</a></form>'
+        '<a href="/outside">real link with words</a><p>body words here</p></body>'
+    )
+    base = scrape_page(URL, html)
+    assert any("form-link" in l["href"] for l in base["links_internal"])
+    r = scrape_page(URL, html, ScrapeConfig(remove_forms=True))
+    hrefs = [l["href"] for l in r["links_internal"]]
+    assert not any("form-link" in h for h in hrefs)
+    assert any("outside" in h for h in hrefs)
+    assert "<form" not in r["cleaned_html"]
+
+
+def test_remove_comments_always_on():
+    """Our tokenizer never emits comment nodes, so comments are removed with
+    OR without the knob — the knob exists for CrawlerRunConfig parity
+    (content_scraping_strategy.py:1622-1626)."""
+    html = "<body><p>visible words <!-- hidden secret --> more text</p></body>"
+    for cfg in (ScrapeConfig(), ScrapeConfig(remove_comments=True)):
+        r = scrape_page(URL, html, cfg)
+        assert "hidden secret" not in r["cleaned_html"]
+        assert "visible words" in r["text"]
+
+
+def test_keep_attrs():
+    """keep_attrs extends the IMPORTANT_ATTRS whitelist in cleaned_html
+    (content_scraping_strategy.py:795)."""
+    html = '<body><p id="main" role="note">enough words to keep this node</p></body>'
+    base = scrape_page(URL, html)
+    assert 'id="main"' not in base["cleaned_html"]
+    r = scrape_page(URL, html, ScrapeConfig(keep_attrs=("id", "role")))
+    assert 'id="main"' in r["cleaned_html"]
+    assert 'role="note"' in r["cleaned_html"]
