@@ -112,11 +112,11 @@ class EmbeddingGapScorer:
     query points (uncovered variations); covered directions contribute
     nothing, so the crawl spends its budget where coverage is missing."""
 
-    def __init__(self, gap_vecs: np.ndarray, weight: float = 1.0):
+    def __init__(self, gap_vecs: np.ndarray, weight: float = 1.0, encoder_factory=None):
         from ..stages.embed import _StubEmbedder
 
         self._gaps = np.asarray(gap_vecs, dtype=np.float64)
-        self._model = _StubEmbedder()
+        self._model = (encoder_factory or _StubEmbedder)()
         self.weight = weight
 
     def _url_text(self, url: str) -> str:
@@ -138,7 +138,7 @@ class EmbeddingGapScorer:
         return float(self.score_batch([url])[0])
 
 
-def _wave_best_sims(docs, qmat: np.ndarray) -> np.ndarray:
+def _wave_best_sims(docs, qmat: np.ndarray, encoder_factory=None) -> np.ndarray:
     """Distributed per-wave coverage update: per batch, max cosine of each
     query variation vs the batch's doc embeddings; the driver folds batch
     maxima into the running best. The KB's embeddings are never collected —
@@ -154,7 +154,9 @@ def _wave_best_sims(docs, qmat: np.ndarray) -> np.ndarray:
         texts = [t or "" for t in batch.column("text").to_pylist()]
         if not texts:
             return pa.table({"best": pa.array([], pa.list_(pa.float64()))})
-        d = _StubEmbedder().encode(texts)  # rows normalized (or zero)
+        # rows normalized (or zero); per-batch encoder build is fine here —
+        # this closure is a stateless task, not an actor stage
+        d = (encoder_factory or _StubEmbedder)().encode(texts)
         sims = q @ d.T
         return pa.table(
             {"best": pa.array([sims.max(axis=1).tolist()], pa.list_(pa.float64()))}
@@ -181,6 +183,7 @@ def adaptive_crawl(
     coverage_threshold: float = 0.85,
     coverage_radius: float = 0.2,
     min_confidence: float = 0.05,
+    encoder_factory=None,
 ) -> AdaptiveCrawlResult:
     """Best-first crawl steered by ``query`` with adaptive stopping.
 
@@ -217,7 +220,7 @@ def adaptive_crawl(
         variations = _expand_query(query, n_query_variations)
         train_q, val_q = _split_train_val(variations)
         n_train = len(train_q)
-        qmat = _StubEmbedder().encode(train_q + val_q)
+        qmat = (encoder_factory or _StubEmbedder)().encode(train_q + val_q)
         running_best = np.full(len(qmat), -1.0)
 
     from ..sources.pages import read_pages
@@ -234,7 +237,9 @@ def adaptive_crawl(
             gap_mask = (1.0 - running_best[:n_train]) > coverage_radius
             gap_vecs = qmat[:n_train][gap_mask]
             scorer = EmbeddingGapScorer(
-                gap_vecs if len(gap_vecs) else qmat[:n_train], weight=1.0
+                gap_vecs if len(gap_vecs) else qmat[:n_train],
+                weight=1.0,
+                encoder_factory=encoder_factory,
             )
         else:
             scorer = KeywordRelevanceScorer(query_terms or ["page"], weight=1.0)
@@ -263,7 +268,7 @@ def adaptive_crawl(
 
         if strategy == "embedding":
             if docs is not None and wave_stats["pages"] > 0:
-                wave_best = _wave_best_sims(docs, qmat)
+                wave_best = _wave_best_sims(docs, qmat, encoder_factory)
                 running_best = np.maximum(running_best, wave_best)
             train_best = running_best[:n_train]
             confidence = float(np.maximum(train_best, 0.0).mean())

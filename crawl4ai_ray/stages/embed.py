@@ -3,12 +3,19 @@
 chunk texts, hierarchical cosine clustering with sim_threshold, optional
 semantic filter against a query).
 
-sentence-transformers is not in this container, so the EMBEDDER is a
+sentence-transformers is not in this container, so the DEFAULT embedder is a
 clearly-marked deterministic stub (hashed bag-of-words projection) behind
 the same actor-pool interface — model load happens once per actor in
 ``__init__`` exactly where a real model would; the clustering math, batch
-plumbing and output layout are real. Swap ``_StubEmbedder`` for a real
-encoder to productionize.
+plumbing and output layout are real.
+
+The encoder is INJECTABLE: every consumer takes ``encoder_factory``, a
+zero-arg picklable callable returning an object with
+``encode(list[str]) -> np.ndarray (n, dim)``. The factory (not the model)
+is what ships to the actor, so the model is constructed once per actor —
+proven by tests/test_encoder_injection.py, which counts constructions
+across a multi-batch run. ``make_sentence_transformer_factory`` is the
+documented production swap (import-gated; raises with install hint here).
 """
 
 from __future__ import annotations
@@ -40,6 +47,36 @@ class _StubEmbedder:
             if n > 0:
                 out[i] /= n
         return out
+
+
+def make_sentence_transformer_factory(model_name: str = "all-MiniLM-L6-v2"):
+    """Production encoder factory (extraction_strategy.py:188-199 loads the
+    same model). Probes the import HERE so a missing dependency fails at
+    configuration time with a clear message, not inside a remote actor; the
+    returned factory re-imports lazily so only the (model_name) string is
+    serialized to each actor, which then loads the model once in its own
+    process."""
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "sentence-transformers is not installed in this environment; "
+            "pip install sentence-transformers to use a real encoder, or "
+            "pass your own encoder_factory"
+        ) from e
+
+    def factory():
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)
+
+        class _Wrap:
+            def encode(self, texts):
+                return np.asarray(model.encode(texts, convert_to_numpy=True))
+
+        return _Wrap()
+
+    return factory
 
 
 def cosine_cluster(vectors: np.ndarray, sim_threshold: float = 0.4) -> np.ndarray:
@@ -82,8 +119,11 @@ class CosineClusterStage:
         sim_threshold: float = 0.4,
         filter_threshold: float = 0.2,
         window_words: int = 40,
+        encoder_factory=None,
     ):
-        self.model = _StubEmbedder()  # once per actor (the whole point)
+        # once per actor (the whole point): the factory travels, the model
+        # is built in the actor process
+        self.model = (encoder_factory or _StubEmbedder)()
         self.sim_threshold = sim_threshold
         self.filter_threshold = filter_threshold
         self.window_words = window_words
@@ -128,11 +168,20 @@ class CosineClusterStage:
         )
 
 
-def cosine_sections(ds, semantic_filter=None, concurrency=(1, 4), batch_size=64):
+def cosine_sections(
+    ds,
+    semantic_filter=None,
+    concurrency=(1, 4),
+    batch_size=64,
+    encoder_factory=None,
+):
     """docs(url, text) → clustered sections via an actor pool."""
     return ds.map_batches(
         CosineClusterStage,
-        fn_constructor_kwargs={"semantic_filter": semantic_filter},
+        fn_constructor_kwargs={
+            "semantic_filter": semantic_filter,
+            "encoder_factory": encoder_factory,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
