@@ -143,6 +143,83 @@ _BUILTIN_PATTERNS = {
 }
 
 
+class CosineStrategy(ExtractionStrategy):
+    """Semantic chunk clustering as an ExtractionStrategy
+    (extraction_strategy.py:121-478 CosineStrategy): split content on DEL,
+    optionally pre-filter chunks against ``semantic_filter`` by cosine,
+    cluster the survivors, drop clusters under ``word_count_threshold``
+    words, return [{'index', 'tags', 'content'}] sorted by cluster label.
+
+    Deviations (both env-bound, both injectable/documented): the encoder
+    defaults to the deterministic stub (sentence-transformers absent; pass
+    ``encoder_factory``), and clustering is the greedy single-link
+    cosine pass from stages/embed.py with join threshold ``1 - max_dist``
+    (scipy ward dendrogram absent). ``tags`` stays [] — the reference
+    fills it from an HF text-classification pipeline (ibid:434-438).
+
+    For corpus-scale use, the actor-pool form of the same math is
+    ``stages.embed.cosine_sections``; this adapter serves the per-document
+    strategy surface (run/extract)."""
+
+    DEL = "<|DEL|>"  # reference base default (extraction_strategy.py:64)
+    input_format = "text"
+
+    def __init__(
+        self,
+        semantic_filter: str | None = None,
+        word_count_threshold: int = 10,
+        max_dist: float = 0.2,
+        top_k: int = 3,
+        sim_threshold: float = 0.3,
+        encoder_factory=None,
+    ):
+        from ..stages.embed import _StubEmbedder
+
+        self.semantic_filter = semantic_filter
+        self.word_count_threshold = word_count_threshold
+        self.max_dist = max_dist
+        self.top_k = top_k
+        self.sim_threshold = sim_threshold
+        self.model = (encoder_factory or _StubEmbedder)()
+
+    def extract(self, url: str, content: str) -> list[dict]:
+        import numpy as np
+
+        from ..stages.embed import cosine_cluster
+
+        chunks = [c for c in (content or "").split(self.DEL) if c.strip()]
+        if not chunks:
+            return []
+        vecs = np.asarray(self.model.encode(chunks), dtype=np.float64)
+        if self.semantic_filter:
+            qv = np.asarray(
+                self.model.encode([self.semantic_filter])[0], dtype=np.float64
+            )
+            qn = np.linalg.norm(qv)
+            norms = np.linalg.norm(vecs, axis=1)
+            denom = np.maximum(norms * qn, 1e-12)
+            sims = vecs @ qv / denom
+            keep = sims >= self.sim_threshold
+            chunks = [c for c, k in zip(chunks, keep) if k]
+            vecs = vecs[keep]
+            if not chunks:
+                return []
+        labels = cosine_cluster(vecs, sim_threshold=1.0 - self.max_dist)
+        clusters: dict[int, list[str]] = {}
+        for i, lab in enumerate(labels.tolist()):
+            clusters.setdefault(int(lab), []).append(chunks[i])
+        out = []
+        for lab in sorted(clusters):
+            text = " ".join(clusters[lab])
+            if len(text.split()) >= self.word_count_threshold:
+                out.append({"index": lab, "tags": [], "content": text})
+        return out
+
+    def run(self, url: str, sections: list[str]) -> list[dict]:
+        # all sections cluster TOGETHER (extraction_strategy.py:463-473)
+        return self.extract(url, self.DEL.join(sections))
+
+
 class RegexExtractionStrategy(ExtractionStrategy):
     """Regex extraction: built-in catalog and/or custom patterns; emits
     {url, label, value, span} records (extraction_strategy.py:1711-1718)."""

@@ -27,6 +27,7 @@ from .functions.content_filter import (  # noqa: F401
 )
 from .functions.extraction import (  # noqa: F401
     ChunkingStrategy,
+    CosineStrategy,
     ExtractionStrategy,
     IdentityChunking,
     JsonCssExtractionStrategy,

@@ -111,7 +111,45 @@ def test_pruning_filter_drops_nav_footer():
 
 
 def test_bm25_filter_ranks_relevant():
-    frags = BM25ContentFilter(user_query="learn python").filter_content(PAGE)
+    # threshold 0.5: on a 4-chunk page, df("python")=2 of 4 makes its Okapi
+    # idf exactly 0 (rank_bm25 semantics), so the default 1.0 cutoff is
+    # dominated by idf("learn") alone — the assert is about RANKING
+    filt = BM25ContentFilter(user_query="learn python", bm25_threshold=0.5)
+    frags = filt.filter_content(PAGE)
     assert frags and "Learn python" in " ".join(frags)
-    md, fh = fit_markdown(PAGE, BM25ContentFilter(user_query="learn python"))
+    # nav/footer link chunks score 0 and stay out
+    assert "home" not in " ".join(frags)
+    md, fh = fit_markdown(PAGE, filt)
     assert "python" in md.lower() and "<div>" in fh
+
+
+def test_cosine_strategy_clusters_and_filters():
+    """CosineStrategy adapter (extraction_strategy.py:121-478): sections
+    cluster together, word_count_threshold drops small clusters, output is
+    sorted by cluster label with the reference's row shape."""
+    from crawl4ai_ray.functions.extraction import CosineStrategy
+
+    sections = [
+        "machine learning models require training data pipelines at scale",
+        "training data pipelines feed machine learning models continuously",
+        "the cafeteria serves lunch at noon on weekdays",
+    ]
+    # max_dist 0.35 -> join threshold 0.65; the two pipeline sections sit at
+    # cosine 0.71 under the stub encoder
+    s = CosineStrategy(word_count_threshold=5, max_dist=0.35)
+    rows = s.run("https://e.com/x", sections)
+    assert rows and all(set(r) == {"index", "tags", "content"} for r in rows)
+    assert [r["index"] for r in rows] == sorted(r["index"] for r in rows)
+    # identical-topic sections share a cluster
+    joined = [r["content"] for r in rows]
+    assert any("machine learning" in c and c.count("pipelines") >= 2 for c in joined)
+
+    # semantic_filter drops off-topic chunks entirely
+    filt = CosineStrategy(
+        semantic_filter="machine learning training", word_count_threshold=3
+    )
+    rows_f = filt.run("https://e.com/x", sections)
+    assert rows_f and all("cafeteria" not in r["content"] for r in rows_f)
+
+    # empty input
+    assert CosineStrategy().run("https://e.com/x", []) == []

@@ -1,0 +1,356 @@
+"""Content-filter conformance cases ported from the reference's own test
+suite (tests/async/test_content_filter_prune.py and
+test_content_filter_bm25.py), run against our clean-room filters.
+
+Only behaviorally sound asserts are ported. Several of the reference's test
+expectations are unsatisfiable by the reference's OWN code (e.g.
+test_content_filter_bm25.py:88-95 expects the 'Section 1' header in the
+output, but its BM25 score against the page query 'Wikipedia Article' is 0,
+below the 1.0 threshold) — those are itemized at the bottom as documented
+divergences, not silently dropped.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawl4ai_ray.functions.content_filter import (
+    BM25ContentFilter,
+    PruningContentFilter,
+    clean_tokens,
+    extract_text_chunks,
+)
+from crawl4ai_ray.html.dom import parse_html
+
+# --- fixtures lifted verbatim from the reference test files ---------------
+
+BASIC_PRUNE_HTML = """
+<html><body>
+  <article>
+    <h1>Main Article</h1>
+    <p>This is a high-quality paragraph with substantial text content. It contains enough words to pass the threshold and has good text density without too many links. This kind of content should survive the pruning process.</p>
+    <div class="sidebar">Low quality sidebar content</div>
+    <div class="social-share">Share buttons</div>
+  </article>
+</body></html>
+"""
+
+MIXED_CONTENT_HTML = """
+<html><body>
+  <article>
+    <h1>Article Title</h1>
+    <p class="summary">Short summary.</p>
+    <div class="content">
+      <p>Long high-quality paragraph with substantial content that should definitely survive the pruning process. This content has good text density and proper formatting which makes it valuable for retention.</p>
+    </div>
+    <div class="comments">
+      <p>Short comment 1</p>
+      <p>Short comment 2</p>
+    </div>
+  </article>
+</body></html>
+"""
+
+LINK_HEAVY_HTML = """
+<html><body>
+  <div class="content">
+    <p>Good content paragraph that should remain.</p>
+    <div class="links">
+      <a href="#">Link 1</a><a href="#">Link 2</a>
+      <a href="#">Link 3</a><a href="#">Link 4</a>
+    </div>
+  </div>
+</body></html>
+"""
+
+BASIC_BM25_HTML = """
+<html>
+  <head>
+    <title>Test Article</title>
+    <meta name="description" content="Test description">
+    <meta name="keywords" content="test, keywords">
+  </head>
+  <body>
+    <h1>Main Heading</h1>
+    <article>
+      <p>This is a long paragraph with more than fifty words. It continues with more text to ensure we meet the minimum word count threshold. We need to make sure this paragraph is substantial enough to be considered for extraction according to our filtering rules. This should be enough words now.</p>
+      <div class="navigation">Skip this nav content</div>
+    </article>
+  </body>
+</html>
+"""
+
+NO_META_HTML = """
+<html><body>
+  <h1>Simple Page</h1>
+  <p>First paragraph that should be used as fallback for query when no meta tags exist. This text needs to be long enough to serve as a meaningful fallback for our content extraction process.</p>
+</body></html>
+"""
+
+
+# --- PruningContentFilter (test_content_filter_prune.py) ------------------
+
+
+def test_prune_basic_pruning():
+    """test_content_filter_prune.py:66-74: quality paragraph survives,
+    sidebar/share chrome is pruned."""
+    contents = PruningContentFilter(min_word_threshold=5).filter_content(
+        BASIC_PRUNE_HTML
+    )
+    combined = " ".join(contents).lower()
+    assert "high-quality paragraph" in combined
+    assert "sidebar content" not in combined
+    assert "share buttons" not in combined
+
+
+def test_prune_min_word_threshold():
+    """test_content_filter_prune.py:76-84: blocks under the word floor drop."""
+    contents = PruningContentFilter(min_word_threshold=10).filter_content(
+        MIXED_CONTENT_HTML
+    )
+    combined = " ".join(contents).lower()
+    assert "short summary" not in combined
+    assert "long high-quality paragraph" in combined
+    assert "short comment" not in combined
+
+
+def test_prune_link_density_impact():
+    """test_content_filter_prune.py:99-108: link-heavy sections pruned,
+    real paragraph kept."""
+    contents = PruningContentFilter(threshold_type="dynamic").filter_content(
+        LINK_HEAVY_HTML
+    )
+    combined = " ".join(contents).lower()
+    assert "good content paragraph" in combined
+    assert len([c for c in contents if "href" in c]) < 2
+
+
+def test_prune_empty_input():
+    """test_content_filter_prune.py:117-121: '' and None -> []."""
+    filt = PruningContentFilter()
+    assert filt.filter_content("") == []
+    assert filt.filter_content(None) == []
+
+
+def test_prune_malformed_html():
+    """test_content_filter_prune.py:123-128: malformed input still returns
+    a list."""
+    contents = PruningContentFilter().filter_content(
+        "<div>Unclosed div<p>Nested<span>content</div>"
+    )
+    assert isinstance(contents, list)
+
+
+def test_prune_consistent_output():
+    """test_content_filter_prune.py:160-165: deterministic across runs."""
+    filt = PruningContentFilter()
+    assert filt.filter_content(BASIC_PRUNE_HTML) == filt.filter_content(
+        BASIC_PRUNE_HTML
+    )
+
+
+def test_prune_threshold_monotone():
+    """test_content_filter_prune.py:143-159 (threshold levels), ported as
+    the monotonicity it actually encodes: stricter threshold keeps no more
+    blocks. (The reference's exact counts 4/2/1 encode its private scoring
+    curve; ours is a documented clean-room scorer.)"""
+    counts = [
+        len(
+            PruningContentFilter(
+                threshold_type="fixed", threshold=t
+            ).filter_content(MIXED_CONTENT_HTML)
+        )
+        for t in (0.3, 0.48, 0.7)
+    ]
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+# --- BM25ContentFilter (test_content_filter_bm25.py) ----------------------
+
+
+def test_bm25_basic_extraction():
+    """test_content_filter_bm25.py:63-71: extracts content; nav chrome
+    ('Skip this nav content', df-isolated vs the page query) stays out."""
+    contents = BM25ContentFilter(bm25_threshold=0.4).filter_content(
+        BASIC_BM25_HTML
+    )
+    assert contents
+    combined = " ".join(contents).lower()
+    assert "skip this nav" not in combined
+
+
+def test_bm25_user_query_override():
+    """test_content_filter_bm25.py:73-83: user query replaces the page
+    query entirely."""
+    filt = BM25ContentFilter(user_query="specific test query")
+    root = parse_html(BASIC_BM25_HTML)
+    body = root.find("body")
+    q = filt.extract_page_query(root, body)
+    assert q == "specific test query"
+    assert "Test description" not in q
+
+
+def test_bm25_page_query_chain():
+    """content_filter_strategy.py:125-160: page query = title + h1 + meta
+    keywords + meta description."""
+    filt = BM25ContentFilter()
+    root = parse_html(BASIC_BM25_HTML)
+    q = filt.extract_page_query(root, root.find("body"))
+    assert "Test Article" in q  # title
+    assert "Main Heading" in q  # h1
+    assert "test, keywords" in q  # meta keywords
+    assert "Test description" in q  # meta description
+
+
+def test_bm25_no_metadata_fallback():
+    """test_content_filter_bm25.py:96-104 via content_filter_strategy.py:
+    151-157: with no meta tags the first paragraph >150 chars (truncated
+    to 150) joins the query. (The reference test also asserts extraction
+    from its 2-chunk page, but there every query term has df=1 of n=2 —
+    Okapi idf exactly 0 — so its own code returns [] too; see divergence
+    #5. Extraction via the fallback query is asserted on a page large
+    enough for BM25 to discriminate.)"""
+    filt = BM25ContentFilter()
+    root = parse_html(NO_META_HTML)
+    q = filt.extract_page_query(root, root.find("body"))
+    assert "First paragraph" in q
+
+    fallback_page = (
+        "<html><body>"
+        "<p>Quantum entanglement experiments require careful calibration of "
+        "the measurement apparatus across many repeated trials to separate "
+        "genuine correlations from instrument noise and drift.</p>"
+        "<p>The quantum laboratory results were published.</p>"
+        "<p>Lunch options near the campus include sandwiches.</p>"
+        "<p>Parking is available behind the building.</p>"
+        "<p>The seminar room seats forty people comfortably.</p>"
+        "</body></html>"
+    )
+    contents = BM25ContentFilter(bm25_threshold=0.2).filter_content(
+        fallback_page
+    )
+    joined = " ".join(contents).lower()
+    assert contents, "fallback query should drive extraction"
+    assert "quantum" in joined
+    assert "parking" not in joined
+
+
+def test_bm25_empty_input():
+    """test_content_filter_bm25.py:106-109."""
+    filt = BM25ContentFilter()
+    assert filt.filter_content("") == []
+    assert filt.filter_content(None) == []
+
+
+def test_bm25_malformed_html():
+    """test_content_filter_bm25.py:111-117."""
+    contents = BM25ContentFilter().filter_content(
+        "<p>Unclosed paragraph<div>Nested content</p></div>"
+    )
+    assert isinstance(contents, list)
+
+
+def test_bm25_threshold_monotone():
+    """test_content_filter_bm25.py:119-129: stricter threshold extracts no
+    more elements."""
+    strict = BM25ContentFilter(bm25_threshold=2.0).filter_content(BASIC_BM25_HTML)
+    lenient = BM25ContentFilter(bm25_threshold=0.5).filter_content(BASIC_BM25_HTML)
+    assert len(strict) <= len(lenient)
+
+
+def test_bm25_html_cleaning():
+    """test_content_filter_bm25.py:131-139: output has class/style attrs
+    stripped and script tags removed (clean_element semantics)."""
+    contents = BM25ContentFilter(bm25_threshold=0.1).filter_content(
+        BASIC_BM25_HTML
+    )
+    cleaned = " ".join(contents)
+    assert "class=" not in cleaned
+    assert "style=" not in cleaned
+    assert "<script" not in cleaned
+
+
+def test_bm25_large_content():
+    """test_content_filter_bm25.py:141-149."""
+    large = "<html><body><article>" + "<p>Test content. " * 1000 + "</article></body></html>"
+    contents = BM25ContentFilter().filter_content(large)
+    assert isinstance(contents, list)
+
+
+@pytest.mark.parametrize("unwanted", ["script", "style", "nav", "footer", "header"])
+def test_bm25_excluded_chrome(unwanted):
+    """test_content_filter_bm25.py:151-166: chrome-tag text never selected.
+    script/style are dropped by clean_element AND never chunked as content;
+    nav/footer/header text chunks score 0 vs the query."""
+    html = (
+        f"<html><head><title>apple banana</title></head><body>"
+        f"<{unwanted}>Should not appear</{unwanted}>"
+        f"<p>apple banana cherry words appear</p></body></html>"
+    )
+    contents = BM25ContentFilter(bm25_threshold=0.1).filter_content(html)
+    assert "should not appear" not in " ".join(contents).lower()
+
+
+def test_bm25_document_order_output():
+    """content_filter_strategy.py:527-529: selected chunks return in
+    ORIGINAL document order, not score order."""
+    # 5 chunks, df('zebra')=2 < n/2 so its idf is positive (with df >= n/2
+    # Okapi idf goes negative and rank_bm25 floors it — both sides of that
+    # are covered by test_bm25_threshold_monotone)
+    html = (
+        "<html><head><title>zebra</title></head><body>"
+        "<p>one zebra here</p>"
+        "<p>zebra zebra zebra zebra zebra</p>"  # higher score, later in doc
+        "<p>completely unrelated filler text</p>"
+        "<p>more filler without the animal</p>"
+        "<p>final filler paragraph text</p>"
+        "</body></html>"
+    )
+    contents = BM25ContentFilter(bm25_threshold=0.01).filter_content(html)
+    assert len(contents) == 2
+    assert "one zebra" in contents[0]  # document order preserved
+
+
+def test_chunk_walk_matches_reference_model():
+    """content_filter_strategy.py:161-272: inline tags don't break chunks
+    (and stripped text fuses without separator — the reference's ''-join
+    quirk); block tags do break."""
+    # inline <b> doesn't flush; each text node is stripped then ''-joined,
+    # so 'alpha ' + 'beta' + ' gamma' fuses to 'alphabetagamma' — exactly
+    # what the reference's walk produces for this input
+    html = "<body><p>alpha <b>beta</b> gamma</p><div>delta</div></body>"
+    chunks = extract_text_chunks(parse_html(html).find("body"))
+    assert [c[1] for c in chunks] == ["alphabetagamma", "delta"]
+    headers = "<body><h2>Section One Here</h2><p>text after</p></body>"
+    kinds = [c[2] for c in extract_text_chunks(parse_html(headers).find("body"))]
+    assert kinds == ["header", "content"]
+
+
+def test_clean_tokens_reference_rules():
+    """utils.py:2405-2610: len>2, stopwords out, arrow-prefixed out."""
+    assert clean_tokens(["the", "an", "big", "↑top", "ok", "word"]) == [
+        "big",
+        "word",
+    ]
+
+
+# --- Documented divergences from the reference's own expectations ---------
+#
+# 1. test_content_filter_bm25.py:85-94 (test_header_extraction) expects
+#    'section 1' in the output, but 'Section 1' scores 0 BM25 vs the page
+#    query 'Wikipedia Article' under the reference's own scoring — the
+#    expectation is unsatisfiable by the reference code; not ported.
+# 2. test_content_filter_bm25.py:63-71 asserts 'long paragraph' in the
+#    basic_html output; that paragraph shares no query terms with the page
+#    query ('Test Article Main Heading ...') so it scores 0 in the
+#    reference as well; we port only the nav-exclusion half.
+# 3. test_content_filter_prune.py:86-97 (fixed vs dynamic differ) and the
+#    exact 4/2/1 threshold counts encode the reference's private scoring
+#    curve; ported as monotonicity (the invariant they encode).
+# 4. The reference stems with snowball (unavailable here); our tokens are
+#    plain lowercase — clean_tokens rules otherwise match.
+# 5. test_content_filter_bm25.py:96-104 asserts extraction from a 2-chunk
+#    page where every query term has df=1 of n=2 (Okapi idf = ln(1.5/1.5)
+#    = 0): all scores are 0, below the 1.0 threshold, in the reference's
+#    own scoring as well. We port the query-fallback half and assert
+#    extraction on a page BM25 can actually discriminate.
