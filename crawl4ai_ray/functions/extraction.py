@@ -117,6 +117,46 @@ class JsonCssExtractionStrategy(ExtractionStrategy):
         return [self._extract_fields(el, self.schema.get("fields", [])) for el in elements]
 
 
+class JsonXPathExtractionStrategy(JsonCssExtractionStrategy):
+    """XPath-selector variant of the schema extractor (reference
+    extraction_strategy.py:1612-1676). baseSelector is evaluated as XPath;
+    field selectors pass through the reference's css→xpath bridge: a
+    selector containing '/' is already XPath, otherwise ' > ' chains become
+    '//a/b' and descendant chains '//a//b' (ibid:1645-1660), then evaluate
+    relative to the base element. Selector engine: html/xpath.py (lxml
+    absent — clean-room subset evaluator)."""
+
+    def _css_to_xpath(self, css_selector: str) -> str:
+        if "/" in css_selector:
+            return css_selector
+        if " > " in css_selector:
+            return "//" + "/".join(css_selector.split(" > "))
+        if " " in css_selector:
+            return "//" + "//".join(css_selector.split(" "))
+        return "//" + css_selector
+
+    def _select(self, root: Element, selector: str | None) -> list[Element]:
+        from ..html.xpath import xpath_select
+
+        if not selector:
+            return [root]
+        xp = self._css_to_xpath(selector)
+        if not xp.startswith("."):
+            xp = "." + xp
+        return xpath_select(root, xp)
+
+    def extract(self, url: str, content: str) -> list[dict]:
+        from ..html.xpath import xpath_select
+
+        root = parse_html(content)
+        base = self.schema.get("baseSelector")
+        elements = xpath_select(root, base) if base else [root]
+        return [
+            self._extract_fields(el, self.schema.get("fields", []))
+            for el in elements
+        ]
+
+
 # Built-in regex catalog (names + patterns per extraction_strategy.py:1784-1812)
 _BUILTIN_PATTERNS = {
     "email": r"[\w.+-]+@[\w-]+\.[\w.-]+",

@@ -31,6 +31,7 @@ from .functions.extraction import (  # noqa: F401
     ExtractionStrategy,
     IdentityChunking,
     JsonCssExtractionStrategy,
+    JsonXPathExtractionStrategy,
     OverlappingWindowChunking,
     RegexChunking,
     RegexExtractionStrategy,

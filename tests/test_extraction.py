@@ -153,3 +153,50 @@ def test_cosine_strategy_clusters_and_filters():
 
     # empty input
     assert CosineStrategy().run("https://e.com/x", []) == []
+
+
+def test_xpath_select_subset():
+    """html/xpath.py subset evaluator: axes, predicates, positions,
+    document order, dedup."""
+    from crawl4ai_ray.html.xpath import XPathError, xpath_select
+    import pytest as _pytest
+
+    root = parse_html(HTML)
+    assert len(xpath_select(root, "//div[@class='item']")) == 2
+    assert len(xpath_select(root, "//div")) == 3
+    assert xpath_select(root, "//div[@id='a']/h2")[0].text() == "First"
+    assert xpath_select(root, "//div[@id]")[0].get("id") == "a"
+    assert len(xpath_select(root, "//div[contains(@class, 'item')]//li")) == 3
+    # positional predicate is per-context: second li of EACH ul
+    secondlis = xpath_select(root, "//ul/li[2]")
+    assert [li.text() for li in secondlis] == ["y"]
+    assert xpath_select(root, "//div[1]/h2")[0].text() == "First"
+    assert xpath_select(root, "//span[@class='price']")[0].text() == "$12.50"
+    assert xpath_select(root, "//nope") == []
+    assert len(xpath_select(root, "//*[@class='item']")) == 2
+    # quoted slashes in predicates don't split steps
+    assert xpath_select(root, "//a[@href='/one']")[0].text() == "go"
+    with _pytest.raises(XPathError):
+        xpath_select(root, "//div[foo()]")
+
+
+def test_json_xpath_extraction_matches_css():
+    """JsonXPathExtractionStrategy (extraction_strategy.py:1612-1676):
+    same schema semantics as the CSS variant with XPath selectors, plus the
+    css->xpath bridge for bare-name field selectors."""
+    from crawl4ai_ray.functions.extraction import JsonXPathExtractionStrategy
+
+    schema = {
+        "baseSelector": "//div[@class='item']",
+        "fields": [
+            {"name": "title", "selector": "h2", "type": "text"},  # css->xpath
+            {"name": "link", "selector": ".//a", "type": "attribute", "attribute": "href"},
+            {"name": "price", "selector": "//span[@class='price']", "type": "regex", "pattern": r"[\d.]+"},
+            {"name": "tags", "selector": "ul li", "type": "list"},  # ' ' -> '//'
+        ],
+    }
+    items = JsonXPathExtractionStrategy(schema).extract("https://x.com", HTML)
+    assert items == [
+        {"title": "First", "link": "/one", "price": "12.50", "tags": ["x", "y"]},
+        {"title": "Second", "link": "/two", "price": "99.00", "tags": ["z"]},
+    ]
