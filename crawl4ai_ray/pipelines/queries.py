@@ -525,6 +525,19 @@ def q_minhash_pairs(sf_dir: str):
     return dedup.verify_pairs(cands, docs, mode="jaccard", tau=0.9)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT all-pairs 3-gram Jaccard >= 0.9 via the inverted-index
+    operator (postings explode → bucketed pair-generation → groupby
+    intersection counts; sizes ride with the postings so there is no join).
+    The non-approximate sibling of q_minhash_pairs — same metric, same
+    threshold, no LSH recall caveat; the oracle recomputes it from string
+    grams in SQL."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.ngram_jaccard_pairs(docs, tau=0.9, shingle=3)
+
+
 def q_simhash_pairs(sf_dir: str):
     """Exact-dup pairs via simhash candidates (hamming ≤ 3 block bucketing)
     + byte-equality verification over the corpus with planted identical
@@ -838,6 +851,10 @@ def q_asof_orders(sf_dir: str):
     # deterministic on both engines
     best = orders.groupby(["o_custkey", "o_orderdate"]).max("o_totalprice")
     best = best.rename_columns({"max(o_totalprice)": "best_price"})
+    # small (one row per (cust, date)); materialized because asof_join's
+    # driver-side schema resolution would otherwise execute the aggregate
+    # once for .schema() and again in the final pipeline
+    best = best.materialize()
     out = asof_join(
         events,
         best,
@@ -1002,6 +1019,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_brute": q_embedding_neardup_brute,
     "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
@@ -1196,6 +1214,38 @@ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
       >= 0.9
+""",
+    # postings-based formulation (mirrors the Ray plan: explode distinct
+    # grams, count shared grams per pair, Jaccard from sizes) — same metric
+    # as the minhash oracle's pairwise form, independently expressed
+    "ngram_jaccard_pairs": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN generate_series(1, len(t) - 2)]
+      END AS gl
+    FROM toks WHERE len(t) > 0
+  ), UNNEST(gl) AS u(g)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS i
+  FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i >= 0.9 * (sa.sz + sb.sz - i.i)
 """,
     "simhash_pairs": """
 WITH nn AS (SELECT COUNT(*) AS c FROM documents),

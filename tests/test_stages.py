@@ -116,6 +116,38 @@ def test_ngram_jaccard():
     assert dedup.ngram_jaccard(a, "totally different words here now ok") == 0.0
 
 
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Postings-based exact all-pairs Jaccard: matches the pairwise kernel
+    brute force on every pair, including the a<b ordering and tau edge."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [
+        base,
+        base + "lambda",          # near-dup of 0
+        base,                     # exact dup of 0
+        "totally different words entirely here now " * 6,
+        "",                       # empty → no grams, never paired
+    ]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    tau = 0.8
+    got = dedup.ngram_jaccard_pairs(ds, tau=tau).to_pandas()
+    got_set = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+    want = {
+        (i, j)
+        for i in ids
+        for j in ids
+        if i < j and texts[i] and texts[j]
+        and dedup.ngram_jaccard(texts[i], texts[j]) >= tau
+    }
+    assert got_set == want
+    assert (0, 2) in got_set and (0, 1) in got_set
+
+    # hot-gram cap path: with every shared gram above the cap the index is
+    # empty → no pairs (the documented recall trade), and no errors
+    capped = dedup.ngram_jaccard_pairs(ds, tau=tau, max_postings=2)
+    assert capped.count() == 0
+
+
 def test_simhash_near_dups(ray_session):
     # many distinct tokens → stable simhash votes; one-token edit = near-dup
     base = " ".join(f"word{i}" for i in range(120))
