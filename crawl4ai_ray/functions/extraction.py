@@ -260,6 +260,23 @@ class CosineStrategy(ExtractionStrategy):
         return self.extract(url, self.DEL.join(sections))
 
 
+class NoExtractionStrategy(ExtractionStrategy):
+    """Pass-through strategy (extraction_strategy.py:98-113): each section
+    becomes {'index', 'tags': [], 'content'} unchanged — the reference's
+    "no meaningful extraction" baseline."""
+
+    input_format = "text"
+
+    def extract(self, url: str, content: str) -> list[dict]:
+        return [{"index": 0, "content": content}]
+
+    def run(self, url: str, sections: list[str]) -> list[dict]:
+        return [
+            {"index": i, "tags": [], "content": s}
+            for i, s in enumerate(sections)
+        ]
+
+
 class RegexExtractionStrategy(ExtractionStrategy):
     """Regex extraction: built-in catalog and/or custom patterns; emits
     {url, label, value, span} records (extraction_strategy.py:1711-1718)."""
@@ -348,6 +365,166 @@ class OverlappingWindowChunking(ChunkingStrategy):
                 break
             start = end - self.overlap
         return chunks
+
+
+class FixedLengthWordChunking(ChunkingStrategy):
+    """Non-overlapping fixed-size word chunks (chunking_strategy.py:147-171)."""
+
+    def __init__(self, chunk_size: int = 100):
+        self.chunk_size = chunk_size
+
+    def chunk(self, text: str) -> list[str]:
+        words = text.split()
+        return [
+            " ".join(words[i : i + self.chunk_size])
+            for i in range(0, len(words), self.chunk_size)
+        ]
+
+
+_SENTENCE_RE = re.compile(r"(?<=[.!?])\s+(?=[\"'(\[]?[A-Z0-9])")
+
+
+class NlpSentenceChunking(ChunkingStrategy):
+    """Sentence chunking (chunking_strategy.py:65-90). The reference uses
+    nltk's punkt tokenizer then returns ``list(set(sentences))`` —
+    unordered. nltk is absent here, so this is a clean-room regex sentence
+    splitter (break after ./!/? followed by whitespace and an
+    uppercase/digit/bracket opener — the same heuristic the reference
+    keeps commented out at :78-82); deliberate divergence: duplicates are
+    removed in FIRST-OCCURRENCE order so output is deterministic."""
+
+    def chunk(self, text: str) -> list[str]:
+        sentences = [s.strip() for s in _SENTENCE_RE.split(text) if s.strip()]
+        seen: set[str] = set()
+        out = []
+        for s in sentences:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+
+class TopicSegmentationChunking(ChunkingStrategy):
+    """Topic segmentation (chunking_strategy.py:93-144). The reference
+    delegates to nltk's TextTilingTokenizer; nltk is absent, so this is a
+    clean-room implementation of the published TextTiling block-comparison
+    algorithm (Hearst 1997, "TextTiling: Segmenting Text into
+    Multi-paragraph Subtopic Passages"):
+
+    1. lowercase word tokens → pseudo-sentences of ``w`` tokens;
+    2. per gap, cosine similarity of the ``k``-pseudo-sentence blocks on
+       either side (term-frequency vectors);
+    3. depth score per gap = (left peak − sim) + (right peak − sim);
+    4. boundaries where depth > mean + stdev·cutoff (liberal cutoff −0.5,
+       nltk's LC default), snapped to the nearest following sentence
+       boundary so chunks are cut at natural breaks.
+
+    Deterministic; ``chunk_with_topics`` mirrors the reference's keyword
+    step with a stopword-filtered frequency count (:121-134)."""
+
+    _STOPWORDS = frozenset(
+        "a an and are as at be by for from has he in is it its of on that "
+        "the to was were will with this these those i you they we she him "
+        "her them our your their not or but if then so no yes do does did "
+        "have had can could would should may might must shall".split()
+    )
+
+    def __init__(self, num_keywords: int = 3, w: int = 20, k: int = 10,
+                 cutoff: float = -0.5):
+        self.num_keywords = num_keywords
+        self.w = w
+        self.k = k
+        self.cutoff = cutoff
+
+    def chunk(self, text: str) -> list[str]:
+        import numpy as np
+
+        tokens = re.findall(r"\w+", text.lower())
+        n_ps = len(tokens) // self.w
+        if n_ps < 2:
+            return [text] if text.strip() else []
+        # term-frequency vector per pseudo-sentence
+        vocab: dict[str, int] = {}
+        ps_vecs = []
+        for i in range(n_ps):
+            counts: dict[int, int] = {}
+            for t in tokens[i * self.w : (i + 1) * self.w]:
+                j = vocab.setdefault(t, len(vocab))
+                counts[j] = counts.get(j, 0) + 1
+            ps_vecs.append(counts)
+        mat = np.zeros((n_ps, len(vocab)))
+        for i, counts in enumerate(ps_vecs):
+            for j, c in counts.items():
+                mat[i, j] = c
+        k = min(self.k, max(1, n_ps // 2))
+        sims = np.zeros(n_ps - 1)
+        for g in range(n_ps - 1):
+            left = mat[max(0, g + 1 - k) : g + 1].sum(axis=0)
+            right = mat[g + 1 : g + 1 + k].sum(axis=0)
+            denom = np.linalg.norm(left) * np.linalg.norm(right)
+            sims[g] = (left @ right) / denom if denom > 0 else 0.0
+        # depth scoring: climb to the nearest peak on each side
+        depths = np.zeros(n_ps - 1)
+        for g in range(n_ps - 1):
+            lpeak = sims[g]
+            for i in range(g, -1, -1):
+                if sims[i] >= lpeak:
+                    lpeak = sims[i]
+                else:
+                    break
+            rpeak = sims[g]
+            for i in range(g, n_ps - 1):
+                if sims[i] >= rpeak:
+                    rpeak = sims[i]
+                else:
+                    break
+            depths[g] = (lpeak - sims[g]) + (rpeak - sims[g])
+        threshold = depths.mean() + depths.std() * self.cutoff
+        gaps = [g for g in range(n_ps - 1) if depths[g] > threshold and depths[g] > 0]
+        if not gaps:
+            return [text]
+        # token index of each candidate cut, snapped to the next sentence end
+        sent_ends = []
+        pos = 0
+        for m in re.finditer(r"\w+", text.lower()):
+            pos += 1
+            tail = text[m.end() : m.end() + 3]
+            if tail[:1] in ".!?":
+                punct = len(tail) - len(tail.lstrip(".!?\"')"))
+                sent_ends.append((pos, m.end() + punct))
+            elif "\n\n" in tail:
+                sent_ends.append((pos, m.end()))
+        cuts = []
+        for g in gaps:
+            tok_idx = (g + 1) * self.w
+            snapped = next(
+                (cend for cnt, cend in sent_ends if cnt >= tok_idx), None
+            )
+            if snapped is not None and (not cuts or snapped > cuts[-1]):
+                cuts.append(snapped)
+        chunks = []
+        start = 0
+        for c in cuts:
+            piece = text[start:c].strip()
+            if piece:
+                chunks.append(piece)
+            start = c
+        tail_piece = text[start:].strip()
+        if tail_piece:
+            chunks.append(tail_piece)
+        return chunks or [text]
+
+    def extract_keywords(self, text: str) -> list[str]:
+        from collections import Counter
+
+        tokens = [
+            t for t in re.findall(r"\w+", text.lower())
+            if t not in self._STOPWORDS
+        ]
+        return [w for w, _ in Counter(tokens).most_common(self.num_keywords)]
+
+    def chunk_with_topics(self, text: str) -> list[tuple[str, list[str]]]:
+        return [(seg, self.extract_keywords(seg)) for seg in self.chunk(text)]
 
 
 # ---------------------------------------------------------------------------

@@ -29,13 +29,17 @@ from .functions.extraction import (  # noqa: F401
     ChunkingStrategy,
     CosineStrategy,
     ExtractionStrategy,
+    FixedLengthWordChunking,
     IdentityChunking,
     JsonCssExtractionStrategy,
     JsonXPathExtractionStrategy,
+    NlpSentenceChunking,
+    NoExtractionStrategy,
     OverlappingWindowChunking,
     RegexChunking,
     RegexExtractionStrategy,
     SlidingWindowChunking,
+    TopicSegmentationChunking,
 )
 from .functions.filters import (  # noqa: F401
     CompositeScorer,

@@ -82,6 +82,53 @@ def test_chunking():
     assert o == ["a b c", "c d e"]
 
 
+def test_fixed_length_and_sentence_chunking():
+    from crawl4ai_ray.functions.extraction import (
+        FixedLengthWordChunking,
+        NlpSentenceChunking,
+        NoExtractionStrategy,
+    )
+
+    f = FixedLengthWordChunking(chunk_size=2).chunk("a b c d e")
+    assert f == ["a b", "c d", "e"]
+    s = NlpSentenceChunking().chunk(
+        "First sentence here. Second one! Is this third? First sentence here."
+    )
+    # dedup in first-occurrence order (deterministic, unlike the
+    # reference's set())
+    assert s == ["First sentence here.", "Second one!", "Is this third?"]
+    n = NoExtractionStrategy()
+    assert n.run("u", ["x", "y"]) == [
+        {"index": 0, "tags": [], "content": "x"},
+        {"index": 1, "tags": [], "content": "y"},
+    ]
+
+
+def test_topic_segmentation_chunking():
+    from crawl4ai_ray.functions.extraction import TopicSegmentationChunking
+
+    topic_a = ("the cat sat on the mat and the cat chased the mouse around "
+               "the house all day. ") * 8
+    topic_b = ("stock markets rallied as interest rates fell and investors "
+               "bought equities in volume. ") * 8
+    text = topic_a + topic_b
+    t = TopicSegmentationChunking(w=10, k=4)
+    chunks = t.chunk(text)
+    assert len(chunks) >= 2
+    assert "".join(c + " " for c in chunks).split() == text.split()
+    # topic words split across the boundary
+    assert "cat" in chunks[0] and "cat" not in chunks[-1]
+    assert "markets" in chunks[-1]
+    # deterministic
+    assert t.chunk(text) == chunks
+    # keywords: stopwords filtered, top-k by frequency
+    kws = t.extract_keywords("the the the cat cat dog")
+    assert kws[0] == "cat"
+    # degenerate inputs
+    assert t.chunk("") == []
+    assert t.chunk("short text") == ["short text"]
+
+
 def test_extract_stage_batch():
     batch = pa.table({"url": ["https://x.com"], "html": [HTML.encode()]})
     stage = ExtractStage(RegexExtractionStrategy(labels=["currency"]), content_col="html")
