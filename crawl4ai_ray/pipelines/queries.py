@@ -26,7 +26,7 @@ from ..functions.filters import (
 )
 from ..functions.urls import normalize_url, normalize_url_for_deep_crawl
 from ..sources.pages import url_of
-from ..stages import ann, dedup, textstats
+from ..stages import ann, dedup, sampling, textstats
 from ..stages.extract import ExtractPages
 from ..state.politeness import PolitenessPool
 from .crawl import crawl
@@ -590,6 +590,39 @@ def q_fingerprint_dups(sf_dir: str):
     return dedup.fingerprint_dup_pairs_fused(dup)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language downsampling (training-data mixing):
+    keep iff knuth_bucket(doc_id) < rate[lang]·10000. Map-only — no
+    shuffle, no RNG; the oracle recomputes the same arithmetic in SQL."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sampling.stratified_sample(
+        docs, rates={"en": 0.5, "de": 0.25, "fr": 0.25}, default_rate=0.1
+    )
+
+
+def q_dataset_split_counts(sf_dir: str):
+    """Train/val/test assignment as a pure function of doc_id, aggregated
+    to (split, lang) counts — the reproducible-split operator every
+    training pipeline needs before a single byte is trained on."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    tagged = sampling.deterministic_split(docs, val_frac=0.1, test_frac=0.1)
+    out = tagged.groupby(["split", "lang"]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_docs")
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_docs"),
+            "n_docs",
+            b.column("n_docs").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_lang_id(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -1024,6 +1057,8 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
     "lang_id": q_lang_id,
+    "stratified_sample": q_stratified_sample,
+    "dataset_split_counts": q_dataset_split_counts,
     "best_first_order": q_best_first_order,
     "politeness_budget": q_politeness_budget,
     "link_preview": q_link_preview,
@@ -1214,6 +1249,25 @@ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
       >= 0.9
+""",
+    # knuth-hash bucket arithmetic is int64-exact on both engines
+    "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761 + 12345) % 1000000007 % 10000 <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                WHEN 'fr' THEN 2500 ELSE 1000 END
+""",
+    "dataset_split_counts": """
+WITH b AS (
+  SELECT lang,
+         (doc_id * 2654435761 + 12345) % 1000000007 % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 1000 THEN 'val'
+            WHEN bucket < 2000 THEN 'test'
+            ELSE 'train' END AS split,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY 1, 2
 """,
     # postings-based formulation (mirrors the Ray plan: explode distinct
     # grams, count shared grams per pair, Jaccard from sizes) — same metric

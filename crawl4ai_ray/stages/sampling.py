@@ -1,0 +1,91 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines sample per-stratum
+(per-language / per-source mixing weights) and carve deterministic
+train/val/test splits. Both must be (a) exactly reproducible across runs
+and engines — no RNG state, a pure function of the row — and (b) map-only
+(no shuffle: every row decides its own fate from its id).
+
+The decision function is multiplicative (Knuth) hash bucketing over the
+row id: ``bucket(id) = (id * 2654435761 + 12345) % 1000000007 % 10000``.
+All intermediates fit in int64, so DuckDB BIGINT arithmetic reproduces it
+bit-for-bit — which is what makes these operators oracle-checkable. At
+production scale substitute any keyed 64-bit hash (functions/hashing.py)
+applied to a stable id; the plumbing is identical.
+
+Reference analogue: crawl4ai has no sampling surface (it is a per-page
+crawler); these are the corpus-side operators the build brief adds for
+LLM-training pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+_MULT = 2654435761
+_ADD = 12345
+_MOD = 1000000007
+_BUCKETS = 10000
+
+
+def sample_buckets(ids: np.ndarray) -> np.ndarray:
+    """Vectorized bucket in [0, 10000) per id — int64-exact."""
+    return ((ids.astype(np.int64) * _MULT + _ADD) % _MOD) % _BUCKETS
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> "ray.data.Dataset":
+    """Keep each row with its stratum's rate, deterministically: row kept
+    iff bucket(id) < rate*10000. Map-only — no shuffle, no RNG; the same
+    id is kept or dropped identically in every run and on every engine.
+    Rates are quantized to 1/10000 (document the granularity, don't hide
+    it)."""
+    cuts = {k: int(round(r * _BUCKETS)) for k, r in rates.items()}
+    default_cut = int(round(default_rate * _BUCKETS))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        buckets = sample_buckets(ids)
+        strata = batch.column(strata_col).to_pylist()
+        thresh = np.fromiter(
+            (cuts.get(s, default_cut) for s in strata),
+            dtype=np.int64,
+            count=len(strata),
+        )
+        return batch.filter(pa.array(buckets < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def deterministic_split(
+    ds: "ray.data.Dataset",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> "ray.data.Dataset":
+    """Append a 'split' column — train/val/test — as a pure function of the
+    row id: bucket < val → 'val', < val+test → 'test', else 'train'.
+    Map-only; a resumed or re-run pipeline assigns every row identically,
+    and the val set stays fixed as the corpus grows (new ids land in each
+    split in proportion)."""
+    val_cut = int(round(val_frac * _BUCKETS))
+    test_cut = val_cut + int(round(test_frac * _BUCKETS))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        buckets = sample_buckets(ids)
+        split = np.where(
+            buckets < val_cut, "val", np.where(buckets < test_cut, "test", "train")
+        )
+        return batch.append_column(split_col, pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -148,6 +148,37 @@ def test_ngram_jaccard_pairs_exact(ray_session):
     assert capped.count() == 0
 
 
+def test_stratified_sample_and_split(ray_session):
+    from crawl4ai_ray.stages import sampling
+
+    tbl = pa.table(
+        {
+            "doc_id": list(range(1000)),
+            "lang": ["en" if i % 2 == 0 else "xx" for i in range(1000)],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    kept = sampling.stratified_sample(
+        ds, rates={"en": 1.0}, default_rate=0.0
+    ).to_pandas()
+    # rate 1.0 keeps every en row, default 0.0 drops every other stratum
+    assert set(kept["lang"]) == {"en"} and len(kept) == 500
+    half = sampling.stratified_sample(ds, rates={"en": 0.5, "xx": 0.5}).to_pandas()
+    assert 400 < len(half) < 600  # ~50% of 1000, hash-spread
+    # determinism: same ids keep/drop identically across runs
+    half2 = sampling.stratified_sample(ds, rates={"en": 0.5, "xx": 0.5}).to_pandas()
+    assert sorted(half["doc_id"]) == sorted(half2["doc_id"])
+
+    tagged = sampling.deterministic_split(ds, val_frac=0.2, test_frac=0.1).to_pandas()
+    counts = tagged["split"].value_counts()
+    assert 150 < counts["val"] < 250 and 50 < counts["test"] < 150
+    assert counts.sum() == 1000
+    # splits are disjoint by construction and stable under re-run
+    tagged2 = sampling.deterministic_split(ds, val_frac=0.2, test_frac=0.1).to_pandas()
+    assert tagged.sort_values("doc_id")["split"].tolist() == \
+        tagged2.sort_values("doc_id")["split"].tolist()
+
+
 def test_simhash_near_dups(ray_session):
     # many distinct tokens → stable simhash votes; one-token edit = near-dup
     base = " ".join(f"word{i}" for i in range(120))
