@@ -84,10 +84,20 @@ class RayWebCrawler:
         return {c: out.column(c)[0].as_py() for c in out.column_names}
 
     # -- many pages (arun_many) -------------------------------------------
-    def run_many(self, urls: list[str] | None = None) -> "ray.data.Dataset":
+    def run_many(
+        self,
+        urls: list[str] | None = None,
+        cache_mode=None,
+        cache_dir: str | None = None,
+    ) -> "ray.data.Dataset":
         """Extraction pipeline over the corpus (optionally a url subset).
         Lazy Dataset: consume with write_parquet / iter_batches (the
-        reference's stream=True maps to batch-wise iteration here)."""
+        reference's stream=True maps to batch-wise iteration here).
+
+        ``cache_mode`` + ``cache_dir`` give the reference's
+        ``arun(cache_mode=...)`` semantics (state/cache.py decision
+        table): hits served from the docs cache, misses extracted and —
+        mode permitting — appended to it."""
         pages = self.pages
         if urls is not None:
             want = ray.put(set(urls))
@@ -105,6 +115,15 @@ class RayWebCrawler:
 
             pages = pages.map_batches(
                 FilterUrls, batch_format="pyarrow", concurrency=(1, 4)
+            )
+        if cache_mode is not None and cache_dir is not None:
+            from .state.cache import cached_extract
+
+            return cached_extract(
+                pages,
+                cache_dir,
+                lambda p: extract_dataset(p, self.scrape),
+                mode=cache_mode,
             )
         return extract_dataset(pages, self.scrape)
 

@@ -168,3 +168,94 @@ def test_robots(ray_session):
         assert list(allowed) == [False, True, True]
     finally:
         pool.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# CacheMode / cached_extract (state/cache.py)
+# ---------------------------------------------------------------------------
+
+def _mini_pages(urls):
+    import pyarrow as pa
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table({"url": urls, "html": [f"<p>{u}</p>" for u in urls]})
+    )
+
+
+def _tagged_extractor(tag):
+    """Extractor that stamps each FRESHLY computed row with this run's tag
+    (closure counters don't survive the worker boundary; counting rows
+    where run_tag == tag measures what the extractor actually touched)."""
+    import pyarrow as pa
+
+    def fn(pages):
+        def ex(batch: "pa.Table") -> "pa.Table":
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "text": [
+                        h.replace("<p>", "").replace("</p>", "")
+                        for h in batch.column("html").to_pylist()
+                    ],
+                    "run_tag": pa.array([tag] * batch.num_rows, pa.string()),
+                }
+            )
+
+        return pages.map_batches(ex, batch_format="pyarrow")
+
+    return fn
+
+
+def test_cached_extract_modes(ray_session, tmp_path):
+    from crawl4ai_ray.state.cache import CacheMode, cached_extract
+
+    cache = str(tmp_path / "cache")
+    urls = [f"https://h.example.com/p/{i}" for i in range(4)]
+
+    def run(pages_urls, mode, tag):
+        out = cached_extract(
+            _mini_pages(pages_urls), cache, _tagged_extractor(tag), mode
+        ).to_pandas()
+        n_fresh = int((out["run_tag"] == tag).sum())
+        return out, n_fresh
+
+    # cold ENABLED run: everything extracted, cache written
+    out, fresh = run(urls, CacheMode.ENABLED, "r1")
+    assert sorted(out["url"]) == sorted(urls) and fresh == 4
+
+    # warm ENABLED run over a superset: only the 2 new urls hit the extractor
+    more = urls + [f"https://h.example.com/p/{i}" for i in (10, 11)]
+    out2, fresh2 = run(more, CacheMode.ENABLED, "r2")
+    assert sorted(out2["url"]) == sorted(more) and fresh2 == 2
+
+    # cache rows OUTSIDE the request are not returned
+    out3, fresh3 = run(urls[:1], CacheMode.ENABLED, "r3")
+    assert out3["url"].tolist() == urls[:1] and fresh3 == 0
+
+    # BYPASS: recompute everything, cache untouched
+    out4, fresh4 = run(urls[:2], CacheMode.BYPASS, "r4")
+    assert fresh4 == 2
+
+    # READ_ONLY: hits served, misses computed but NOT written
+    fresh_url = ["https://h.example.com/p/99"]
+    out5, fresh5 = run(urls[:1] + fresh_url, CacheMode.READ_ONLY, "r5")
+    assert fresh5 == 1
+    out6, fresh6 = run(fresh_url, CacheMode.ENABLED, "r6")
+    assert fresh6 == 1  # p/99 was not cached by the READ_ONLY run
+
+
+def test_cached_extract_raw_urls_never_cached(ray_session, tmp_path):
+    from crawl4ai_ray.state.cache import CacheMode, cached_extract
+
+    cache = str(tmp_path / "cache")
+    mixed = ["https://h.example.com/a", "raw:inline-html"]
+    out = cached_extract(
+        _mini_pages(mixed), cache, _tagged_extractor("r1"), CacheMode.ENABLED
+    ).to_pandas()
+    # raw: row IS in the result but NOT in the cache
+    assert sorted(out["url"]) == sorted(mixed)
+    out2 = cached_extract(
+        _mini_pages(mixed), cache, _tagged_extractor("r2"), CacheMode.ENABLED
+    ).to_pandas()
+    assert int((out2["run_tag"] == "r2").sum()) == 1  # only raw: recomputes
