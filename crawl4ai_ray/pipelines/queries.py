@@ -590,6 +590,20 @@ def q_fingerprint_dups(sf_dir: str):
     return dedup.fingerprint_dup_pairs_fused(dup)
 
 
+def q_redact(sf_dir: str):
+    """Redaction scrub stage over the documents table. The operator ships
+    the 21-pattern PII catalog (emails/phones/IPs/…); the synthetic corpus
+    contains none of those, so the query exercises the same machinery with
+    a corpus-matching keyword pattern — the oracle re-derives the rewrite
+    with DuckDB's regexp_replace."""
+    from ..stages.redact import redact
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return redact(
+        docs, patterns={"kw": r"\b(spark|dup)\b"}, concurrency=(1, 4)
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-language downsampling (training-data mixing):
     keep iff knuth_bucket(doc_id) < rate[lang]·10000. Map-only — no
@@ -1057,6 +1071,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
     "lang_id": q_lang_id,
+    "redact": q_redact,
     "stratified_sample": q_stratified_sample,
     "dataset_split_counts": q_dataset_split_counts,
     "best_first_order": q_best_first_order,
@@ -1249,6 +1264,13 @@ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
       >= 0.9
+""",
+    "redact": r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(spark|dup)\b', '[KW]', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(text, '\b(spark|dup)\b')) AS BIGINT)
+         AS n_redacted
+FROM documents
 """,
     # knuth-hash bucket arithmetic is int64-exact on both engines
     "stratified_sample": """

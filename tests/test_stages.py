@@ -148,6 +148,33 @@ def test_ngram_jaccard_pairs_exact(ray_session):
     assert capped.count() == 0
 
 
+def test_redactor_pii_catalog(ray_session):
+    from crawl4ai_ray.stages.redact import Redactor, redact
+
+    tbl = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "contact bob@example.com or visit https://x.io/a now",
+                "ip 10.0.0.1 and card 4111 1111 1111 1111 ok",
+                "nothing to scrub here",
+            ],
+        }
+    )
+    r = Redactor(labels=["email", "url", "ipv4", "credit_card"])
+    out = r(tbl)
+    texts = out.column("text_redacted").to_pylist()
+    assert "[EMAIL]" in texts[0] and "[URL]" in texts[0]
+    assert "bob@example.com" not in texts[0]
+    assert "[IPV4]" in texts[1] and "[CREDIT_CARD]" in texts[1]
+    assert texts[2] == "nothing to scrub here"
+    assert out.column("n_redacted").to_pylist() == [2, 2, 0]
+    # dataset wrapper: actor-pool stage, same results
+    ds = ray.data.from_arrow(tbl)
+    got = redact(ds, labels=["email", "url", "ipv4", "credit_card"]).to_pandas()
+    assert sorted(got["n_redacted"]) == [0, 2, 2]
+
+
 def test_stratified_sample_and_split(ray_session):
     from crawl4ai_ray.stages import sampling
 
