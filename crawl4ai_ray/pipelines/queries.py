@@ -538,6 +538,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs(docs, tau=0.9, shingle=3)
 
 
+def q_ngram_df_histogram(sf_dir: str):
+    """Gram document-frequency histogram (boilerplate profile): n_grams
+    per doc_freq. Two-level aggregation — per-bucket full reduction, tiny
+    partial histograms, final groupby over ≤max(df) rows."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.ngram_doc_freq_histogram(docs, shingle=3)
+
+
 def q_simhash_pairs(sf_dir: str):
     """Exact-dup pairs via simhash candidates (hamming ≤ 3 block bucketing)
     + byte-equality verification over the corpus with planted identical
@@ -1067,6 +1077,7 @@ QUERIES = {
     "embedding_neardup_brute": q_embedding_neardup_brute,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_df_histogram": q_ngram_df_histogram,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
@@ -1322,6 +1333,27 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.i >= 0.9 * (sa.sz + sb.sz - i.i)
+""",
+    "ngram_df_histogram": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN generate_series(1, len(t) - 2)]
+      END AS gl
+    FROM toks WHERE len(t) > 0
+  ), UNNEST(gl) AS u(g)
+),
+df AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
+SELECT c AS doc_freq, CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM df GROUP BY c
 """,
     "simhash_pairs": """
 WITH nn AS (SELECT COUNT(*) AS c FROM documents),

@@ -610,6 +610,98 @@ def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def ngram_postings(
+    ds: "ray.data.Dataset",
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Inverted-index postings: one row per (distinct gram, doc) —
+    ``(bucket = gram % num_buckets, gram, id, sz)`` with ``sz`` the doc's
+    gram-set size. The shared first stage of the exact-Jaccard dedup and
+    the gram document-frequency statistics; documents never shuffle, only
+    these 32-byte rows."""
+    mh = MinHasher(num_perm=1, shingle=shingle)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        grams_out, ids_out, sz_out = [], [], []
+        for did, text in zip(ids, batch.column(text_col).to_pylist()):
+            gh = mh.shingle_hashes(text or "")
+            if len(gh) == 0:
+                continue
+            grams_out.append(gh)
+            ids_out.extend([did] * len(gh))
+            sz_out.extend([len(gh)] * len(gh))
+        grams = (
+            np.concatenate(grams_out) if grams_out else np.zeros(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (grams % np.uint64(num_buckets)).astype(np.int64)
+                ),
+                "gram": pa.array(grams, pa.uint64()),
+                "id": pa.array(ids_out, pa.int64()),
+                "sz": pa.array(sz_out, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        postings, batch_format="pyarrow"
+    )
+
+
+def ngram_doc_freq_histogram(
+    ds: "ray.data.Dataset",
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Corpus boilerplate profile: how many distinct n-grams occur in
+    exactly k documents, for each k — the distribution CCNet-style
+    boilerplate thresholds are read from.
+
+    Two-level aggregation, the classic scale shape: gram doc-frequencies
+    are computed ENTIRELY inside each hash bucket (bucket = gram % P, so
+    a gram's postings are co-located by construction — no second
+    shuffle), each bucket emits its partial histogram (≤ max_df rows),
+    and the final groupby reduces P tiny partials. The full histogram
+    never exceeds max(df) rows regardless of corpus size."""
+    import pandas as pd
+
+    posted = ngram_postings(
+        ds, shingle=shingle, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets,
+    )
+
+    def bucket_histogram(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_gram = g.groupby("gram", sort=False).size()
+        hist = df_per_gram.value_counts()
+        return pd.DataFrame(
+            {
+                "doc_freq": hist.index.astype("int64"),
+                "n_grams": hist.to_numpy().astype("int64"),
+            }
+        )
+
+    partials = posted.groupby("bucket").map_groups(
+        bucket_histogram, batch_format="pandas"
+    )
+    out = partials.groupby("doc_freq").sum("n_grams")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_freq": b.column("doc_freq"),
+                "n_grams": b.column("sum(n_grams)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def ngram_jaccard_pairs(
     ds: "ray.data.Dataset",
     tau: float = 0.9,
@@ -651,32 +743,6 @@ def ngram_jaccard_pairs(
     """
     import pandas as pd
 
-    mh = MinHasher(num_perm=1, shingle=shingle)
-
-    def postings(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        grams_out, ids_out, sz_out = [], [], []
-        for did, text in zip(ids, batch.column(text_col).to_pylist()):
-            gh = mh.shingle_hashes(text or "")
-            if len(gh) == 0:
-                continue
-            grams_out.append(gh)
-            ids_out.extend([did] * len(gh))
-            sz_out.extend([len(gh)] * len(gh))
-        grams = (
-            np.concatenate(grams_out) if grams_out else np.zeros(0, np.uint64)
-        )
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    (grams % np.uint64(num_buckets)).astype(np.int64)
-                ),
-                "gram": pa.array(grams, pa.uint64()),
-                "id": pa.array(ids_out, pa.int64()),
-                "sz": pa.array(sz_out, pa.int64()),
-            }
-        )
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["gram", "id"], kind="mergesort")
         grams = g["gram"].to_numpy()
@@ -714,8 +780,9 @@ def ngram_jaccard_pairs(
             }
         )
 
-    posted = ds.select_columns([id_col, text_col]).map_batches(
-        postings, batch_format="pyarrow"
+    posted = ngram_postings(
+        ds, shingle=shingle, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets,
     )
     shared = posted.groupby("bucket").map_groups(
         per_bucket, batch_format="pandas"
