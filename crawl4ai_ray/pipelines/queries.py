@@ -1004,6 +1004,22 @@ def q_events_props(sf_dir: str):
     return events.map_batches(extract_k, batch_format="pyarrow")
 
 
+def q_top_orders_per_cust(sf_dir: str):
+    """Grouped top-k (the ROW_NUMBER window Ray Data lacks natively):
+    top-3 orders per customer by price. Map-side partial top-k per batch,
+    then ONE bucketed groupby — stages/agg.py grouped_topk."""
+    from ..stages.agg import grouped_topk
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return grouped_topk(
+        orders, key="o_custkey", value="o_totalprice", k=3,
+        extra_cols=("o_orderkey",),
+    )
+
+
 def q_orders_per_nation(sf_dir: str):
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     customer = ray.data.read_parquet(
@@ -1101,6 +1117,7 @@ QUERIES = {
     "events_props": q_events_props,
     "sessionize": q_sessionize,
     "fit_markdown": q_fit_markdown,
+    "top_orders_per_cust": q_top_orders_per_cust,
     "orders_per_nation": q_orders_per_nation,
     "qty_by_flag": q_qty_by_flag,
 }
@@ -1670,6 +1687,16 @@ WITH r AS (
 SELECT e.event_id, r.best_price
 FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+""",
+    "top_orders_per_cust": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rank
+  FROM orders
+) WHERE rank <= 3
 """,
     "orders_per_nation": """
 SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -45,6 +45,66 @@ def partial_count(
     )
 
 
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    key: str,
+    value: str,
+    k: int = 3,
+    extra_cols: tuple = (),
+    tie_col: str | None = None,
+    num_buckets: int = 32,
+    rank_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Top-k rows per group by ``value`` DESC — the window-function
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY value DESC)`` <= k that
+    Ray Data has no native operator for.
+
+    Two-level, shuffle-lean:
+
+    1. map-side partial top-k: each batch keeps at most k rows per key it
+       contains (vectorized polars head-k) — rows beyond k can never make
+       the global top-k, so the shuffle carries ≤ k·|keys-per-batch| rows.
+    2. ONE groupby on ``hash(key) % num_buckets`` (never one scheduling
+       unit per key), then a per-bucket exact top-k with ranks.
+
+    Ties break on ``tie_col`` ASC (required for deterministic output —
+    defaults to the first extra col). Output columns:
+    (key, *extra_cols, value, rank).
+    """
+    import numpy as np
+    import polars as pl
+
+    tie = tie_col or (extra_cols[0] if extra_cols else None)
+    if tie is None:
+        raise ValueError("grouped_topk needs tie_col or extra_cols for determinism")
+    cols = [key, *extra_cols, value]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(cols))
+        out = (
+            df.sort([value, tie], descending=[True, False])
+            .group_by(key, maintain_order=True)
+            .head(k)
+        )
+        tbl = out.to_arrow()
+        keyvals = tbl.column(key).to_numpy(zero_copy_only=False)
+        bucket = (keyvals.astype(np.uint64) % num_buckets).astype(np.int64)
+        return tbl.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g):
+        import pandas as pd
+
+        g = g.sort_values([key, value, tie], ascending=[True, False, True],
+                          kind="mergesort")
+        ranks = g.groupby(key, sort=False).cumcount() + 1
+        g = g.assign(**{rank_col: ranks})
+        g = g[g[rank_col] <= k]
+        return g[cols + [rank_col]].reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def partial_sum(
     ds: "ray.data.Dataset", key: str, value: str, out_col: str = "total"
 ) -> "ray.data.Dataset":

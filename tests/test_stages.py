@@ -148,6 +148,38 @@ def test_ngram_jaccard_pairs_exact(ray_session):
     assert capped.count() == 0
 
 
+def test_grouped_topk(ray_session):
+    """Map-side-pruned grouped top-k == pandas window over any batch
+    layout, including ties (broken by the tie col) and groups < k."""
+    import numpy as np
+    import pandas as pd
+
+    from crawl4ai_ray.stages.agg import grouped_topk
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 50, n),
+            "id": np.arange(n),
+            "v": rng.randint(0, 20, n).astype(float),  # many ties
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)  # force multi-batch groups
+    got = (
+        grouped_topk(ds, key="g", value="v", k=3, extra_cols=("id",))
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+    want = want.assign(rank=want.groupby("g").cumcount() + 1)
+    want = want[want["rank"] <= 3][["g", "id", "v", "rank"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "id", "v", "rank"]], want, check_dtype=False
+    )
+
+
 def test_redactor_pii_catalog(ray_session):
     from crawl4ai_ray.stages.redact import Redactor, redact
 
