@@ -391,6 +391,32 @@ def q_content_hash(sf_dir: str):
     )
 
 
+def q_repetition_stats(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        textstats.repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    from ..stages.decontaminate import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # Deterministic stand-in benchmark: every 97th doc (the real use reads
+    # an eval-set table; only its small size matters for the plan shape).
+    bench = docs.map_batches(
+        lambda b: b.filter(
+            pa.array(b.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    return decontaminate(docs, bench, n=3)
+
+
 def q_ann_topk(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qrows = sorted(
@@ -1084,6 +1110,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
     "quality_counts": q_quality_counts,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1230,6 +1258,45 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT) AS n_stop,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
 FROM documents
+""",
+    "repetition_stats": r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS lst FROM documents),
+tok AS (SELECT doc_id, unnest(lst) AS tok FROM d),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+a1 AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS max_token_count
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT d.doc_id, lst[i] || ' ' || lst[i + 1] AS big
+  FROM d, UNNEST(range(1, len(lst))) AS t(i)
+  WHERE len(lst) >= 2
+),
+bc AS (SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY doc_id, big),
+a2 AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bigram_count FROM bc GROUP BY doc_id)
+SELECT a1.doc_id, a1.n_tokens, a1.n_distinct, a1.max_token_count,
+       CAST(COALESCE(a2.max_bigram_count, 0) AS BIGINT) AS max_bigram_count
+FROM a1 LEFT JOIN a2 USING (doc_id)
+""",
+    "decontaminate": r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS lst FROM documents),
+tg AS (
+  SELECT d.doc_id, lst[i] || ' ' || lst[i + 1] || ' ' || lst[i + 2] AS tg
+  FROM d, UNNEST(range(1, len(lst) - 1)) AS t(i)
+  WHERE len(lst) >= 3
+),
+bench AS (SELECT DISTINCT tg FROM tg WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.tg) AS n
+  FROM tg t JOIN bench b USING (tg) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
 """,
     "lang_dist": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang

@@ -126,6 +126,48 @@ class LangId:
         )
 
 
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition counters per document (Rae et al. 2021 §A1.1
+    use duplicate-line / top-n-gram fractions to drop repetitive web text;
+    the corpus here is single-line, so the token-level signals apply):
+    (doc_id) → n_tokens, n_distinct, max_token_count (most common token's
+    count), max_bigram_count (most common token-bigram's count). Integer
+    counters so the DuckDB oracle compares exactly; the usual ratios
+    (1 - distinct/total, top-gram coverage) are trivial projections.
+
+    Fully vectorized in polars: explode tokens once, two groupbys within
+    the batch — no shuffle (per-doc state never leaves the batch)."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        lst=pl.col("text").str.extract_all(TOKEN_RE)
+    )
+    toks = (
+        df.select("doc_id", tok=pl.col("lst"))
+        .explode("tok")
+        .filter(pl.col("tok").is_not_null())
+    )
+    per_tok = toks.group_by(["doc_id", "tok"]).len()
+    agg1 = per_tok.group_by("doc_id").agg(
+        n_tokens=pl.col("len").sum().cast(pl.Int64),
+        n_distinct=pl.len().cast(pl.Int64),
+        max_token_count=pl.col("len").max().cast(pl.Int64),
+    )
+    bigrams = (
+        toks.with_columns(
+            big=pl.col("tok") + " " + pl.col("tok").shift(-1).over("doc_id")
+        )
+        .filter(pl.col("big").is_not_null())
+        .group_by(["doc_id", "big"])
+        .len()
+    )
+    agg2 = bigrams.group_by("doc_id").agg(
+        max_bigram_count=pl.col("len").max().cast(pl.Int64)
+    )
+    out = agg1.join(agg2, on="doc_id", how="left").with_columns(
+        pl.col("max_bigram_count").fill_null(0)
+    )
+    return out.sort("doc_id").to_arrow()
+
+
 def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """md5 content hash (parity with generate_content_hash,
     utils.py:2681-2685)."""

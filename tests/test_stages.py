@@ -323,6 +323,51 @@ def test_langid():
     assert out.column("lang_pred").to_pylist() == ["en", "fr"]
 
 
+def test_repetition_stats():
+    batch = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a b a b a", "x y z", "solo"],
+        }
+    )
+    out = textstats.repetition_stats_batch(batch)
+    rows = {
+        r["doc_id"]: r for r in out.to_pylist()
+    }
+    # "a b a b a": 5 tokens, 2 distinct, 'a'×3, bigrams: "a b"×2,"b a"×2
+    assert rows[0]["n_tokens"] == 5
+    assert rows[0]["n_distinct"] == 2
+    assert rows[0]["max_token_count"] == 3
+    assert rows[0]["max_bigram_count"] == 2
+    assert rows[1]["max_token_count"] == 1 and rows[1]["max_bigram_count"] == 1
+    # single token: no bigram → 0
+    assert rows[2]["n_tokens"] == 1 and rows[2]["max_bigram_count"] == 0
+
+
+def test_decontaminate(ray_session):
+    from crawl4ai_ray.stages.decontaminate import decontaminate
+
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "the quick brown fox jumps",   # shares trigram with bench
+                    "totally different words here",
+                    "tiny",                         # < n tokens → no n-grams
+                ],
+            }
+        )
+    )
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": [100], "text": ["quick brown fox runs fast"]})
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).take_all()}
+    assert out[0]["contaminated"] == 1 and out[0]["n_contaminated"] == 1
+    assert out[1]["contaminated"] == 0
+    assert out[2]["contaminated"] == 0 and out[2]["n_contaminated"] == 0
+
+
 def test_fingerprint_deterministic():
     batch = pa.table({"doc_id": [0], "text": ["word " * 50]})
     a = textstats.fingerprint_batch(batch).column("fingerprint").to_pylist()
