@@ -417,6 +417,43 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=3)
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the synthetic id-level link graph (the same 3
+    modular out-edge rules SQL_EDGES uses, deduplicated per row —
+    collisions only ever occur within one row's 3 candidates, so dedup
+    and out-degree are LOCAL, no shuffle to build the edge table)."""
+    from ..stages.graph import pagerank
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = (2 * ids + 1) % n
+        d2 = (2 * ids + 2) % n
+        d3 = (7 * ids + 3) % n
+        dup3 = (d3 == d1) | (d3 == d2)  # d1 != d2 always (differ by 1 mod n)
+        outdeg = 3.0 - dup3.astype(np.float64)
+        w = 1.0 / outdeg
+        keep3 = ~dup3
+        src = np.concatenate([ids, ids, ids[keep3]])
+        dst = np.concatenate([d1, d2, d3[keep3]])
+        ws = np.concatenate([w, w, w[keep3]])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(ws, pa.float64()),
+            }
+        )
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank(nodes, edges, n_iters=5, damping=0.85)
+
+
 def q_ann_topk(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qrows = sorted(
@@ -1112,6 +1149,7 @@ QUERIES = {
     "quality_counts": q_quality_counts,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "pagerank": q_pagerank,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1151,6 +1189,49 @@ QUERIES = {
 }
 
 _STOP_RE = r"\b(the|a|and|of|to|in|is|it|that|for)\b"
+
+
+def _pagerank_sql(n_iters: int = 5) -> str:
+    """Unrolled-iteration PageRank oracle. Floating-point discipline:
+    every constant is CAST AS DOUBLE and the per-edge contribution is
+    written rank * (1.0/outdeg) — the exact expression the Ray side
+    evaluates — so the only divergence is summation order (~1e-19),
+    absorbed by the final ROUND to 8 decimals on both sides."""
+    head = """nn AS (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS src_id, (2 * doc_id + 1) % nn.c AS dst_id FROM documents, nn
+  UNION ALL SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+e AS (SELECT DISTINCT src_id AS src, dst_id AS dst FROM child),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (
+  SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank
+  FROM documents
+)"""
+    parts = [head]
+    prev = "r0"
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT d2.doc_id AS node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(p.rank * (CAST(1.0 AS DOUBLE) / deg.outdeg)), 0) AS rank
+  FROM documents d2
+  LEFT JOIN e ON e.dst = d2.doc_id
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN {prev} p ON p.node = e.src
+  GROUP BY d2.doc_id
+)"""
+        )
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, ROUND(rank, 8) AS rank FROM {prev}"
+    )
 
 ORACLES = {
     "pages_per_host": f"""
@@ -1298,6 +1379,7 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM d LEFT JOIN hits h USING (doc_id)
 """,
+    "pagerank": _pagerank_sql(5),
     "lang_dist": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
 """,

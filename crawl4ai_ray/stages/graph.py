@@ -1,0 +1,171 @@
+"""Link-graph analytics: distributed PageRank over the crawl's link graph.
+
+The reference has no graph operator (its link graph exists only as per-page
+`links` lists), but page-authority scoring is a standard step of a
+web-scale training-data pipeline (URL-quality priors for frontier scoring
+and corpus filtering).
+
+Plan shape (per iteration, bulk-synchronous):
+  1. tag ranks with bucket = node % P and union with the (pre-bucketed,
+     materialized-once) edge table; ONE groupby(bucket) co-locates every
+     edge with its source's rank — the same union+groupby hash-join
+     replacement used by stages/dedup.verify_pairs and windows.asof_join.
+     Ray 2.49's dedicated JoinOperator costs ~4 s of actor-pool spin-up
+     PER CALL (measured r3) and crashes when chained over empty shuffle
+     partitions, so the groupby form is both faster and sturdier.
+  2. inside each bucket: vectorized src→rank lookup, contribution
+     val = rank * (1/outdeg), partial-aggregated by dst MAP-SIDE so only
+     (dst, partial_sum) rows shuffle,
+  3. ONE groupby(dst).sum (unioned with a zeros row per node so sink
+     nodes keep a row), then rank = (1-d)/N + d·sum.
+
+Two all-to-alls per iteration — the unavoidable pair — with the rank
+table materialized between iterations to keep lineage flat. The edge
+table ships only (bucket, src, dst, w); out-degree is baked in as
+w = 1/outdeg once. Nothing is ever collected on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def pagerank(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    n_iters: int = 5,
+    damping: float = 0.85,
+    num_partitions: int = 16,
+    round_to: int | None = 8,
+) -> "ray.data.Dataset":
+    """PageRank over (node:int64) / (src:int64, dst:int64, w:float64)
+    where w = 1/outdeg(src). Returns (node, rank). ``round_to`` rounds the
+    final ranks so float summation order (Ray vs any oracle) can't flip
+    the last bits."""
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    P = num_partitions
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((src % P).astype(np.int64)),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "w": batch.column("w"),
+                "rank": pa.nulls(batch.num_rows, pa.float64()),
+            }
+        )
+
+    edges_t = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    zeros = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "dst": b.column("node"),
+                "val": pa.array(np.zeros(b.num_rows), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "rank": pa.array(np.full(b.num_rows, 1.0 / n), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag_ranks(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        nr = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array((node % P).astype(np.int64)),
+                "src": batch.column("node"),
+                "dst": pa.nulls(nr, pa.int64()),
+                "w": pa.nulls(nr, pa.float64()),
+                "rank": batch.column("rank"),
+            }
+        )
+
+    def bucket_contrib(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass per hash bucket: src→rank lookup for the
+        bucket's edges, then a LOCAL partial sum by dst (map-side combine
+        — only (dst, partial) leaves the bucket)."""
+        is_rank = g["dst"].isna()
+        rrows = g[is_rank]
+        erows = g[~is_rank]
+        if erows.empty:
+            return pa.table(
+                {"dst": pa.array([], pa.int64()), "val": pa.array([], pa.float64())}
+            )
+        lookup = pd.Series(
+            rrows["rank"].to_numpy(), index=rrows["src"].to_numpy()
+        )
+        vals = erows["w"].to_numpy() * lookup.reindex(
+            erows["src"].to_numpy()
+        ).to_numpy()
+        part = (
+            pd.DataFrame({"dst": erows["dst"].to_numpy().astype(np.int64),
+                          "val": vals})
+            .groupby("dst", sort=True)["val"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "dst": pa.array(part.index.to_numpy(), pa.int64()),
+                "val": pa.array(part.to_numpy(), pa.float64()),
+            }
+        )
+
+    for _ in range(n_iters):
+        tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow")
+        contribs = (
+            edges_t.union(tagged)
+            .groupby("bucket")
+            .map_groups(bucket_contrib, batch_format="pandas")
+        )
+        sums = contribs.union(zeros).groupby("dst").sum("val")
+
+        def finish(batch: pa.Table) -> pa.Table:
+            s = np.asarray(batch.column("sum(val)"), dtype=np.float64)
+            return pa.table(
+                {
+                    "node": batch.column("dst"),
+                    "rank": pa.array(base + damping * s, pa.float64()),
+                }
+            )
+
+        # bound the rank table to P blocks: each Aggregate emits blocks
+        # proportional to its INPUT block count, so without this the
+        # union input grows by ~|input blocks| every iteration and
+        # per-iteration wall time climbs superlinearly (measured r3:
+        # 2.6→5.4 s/iter over 5 iterations at 500 nodes)
+        ranks = (
+            sums.map_batches(finish, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+
+    if round_to is None:
+        return ranks
+    return ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "rank": pa.array(
+                    np.round(np.asarray(b.column("rank")), round_to), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -375,6 +375,39 @@ def test_fingerprint_deterministic():
     assert a == b and len(a[0]) == 8
 
 
+def test_pagerank_matches_numpy(ray_session):
+    from crawl4ai_ray.stages.graph import pagerank
+
+    # 4-node graph: 0→1, 0→2, 1→2, 2→0, 3→2 (node 3 has no in-links)
+    e = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    outdeg = {0: 2, 1: 1, 2: 1, 3: 1}
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3], pa.int64())}))
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in e], pa.int64()),
+                "dst": pa.array([d for _, d in e], pa.int64()),
+                "w": pa.array([1.0 / outdeg[s] for s, _ in e], pa.float64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, n_iters=5, num_partitions=2).take_all()
+    }
+    # numpy reference, same formula
+    r = np.full(4, 0.25)
+    for _ in range(5):
+        nxt = np.full(4, 0.15 / 4)
+        for s, d in e:
+            nxt[d] += 0.85 * r[s] / outdeg[s]
+        r = nxt
+    for i in range(4):
+        assert abs(got[i] - r[i]) < 1e-7, (i, got[i], r[i])
+    # node 3 keeps exactly the teleport mass
+    assert abs(got[3] - 0.15 / 4) < 1e-9
+
+
 def test_multimodal_pipeline(ray_session):
     from crawl4ai_ray.stages.multimodal import media_pipeline, synth_media_table
 
