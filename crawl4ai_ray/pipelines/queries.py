@@ -417,6 +417,13 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=3)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return textstats.tfidf_top_terms(docs, k=3)
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over the synthetic id-level link graph (the same 3
     modular out-edge rules SQL_EDGES uses, deduplicated per row —
@@ -1150,6 +1157,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "pagerank": q_pagerank,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1380,6 +1388,28 @@ SELECT d.doc_id,
 FROM d LEFT JOIN hits h USING (doc_id)
 """,
     "pagerank": _pagerank_sql(5),
+    "tfidf_top_terms": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf AS DOUBLE) * ln((SELECT c FROM nn) / df.df) AS score
+  FROM tf JOIN df USING (tok)
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, tok
+         ) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok AS term, CAST(rnk AS BIGINT) AS rank, ROUND(score, 8) AS score
+FROM ranked WHERE rnk <= 3
+""",
     "lang_dist": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
 """,

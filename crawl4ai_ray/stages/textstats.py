@@ -168,6 +168,95 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     return out.sort("doc_id").to_arrow()
 
 
+def term_frequency_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, tok, tf) — per-doc term counts, computed
+    entirely inside the batch (polars explode + groupby; a doc never spans
+    batches, so no shuffle)."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        lst=pl.col("text").str.extract_all(TOKEN_RE)
+    )
+    toks = (
+        df.select("doc_id", tok=pl.col("lst"))
+        .explode("tok")
+        .filter(pl.col("tok").is_not_null())
+    )
+    out = toks.group_by(["doc_id", "tok"]).len().rename({"len": "tf"})
+    return out.sort(["doc_id", "tok"]).with_columns(
+        pl.col("tf").cast(pl.Int64)
+    ).to_arrow()
+
+
+class TfIdfTopTerms:
+    """Actor-pool stage for pass 2 of corpus TF-IDF: scores each doc's
+    terms against the broadcast idf table and emits the top-k
+    (doc_id, term, rank, score). The idf dict is resolved from plasma
+    ONCE per actor. Scoring uses tf * idf with idf = ln(N/df) precomputed
+    per distinct df via scalar math.log, so an SQL oracle evaluating the
+    same expression through libm gets bit-identical inputs to the ranking."""
+
+    def __init__(self, idf_ref, k: int = 3):
+        import ray as _ray
+
+        self.idf: dict[str, float] = _ray.get(idf_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tf = pl.from_arrow(term_frequency_batch(batch))
+        idf_df = pl.DataFrame(
+            {"tok": list(self.idf.keys()), "idf": list(self.idf.values())}
+        )
+        scored = tf.join(idf_df, on="tok", how="inner").with_columns(
+            score=pl.col("tf").cast(pl.Float64) * pl.col("idf")
+        )
+        top = (
+            scored.sort(["doc_id", "score", "tok"], descending=[False, True, False])
+            .group_by("doc_id", maintain_order=True)
+            .head(self.k)
+            .with_columns(
+                rank=pl.int_range(pl.len()).over("doc_id") + 1,
+                score=pl.col("score").round(8),
+            )
+        )
+        return top.select(
+            pl.col("doc_id"),
+            pl.col("tok").alias("term"),
+            pl.col("rank").cast(pl.Int64),
+            pl.col("score"),
+        ).to_arrow()
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset", k: int = 3, concurrency: int = 4
+) -> "ray.data.Dataset":
+    """Corpus TF-IDF, the standard two-pass plan (Spark MLlib's IDF model
+    does the same collect+broadcast): pass 1 aggregates document
+    frequencies with ONE vocabulary-keyed groupby (the DF table is
+    vocab-sized, orders of magnitude smaller than the corpus); the idf
+    map is then broadcast via ray.put and pass 2 re-derives per-doc TF
+    batch-locally and emits each doc's top-k terms — the corpus text
+    never shuffles."""
+    import math
+
+    import ray as _ray
+
+    n = docs.count()
+    tf = docs.map_batches(term_frequency_batch, batch_format="pyarrow")
+    df_tbl = tf.groupby("tok").count()
+    idf: dict[str, float] = {}
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        for tok, dfc in zip(
+            b.column("tok").to_pylist(), b.column("count()").to_pylist()
+        ):
+            idf[tok] = math.log(n / dfc)
+    ref = _ray.put(idf)
+    return docs.map_batches(
+        TfIdfTopTerms,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """md5 content hash (parity with generate_content_hash,
     utils.py:2681-2685)."""

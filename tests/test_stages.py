@@ -375,6 +375,31 @@ def test_fingerprint_deterministic():
     assert a == b and len(a[0]) == 8
 
 
+def test_tfidf_top_terms(ray_session):
+    import math
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "apple apple banana",   # apple: tf2, rare-ish
+                    "banana cherry",
+                    "banana banana banana",
+                ],
+            }
+        )
+    )
+    out = textstats.tfidf_top_terms(docs, k=2).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    # apple appears in 1/3 docs with tf=2 → 2*ln(3); banana in 3/3 → idf 0
+    assert list(d0["term"]) == ["apple", "banana"]
+    assert abs(d0["score"].iloc[0] - 2 * math.log(3)) < 1e-8
+    assert d0["score"].iloc[1] == 0.0
+    # every doc emits at most k rows, ranks are 1..k
+    assert out.groupby("doc_id")["rank"].max().le(2).all()
+
+
 def test_pagerank_matches_numpy(ray_session):
     from crawl4ai_ray.stages.graph import pagerank
 
