@@ -417,6 +417,57 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=3)
 
 
+def q_anchor_text_agg(sf_dir: str):
+    """Per-destination anchor-text aggregation (the classic web-corpus
+    enrichment: a page's in-link anchor texts describe it better than its
+    own body — used for search indexing and training-data augmentation).
+    Plan: explode (dst, text) from the scraped link lists, then ONE
+    groupby on hash(dst) % P with per-bucket vectorized dedup + sorted
+    string-agg — P scheduling units, not |dst| (the sessionize/asof
+    bucket pattern), since Ray Data has no native string-agg."""
+    import pandas as pd
+
+    from ..functions.hashing import hash64
+
+    P = 32
+    docs = _docs(sf_dir).select_columns(["url", "links_internal"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        dsts, txts = [], []
+        for src, links in zip(
+            batch.column("url").to_pylist(), batch.column("links_internal").to_pylist()
+        ):
+            for link in links:
+                key = normalize_url_for_deep_crawl(link["href"], src)
+                if key:
+                    dsts.append(key)
+                    txts.append(link["text"])
+        bucket = (hash64(dsts) % P).astype(np.int64) if dsts else np.array([], np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "dst": pa.array(dsts, pa.string()),
+                "txt": pa.array(txts, pa.string()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        dd = g.drop_duplicates(["dst", "txt"]).sort_values(["dst", "txt"])
+        agg = dd.groupby("dst", sort=True)["txt"].agg(["count", lambda s: "|".join(s)])
+        return pa.table(
+            {
+                "dst": pa.array(agg.index.to_numpy(), pa.string()),
+                "anchors": pa.array(agg["<lambda_0>"].to_numpy(), pa.string()),
+                "n_anchors": pa.array(
+                    agg["count"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+    return pairs.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def q_tfidf_top_terms(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -1158,6 +1209,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pagerank": q_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "anchor_text_agg": q_anchor_text_agg,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1388,6 +1440,39 @@ SELECT d.doc_id,
 FROM d LEFT JOIN hits h USING (doc_id)
 """,
     "pagerank": _pagerank_sql(5),
+    "anchor_text_agg": f"""
+WITH {SQL_PAGES},
+nn AS (SELECT COUNT(*) AS c FROM documents),
+raw AS (
+  SELECT (2 * doc_id + 1) % nn.c AS dst_id,
+         'first link ' || ((2 * doc_id + 1) % nn.c) AS txt
+  FROM documents, nn
+  UNION ALL
+  SELECT (2 * doc_id + 2) % nn.c,
+         'second link ' || ((2 * doc_id + 2) % nn.c)
+  FROM documents, nn
+  UNION ALL
+  -- the third anchor style is dropped by the scraper's first-wins dedup
+  -- (keyed on the NORMALIZED href) whenever it collides with c1/c2
+  SELECT (7 * doc_id + 3) % nn.c,
+         'third link ' || ((7 * doc_id + 3) % nn.c)
+  FROM documents, nn
+  WHERE (7 * doc_id + 3) % nn.c NOT IN
+        ((2 * doc_id + 1) % nn.c, (2 * doc_id + 2) % nn.c)
+),
+atxt AS (
+  SELECT u2.url AS dst, raw.txt FROM raw JOIN purl u2 ON u2.doc_id = raw.dst_id
+  UNION ALL
+  SELECT site AS dst, 'home' FROM purl
+  UNION ALL
+  SELECT url || '?page=2', 'pagination link' FROM purl WHERE doc_id % 37 = 0
+),
+dd AS (SELECT DISTINCT dst, txt FROM atxt)
+SELECT dst,
+       string_agg(txt, '|' ORDER BY txt) AS anchors,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM dd GROUP BY dst
+""",
     "tfidf_top_terms": r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
