@@ -475,6 +475,18 @@ def q_tfidf_top_terms(sf_dir: str):
     return textstats.tfidf_top_terms(docs, k=3)
 
 
+def q_token_percentiles(sf_dir: str):
+    """Exact corpus length percentiles via the bounded-histogram plan
+    (stages/agg.exact_percentiles) — no distributed sort."""
+    from ..stages.agg import exact_percentiles
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    stats = docs.map_batches(textstats.token_stats_batch, batch_format="pyarrow")
+    return exact_percentiles(stats, "n_tokens", (0.5, 0.9, 0.95, 0.99))
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over the synthetic id-level link graph (the same 3
     modular out-edge rules SQL_EDGES uses, deduplicated per row —
@@ -1210,6 +1222,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
     "anchor_text_agg": q_anchor_text_agg,
+    "token_percentiles": q_token_percentiles,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1472,6 +1485,18 @@ SELECT dst,
        string_agg(txt, '|' ORDER BY txt) AS anchors,
        CAST(COUNT(*) AS BIGINT) AS n_anchors
 FROM dd GROUP BY dst
+""",
+    "token_percentiles": r"""
+WITH t AS (
+  SELECT CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS v FROM documents
+)
+SELECT CAST(0.5 AS DOUBLE) AS pct, CAST(quantile_disc(v, 0.5) AS BIGINT) AS value FROM t
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(v, 0.9) AS BIGINT) FROM t
+UNION ALL
+SELECT CAST(0.95 AS DOUBLE), CAST(quantile_disc(v, 0.95) AS BIGINT) FROM t
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), CAST(quantile_disc(v, 0.99) AS BIGINT) FROM t
 """,
     "tfidf_top_terms": r"""
 WITH toks AS (

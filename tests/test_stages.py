@@ -375,6 +375,19 @@ def test_fingerprint_deterministic():
     assert a == b and len(a[0]) == 8
 
 
+def test_exact_percentiles(ray_session):
+    from crawl4ai_ray.stages.agg import exact_percentiles
+
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(list(range(1, 11)), pa.int64())})
+    )
+    out = exact_percentiles(ds, "v", (0.5, 0.99)).to_pylist()
+    got = {r["pct"]: r["value"] for r in out}
+    # percentile_disc: rank ceil(p*N) of the sorted column (1-indexed)
+    assert got[0.5] == 5    # ceil(0.5*10) = 5 → 5th value
+    assert got[0.99] == 10  # ceil(9.9) = 10 → last value
+
+
 def test_tfidf_top_terms(ray_session):
     import math
 
