@@ -475,6 +475,44 @@ def q_tfidf_top_terms(sf_dir: str):
     return textstats.tfidf_top_terms(docs, k=3)
 
 
+def q_snapshot_latest(sf_dir: str):
+    """CDX-style latest-wins dedup across crawl snapshots: a re-crawl
+    (rev 2, every 3rd doc, 1000 s later) unions with the base snapshot
+    and the newest capture per url survives — grouped_topk(k=1), i.e.
+    map-side partial argmax + one bucketed groupby."""
+    from ..stages.agg import grouped_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def snapshots(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts1 = ids  # base capture at t = doc_id seconds
+        re_mask = ids % 3 == 0
+        ids2 = ids[re_mask]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, ids2]), pa.int64()),
+                "capture_ts": pa.array(
+                    np.concatenate([ts1, ids2 + 1000]), pa.int64()
+                ),
+                "rev": pa.array(
+                    np.concatenate(
+                        [np.ones(len(ids)), np.full(len(ids2), 2)]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    snaps = docs.map_batches(snapshots, batch_format="pyarrow")
+    out = grouped_topk(
+        snaps, key="doc_id", value="capture_ts", k=1, extra_cols=("rev",)
+    )
+    return out.drop_columns(["rank"])
+
+
 def q_token_percentiles(sf_dir: str):
     """Exact corpus length percentiles via the bounded-histogram plan
     (stages/agg.exact_percentiles) — no distributed sort."""
@@ -1223,6 +1261,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
+    "snapshot_latest": q_snapshot_latest,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1485,6 +1524,22 @@ SELECT dst,
        string_agg(txt, '|' ORDER BY txt) AS anchors,
        CAST(COUNT(*) AS BIGINT) AS n_anchors
 FROM dd GROUP BY dst
+""",
+    "snapshot_latest": """
+WITH snaps AS (
+  SELECT doc_id, doc_id AS capture_ts, CAST(1 AS BIGINT) AS rev FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id + 1000, CAST(2 AS BIGINT) FROM documents WHERE doc_id % 3 = 0
+),
+ranked AS (
+  SELECT doc_id, rev, capture_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY capture_ts DESC, rev
+         ) AS rn
+  FROM snaps
+)
+SELECT doc_id, rev, CAST(capture_ts AS BIGINT) AS capture_ts
+FROM ranked WHERE rn = 1
 """,
     "token_percentiles": r"""
 WITH t AS (
