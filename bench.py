@@ -103,6 +103,31 @@ def bench_ann() -> float:
     return time.time() - t0
 
 
+def bench_tfidf() -> float:
+    import ray
+
+    from crawl4ai_ray.stages.textstats import tfidf_top_terms
+
+    t0 = time.time()
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    tfidf_top_terms(docs, k=3).materialize()
+    return time.time() - t0
+
+
+def bench_pagerank() -> float:
+    """5 BSP iterations over the synthetic link graph — the iterative-
+    shuffle stressor (2 all-to-alls per iteration; at bench scale the
+    time is almost entirely Ray's fixed per-shuffle cost, which is the
+    honest number for an iterative algorithm on Ray Data)."""
+    from crawl4ai_ray.pipelines.queries import q_pagerank
+
+    t0 = time.time()
+    q_pagerank(SF_DIR).materialize()
+    return time.time() - t0
+
+
 def bench_textstats() -> float:
     import ray
 
@@ -217,6 +242,8 @@ def main():
     queries["dedup_minhash"] = round(bench_minhash(), 3)
     queries["ann_topk"] = round(bench_ann(), 3)
     queries["textstats"] = round(bench_textstats(), 3)
+    queries["tfidf"] = round(bench_tfidf(), 3)
+    queries["pagerank"] = round(bench_pagerank(), 3)
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
