@@ -453,13 +453,15 @@ def q_anchor_text_agg(sf_dir: str):
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         dd = g.drop_duplicates(["dst", "txt"]).sort_values(["dst", "txt"])
-        agg = dd.groupby("dst", sort=True)["txt"].agg(["count", lambda s: "|".join(s)])
+        grp = dd.groupby("dst", sort=True)["txt"]
+        anchors = grp.agg("|".join)
+        counts = grp.size()
         return pa.table(
             {
-                "dst": pa.array(agg.index.to_numpy(), pa.string()),
-                "anchors": pa.array(agg["<lambda_0>"].to_numpy(), pa.string()),
+                "dst": pa.array(anchors.index.to_numpy(), pa.string()),
+                "anchors": pa.array(anchors.to_numpy(), pa.string()),
                 "n_anchors": pa.array(
-                    agg["count"].to_numpy().astype(np.int64), pa.int64()
+                    counts.to_numpy().astype(np.int64), pa.int64()
                 ),
             }
         )

@@ -197,15 +197,16 @@ class TfIdfTopTerms:
     def __init__(self, idf_ref, k: int = 3):
         import ray as _ray
 
-        self.idf: dict[str, float] = _ray.get(idf_ref)
+        idf: dict[str, float] = _ray.get(idf_ref)
+        # materialize the join table once per ACTOR, not per batch
+        self.idf_df = pl.DataFrame(
+            {"tok": list(idf.keys()), "idf": list(idf.values())}
+        )
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tf = pl.from_arrow(term_frequency_batch(batch))
-        idf_df = pl.DataFrame(
-            {"tok": list(self.idf.keys()), "idf": list(self.idf.values())}
-        )
-        scored = tf.join(idf_df, on="tok", how="inner").with_columns(
+        scored = tf.join(self.idf_df, on="tok", how="inner").with_columns(
             score=pl.col("tf").cast(pl.Float64) * pl.col("idf")
         )
         top = (
