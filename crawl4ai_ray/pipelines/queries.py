@@ -477,6 +477,30 @@ def q_tfidf_top_terms(sf_dir: str):
     return textstats.tfidf_top_terms(docs, k=3)
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — map-side pair dedup,
+    global pair groupby, partial count (stages/agg.py)."""
+    from ..stages.agg import distinct_count_per_key
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct_count_per_key(events, "event_type", "user_id")
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog variant of `distinct_users` (the 100 TB path: per-key
+    1 KB register sketches shuffle instead of every distinct pair).
+    Deterministic via the pinned hash spec; golden-pinned oracle with an
+    independent scalar-python recompute (scripts/gen_golden_oracles.py)."""
+    from ..stages.agg import hll_distinct_per_key
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct_per_key(events, "event_type", "user_id")
+
+
 def q_snapshot_latest(sf_dir: str):
     """CDX-style latest-wins dedup across crawl snapshots: a re-crawl
     (rev 2, every 3rd doc, 1000 s later) unions with the base snapshot
@@ -1264,6 +1288,8 @@ QUERIES = {
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
     "snapshot_latest": q_snapshot_latest,
+    "distinct_users": q_distinct_users,
+    "distinct_users_hll": q_distinct_users_hll,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1526,6 +1552,10 @@ SELECT dst,
        string_agg(txt, '|' ORDER BY txt) AS anchors,
        CAST(COUNT(*) AS BIGINT) AS n_anchors
 FROM dd GROUP BY dst
+""",
+    "distinct_users": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
 """,
     "snapshot_latest": """
 WITH snaps AS (

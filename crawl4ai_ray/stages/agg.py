@@ -169,3 +169,146 @@ def exact_percentiles(
     return pa.table(
         {"pct": pa.array(out_p, pa.float64()), "value": pa.array(out_v, pa.int64())}
     )
+
+
+def distinct_count_per_key(
+    ds: "ray.data.Dataset", key: str, value: str, out_col: str = "n_distinct"
+) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT value) GROUP BY key. Map-side batch-local
+    dedup of (key, value) pairs, one groupby(key, value) to finish the
+    global dedup, then the partial_count pattern on the surviving pairs —
+    the raw rows shuffle at most once, already deduped per block."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select([key, value])).unique().to_arrow()
+        )
+
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby([key, value])
+        .count()
+    )
+    keys_only = pairs.map_batches(
+        lambda b: b.select([key]), batch_format="pyarrow"
+    )
+    return partial_count(keys_only, key, out_col=out_col)
+
+
+# --- HyperLogLog distinct sketch ------------------------------------------
+
+_HLL_P = 10  # 2^10 = 1024 registers → ~3.2% standard error
+_HLL_M = 1 << _HLL_P
+# Flajolet et al. 2007 bias constant for m >= 128
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def _fmix64(h):
+    """Murmur3 finalizer: FNV-1a's HIGH bits have weak avalanche on short
+    keys (measured: 4096 short strings → 66 distinct top-10-bit values),
+    and HLL needs uniform top bits for the register index. Deterministic,
+    applied only inside the sketch (nothing persisted)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def _hll_registers(hashes) -> "object":
+    """uint64 hash array → (m,) uint8 register maxima (vectorized)."""
+    import numpy as np
+
+    hashes = _fmix64(hashes)
+    idx = (hashes >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    w = (hashes << np.uint64(_HLL_P)).astype(np.uint64)
+    # rho = leading zeros of the remaining 64-p bits + 1; w==0 → max rank
+    nz = w != 0
+    rho = np.full(len(hashes), 64 - _HLL_P + 1, dtype=np.uint8)
+    if nz.any():
+        # count leading zeros via float64 exponent trick is lossy for 64-bit;
+        # use bit_length through log2 on the high 32 bits first, exact since
+        # we only need position of the highest set bit
+        wnz = w[nz]
+        hi = (wnz >> np.uint64(32)).astype(np.uint64)
+        lo = (wnz & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        # np.log2 is exact for values < 2^53; both halves are < 2^32
+        bl_hi = np.zeros(len(wnz), dtype=np.int64)
+        m_hi = hi != 0
+        bl_hi[m_hi] = np.floor(np.log2(hi[m_hi].astype(np.float64))).astype(np.int64) + 33
+        m_lo = ~m_hi & (lo != 0)
+        bl_lo = np.zeros(len(wnz), dtype=np.int64)
+        bl_lo[m_lo] = np.floor(np.log2(lo[m_lo].astype(np.float64))).astype(np.int64) + 1
+        msb = bl_hi + bl_lo  # 1-indexed position of highest set bit
+        rho[nz] = (64 - msb + 1).astype(np.uint8)
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs) -> int:
+    import numpy as np
+
+    regs = regs.astype(np.float64)
+    est = _HLL_ALPHA * _HLL_M * _HLL_M / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * _HLL_M and zeros:
+        est = _HLL_M * np.log(_HLL_M / zeros)  # linear counting
+    return int(round(est))
+
+
+def hll_distinct_per_key(
+    ds: "ray.data.Dataset", key: str, value: str, out_col: str = "n_distinct_est"
+) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT value) GROUP BY key via a mergeable
+    HyperLogLog sketch (p=10, pinned-spec hash64 → fully deterministic):
+    each batch emits per-key register arrays (m=1024 bytes, independent of
+    batch size), the reduce is an elementwise register MAX per key — the
+    scale path when exact per-key dedup would shuffle billions of pairs;
+    only (keys × 1 KB) crosses the wire."""
+    import numpy as np
+
+    from ..functions.hashing import hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kv = batch.column(key).to_pylist()
+        hashes = hash64(pc.cast(batch.column(value), pa.string()))
+        out_k, out_r = [], []
+        order = np.argsort(np.asarray(kv, dtype=object))
+        ks = np.asarray(kv, dtype=object)[order]
+        hs = hashes[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1], [True]))
+        )
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            out_k.append(ks[a])
+            out_r.append(_hll_registers(hs[a:b]).tobytes())
+        return pa.table(
+            {
+                key: pa.array(out_k),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    def merge(g):
+        import numpy as np
+        import pandas as pd
+
+        regs = np.zeros(_HLL_M, dtype=np.uint8)
+        for rb in g["regs"]:
+            np.maximum(regs, np.frombuffer(rb, dtype=np.uint8), out=regs)
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], out_col: [_hll_estimate(regs)]}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")

@@ -42,7 +42,54 @@ GOLDEN_NAMES = [
     "fit_markdown",
     "adaptive_crawl",
     "adaptive_embedding",
+    "distinct_users_hll",
 ]
+
+
+def hll_pure_python(sf_dir: str) -> list[tuple[str, int]]:
+    """Independent scalar reimplementation of stages/agg.py
+    hll_distinct_per_key (fnv1a64 → murmur fmix64 → p=10 registers →
+    bias-corrected estimate w/ linear counting) — no numpy in the loop."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.functions.hashing import fnv1a64_py
+
+    P, M = 10, 1024
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+    mask = (1 << 64) - 1
+
+    def fmix64(h: int) -> int:
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & mask
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & mask
+        h ^= h >> 33
+        return h
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    regs: dict[str, list[int]] = {}
+    for et, uid in zip(
+        tbl.column("event_type").to_pylist(), tbl.column("user_id").to_pylist()
+    ):
+        h = fmix64(fnv1a64_py(str(uid)))
+        idx = h >> (64 - P)
+        w = (h << P) & mask
+        rho = (64 - P + 1) if w == 0 else (64 - w.bit_length() + 1)
+        r = regs.setdefault(et, [0] * M)
+        if rho > r[idx]:
+            r[idx] = rho
+    out = []
+    for et, r in regs.items():
+        est = alpha * M * M / sum(2.0 ** -x for x in r)
+        zeros = sum(1 for x in r if x == 0)
+        if est <= 2.5 * M and zeros:
+            est = M * math.log(M / zeros)
+        out.append((et, int(round(est))))
+    return sorted(out)
 
 
 def fingerprints_pure_python(sf_dir: str) -> list[tuple[int, int, int]]:
@@ -146,6 +193,15 @@ def main() -> None:
                 (int(a), int(b), int(c)) for a, b, c in got
             ] == want, "fingerprints: vectorized path != pure-python recompute"
             print(f"   pure-python recompute OK ({len(want)} rows)")
+        if name == "distinct_users_hll":
+            want = hll_pure_python(SF)
+            got = sorted(
+                zip(d1["event_type"].tolist(), d1["n_distinct_est"].tolist())
+            )
+            assert [
+                (str(a), int(b)) for a, b in got
+            ] == want, "distinct_users_hll: vectorized path != pure-python recompute"
+            print(f"   pure-python HLL recompute OK ({len(want)} rows)")
         goldens[name] = table_to_values_sql(
             pa.Table.from_pandas(d1, preserve_index=False).cast(
                 pa.schema([t1.schema.field(c) for c in key])

@@ -375,6 +375,41 @@ def test_fingerprint_deterministic():
     assert a == b and len(a[0]) == 8
 
 
+def test_hll_distinct(ray_session):
+    from crawl4ai_ray.stages.agg import (
+        _hll_estimate,
+        _hll_registers,
+        hll_distinct_per_key,
+    )
+    from crawl4ai_ray.functions.hashing import hash64
+
+    # accuracy: p=10 → ~3.2% stderr; demand <10% on 5k distinct
+    vals = [f"user-{i}" for i in range(5000)]
+    est = _hll_estimate(_hll_registers(hash64(vals)))
+    assert abs(est - 5000) / 5000 < 0.10, est
+    # mergeability: registers from split halves max-merge to the whole
+    import numpy as np
+
+    h = hash64(vals)
+    merged = np.maximum(_hll_registers(h[:2500]), _hll_registers(h[2500:]))
+    assert (merged == _hll_registers(h)).all()
+    # dataset path: duplicates don't inflate the estimate
+    tbl = pa.table(
+        {
+            "k": ["a"] * 6000 + ["b"] * 100,
+            "v": [i % 2000 for i in range(6000)] + list(range(100)),
+        }
+    )
+    out = {
+        r["k"]: r["n_distinct_est"]
+        for r in hll_distinct_per_key(
+            ray.data.from_arrow(tbl), "k", "v"
+        ).take_all()
+    }
+    assert abs(out["a"] - 2000) / 2000 < 0.10, out
+    assert abs(out["b"] - 100) / 100 < 0.10, out
+
+
 def test_exact_percentiles(ray_session):
     from crawl4ai_ray.stages.agg import exact_percentiles
 
