@@ -93,6 +93,73 @@ class ResizeMedia:
         )
 
 
+class FrameSample:
+    """Actor-pool stage: video binary → k uniformly-spaced frame records
+    (fan-out: one input row becomes k output rows). The stub derives a
+    deterministic per-frame feature vector from (payload, frame_idx); a
+    real build seeks with ffmpeg/pyav in __init__-loaded codecs. Output
+    rows are small (features, not pixels), so the fan-out is safe at any
+    batch size; the INPUT batch stays small because payloads are fat."""
+
+    def __init__(self, n_frames: int = 4, strict: bool = False):
+        # real build: self.av = load_pyav()  (once per actor)
+        self.n_frames = n_frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg/pyav, not present in this container"
+            )
+        out = {
+            "media_id": [],
+            "frame_idx": [],
+            "ts_ms": [],
+            "features": [],
+        }
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            h = hashlib.blake2b(payload or b"", digest_size=32).digest()
+            # stub "duration" from the payload, frames uniformly spaced
+            duration_ms = 1000 + int.from_bytes(h[:2], "big")
+            for j in range(self.n_frames):
+                fh = hashlib.blake2b(
+                    (payload or b"") + j.to_bytes(4, "big"), digest_size=32
+                ).digest()
+                out["media_id"].append(mid)
+                out["frame_idx"].append(j)
+                out["ts_ms"].append(duration_ms * j // self.n_frames)
+                out["features"].append(
+                    (
+                        np.frombuffer(fh, dtype=np.uint8)[:FEATURE_DIM].astype(
+                            np.float32
+                        )
+                        / 255.0
+                    ).tolist()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "ts_ms": pa.array(out["ts_ms"], pa.int64()),
+                "features": pa.array(out["features"], pa.list_(pa.float32())),
+            }
+        )
+
+
+def frame_pipeline(ds, n_frames: int = 4, batch_size: int = 8, concurrency=(1, 4)):
+    """video rows → sampled frame table (actor pool, fat-payload batches)."""
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def synth_media_table(n: int = 64) -> pa.Table:
     """Deterministic fake media corpus for tests."""
     ids = list(range(n))

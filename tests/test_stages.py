@@ -488,6 +488,29 @@ def test_multimodal_pipeline(ray_session):
     out = media_pipeline(ds).to_pandas()
     assert len(out) == 32
     assert (out["width"] <= 256).all() and (out["height"] <= 256).all()
+
+
+def test_frame_sample_fanout(ray_session):
+    from crawl4ai_ray.stages.multimodal import frame_pipeline, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(8))
+    out = frame_pipeline(ds, n_frames=4).to_pandas()
+    assert len(out) == 32  # 8 videos × 4 frames
+    per = out.groupby("media_id")
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per["frame_idx"].apply(list))
+    # timestamps strictly increasing within a video, deterministic reruns
+    assert (per["ts_ms"].apply(lambda s: s.is_monotonic_increasing)).all()
+    out2 = frame_pipeline(ds, n_frames=4).to_pandas()
+    assert out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True).equals(
+        out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
+    # strict mode surfaces the env gap loudly
+    import pytest as _pytest
+
+    from crawl4ai_ray.stages.multimodal import FrameSample
+
+    with _pytest.raises(NotImplementedError):
+        FrameSample(strict=True)(synth_media_table(1))
     assert all(len(f) == 16 for f in out["features"])
 
 
