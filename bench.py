@@ -246,7 +246,14 @@ def main():
     synthesize_pages(SF_DIR, REPLICATE)  # cache synth outside timings
     _warmup()
     queries = {}
-    extract_sec, n = bench_extract()
+    # median of 3 for the HEADLINE metric: co-tenant steal bursts (see
+    # BENCH/BASELINE.md round 3) swing single shots by up to 30%
+    extract_secs = []
+    n = 0
+    for _ in range(3):
+        s, n = bench_extract()
+        extract_secs.append(s)
+    extract_sec = sorted(extract_secs)[1]
     queries["extract"] = round(extract_sec, 3)
     queries["crawl_bfs"] = round(bench_crawl(), 3)
     queries["dedup_minhash"] = round(bench_minhash(), 3)
@@ -266,6 +273,7 @@ def main():
                 "num_cpus": NUM_CPUS,
                 "pages": n,
                 "total_sec": total,
+                "extract_secs": [round(s, 3) for s in extract_secs],
             }
         )
     )
