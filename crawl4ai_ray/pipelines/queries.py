@@ -477,6 +477,57 @@ def q_tfidf_top_terms(sf_dir: str):
     return textstats.tfidf_top_terms(docs, k=3)
 
 
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing as a checked query: documents become opaque
+    binary payloads (text bytes — the corpus stand-in for image bytes),
+    flow through the DecodeMedia → ResizeMedia actor pools, and emit
+    (media_id, mime, width, height, feat_md5). Deterministic stub codecs
+    (no PIL/ffmpeg in env, declared) → pinned golden oracle."""
+    import hashlib as _hashlib
+
+    from ..stages.multimodal import media_pipeline
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+        mimes = [("image/png", "image/jpeg", "video/mp4")[i % 3] for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "url": pa.array(
+                    [f"https://media.example.com/{i}" for i in ids], pa.string()
+                ),
+                "mime": pa.array(mimes, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    out = media_pipeline(media, batch_size=32)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        feats = batch.column("features").to_pylist()
+        h = [
+            _hashlib.md5(np.asarray(f, dtype=np.float32).tobytes()).hexdigest()
+            for f in feats
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "mime": batch.column("mime"),
+                "width": batch.column("width").cast(pa.int64()),
+                "height": batch.column("height").cast(pa.int64()),
+                "feat_md5": pa.array(h, pa.string()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — map-side pair dedup,
     global pair groupby, partial count (stages/agg.py)."""
@@ -1290,6 +1341,7 @@ QUERIES = {
     "snapshot_latest": q_snapshot_latest,
     "distinct_users": q_distinct_users,
     "distinct_users_hll": q_distinct_users_hll,
+    "media_decode": q_media_decode,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,

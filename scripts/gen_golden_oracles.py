@@ -43,7 +43,32 @@ GOLDEN_NAMES = [
     "adaptive_crawl",
     "adaptive_embedding",
     "distinct_users_hll",
+    "media_decode",
 ]
+
+
+def media_decode_pure_python(sf_dir: str) -> list[tuple[int, str, int, int, str]]:
+    """Independent scalar recompute of q_media_decode (blake2b stub decode
+    + max-edge-256 clamp + float32 feature hash) — no numpy vectors."""
+    import hashlib as hl
+    import struct
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        payload = text.encode("utf-8")
+        h = hl.blake2b(payload, digest_size=32).digest()
+        w, ht = 64 + h[0] * 4, 64 + h[1] * 4
+        scale = min(1.0, 256.0 / max(w, ht))
+        feats = [b / 255.0 for b in h[:16]]
+        fmd5 = hl.md5(struct.pack("<16f", *feats)).hexdigest()
+        mime = ("image/png", "image/jpeg", "video/mp4")[doc_id % 3]
+        rows.append((int(doc_id), mime, int(w * scale), int(ht * scale), fmd5))
+    return sorted(rows)
 
 
 def hll_pure_python(sf_dir: str) -> list[tuple[str, int]]:
@@ -202,6 +227,21 @@ def main() -> None:
                 (str(a), int(b)) for a, b in got
             ] == want, "distinct_users_hll: vectorized path != pure-python recompute"
             print(f"   pure-python HLL recompute OK ({len(want)} rows)")
+        if name == "media_decode":
+            want = media_decode_pure_python(SF)
+            got = sorted(
+                zip(
+                    d1["media_id"].tolist(),
+                    d1["mime"].tolist(),
+                    d1["width"].tolist(),
+                    d1["height"].tolist(),
+                    d1["feat_md5"].tolist(),
+                )
+            )
+            assert [
+                (int(a), str(b), int(c), int(d), str(e)) for a, b, c, d, e in got
+            ] == want, "media_decode: stage path != pure-python recompute"
+            print(f"   pure-python media recompute OK ({len(want)} rows)")
         goldens[name] = table_to_values_sql(
             pa.Table.from_pandas(d1, preserve_index=False).cast(
                 pa.schema([t1.schema.field(c) for c in key])
