@@ -73,6 +73,38 @@ edges AS (
 """
 
 
+def _explode_links(
+    batch: pa.Table,
+    include_external: bool = False,
+    require_http: bool = False,
+    with_text: bool = False,
+):
+    """Shared link-explode for the edge/anchor queries: iterate each doc's
+    scraped link lists, normalize hrefs with the seen-key normalizer, and
+    yield (src, dst[, text]) rows. One definition so the normalization /
+    first-wins contract can never drift between the oracles that all
+    depend on it."""
+    srcs, dsts, txts = [], [], []
+    cols = [batch.column("url").to_pylist(), batch.column("links_internal").to_pylist()]
+    ext = (
+        batch.column("links_external").to_pylist()
+        if include_external
+        else [[] for _ in range(batch.num_rows)]
+    )
+    for src, li, le in zip(cols[0], cols[1], ext):
+        for link in list(li) + list(le):
+            key = normalize_url_for_deep_crawl(link["href"], src)
+            if not key:
+                continue
+            if require_http and not key.startswith(("http://", "https://")):
+                continue
+            srcs.append(src)
+            dsts.append(key)
+            if with_text:
+                txts.append(link["text"])
+    return (srcs, dsts, txts) if with_text else (srcs, dsts)
+
+
 def _pages_ds(sf_dir: str, columns=None):
     from ..sources.pages import read_pages
 
@@ -115,15 +147,7 @@ def q_link_graph_edges(sf_dir: str):
     docs = _docs(sf_dir).select_columns(["url", "links_internal"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
-        for src, links in zip(
-            batch.column("url").to_pylist(), batch.column("links_internal").to_pylist()
-        ):
-            for link in links:
-                key = normalize_url_for_deep_crawl(link["href"], src)
-                if key:
-                    srcs.append(src)
-                    dsts.append(key)
+        srcs, dsts = _explode_links(batch)
         return pa.table(
             {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
         )
@@ -152,17 +176,7 @@ def q_link_graph_edges_excluded(sf_dir: str):
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
-        for src, li, le in zip(
-            batch.column("url").to_pylist(),
-            batch.column("links_internal").to_pylist(),
-            batch.column("links_external").to_pylist(),
-        ):
-            for link in list(li) + list(le):
-                key = normalize_url_for_deep_crawl(link["href"], src)
-                if key and key.startswith(("http://", "https://")):
-                    srcs.append(src)
-                    dsts.append(key)
+        srcs, dsts = _explode_links(batch, include_external=True, require_http=True)
         return pa.table(
             {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
         )
@@ -433,15 +447,7 @@ def q_anchor_text_agg(sf_dir: str):
     docs = _docs(sf_dir).select_columns(["url", "links_internal"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        dsts, txts = [], []
-        for src, links in zip(
-            batch.column("url").to_pylist(), batch.column("links_internal").to_pylist()
-        ):
-            for link in links:
-                key = normalize_url_for_deep_crawl(link["href"], src)
-                if key:
-                    dsts.append(key)
-                    txts.append(link["text"])
+        _, dsts, txts = _explode_links(batch, with_text=True)
         bucket = (hash64(dsts) % P).astype(np.int64) if dsts else np.array([], np.int64)
         return pa.table(
             {

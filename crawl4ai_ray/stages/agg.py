@@ -147,7 +147,13 @@ def exact_percentiles(
         import polars as pl
 
         df = pl.from_arrow(batch.select([value_col]))
-        out = df.group_by(value_col).len().rename({"len": "n"})
+        # NULLs carry no rank — drop them, matching SQL quantile semantics
+        out = (
+            df.filter(pl.col(value_col).is_not_null())
+            .group_by(value_col)
+            .len()
+            .rename({"len": "n"})
+        )
         return out.with_columns(pl.col("n").cast(pl.Int64)).to_arrow()
 
     hist_ds = ds.map_batches(combine, batch_format="pyarrow").groupby(value_col).sum("n")
@@ -155,6 +161,10 @@ def exact_percentiles(
     for b in hist_ds.iter_batches(batch_format="pyarrow"):
         vals.extend(b.column(value_col).to_pylist())
         counts.extend(b.column("sum(n)").to_pylist())
+    if not vals:  # empty input → empty result, not an IndexError
+        return pa.table(
+            {"pct": pa.array([], pa.float64()), "value": pa.array([], pa.int64())}
+        )
     order = np.argsort(np.asarray(vals))
     v = np.asarray(vals)[order]
     c = np.asarray(counts)[order]
@@ -182,8 +192,13 @@ def distinct_count_per_key(
     def local_distinct(batch: pa.Table) -> pa.Table:
         import polars as pl
 
+        # SQL COUNT(DISTINCT v) ignores NULL values — drop them here so
+        # the oracle comparison holds on nullable columns
         return (
-            pl.from_arrow(batch.select([key, value])).unique().to_arrow()
+            pl.from_arrow(batch.select([key, value]))
+            .filter(pl.col(value).is_not_null())
+            .unique()
+            .to_arrow()
         )
 
     pairs = (
@@ -272,15 +287,30 @@ def hll_distinct_per_key(
     each batch emits per-key register arrays (m=1024 bytes, independent of
     batch size), the reduce is an elementwise register MAX per key — the
     scale path when exact per-key dedup would shuffle billions of pairs;
-    only (keys × 1 KB) crosses the wire."""
+    only (keys × 1 KB) crosses the wire. The reduce groupby runs on
+    hash(key) % P buckets (P scheduling units, never one per key — the
+    grouped_topk doctrine) with a vectorized per-bucket max-merge. NULL
+    values are excluded, matching SQL COUNT(DISTINCT)."""
     import numpy as np
 
     from ..functions.hashing import hash64
 
+    num_buckets = 32
+
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        mask = pc.is_valid(batch.column(value))
+        batch = batch.filter(mask)
         kv = batch.column(key).to_pylist()
+        if not kv:
+            return pa.table(
+                {
+                    key: pa.array([], batch.schema.field(key).type),
+                    "regs": pa.array([], pa.binary()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
         hashes = hash64(pc.cast(batch.column(value), pa.string()))
         out_k, out_r = [], []
         order = np.argsort(np.asarray(kv, dtype=object))
@@ -292,23 +322,26 @@ def hll_distinct_per_key(
         for a, b in zip(bounds[:-1], bounds[1:]):
             out_k.append(ks[a])
             out_r.append(_hll_registers(hs[a:b]).tobytes())
+        bucket = (hash64([str(k) for k in out_k]) % num_buckets).astype(np.int64)
         return pa.table(
             {
-                key: pa.array(out_k),
+                key: pa.array(out_k, batch.schema.field(key).type),
                 "regs": pa.array(out_r, pa.binary()),
+                "bucket": pa.array(bucket),
             }
         )
 
-    def merge(g):
-        import numpy as np
+    def merge_bucket(g):
         import pandas as pd
 
-        regs = np.zeros(_HLL_M, dtype=np.uint8)
-        for rb in g["regs"]:
-            np.maximum(regs, np.frombuffer(rb, dtype=np.uint8), out=regs)
-        return pd.DataFrame(
-            {key: [g[key].iloc[0]], out_col: [_hll_estimate(regs)]}
-        )
+        rows_k, rows_e = [], []
+        for k, grp in g.groupby(key, sort=True):
+            stacked = np.stack(
+                [np.frombuffer(rb, dtype=np.uint8) for rb in grp["regs"]]
+            )
+            rows_k.append(k)
+            rows_e.append(_hll_estimate(stacked.max(axis=0)))
+        return pd.DataFrame({key: rows_k, out_col: rows_e})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(key).map_groups(merge, batch_format="pandas")
+    return partials.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -97,7 +97,7 @@ def pagerank(
             }
         )
 
-    def bucket_contrib(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_contrib(g: pd.DataFrame) -> pa.Table:
         """One vectorized pass per hash bucket: src→rank lookup for the
         bucket's edges, then a LOCAL partial sum by dst (map-side combine
         — only (dst, partial) leaves the bucket)."""

@@ -488,6 +488,7 @@ def test_multimodal_pipeline(ray_session):
     out = media_pipeline(ds).to_pandas()
     assert len(out) == 32
     assert (out["width"] <= 256).all() and (out["height"] <= 256).all()
+    assert all(len(f) == 16 for f in out["features"])
 
 
 def test_frame_sample_fanout(ray_session):
@@ -511,7 +512,6 @@ def test_frame_sample_fanout(ray_session):
 
     with _pytest.raises(NotImplementedError):
         FrameSample(strict=True)(synth_media_table(1))
-    assert all(len(f) == 16 for f in out["features"])
 
 
 def test_multimodal_strict_raises(ray_session):
