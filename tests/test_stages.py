@@ -410,6 +410,31 @@ def test_hll_distinct(ray_session):
     assert abs(out["b"] - 100) / 100 < 0.10, out
 
 
+def test_distinct_count_null_semantics(ray_session):
+    from crawl4ai_ray.stages.agg import distinct_count_per_key
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": pa.array([1, 1, None, None, 2], pa.int64()),
+        }
+    )
+    out = {
+        r["k"]: r["n_distinct"]
+        for r in distinct_count_per_key(ray.data.from_arrow(tbl), "k", "v").take_all()
+    }
+    # SQL COUNT(DISTINCT v): NULLs don't count
+    assert out == {"a": 1, "b": 1}
+
+
+def test_exact_percentiles_empty(ray_session):
+    from crawl4ai_ray.stages.agg import exact_percentiles
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+    out = exact_percentiles(ds, "v", (0.5,))
+    assert out.num_rows == 0
+
+
 def test_exact_percentiles(ray_session):
     from crawl4ai_ray.stages.agg import exact_percentiles
 
