@@ -483,6 +483,17 @@ def q_tfidf_top_terms(sf_dir: str):
     return textstats.tfidf_top_terms(docs, k=3)
 
 
+def q_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel over the events table
+    (stages/windows.py funnel_counts — bucket-pattern sequence matching)."""
+    from ..stages.windows import funnel_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(events, steps=("view", "click", "purchase"))
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing as a checked query: documents become opaque
     binary payloads (text bytes — the corpus stand-in for image bytes),
@@ -1348,6 +1359,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "distinct_users_hll": q_distinct_users_hll,
     "media_decode": q_media_decode,
+    "funnel": q_funnel,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1610,6 +1622,27 @@ SELECT dst,
        string_agg(txt, '|' ORDER BY txt) AS anchors,
        CAST(COUNT(*) AS BIGINT) AS n_anchors
 FROM dd GROUP BY dst
+""",
+    "funnel": """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+  JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+  JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
 """,
     "distinct_users": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct

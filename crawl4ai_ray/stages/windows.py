@@ -267,3 +267,76 @@ def hopping_window_counts(
         ),
         batch_format="pyarrow",
     )
+
+
+def funnel_counts(
+    events: "ray.data.Dataset",
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: stage k counts the users whose earliest
+    step-k event strictly follows their earliest qualifying step-(k-1)
+    event (the standard product-analytics funnel; no windowing SQL in Ray
+    Data, so it's the bucket pattern again). ONE groupby on
+    hash(user) % P co-locates each user's history; inside a bucket the
+    per-stage progression is vectorized pandas (filter → map previous
+    stage's min-ts → strict-greater filter → groupby-min). Buckets emit
+    (stage, partial_count) — P×|steps| tiny rows — folded by one final
+    groupby(stage)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mask = pc.is_in(batch.column(type_col), value_set=pa.array(list(steps)))
+        batch = batch.filter(mask)
+        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((u.astype(np.uint64) % num_buckets).astype(np.int64)),
+                user_col: batch.column(user_col),
+                ts_col: batch.column(ts_col),
+                type_col: batch.column(type_col),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        prev: pd.Series | None = None
+        counts = []
+        for k, step in enumerate(steps):
+            sub = g[g[type_col] == step]
+            if prev is not None:
+                gate = sub[user_col].map(prev)
+                sub = sub[gate.notna() & (sub[ts_col] > gate)]
+            cur = sub.groupby(user_col)[ts_col].min()
+            counts.append(len(cur))
+            prev = cur
+            if cur.empty:
+                counts.extend([0] * (len(steps) - k - 1))
+                break
+        return pa.table(
+            {
+                "stage": pa.array(
+                    list(range(1, len(counts) + 1)), pa.int64()
+                ),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    out = partials.groupby("stage").sum("n")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "stage": b.column("stage"),
+                "n_users": b.column("sum(n)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -95,3 +95,35 @@ def test_hopping_window_counts(ray_session):
     # window starting at 00:00 covers [00:00, 01:00): minutes 0,10,29,30,31
     key = [k for k in by_ws if getattr(k, "minute", None) == 0 and k.hour == 0]
     assert by_ws[key[0]] == 5
+
+
+def test_funnel_counts(ray_session):
+    """Hand-built funnel: strict ordering, per-user isolation."""
+    import ray as _ray
+
+    from crawl4ai_ray.stages.windows import funnel_counts
+
+    t = datetime(2024, 1, 1, 10, 0)
+
+    def ev(u, m, typ):
+        from datetime import timedelta
+
+        return {"user_id": u, "ts": t + timedelta(minutes=m), "event_type": typ}
+
+    rows = [
+        # user 1 completes the funnel in order
+        ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
+        # user 2: click BEFORE view → stops at stage 1
+        ev(2, 0, "click"), ev(2, 1, "view"),
+        # user 3: view then purchase (no click) → stops at stage 1
+        ev(3, 0, "view"), ev(3, 5, "purchase"),
+        # user 4: view+click same minute → strict '>' excludes the click
+        ev(4, 0, "view"), ev(4, 0, "click"),
+        # user 5: never views → counted nowhere
+        ev(5, 0, "purchase"),
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(_ray.data.from_items(rows)).take_all()
+    }
+    assert out == {1: 4, 2: 1, 3: 1}
