@@ -494,6 +494,17 @@ def q_funnel(sf_dir: str):
     return funnel_counts(events, steps=("view", "click", "purchase"))
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention over the events table (stages/windows.py
+    retention_cohorts)."""
+    from ..stages.windows import retention_cohorts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(events, max_offset_days=7)
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing as a checked query: documents become opaque
     binary payloads (text bytes — the corpus stand-in for image bytes),
@@ -1360,6 +1371,7 @@ QUERIES = {
     "distinct_users_hll": q_distinct_users_hll,
     "media_decode": q_media_decode,
     "funnel": q_funnel,
+    "retention": q_retention,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1622,6 +1634,18 @@ SELECT dst,
        string_agg(txt, '|' ORDER BY txt) AS anchors,
        CAST(COUNT(*) AS BIGINT) AS n_anchors
 FROM dd GROUP BY dst
+""",
+    "retention": """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, ud.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN first f USING (user_id)
+WHERE date_diff('day', f.cohort_day, ud.day) <= 7
+GROUP BY f.cohort_day, day_offset
 """,
     "funnel": """
 WITH t1 AS (

@@ -340,3 +340,78 @@ def funnel_counts(
         ),
         batch_format="pyarrow",
     )
+
+
+def retention_cohorts(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int = 7,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Cohort retention: users cohorted by first-active calendar day;
+    (cohort_day, day_offset) counts how many of that cohort were active
+    day_offset days later (distinct user-days, offset 0 = cohort size).
+    Same bucket plan as sessionize/funnel: ONE groupby on hash(user)%P,
+    per-bucket vectorized (distinct user-days → per-user min day →
+    offsets), partial counts folded by one final small groupby."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pc.floor_temporal(
+            batch.column(ts_col).cast(pa.timestamp("us")), unit="day"
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (u.astype(np.uint64) % num_buckets).astype(np.int64)
+                ),
+                user_col: batch.column(user_col),
+                "day": day,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        dd = g.drop_duplicates([user_col, "day"])
+        first = dd.groupby(user_col)["day"].transform("min")
+        offset = (dd["day"] - first).dt.days
+        keep = offset <= max_offset_days
+        part = (
+            pd.DataFrame(
+                {
+                    "cohort_day": first[keep].to_numpy(),
+                    "day_offset": offset[keep].to_numpy(),
+                }
+            )
+            .groupby(["cohort_day", "day_offset"], sort=True)
+            .size()
+        )
+        idx = part.index.to_frame(index=False)
+        return pa.table(
+            {
+                "cohort_day": pa.array(idx["cohort_day"]).cast(pa.timestamp("us")),
+                "day_offset": pa.array(
+                    idx["day_offset"].to_numpy().astype("int64"), pa.int64()
+                ),
+                "n": pa.array(part.to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    partials = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    out = partials.groupby(["cohort_day", "day_offset"]).sum("n")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "cohort_day": b.column("cohort_day"),
+                "day_offset": b.column("day_offset"),
+                "n_users": b.column("sum(n)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -127,3 +127,29 @@ def test_funnel_counts(ray_session):
         for r in funnel_counts(_ray.data.from_items(rows)).take_all()
     }
     assert out == {1: 4, 2: 1, 3: 1}
+
+
+def test_retention_cohorts(ray_session):
+    import ray as _ray
+
+    from crawl4ai_ray.stages.windows import retention_cohorts
+
+    def ev(u, d):
+        return {"user_id": u, "ts": datetime(2024, 1, 1 + d, 12, 0)}
+
+    rows = [
+        # cohort day 0: users 1,2 — user 1 returns day 1 and 2, user 2 never
+        ev(1, 0), ev(1, 1), ev(1, 2), ev(2, 0),
+        # duplicate same-day events count once
+        ev(2, 0),
+        # cohort day 1: user 3, returns day 3 (offset 2)
+        ev(3, 1), ev(3, 3),
+    ]
+    out = retention_cohorts(_ray.data.from_items(rows)).to_pandas()
+    key = {
+        (r.cohort_day.day, r.day_offset): r.n_users for r in out.itertuples()
+    }
+    assert key[(1, 0)] == 2  # cohort Jan 1: 2 users
+    assert key[(1, 1)] == 1 and key[(1, 2)] == 1
+    assert key[(2, 0)] == 1 and key[(2, 2)] == 1
+    assert (1, 3) not in key
