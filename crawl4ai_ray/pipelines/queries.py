@@ -476,6 +476,56 @@ def q_anchor_text_agg(sf_dir: str):
     return pairs.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def q_connected_components(sf_dir: str):
+    """Connected components over the host-membership graph (each page
+    linked to its host's hub page): label propagation with convergence
+    detection (stages/graph.py connected_components) — the fixpoint must
+    equal min-doc_id-per-host, which the oracle computes independently
+    from the corpus arithmetic."""
+    from ..stages.graph import connected_components
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def host_of(ids: np.ndarray) -> np.ndarray:
+        return np.where(ids % 7 == 0, 0, ids % 50)
+
+    # hubs: min doc_id per host — a 50-row aggregate, broadcast to the
+    # edge builder (small-side broadcast, not a shuffle join)
+    hubs_ds = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "host_id": pa.array(
+                    host_of(b.column("doc_id").to_numpy(zero_copy_only=False))
+                ),
+                "doc_id": b.column("doc_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("host_id").min("doc_id")
+    hub_map = {
+        int(r["host_id"]): int(r["min(doc_id)"]) for r in hubs_ds.take_all()
+    }
+    hub_ref = ray.put(hub_map)
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        hubs = ray.get(hub_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = np.asarray([hubs[h] for h in host_of(ids)], dtype=np.int64)
+        keep = ids != dst  # drop self-loops
+        return pa.table(
+            {
+                "src": pa.array(ids[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return connected_components(nodes, edges)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -1372,6 +1422,7 @@ QUERIES = {
     "media_decode": q_media_decode,
     "funnel": q_funnel,
     "retention": q_retention,
+    "connected_components": q_connected_components,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -1634,6 +1685,16 @@ SELECT dst,
        string_agg(txt, '|' ORDER BY txt) AS anchors,
        CAST(COUNT(*) AS BIGINT) AS n_anchors
 FROM dd GROUP BY dst
+""",
+    "connected_components": """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 50 END AS host_id
+  FROM documents
+)
+SELECT doc_id AS node,
+       CAST(MIN(doc_id) OVER (PARTITION BY host_id) AS BIGINT) AS component
+FROM p
 """,
     "retention": """
 WITH ud AS (

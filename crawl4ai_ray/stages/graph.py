@@ -169,3 +169,144 @@ def pagerank(
         ),
         batch_format="pyarrow",
     )
+
+
+def connected_components(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    num_partitions: int = 16,
+    max_iters: int = 50,
+) -> "ray.data.Dataset":
+    """Connected components by distributed min-label propagation WITH
+    convergence detection — the iterate-until-fixpoint shape (PageRank
+    above runs a fixed count; this one must notice quiescence). Per
+    iteration: propagate each node's label across (undirected) edges via
+    the same union+bucketed-groupby plan as pagerank, take the min of
+    (own label, neighbor labels) per node, then ONE tiny aggregate —
+    count of changed labels — decides termination on the driver. Labels
+    are node ids, so the fixpoint is min-node-id per component; with a
+    hub/star topology per component it converges in 2-3 sweeps.
+    Returns (node:int64, component:int64)."""
+    P = num_partitions
+
+    und = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.chunked_array(
+                    [pa.concat_arrays([c.combine_chunks() for c in (b.column("src"), b.column("dst"))])]
+                ),
+                "dst": pa.chunked_array(
+                    [pa.concat_arrays([c.combine_chunks() for c in (b.column("dst"), b.column("src"))])]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((src % P).astype(np.int64)),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "lbl": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    edges_t = und.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": b.column("node"), "lbl": b.column("node")}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        nr = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array((node % P).astype(np.int64)),
+                "src": batch.column("node"),
+                "dst": pa.nulls(nr, pa.int64()),
+                "lbl": batch.column("lbl"),
+            }
+        )
+
+    def bucket_min(g: pd.DataFrame) -> pa.Table:
+        """Per bucket: candidate labels for each edge target = source's
+        current label; plus every node's own label — partial min by node."""
+        is_lbl = g["dst"].isna()
+        lrows = g[is_lbl]
+        erows = g[~is_lbl]
+        lookup = pd.Series(lrows["lbl"].to_numpy(), index=lrows["src"].to_numpy())
+        cands = [
+            pd.DataFrame(
+                {
+                    "node": lrows["src"].to_numpy().astype(np.int64),
+                    "lbl": lrows["lbl"].to_numpy().astype(np.int64),
+                }
+            )
+        ]
+        if not erows.empty:
+            cands.append(
+                pd.DataFrame(
+                    {
+                        "node": erows["dst"].to_numpy().astype(np.int64),
+                        "lbl": lookup.reindex(erows["src"].to_numpy())
+                        .to_numpy()
+                        .astype(np.int64),
+                    }
+                )
+            )
+        part = pd.concat(cands).groupby("node", sort=True)["lbl"].min()
+        return pa.table(
+            {
+                "node": pa.array(part.index.to_numpy(), pa.int64()),
+                "lbl": pa.array(part.to_numpy(), pa.int64()),
+            }
+        )
+
+    for it in range(max_iters):
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
+        new_labels = (
+            edges_t.union(tagged)
+            .groupby("bucket")
+            .map_groups(bucket_min, batch_format="pandas")
+            .groupby("node")
+            .min("lbl")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("node"),
+                        "lbl": b.column("min(lbl)").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(P)
+            .materialize()
+        )
+        # convergence: count labels that changed (distributed join-free:
+        # union old (node,-lbl tagged) would be heavier than a tiny
+        # sum-compare — labels are one int per node; compare via checksums
+        # of (node, lbl) pairs, exact because labels only ever DECREASE:
+        # sum(lbl) is strictly monotone until the fixpoint
+        old_sum = labels.map_batches(
+            lambda b: pa.table({"s": pa.array([pa.compute.sum(b.column("lbl")).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("s")
+        new_sum = new_labels.map_batches(
+            lambda b: pa.table({"s": pa.array([pa.compute.sum(b.column("lbl")).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("s")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "component": b.column("lbl")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -506,6 +506,31 @@ def test_pagerank_matches_numpy(ray_session):
     assert abs(got[3] - 0.15 / 4) < 1e-9
 
 
+def test_connected_components(ray_session):
+    from crawl4ai_ray.stages.graph import connected_components
+
+    # two components: chain 0-1-2-3 (forces 3 propagation sweeps before
+    # the fixpoint, exercising convergence detection) and pair 10-11;
+    # node 20 isolated
+    e = [(1, 0), (2, 1), (3, 2), (11, 10)]
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 1, 2, 3, 10, 11, 20], pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in e], pa.int64()),
+                "dst": pa.array([d for _, d in e], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges, num_partitions=4).take_all()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+
+
 def test_multimodal_pipeline(ray_session):
     from crawl4ai_ray.stages.multimodal import media_pipeline, synth_media_table
 
