@@ -502,15 +502,16 @@ def q_connected_components(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).groupby("host_id").min("doc_id")
-    hub_map = {
-        int(r["host_id"]): int(r["min(doc_id)"]) for r in hubs_ds.take_all()
-    }
-    hub_ref = ray.put(hub_map)
+    # hosts are dense ints 0..49 — a fancy-indexable array beats a dict
+    hub_arr = np.zeros(50, dtype=np.int64)
+    for r in hubs_ds.take_all():
+        hub_arr[int(r["host_id"])] = int(r["min(doc_id)"])
+    hub_ref = ray.put(hub_arr)
 
     def mk_edges(batch: pa.Table) -> pa.Table:
         hubs = ray.get(hub_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = np.asarray([hubs[h] for h in host_of(ids)], dtype=np.int64)
+        dst = hubs[host_of(ids)]
         keep = ids != dst  # drop self-loops
         return pa.table(
             {

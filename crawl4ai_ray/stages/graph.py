@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -249,16 +250,20 @@ def connected_components(
             )
         ]
         if not erows.empty:
-            cands.append(
-                pd.DataFrame(
-                    {
-                        "node": erows["dst"].to_numpy().astype(np.int64),
-                        "lbl": lookup.reindex(erows["src"].to_numpy())
-                        .to_numpy()
-                        .astype(np.int64),
-                    }
+            # a dangling src (edge endpoint absent from the node set) has
+            # no label this sweep — drop those candidates rather than let
+            # reindex's NaN cast to INT64_MIN and poison every min
+            src_lbl = lookup.reindex(erows["src"].to_numpy()).to_numpy()
+            ok = ~pd.isna(src_lbl)
+            if ok.any():
+                cands.append(
+                    pd.DataFrame(
+                        {
+                            "node": erows["dst"].to_numpy()[ok].astype(np.int64),
+                            "lbl": src_lbl[ok].astype(np.int64),
+                        }
+                    )
                 )
-            )
         part = pd.concat(cands).groupby("node", sort=True)["lbl"].min()
         return pa.table(
             {
@@ -267,7 +272,21 @@ def connected_components(
             }
         )
 
-    for it in range(max_iters):
+    def _label_sum(ds):
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b.column("lbl")).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+
+    # convergence: labels only ever DECREASE, so sum(lbl) is strictly
+    # monotone until the fixpoint — equality of consecutive sweep sums is
+    # exact quiescence. prev_sum carries over so each sweep pays ONE
+    # labels pass, not two.
+    prev_sum = _label_sum(labels)
+    converged = False
+    for _ in range(max_iters):
         tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
         new_labels = (
             edges_t.union(tagged)
@@ -287,22 +306,19 @@ def connected_components(
             .repartition(P)
             .materialize()
         )
-        # convergence: count labels that changed (distributed join-free:
-        # union old (node,-lbl tagged) would be heavier than a tiny
-        # sum-compare — labels are one int per node; compare via checksums
-        # of (node, lbl) pairs, exact because labels only ever DECREASE:
-        # sum(lbl) is strictly monotone until the fixpoint
-        old_sum = labels.map_batches(
-            lambda b: pa.table({"s": pa.array([pa.compute.sum(b.column("lbl")).as_py() or 0], pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("s")
-        new_sum = new_labels.map_batches(
-            lambda b: pa.table({"s": pa.array([pa.compute.sum(b.column("lbl")).as_py() or 0], pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("s")
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if old_sum == new_sum:
+        if new_sum == prev_sum:
+            converged = True
             break
+        prev_sum = new_sum
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} sweeps "
+            "(component diameter exceeds max_iters — raise max_iters; min-"
+            "label propagation moves one hop per sweep)"
+        )
 
     return labels.map_batches(
         lambda b: pa.table(

@@ -17,6 +17,15 @@ import pyarrow.compute as pc
 import ray
 
 
+def _user_bucket(batch: pa.Table, user_col: str, num_buckets: int) -> pa.Array:
+    """Shared hash(user) % P bucket column for the per-entity operators
+    (sessionize / funnel / retention) — ONE definition so a future change
+    to the bucketing (e.g. salting a skewed entity key, as the module
+    docstring anticipates) lands everywhere at once."""
+    u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array((u.astype(np.uint64) % num_buckets).astype(np.int64))
+
+
 def tumbling_window_counts(
     events: "ray.data.Dataset",
     window: str = "1h",
@@ -80,12 +89,9 @@ def sessionize(
     num_buckets = 32
 
     def tag(batch: pa.Table) -> pa.Table:
-        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array(
-                    (u.astype(np.uint64) % num_buckets).astype(np.int64)
-                ),
+                "bucket": _user_bucket(batch, user_col, num_buckets),
                 id_col: batch.column(id_col),
                 user_col: batch.column(user_col),
                 ts_col: batch.column(ts_col),
@@ -288,14 +294,11 @@ def funnel_counts(
     groupby(stage)."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         mask = pc.is_in(batch.column(type_col), value_set=pa.array(list(steps)))
         batch = batch.filter(mask)
-        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((u.astype(np.uint64) % num_buckets).astype(np.int64)),
+                "bucket": _user_bucket(batch, user_col, num_buckets),
                 user_col: batch.column(user_col),
                 ts_col: batch.column(ts_col),
                 type_col: batch.column(type_col),
@@ -330,7 +333,18 @@ def funnel_counts(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
-    out = partials.groupby("stage").sum("n")
+    # a zero row per stage keeps the contract (one row per stage, 0 when
+    # no event qualifies) even when tag() filters EVERY event and the
+    # bucket groupby therefore emits nothing
+    zeros = ray.data.from_arrow(
+        pa.table(
+            {
+                "stage": pa.array(range(1, len(steps) + 1), pa.int64()),
+                "n": pa.array([0] * len(steps), pa.int64()),
+            }
+        )
+    )
+    out = partials.union(zeros).groupby("stage").sum("n")
     return out.map_batches(
         lambda b: pa.table(
             {
@@ -357,17 +371,12 @@ def retention_cohorts(
     offsets), partial counts folded by one final small groupby."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         day = pc.floor_temporal(
             batch.column(ts_col).cast(pa.timestamp("us")), unit="day"
         )
         return pa.table(
             {
-                "bucket": pa.array(
-                    (u.astype(np.uint64) % num_buckets).astype(np.int64)
-                ),
+                "bucket": _user_bucket(batch, user_col, num_buckets),
                 user_col: batch.column(user_col),
                 "day": day,
             }
