@@ -187,7 +187,11 @@ def connected_components(
     count of changed labels — decides termination on the driver. Labels
     are node ids, so the fixpoint is min-node-id per component; with a
     hub/star topology per component it converges in 2-3 sweeps.
-    Returns (node:int64, component:int64)."""
+    Returns (node:int64, component:int64). Edge endpoints absent from
+    ``nodes`` (dangling links) can't seed a label of their own but DO
+    join the output once a neighbor's label reaches them — they are, by
+    construction, connected; callers needing exactly the declared node
+    set should filter the result."""
     P = num_partitions
 
     und = edges.map_batches(

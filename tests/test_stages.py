@@ -529,6 +529,36 @@ def test_connected_components(ray_session):
         for r in connected_components(nodes, edges, num_partitions=4).take_all()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+    # dangling edge endpoints (absent from nodes) must not poison labels
+    e2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([99, 1], pa.int64()),
+                "dst": pa.array([1, 0], pa.int64()),
+            }
+        )
+    )
+    n2 = ray.data.from_arrow(pa.table({"node": pa.array([0, 1], pa.int64())}))
+    got2 = {
+        r["node"]: r["component"]
+        for r in connected_components(n2, e2, num_partitions=2).take_all()
+    }
+    assert got2[0] == 0 and got2[1] == 0
+    # the dangling endpoint joins the output with its neighbor's label
+    # (documented contract), never a NaN-cast garbage label
+    assert got2[99] == 1 and len(got2) == 3
+    # non-convergence raises instead of returning wrong labels
+    chain = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2, 3], pa.int64()),
+                "dst": pa.array([0, 1, 2], pa.int64()),
+            }
+        )
+    )
+    n4 = ray.data.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3], pa.int64())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(n4, chain, num_partitions=2, max_iters=1)
 
 
 def test_multimodal_pipeline(ray_session):
