@@ -128,6 +128,7 @@ def asof_join(
     ts_right: str,
     right_value_cols: list[str],
     num_partitions: int = 8,
+    right_tiebreak_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """As-of (backward) join: for each left row, attach the latest right
     row of the same entity with ts_right <= ts_left.
@@ -136,9 +137,21 @@ def asof_join(
     groupby on the entity key co-locates each entity's full history), then
     a per-group vectorized ``pandas.merge_asof``. Assumes one entity's
     history fits in a worker (salt the entity key otherwise).
+
+    ``right_tiebreak_cols``: when the right side has duplicate
+    (entity, ts) rows, sort them ascending by these columns within equal
+    ts so merge_asof's last-wins tie rule deterministically picks the MAX
+    of the tiebreak columns. This replaces a pre-aggregation
+    ``groupby(entity, ts).max(col)`` on the right side — folding the
+    dedup into the per-bucket pass saves an entire distributed aggregate
+    (~16 s of fixed Aggregate overhead at sf0.01, r3 profiling).
     """
 
     num_partitions = max(1, num_partitions)
+    tiebreak = list(right_tiebreak_cols or [])
+    assert set(tiebreak) <= set(right_value_cols), (
+        "right_tiebreak_cols must be carried value columns"
+    )
 
     # resolve schemas ONCE on the driver: closing over the Datasets and
     # calling .schema() inside the batch UDFs serialized the Dataset handle
@@ -150,6 +163,15 @@ def asof_join(
         c: _ltype(left, c) for c in left_names if c not in (by_left, ts_left)
     }
 
+    def _ts_cast(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+        # normalize every temporal flavor (date32, timestamp[s], ...) to
+        # one precision so union blocks share a schema (mixed
+        # timestamp[s]/timestamp[us] blocks tripped Ray's schema-
+        # consistency warnings and can break the sort, r3 profiling)
+        if pa.types.is_temporal(arr.type):
+            return arr.cast(pa.timestamp("us"))
+        return arr
+
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         entity = batch.column(by_left).cast(pa.int64())
@@ -159,7 +181,7 @@ def asof_join(
         cols = {
             "bucket": bucket,
             "entity": entity,
-            "ts": batch.column(ts_left),
+            "ts": _ts_cast(batch.column(ts_left)),
             "side": pa.array(["L"] * n, pa.string()),
         }
         for c in right_value_cols:
@@ -178,7 +200,7 @@ def asof_join(
         cols = {
             "bucket": bucket,
             "entity": entity,
-            "ts": batch.column(ts_right),
+            "ts": _ts_cast(batch.column(ts_right)),
             "side": pa.array(["R"] * n, pa.string()),
         }
         for c in right_value_cols:
@@ -197,8 +219,10 @@ def asof_join(
         lrows = group[group["side"] == "L"].sort_values(
             "ts", kind="mergesort"
         )
+        # ts stays the primary key (merge_asof requires it sorted); the
+        # tiebreak cols order duplicates within equal ts so last-wins = max
         rrows = group[group["side"] == "R"].sort_values(
-            "ts", kind="mergesort"
+            ["ts"] + tiebreak, kind="mergesort"
         )
         if lrows.empty:
             lcols = [c for c in group.columns if c.startswith("l_")]

@@ -75,6 +75,62 @@ def test_asof_join_backward(ray_session):
     assert math.isnan(got[3])  # uid 8 has no orders
 
 
+def test_asof_join_tiebreak_max(ray_session):
+    """Duplicate (entity, ts) right rows: ascending tiebreak sort + merge_asof
+    last-wins must pick the MAX of the tiebreak column — the fold-in
+    replacement for a right-side groupby(entity, ts).max() pre-step."""
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "eid": pa.array([1], pa.int64()),
+                "uid": pa.array([7], pa.int64()),
+                "ts": pa.array([datetime(2024, 1, 10)], pa.timestamp("us")),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "uid": pa.array([7, 7, 7], pa.int64()),
+                # two orders on the SAME day, one later-but-before-event
+                "ots": pa.array(
+                    [
+                        datetime(2024, 1, 5),
+                        datetime(2024, 1, 5),
+                        datetime(2024, 1, 7),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "price": pa.array([50.0, 10.0, 20.0], pa.float64()),
+            }
+        )
+    )
+    out = asof_join(
+        left, right, by_left="uid", by_right="uid",
+        ts_left="ts", ts_right="ots", right_value_cols=["price"],
+        right_tiebreak_cols=["price"],
+    ).to_pandas()
+    # latest ts wins first (Jan-7 beats both Jan-5 rows)...
+    assert list(out["price"]) == [20.0]
+
+    left2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "eid": pa.array([2], pa.int64()),
+                "uid": pa.array([7], pa.int64()),
+                "ts": pa.array([datetime(2024, 1, 6)], pa.timestamp("us")),
+            }
+        )
+    )
+    out2 = asof_join(
+        left2, right, by_left="uid", by_right="uid",
+        ts_left="ts", ts_right="ots", right_value_cols=["price"],
+        right_tiebreak_cols=["price"],
+    ).to_pandas()
+    # ...and among equal-ts duplicates the max tiebreak value is chosen
+    assert list(out2["price"]) == [50.0]
+
+
 def test_hopping_window_counts(ray_session):
     """Each event lands in exactly size/hop windows; totals match."""
     import datetime as dt
