@@ -1005,6 +1005,28 @@ def q_best_first_order(sf_dir: str):
     )
 
 
+def q_dfs_order(sf_dir: str):
+    """DFS crawl-order conformance: strategy="dfs" sorts the pending set
+    (depth desc, url asc — score 0 with no scorer) and admits the whole
+    frontier each wave up to the page budget. Completes the
+    ordering-oracle triple (bfs_depth / best_first_order / dfs_order);
+    the oracle replays the wave loop as a recursive CTE, the same
+    construction as best_first_order's."""
+    cfg = CrawlConfig(strategy="dfs", max_depth=2, max_pages=30, seen_shards=4)
+    run = crawl(sf_dir, seeds=[url_of(0)], cfg=cfg)
+    urls, waves = [], []
+    for w in run.waves:
+        for u in w["frontier_urls"]:
+            urls.append(u)
+            waves.append(w["wave"])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "wave": pa.array(waves, pa.int64()),
+        }
+    )
+
+
 def q_politeness_budget(sf_dir: str):
     cfg = CrawlConfig(
         max_depth=2, seen_shards=4, max_pages_per_host_per_wave=2
@@ -1439,6 +1461,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "dataset_split_counts": q_dataset_split_counts,
     "best_first_order": q_best_first_order,
+    "dfs_order": q_dfs_order,
     "politeness_budget": q_politeness_budget,
     "link_preview": q_link_preview,
     "adaptive_crawl": q_adaptive_crawl,
@@ -2011,6 +2034,71 @@ FROM c
     # and the positional per-host politeness cap are all scalar SQL.
     # (DuckDB 1.0 quirk: a cross join breaks lambda binding, so N rides in
     # the recursion state instead of a joined CTE.)
+    "dfs_order": r"""
+WITH RECURSIVE
+sim(wave, crawled, n, visited, pending, outp) AS (
+  SELECT 0, 0, (SELECT COUNT(*) FROM documents),
+         ['https://site0.example.com/page/0'],
+         [{'nd': 0, 'u': 'https://site0.example.com/page/0', 'd': 0}],
+         CAST([] AS STRUCT(u VARCHAR, w INTEGER)[])
+  UNION ALL
+  SELECT s.wave + 1,
+         s.crawled + len(s.fetched),
+         s.n,
+         s.visited || s.newu,
+         list_slice(s.sp, s.budget + 1, len(s.sp))
+           || list_transform(s.newu, u -> {
+                'nd': -list_aggregate(list_transform(list_filter(s.cands, c -> c.u = u), c -> c.d), 'min'),
+                'u': u,
+                'd': list_aggregate(list_transform(list_filter(s.cands, c -> c.u = u), c -> c.d), 'min')}),
+         s.outp || list_transform(list_slice(s.sp, 1, s.budget), x -> {'u': x.u, 'w': s.wave})
+  FROM (
+    SELECT wave, crawled, n, visited, outp, sp, budget, fetched, cands,
+           list_distinct(list_transform(cands, c -> c.u)) AS newu
+    FROM (
+      SELECT wave, crawled, n, visited, outp, sp, budget, fetched,
+             list_filter(
+               flatten(list_transform(list_filter(fetched, x -> x.d < 2), x ->
+                 list_concat(
+                   [{'u': 'https://site' || regexp_extract(x.u, 'site(\d+)', 1) || '.example.com',
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n) % 7 = 0 THEN 0
+                                ELSE ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n) % 50 END)
+                          || '.example.com/page/' || ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+1) % n),
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n) % 7 = 0 THEN 0
+                                ELSE ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n) % 50 END)
+                          || '.example.com/page/' || ((2*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+2) % n),
+                     'd': x.d + 1},
+                    {'u': 'https://site' ||
+                          (CASE WHEN ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n) % 7 = 0 THEN 0
+                                ELSE ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n) % 50 END)
+                          || '.example.com/page/' || ((7*CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT)+3) % n),
+                     'd': x.d + 1}],
+                   CASE WHEN CAST(regexp_extract(x.u,'page/(\d+)',1) AS BIGINT) % 37 = 0
+                        THEN [{'u': x.u || '?page=2', 'd': x.d + 1}]
+                        ELSE CAST([] AS STRUCT(u VARCHAR, d INTEGER)[]) END))),
+               c -> NOT list_contains(visited, c.u)) AS cands
+      FROM (
+        SELECT wave, crawled, n, visited, outp, sp,
+               least(30 - crawled, len(sp)) AS budget,
+               list_filter(list_slice(sp, 1, least(30 - crawled, len(sp))),
+                           x -> regexp_matches(x.u, '^https://site\d+\.example\.com/page/\d+$')) AS fetched
+        FROM (
+          SELECT wave, crawled, n, visited, outp, list_sort(pending) AS sp
+          FROM sim
+          WHERE len(pending) > 0 AND crawled < 30
+        )
+      )
+    )
+  ) s
+),
+last AS (SELECT outp FROM sim ORDER BY wave DESC LIMIT 1),
+flat AS (SELECT unnest(outp) AS r FROM last)
+SELECT r.u AS url, CAST(r.w AS BIGINT) AS wave FROM flat
+""",
     "best_first_order": r"""
 WITH RECURSIVE
 sim(wave, crawled, n, visited, pending, outp) AS (
