@@ -1410,6 +1410,67 @@ def q_qty_by_flag(sf_dir: str):
     )
 
 
+def q_range_events(sf_dir: str):
+    """Range (interval) join demonstrator: each event matches every
+    same-user event whose trailing 1-hour window contains it
+    (r.ts <= l.ts < r.ts + 1h — a self interval join with overlapping
+    intervals), then a per-event rollup (n_window, sum_value).
+    Exercises the time-chunked interval-join operator (stages/windows.py
+    range_join): intervals replicate into overlapped chunks, one
+    hash(entity, chunk) groupby, in-group vectorized merge — no
+    all-pairs-per-entity blowup for hot users."""
+    from ..stages.windows import range_join
+
+    HOUR_US = 3_600_000_000
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    right = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def add_end(batch: pa.Table) -> pa.Table:
+        start = batch.column("ts").cast(pa.timestamp("us"))
+        end = pa.compute.add(start, pa.scalar(HOUR_US, pa.duration("us")))
+        return batch.append_column("w_end", end)
+
+    joined = range_join(
+        events,
+        right.map_batches(add_end, batch_format="pyarrow"),
+        by_left="user_id",
+        by_right="user_id",
+        ts_left="ts",
+        start_right="ts",
+        end_right="w_end",
+        right_value_cols=["value"],
+        chunk_us=HOUR_US,
+    )
+    agg = joined.groupby("l_event_id").aggregate(
+        ray.data.aggregate.Count(alias_name="n_window"),
+        ray.data.aggregate.Sum("value", alias_name="sum_value"),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        # float64 sums: summation order differs from the oracle's, ~1e-12
+        # absolute; ROUND(6) on both sides absorbs it. pc.round is up to
+        # one ULP off DuckDB's decimal-correct ROUND (322.28000000000003
+        # vs 322.28), so round via the decimal string — post-aggregation
+        # output only, one tiny pass over the final rows
+        vals = [
+            None if v is None else float(f"{v:.6f}")
+            for v in batch.column("sum_value").to_pylist()
+        ]
+        return pa.table(
+            {
+                "event_id": batch.column("l_event_id").cast(pa.int64()),
+                "n_window": batch.column("n_window").cast(pa.int64()),
+                "sum_value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1474,6 +1535,7 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "chunk_counts": q_chunk_counts,
     "asof_orders": q_asof_orders,
+    "range_events": q_range_events,
     "events_props": q_events_props,
     "sessionize": q_sessionize,
     "fit_markdown": q_fit_markdown,
@@ -2325,6 +2387,17 @@ WITH r AS (
 SELECT e.event_id, r.best_price
 FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+""",
+    "range_events": """
+SELECT l.event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_window,
+       ROUND(SUM(r.value), 6) AS sum_value
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.ts
+ AND l.ts <  r.ts + INTERVAL 1 HOUR
+GROUP BY l.event_id
 """,
     "top_orders_per_cust": """
 SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

@@ -250,6 +250,146 @@ def _ltype(ds, col):
     return sch.base_schema.field(col).type
 
 
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by_left: str,
+    by_right: str,
+    ts_left: str,
+    start_right: str,
+    end_right: str,
+    right_value_cols: list[str],
+    chunk_us: int,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Range (interval) join: each left row matches EVERY right interval of
+    the same entity with ``start <= ts < end``. Ray Data has no native
+    interval join; this is the time-chunked replication composition:
+
+    - left rows land in the single time chunk containing their ts;
+    - right intervals are EXPLODED into one row per chunk they overlap
+      (``ceil((end-start)/chunk_us)``-ish replicas — pick ``chunk_us`` on
+      the order of the typical interval length so replication stays ~2×);
+    - one groupby on ``hash(entity, chunk) % num_partitions`` co-locates
+      every possible match, and the in-group verify is a vectorized pandas
+      merge on entity + range mask.
+
+    Each (left, interval) match is found exactly ONCE — in the chunk of
+    the left row's ts (the interval has a replica there by construction) —
+    so no post-dedup shuffle is needed. Partitioning assumption: a single
+    (entity, chunk)'s rows fit in a worker; chunking bounds hot entities
+    in TIME as well as by hash, which the per-entity operators above can't
+    do — prefer this operator when entities have unbounded history.
+    Output columns: ``l_*`` left payload, ``entity``, ``ts``, and the
+    right value/boundary columns.
+    """
+    num_partitions = max(1, num_partitions)
+    rtypes = {c: _rtype(right, c) for c in right_value_cols}
+    left_names = list(left.schema().names)
+    ltypes = {
+        c: _ltype(left, c) for c in left_names if c not in (by_left, ts_left)
+    }
+
+    def _us(arr: pa.ChunkedArray) -> np.ndarray:
+        if pa.types.is_temporal(arr.type):
+            arr = arr.cast(pa.timestamp("us"))
+        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _bucket(entity: np.ndarray, chunk: np.ndarray) -> pa.Array:
+        # splitmix-style mix of (entity, chunk) so neither hot entities nor
+        # hot time ranges alone can skew a partition
+        h = (
+            entity.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + chunk.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+        )
+        h ^= h >> np.uint64(31)
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        entity = batch.column(by_left).cast(pa.int64())
+        ent_np = entity.to_numpy(zero_copy_only=False)
+        ts_us = _us(batch.column(ts_left))
+        chunk = ts_us // chunk_us
+        cols = {
+            "bucket": _bucket(ent_np, chunk),
+            "chunk": pa.array(chunk),
+            "entity": entity,
+            "ts_us": pa.array(ts_us),
+            "start_us": pa.nulls(n, pa.int64()),
+            "end_us": pa.nulls(n, pa.int64()),
+            "side": pa.array(["L"] * n, pa.string()),
+        }
+        for c in right_value_cols:
+            cols[c] = pa.nulls(n, rtypes[c])
+        for c in batch.column_names:
+            if c not in (by_left, ts_left):
+                cols[f"l_{c}"] = batch.column(c)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        entity = batch.column(by_right).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        start = _us(batch.column(start_right))
+        end = _us(batch.column(end_right))
+        # replicate each interval into every chunk it overlaps ([start, end)
+        # half-open: an interval ending exactly on a chunk boundary does not
+        # reach into the next chunk)
+        c0 = start // chunk_us
+        c1 = np.maximum(end - 1, start) // chunk_us
+        reps = (c1 - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(start)), reps)
+        # chunk id per replica: c0[i] + offset within the run
+        offs = np.arange(len(idx)) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        chunk = c0[idx] + offs
+        n = len(idx)
+        cols = {
+            "bucket": _bucket(entity[idx], chunk),
+            "chunk": pa.array(chunk),
+            "entity": pa.array(entity[idx]),
+            "ts_us": pa.nulls(n, pa.int64()),
+            "start_us": pa.array(start[idx]),
+            "end_us": pa.array(end[idx]),
+            "side": pa.array(["R"] * n, pa.string()),
+        }
+        for c in right_value_cols:
+            cols[c] = batch.column(c).take(pa.array(idx))
+        for c, typ in ltypes.items():
+            cols[f"l_{c}"] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lrows = group[group["side"] == "L"]
+        rrows = group[group["side"] == "R"]
+        lcols = [c for c in group.columns if c.startswith("l_")]
+        out_cols = lcols + ["entity", "ts"] + right_value_cols
+        if lrows.empty or rrows.empty:
+            # the union schema already has every output column
+            return group.iloc[0:0].rename(columns={"ts_us": "ts"})[out_cols]
+        # merge on (entity, chunk): a bucket can hold several chunks, and a
+        # match must only be produced in the LEFT row's own chunk (where the
+        # interval is guaranteed a replica) — merging on entity alone would
+        # duplicate matches across co-hashed chunks
+        merged = lrows[lcols + ["entity", "chunk", "ts_us"]].merge(
+            rrows[["entity", "chunk", "start_us", "end_us"] + right_value_cols],
+            on=["entity", "chunk"],
+        )
+        mask = (merged["ts_us"] >= merged["start_us"]) & (
+            merged["ts_us"] < merged["end_us"]
+        )
+        out = merged[mask].rename(columns={"ts_us": "ts"})
+        return out[out_cols]
+
+    return both.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def hopping_window_counts(
     events: "ray.data.Dataset",
     size_minutes: int = 60,

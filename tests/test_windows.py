@@ -131,6 +131,52 @@ def test_asof_join_tiebreak_max(ray_session):
     assert list(out2["price"]) == [50.0]
 
 
+def test_range_join_chunked(ray_session):
+    """Interval join over chunk boundaries: every (event, interval) match
+    must appear exactly once even when the interval spans several chunks,
+    and half-open [start, end) semantics hold at the boundary."""
+    from crawl4ai_ray.stages.windows import range_join
+
+    US = 1_000_000  # work in seconds for readability
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "eid": pa.array([1, 2, 3, 4], pa.int64()),
+                "uid": pa.array([7, 7, 7, 8], pa.int64()),
+                # epoch-seconds timestamps
+                "ts": pa.array(
+                    [5 * US, 10 * US, 25 * US, 5 * US], pa.timestamp("us")
+                ).cast(pa.timestamp("us")),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "uid": pa.array([7, 7, 8], pa.int64()),
+                # interval A [0, 30): spans chunks 0,1,2 at chunk=10s
+                # interval B [10, 20): exactly one chunk
+                # interval C [0, 5): uid 8, ends AT eid 4's ts → no match
+                "start": pa.array([0, 10 * US, 0], pa.timestamp("us")),
+                "end": pa.array(
+                    [30 * US, 20 * US, 5 * US], pa.timestamp("us")
+                ),
+                "tag": pa.array(["A", "B", "C"], pa.string()),
+            }
+        )
+    )
+    out = range_join(
+        left, right, by_left="uid", by_right="uid",
+        ts_left="ts", start_right="start", end_right="end",
+        right_value_cols=["tag"], chunk_us=10 * US, num_partitions=4,
+    ).to_pandas()
+    got = sorted(zip(out["l_eid"].astype(int), out["tag"]))
+    # eid1@5s → A; eid2@10s → A and B (B start inclusive); eid3@25s → A
+    # (found once despite A spanning 3 chunks); eid4@5s → nothing (C is
+    # half-open and ends at 5s)
+    assert got == [(1, "A"), (2, "A"), (2, "B"), (3, "A")]
+
+
 def test_hopping_window_counts(ray_session):
     """Each event lands in exactly size/hop windows; totals match."""
     import datetime as dt
