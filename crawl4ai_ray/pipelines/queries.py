@@ -1410,6 +1410,24 @@ def q_qty_by_flag(sf_dir: str):
     )
 
 
+def q_heavy_hitter_hosts(sf_dir: str):
+    """Exact heavy hitters (> 5% of pages) over the corpus hosts via the
+    two-phase Misra–Gries sketch-then-verify operator (stages/agg.py
+    heavy_hitters). The synthetic corpus plants one heavy host (site0,
+    ~16%); the other 49 sit at ~1.7% — the sketch must keep exactly the
+    planted one and the verify pass must report its exact count."""
+    from ..functions.urls import hosts_array
+    from ..stages.agg import heavy_hitters
+
+    pages = _pages_ds(sf_dir, columns=["url"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        return pa.table({"host": hosts_array(batch.column("url"))})
+
+    hosts = pages.map_batches(add_host, batch_format="pyarrow")
+    return heavy_hitters(hosts, "host", phi=0.05)
+
+
 def q_range_events(sf_dir: str):
     """Range (interval) join demonstrator: each event matches every
     same-user event whose trailing 1-hour window contains it
@@ -1536,6 +1554,7 @@ QUERIES = {
     "chunk_counts": q_chunk_counts,
     "asof_orders": q_asof_orders,
     "range_events": q_range_events,
+    "heavy_hitter_hosts": q_heavy_hitter_hosts,
     "events_props": q_events_props,
     "sessionize": q_sessionize,
     "fit_markdown": q_fit_markdown,
@@ -1598,6 +1617,12 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM purl GROUP BY host
 WITH {SQL_PAGES}
 SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM purl
 GROUP BY host ORDER BY n_pages DESC, host LIMIT 5
+""",
+    "heavy_hitter_hosts": f"""
+WITH {SQL_PAGES}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM purl
+GROUP BY host
+HAVING COUNT(*) > CAST(0.05 AS DOUBLE) * (SELECT COUNT(*) FROM purl)
 """,
     "link_graph_edges": f"""
 WITH {SQL_PAGES}, {SQL_EDGES}

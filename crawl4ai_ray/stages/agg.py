@@ -345,3 +345,123 @@ def hll_distinct_per_key(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    key: str,
+    phi: float = 0.05,
+    sketch_k: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT frequent items with frequency > ``phi`` · n, found without
+    ever shuffling raw rows: the classic two-phase sketch-then-verify.
+
+    Phase 1 (sketch): each batch collapses to a Misra–Gries summary of
+    capacity k = ``sketch_k`` or ceil(2/phi) — vectorized value counts,
+    then subtract the (k+1)-th largest count and drop non-positives
+    (per-batch undercount ≤ batch_n/(k+1)). Summaries are mergeable by
+    plain groupby(key).sum: the merged count undercounts the true count
+    by at most n/(k+1) < phi·n/2 in total, so every true heavy hitter
+    keeps a summed count > phi·n/2 = the candidate threshold — recall is
+    100% by the MG guarantee. At most k keys per block cross the wire.
+
+    Phase 2 (verify): the candidate set (≤ ~2/phi keys) broadcasts via
+    ray.put; a second pass filters rows to candidates map-side and exact-
+    counts them (partial_count), keeping counts strictly > phi·n. The
+    exact pass gives 100% precision — output == SQL GROUP BY ... HAVING.
+
+    Both passes stream; nothing driver-side ever holds more than the
+    candidate set. Output: (key, n) for each heavy hitter.
+    """
+    import math
+
+    import numpy as np
+
+    k = sketch_k or max(1, math.ceil(2.0 / phi))
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ktype = batch.schema.field(key).type
+        df = pl.from_arrow(batch.select([key]))
+        counts = df.group_by(key).len(name="cnt").sort(
+            ["cnt", key], descending=[True, False]
+        )
+        n_batch = batch.num_rows
+        kept = counts
+        if counts.height > k:
+            d = counts["cnt"][k]  # (k+1)-th largest
+            kept = counts.head(k).with_columns(
+                (pl.col("cnt") - d).alias("cnt")
+            ).filter(pl.col("cnt") > 0)
+            if kept.height == 0:
+                # degenerate all-equal batch: keep one zero-count row so
+                # batch_n still rides along (cnt=0 adds nothing to sums)
+                kept = counts.head(1).with_columns(pl.lit(0).alias("cnt"))
+        tbl = kept.to_arrow()
+        return pa.table(
+            {
+                key: tbl.column(key).cast(ktype),
+                "cnt": tbl.column("cnt").cast(pa.int64()),
+                # ride the batch size along so n = sum(batch_n) needs no
+                # second full pass
+                "batch_n": pa.array(
+                    ([n_batch] + [0] * (tbl.num_rows - 1))[: tbl.num_rows],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    summaries = ds.map_batches(mg_summary, batch_format="pyarrow").materialize()
+    merged = summaries.groupby(key).sum("cnt")
+    n_total = int(
+        summaries.aggregate(ray.data.aggregate.Sum("batch_n"))["sum(batch_n)"]
+    )
+    if n_total == 0:
+        return ray.data.from_arrow(
+            pa.table({key: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        )
+    cand_thresh = phi * n_total - n_total / (k + 1)
+
+    def cand_mask(batch: pa.Table) -> pa.Table:
+        keep = pa.array(
+            batch.column("sum(cnt)").to_numpy(zero_copy_only=False)
+            > cand_thresh
+        )
+        return batch.filter(keep)
+
+    cand_tbl = merged.map_batches(cand_mask, batch_format="pyarrow").to_pandas()
+    # candidate set is ≤ ~2/phi keys by the MG bound — broadcast once
+    cand_ref = ray.put(np.sort(np.asarray(cand_tbl[key].tolist())))
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        cands = ray.get(cand_ref)
+        ktype = batch.schema.field(key).type
+        vals = batch.column(key).to_numpy(zero_copy_only=False)
+        mask = np.isin(vals, cands) if len(vals) else np.array([], bool)
+        sub = batch.filter(pa.array(mask))
+        df = pl.from_arrow(sub.select([key]))
+        out = df.group_by(key).len(name="n").to_arrow()
+        return pa.table(
+            {
+                key: out.column(key).cast(ktype),
+                "n": out.column("n").cast(pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(count_candidates, batch_format="pyarrow")
+        .groupby(key)
+        .sum("n")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").cast(pa.int64())
+        # strict > phi*n against the float threshold (int truncation
+        # could admit a borderline key)
+        keep = pa.array(n.to_numpy(zero_copy_only=False) > phi * n_total)
+        return pa.table({key: batch.column(key), "n": n}).filter(keep)
+
+    return exact.map_batches(final, batch_format="pyarrow")

@@ -410,6 +410,54 @@ def test_hll_distinct(ray_session):
     assert abs(out["b"] - 100) / 100 < 0.10, out
 
 
+def test_heavy_hitters_exact_vs_brute(ray_session):
+    """Two-phase MG sketch-then-verify must equal brute-force
+    GROUP BY + HAVING on a skewed stream, across phis and block splits
+    (many small blocks = many independent sketches to merge)."""
+    import collections
+    import random
+
+    from crawl4ai_ray.stages.agg import heavy_hitters
+
+    rng = random.Random(7)
+    # zipf-ish: key i appears ~ n/(i+1) times
+    vals = []
+    for i in range(40):
+        vals += [f"k{i:02d}"] * (2000 // (i + 1))
+    rng.shuffle(vals)
+    truth = collections.Counter(vals)
+    n = len(vals)
+
+    # many tiny blocks so the mergeable-summary path is truly exercised
+    ds = ray.data.from_arrow(
+        pa.table({"host": pa.array(vals, pa.string())})
+    ).repartition(20)
+    for phi in (0.02, 0.05, 0.15):
+        got = {
+            r["host"]: r["n"]
+            for r in heavy_hitters(ds, "host", phi=phi).take_all()
+        }
+        want = {k: c for k, c in truth.items() if c > phi * n}
+        assert got == want, (phi, got, want)
+
+
+def test_heavy_hitters_degenerate(ray_session):
+    """All-equal batches (MG summary cancels to zero inside a block) must
+    not lose the block's row count from the n total."""
+    from crawl4ai_ray.stages.agg import heavy_hitters
+
+    # k=ceil(2/0.4)=5; a block of 6+ distinct equal-count keys cancels
+    vals = [f"x{i}" for i in range(8)] * 3 + ["hot"] * 30
+    ds = ray.data.from_arrow(
+        pa.table({"host": pa.array(vals, pa.string())})
+    ).repartition(6)
+    got = {
+        r["host"]: r["n"]
+        for r in heavy_hitters(ds, "host", phi=0.4).take_all()
+    }
+    assert got == {"hot": 30}, got
+
+
 def test_distinct_count_null_semantics(ray_session):
     from crawl4ai_ray.stages.agg import distinct_count_per_key
 
