@@ -1410,6 +1410,51 @@ def q_qty_by_flag(sf_dir: str):
     )
 
 
+def q_neardup_resolve(sf_dir: str):
+    """END-TO-END near-dup resolution — what a training-data pipeline
+    actually runs: minhash-LSH candidates → exact Jaccard verify (the
+    minhash_pairs pipeline) → connected components over surviving pairs →
+    keep the min doc_id per cluster. Output: every document with its
+    cluster id and a keep flag (survivors of the dedup). The oracle
+    recomputes the pair set from string grams and resolves clusters with
+    a transitive-closure recursive CTE — exact at any cluster diameter,
+    unlike an unrolled fixed-iteration replay."""
+    from ..stages.graph import connected_components
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    cands = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16)
+    pairs = dedup.verify_pairs(cands, docs, mode="jaccard", tau=0.9)
+    edges = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("a").cast(pa.int64()),
+                "dst": b.column("b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(nodes, edges)
+
+    def project(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").cast(pa.int64())
+        cl = batch.column("component").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": node,
+                "cluster": cl,
+                "keep": pa.compute.equal(node, cl),
+            }
+        )
+
+    return comp.map_batches(project, batch_format="pyarrow")
+
+
 def q_heavy_hitter_hosts(sf_dir: str):
     """Exact heavy hitters (> 5% of pages) over the corpus hosts via the
     two-phase Misra–Gries sketch-then-verify operator (stages/agg.py
@@ -1555,6 +1600,7 @@ QUERIES = {
     "asof_orders": q_asof_orders,
     "range_events": q_range_events,
     "heavy_hitter_hosts": q_heavy_hitter_hosts,
+    "neardup_resolve": q_neardup_resolve,
     "events_props": q_events_props,
     "sessionize": q_sessionize,
     "fit_markdown": q_fit_markdown,
@@ -1952,6 +1998,41 @@ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
       >= 0.9
+""",
+    "neardup_resolve": r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ) AS g
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
+        >= 0.9
+),
+und AS (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+reach(s, t) AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+),
+comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.t), d.doc_id)) AS cluster
+  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, cluster, (doc_id = cluster) AS keep FROM comp
 """,
     "redact": r"""
 SELECT doc_id,
