@@ -385,6 +385,29 @@ def q_quality_counts(sf_dir: str):
     return docs.map_batches(textstats.quality_counts_batch, batch_format="pyarrow")
 
 
+def q_quality_filter(sf_dir: str):
+    """Composite quality score + keep threshold (the CCNet/Gopher-style
+    web-corpus quality filter): length score, punct/digit penalty,
+    stopword density, averaged and thresholded at 0.5. Both engines
+    evaluate the IDENTICAL rational expression tree (divisions, clips,
+    left-assoc sums — no transcendentals), so the doubles are
+    bit-identical and no rounding is needed."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = docs.map_batches(
+        textstats.quality_score_batch, batch_format="pyarrow"
+    )
+
+    def add_keep(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality")
+        return batch.append_column(
+            "keep", pa.compute.greater_equal(q, pa.scalar(0.5))
+        )
+
+    return scored.map_batches(add_keep, batch_format="pyarrow")
+
+
 def q_lang_dist(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     out = docs.groupby("lang").count().rename_columns({"count()": "n_docs"})
@@ -1554,6 +1577,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
     "quality_counts": q_quality_counts,
+    "quality_filter": q_quality_filter,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "pagerank": q_pagerank,
@@ -1766,6 +1790,26 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT) AS n_stop,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
 FROM documents
+""",
+    "quality_filter": rf"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         CAST(length(regexp_extract_all(lower(text), '{_STOP_RE}')) AS DOUBLE) AS n_stop
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    (LEAST(GREATEST(n_tok / CAST(100.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+     + LEAST(GREATEST(CAST(1.0 AS DOUBLE) - CAST(5.0 AS DOUBLE) * (n_punct + n_digit) / GREATEST(n_chars, CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+     + LEAST(GREATEST(CAST(5.0 AS DOUBLE) * n_stop / GREATEST(n_tok, CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    ) / CAST(3.0 AS DOUBLE) AS quality
+  FROM c
+)
+SELECT doc_id, quality, (quality >= CAST(0.5 AS DOUBLE)) AS keep FROM s
 """,
     "repetition_stats": r"""
 WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS lst FROM documents),
