@@ -333,7 +333,7 @@ def _render_inline_into(acc: _Inline, el: Element):
         tag = c.tag
         if tag in _SKIP_TAGS:
             continue
-        if tag in ("strong", "b", "em", "i"):
+        if tag in ("strong", "b", "em", "i", "u"):
             marker = "**" if tag in ("strong", "b") else "_"
             inner = _stressed_inner_text(c)
             if inner:
@@ -402,7 +402,7 @@ def _code_inner(el: Element) -> str:
                 parts.append(c.replace("\n", " "))
             elif c.tag in ("strong", "b"):
                 parts.append("**"); w(c); parts.append("**")
-            elif c.tag in ("em", "i"):
+            elif c.tag in ("em", "i", "u"):
                 parts.append("_"); w(c); parts.append("_")
             elif c.tag == "a":
                 href = c.get("href", "") or ""

@@ -97,6 +97,8 @@ CASES = [
     '<table><tr><th>a</th></tr><tr><td><strong>b</strong></td></tr></table>',
     '<ul><li>item with <a href="u">link</a></li></ul>',
     '<p>trailing space </p><p>next</p>',
+    '<p>an <u>underlined</u> word</p>',
+    '<p><u>u</u> then <code>c <u>u2</u></code></p>',
     '',
 ]
 
