@@ -62,10 +62,24 @@ class UrlSeenShard:
     shuffle: the seen-check and the dedup share one partitioning.
     """
 
-    def __init__(self, capacity: int = 1_000_000, error_rate: float = 0.01):
-        from .bloom import BloomFilter  # import inside actor
+    def __init__(self, capacity: int = 1_000_000, error_rate: float = 0.01,
+                 approx_filter: str = "bloom"):
+        # import inside actor; both filters expose add_hashes /
+        # contains_hashes / estimated_cardinality / to_bytes / from_bytes.
+        # "bloom" = append-only, cheapest writes (default crawl path);
+        # "cuckoo" = deletable (recrawl / retraction), ~80x lower fpp at
+        # ~2x the bytes/key (state/cuckoo.py docstring has the numbers).
+        if approx_filter == "cuckoo":
+            from .cuckoo import CuckooFilter
 
-        self.bloom = BloomFilter(capacity, error_rate)
+            self.bloom = CuckooFilter(capacity)
+        elif approx_filter == "bloom":
+            from .bloom import BloomFilter
+
+            self.bloom = BloomFilter(capacity, error_rate)
+        else:
+            raise ValueError(f"unknown approx_filter {approx_filter!r}")
+        self.approx_filter = approx_filter
         self.exact: set[int] = set()  # 128-bit combined keys
         # wave accumulation: key128 -> (url_norm, host, depth, parent, score, h1)
         self.wave: dict[int, tuple] = {}
@@ -149,6 +163,24 @@ class UrlSeenShard:
             self.add(h1[new], h2[new])
         return seen
 
+    def forget(self, h1: np.ndarray, h2: np.ndarray) -> int:
+        """Un-see keys (recrawl scheduling / retraction); returns how many
+        were actually present. Correct under BOTH filters: ``check``
+        arbitrates approx positives against the exact 128-bit store, so
+        removing the exact key suffices — a stale Bloom bit is harmless.
+        With the cuckoo filter the fingerprint is deleted too, reclaiming
+        occupancy (the capability the Bloom lacks)."""
+        removed = 0
+        present = np.zeros(len(h1), dtype=bool)
+        for i, k in enumerate(_combine(h1, h2)):
+            if k in self.exact:
+                self.exact.discard(k)
+                present[i] = True
+                removed += 1
+        if removed and self.approx_filter == "cuckoo":
+            self.bloom.delete_hashes(np.asarray(h1, dtype=np.uint64)[present])
+        return removed
+
     def stats(self) -> dict:
         return {
             "exact_size": len(self.exact),
@@ -162,7 +194,10 @@ class UrlSeenShard:
         keys = sorted(self.exact)
         h1 = np.fromiter((k >> 64 for k in keys), dtype=np.uint64, count=len(keys))
         h2 = np.fromiter((k & 0xFFFFFFFFFFFFFFFF for k in keys), dtype=np.uint64, count=len(keys))
-        spec = HASH_SPEC.encode("utf-8")
+        # the filter kind rides inside the spec header so a resume can
+        # never silently swap bloom<->cuckoo any more than it can swap
+        # hash functions
+        spec = f"{HASH_SPEC};filter={self.approx_filter}".encode("utf-8")
         bloom_b = self.bloom.to_bytes()
         return (
             len(spec).to_bytes(2, "little")
@@ -175,19 +210,29 @@ class UrlSeenShard:
 
     def load(self, data: bytes) -> int:
         from .bloom import BloomFilter
+        from .cuckoo import CuckooFilter
 
         ns = int.from_bytes(data[0:2], "little")
         spec = data[2 : 2 + ns].decode("utf-8")
-        if spec != HASH_SPEC:
+        hash_spec, _, filt = spec.partition(";filter=")
+        filt = filt or "bloom"  # pre-cuckoo dumps carried no filter tag
+        if hash_spec != HASH_SPEC:
             raise ValueError(
-                f"seen-shard checkpoint was written with hash spec {spec!r}, "
+                f"seen-shard checkpoint was written with hash spec {hash_spec!r}, "
                 f"engine uses {HASH_SPEC!r} — refusing to resume with a "
                 "mismatched hash function (would silently re-crawl / skip urls)"
+            )
+        if filt != self.approx_filter:
+            raise ValueError(
+                f"seen-shard checkpoint holds a {filt!r} filter, shard was "
+                f"constructed with {self.approx_filter!r} — refusing to resume "
+                "with a mismatched filter structure"
             )
         off = 2 + ns
         n = int.from_bytes(data[off : off + 8], "little")
         off += 8
-        self.bloom = BloomFilter.from_bytes(data[off : off + n])
+        cls = CuckooFilter if filt == "cuckoo" else BloomFilter
+        self.bloom = cls.from_bytes(data[off : off + n])
         off += n
         rest = data[off:]
         half = len(rest) // 2
@@ -201,10 +246,10 @@ class SeenSet:
     """Driver-side handle over the shard pool."""
 
     def __init__(self, num_shards: int = 16, capacity_per_shard: int = 1_000_000,
-                 error_rate: float = 0.01):
+                 error_rate: float = 0.01, approx_filter: str = "bloom"):
         self.num_shards = num_shards
         self.shards = [
-            UrlSeenShard.remote(capacity_per_shard, error_rate)
+            UrlSeenShard.remote(capacity_per_shard, error_rate, approx_filter)
             for _ in range(num_shards)
         ]
 
@@ -247,6 +292,20 @@ class SeenSet:
 
     def check_and_add(self, keys) -> np.ndarray:
         return self._scatter_gather(*self._as_hashes(keys), "check_and_add")
+
+    def forget(self, keys) -> int:
+        """Un-see urls across shards (recrawl / retraction); returns the
+        number that were present."""
+        h1, h2 = self._as_hashes(keys)
+        if len(h1) == 0:
+            return 0
+        shard_ids = self._route(h1)
+        refs = []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_ids == s)[0]
+            if len(idx):
+                refs.append(self.shards[s].forget.remote(h1[idx], h2[idx]))
+        return sum(ray.get(refs))
 
     @staticmethod
     def _as_hashes(keys) -> tuple[np.ndarray, np.ndarray]:

@@ -259,3 +259,124 @@ def test_cached_extract_raw_urls_never_cached(ray_session, tmp_path):
         _mini_pages(mixed), cache, _tagged_extractor("r2"), CacheMode.ENABLED
     ).to_pandas()
     assert int((out2["run_tag"] == "r2").sum()) == 1  # only raw: recomputes
+
+
+# -- cuckoo filter (state/cuckoo.py) --------------------------------------
+
+def test_cuckoo_no_false_negatives():
+    from crawl4ai_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=10_000)
+    keys = hash64([f"https://x.com/{i}" for i in range(10_000)])
+    cf.add_hashes(keys)
+    assert cf.contains_hashes(keys).all()
+    assert cf.count == 10_000
+
+
+def test_cuckoo_fpp_much_lower_than_bloom():
+    from crawl4ai_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=20_000)
+    cf.add_hashes(hash64([f"https://x.com/{i}" for i in range(20_000)]))
+    other = hash64([f"https://y.com/{i}" for i in range(50_000)])
+    fpp = cf.contains_hashes(other).mean()
+    assert fpp < 0.002  # design point ~1.2e-4; 80x below bloom's 1%
+
+
+def test_cuckoo_delete_then_absent():
+    from crawl4ai_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=1_000)
+    keys = hash64([f"k{i}" for i in range(500)])
+    cf.add_hashes(keys)
+    found = cf.delete_hashes(keys[:100])
+    assert found.all()
+    assert cf.count == 400
+    # deleted keys gone (no false negatives for the survivors)
+    assert cf.contains_hashes(keys[100:]).all()
+    # the deleted 100 should mostly read absent (fp collisions with the
+    # 400 survivors are possible but rare at 16-bit fingerprints)
+    assert cf.contains_hashes(keys[:100]).mean() < 0.05
+    # deleting an absent key reports not-found
+    assert not cf.delete_hashes(hash64(["never-added"])).any()
+
+
+def test_cuckoo_high_load_and_kicks():
+    """Push to the 0.95 design load: vectorized placement alone can't do
+    this — the kick loop must engage — and membership must stay exact."""
+    from crawl4ai_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=5_000)
+    keys = hash64([f"hot/{i}" for i in range(5_000)])
+    for i in range(0, 5_000, 250):  # staggered batches age the table
+        cf.add_hashes(keys[i : i + 250])
+    assert cf.contains_hashes(keys).all()
+    assert cf.load_factor() > 0.55  # 5000 keys in the pow2-rounded table
+
+
+def test_cuckoo_roundtrip():
+    from crawl4ai_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=1_000)
+    keys = hash64(["a", "b", "c"])
+    cf.add_hashes(keys)
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains_hashes(keys).all()
+    assert cf2.count == 3 and cf2.num_buckets == cf.num_buckets
+    with pytest.raises(ValueError):
+        CuckooFilter.from_bytes(b"XXXX" + cf.to_bytes()[4:])
+
+
+def test_seen_set_cuckoo_forget_and_checkpoint(ray_session):
+    """The cuckoo-backed seen set: same wave semantics as bloom, plus
+    forget() actually un-sees, and checkpoints refuse filter mismatches."""
+    from crawl4ai_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=10_000,
+                   approx_filter="cuckoo")
+    try:
+        urls = [f"https://a.com/{i}" for i in range(200)]
+        assert not seen.check(urls).any()
+        seen.add(urls)
+        assert seen.check(urls).all()
+        assert seen.forget(urls[:50]) == 50
+        mask = seen.check(urls)
+        assert not mask[:50].any() and mask[50:].all()
+        # forgotten urls can be re-seen (recrawl)
+        m2 = seen.check_and_add(urls[:50])
+        assert not m2.any() and seen.check(urls).all()
+        payloads = seen.dump_all()
+    finally:
+        seen.shutdown()
+    # resume into a matching filter works…
+    s2 = SeenSet(num_shards=2, capacity_per_shard=10_000,
+                 approx_filter="cuckoo")
+    try:
+        s2.load_all(payloads)
+        assert s2.check(urls).all()
+    finally:
+        s2.shutdown()
+    # …a mismatched filter kind is refused loudly
+    import ray as _ray
+
+    s3 = SeenSet(num_shards=2, capacity_per_shard=10_000)
+    try:
+        with pytest.raises(_ray.exceptions.RayTaskError):
+            s3.load_all(payloads)
+    finally:
+        s3.shutdown()
+
+
+def test_seen_set_bloom_forget_still_correct(ray_session):
+    """forget() under the bloom filter: stale bloom bits are arbitrated
+    away by the exact store, so check() flips to unseen regardless."""
+    from crawl4ai_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=1, capacity_per_shard=1000)
+    try:
+        seen.add(["u1", "u2"])
+        assert seen.forget(["u1", "u404"]) == 1
+        mask = seen.check(["u1", "u2"])
+        assert not mask[0] and mask[1]
+    finally:
+        seen.shutdown()
