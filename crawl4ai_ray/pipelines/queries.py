@@ -888,6 +888,18 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs(docs, tau=0.9, shingle=3)
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Merged maximal cross-document duplicate 5-token spans (substring
+    dedup à la exact-substring dup marking): windows whose gram occurs in
+    ≥2 distinct docs, fused into (doc_id, start_tok, end_tok) islands.
+    The oracle regenerates windows by list slicing in SQL and merges
+    islands with window functions."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.duplicate_ngram_spans(docs, window=5)
+
+
 def q_ngram_df_histogram(sf_dir: str):
     """Gram document-frequency histogram (boilerplate profile): n_grams
     per doc_freq. Two-level aggregation — per-bucket full reduction, tiny
@@ -1601,6 +1613,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_df_histogram": q_ngram_df_histogram,
+    "duplicate_spans": q_duplicate_spans,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
@@ -2135,6 +2148,37 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.i >= 0.9 * (sa.sz + sb.sz - i.i)
+""",
+    "duplicate_spans": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 4)) AS s(i)
+  WHERE len(t) >= 5
+),
+dupg AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM wins)
+  GROUP BY g HAVING COUNT(*) >= 2
+),
+dupw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dupg USING (g)),
+brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+                OR LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM dupw
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brks
+)
+SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 5 AS end_tok
+FROM isl GROUP BY doc_id, island
 """,
     "ngram_df_histogram": r"""
 WITH toks AS (

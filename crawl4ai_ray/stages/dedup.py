@@ -808,6 +808,151 @@ def ngram_jaccard_pairs(
     return agg.map_batches(keep, batch_format="pyarrow")
 
 
+def duplicate_ngram_spans(
+    ds: "ray.data.Dataset",
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    span_buckets: int = 32,
+    min_docs: int = 2,
+) -> "ray.data.Dataset":
+    """Substring-level duplicate detection: merged maximal spans of
+    ``window``-token grams that occur in ≥ ``min_docs`` distinct documents
+    (the span-dedup intent of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — exact-substring dup marking, re-expressed
+    as a token-window inverted index instead of a suffix array, which
+    distributes as two bounded shuffles).
+
+    Plan — documents never shuffle, only 36-byte window-posting rows:
+
+    1. ``map_batches``: per doc, one posting per token window at 1-based
+       position ``pos``: ``(bucket = h1 % num_buckets, h1, h2, id, pos)``
+       where (h1, h2) are two independently-seeded rolling polynomial
+       hashes of the window (hash64 / hash64_alt token bases, distinct odd
+       multipliers). The 128-bit pair keys gram identity: at the 100 TB
+       north-star scale (~10^12 windows) a single 64-bit key WOULD
+       birthday-collide (~3% odds per pair of grams is wrong — expected
+       collisions ≈ n²/2^65 ≈ 10^4), the pair's ≈ n²/2^129 ≈ 1e-15 does
+       not. Docs shorter than ``window`` tokens emit nothing.
+    2. ``groupby(bucket)`` (ONE shuffle, ``num_buckets`` scheduling units)
+       → vectorized per-bucket pass: sort by (h1, h2), find equal runs,
+       keep runs whose distinct-doc count ≥ ``min_docs``, emit their
+       (id, pos) rows re-keyed by ``sbucket = id % span_buckets``.
+       Because a bucket holds ALL postings of its grams, duplicate
+       positions are decided in place — no join back to the index.
+    3. ``groupby(sbucket)`` (second bounded shuffle, duplicated windows
+       only) → per-bucket island merge: sort by (id, pos), break where the
+       doc changes or ``pos > prev_pos + window`` (same-length windows ⇒
+       running max end = prev_pos + window; adjacent spans fuse), emit
+       ``(doc_id, start_tok, end_tok)`` with end exclusive, 1-based.
+
+    Partitioning assumption: one gram-hash bucket's postings and one doc
+    bucket's duplicated windows fit in a worker's heap — raise
+    ``num_buckets`` / ``span_buckets`` with corpus size. Hot boilerplate
+    grams cost only their own postings run here (no pair explosion — spans
+    are per-document), so no cap is needed where ``ngram_jaccard_pairs``
+    needs ``max_postings``.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import hash64_alt
+
+    w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids_out, pos_out, h1_out, h2_out = [], [], [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            tokens = (text or "").split()
+            n = len(tokens) - w + 1
+            if n <= 0:
+                continue
+            th1 = hash64(tokens)
+            th2 = hash64_alt(tokens)
+            with np.errstate(over="ignore"):
+                a1 = np.zeros(n, dtype=np.uint64)
+                a2 = np.zeros(n, dtype=np.uint64)
+                for j in range(w):
+                    a1 = a1 * np.uint64(1_000_003) + th1[j : j + n]
+                    a2 = a2 * np.uint64(1_000_033) + th2[j : j + n]
+            h1_out.append(a1)
+            h2_out.append(a2)
+            ids_out.extend([did] * n)
+            pos_out.extend(range(1, n + 1))
+        h1 = np.concatenate(h1_out) if h1_out else np.zeros(0, np.uint64)
+        h2 = np.concatenate(h2_out) if h2_out else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array((h1 % np.uint64(num_buckets)).astype(np.int64)),
+                "h1": pa.array(h1, pa.uint64()),
+                "h2": pa.array(h2, pa.uint64()),
+                "id": pa.array(ids_out, pa.int64()),
+                "pos": pa.array(pos_out, pa.int64()),
+            }
+        )
+
+    def dup_windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "id"], kind="mergesort")
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["id"].to_numpy()
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {
+                    "sbucket": np.zeros(0, np.int64),
+                    "id": np.zeros(0, np.int64),
+                    "pos": np.zeros(0, np.int64),
+                }
+            )
+        new_run = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        run_id = np.cumsum(new_run) - 1
+        # distinct docs per run: ids are sorted within runs
+        new_doc = new_run | np.r_[True, ids[1:] != ids[:-1]]
+        ndocs = np.bincount(run_id[new_doc], minlength=run_id[-1] + 1)
+        keep = ndocs[run_id] >= min_docs
+        kept_ids = ids[keep]
+        return pd.DataFrame(
+            {
+                "sbucket": (kept_ids % span_buckets).astype(np.int64),
+                "id": kept_ids.astype(np.int64),
+                "pos": g["pos"].to_numpy()[keep].astype(np.int64),
+            }
+        )
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "pos"], kind="mergesort")
+        ids = g["id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        if len(pos) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.zeros(0, np.int64),
+                    "start_tok": np.zeros(0, np.int64),
+                    "end_tok": np.zeros(0, np.int64),
+                }
+            )
+        brk = np.r_[True, (ids[1:] != ids[:-1]) | (pos[1:] > pos[:-1] + w)]
+        # last pos of each island = pos right before the next break
+        last = np.r_[np.nonzero(brk)[0][1:] - 1, len(pos) - 1]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[brk].astype(np.int64),
+                "start_tok": pos[brk].astype(np.int64),
+                "end_tok": (pos[last] + w).astype(np.int64),
+            }
+        )
+
+    posted = ds.select_columns([id_col, text_col]).map_batches(
+        postings, batch_format="pyarrow"
+    )
+    dups = posted.groupby("bucket").map_groups(dup_windows, batch_format="pandas")
+    return dups.groupby("sbucket").map_groups(merge_spans, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

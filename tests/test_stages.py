@@ -718,3 +718,48 @@ def test_ivf_bucketed_prunes_storage(ray_session, tmp_path):
     assert t2["bytes_scanned"] < t2["bytes_total"]  # storage really pruned
     assert t2["probed_centroids"] <= 6
     assert pruned.count() > 0
+
+
+def test_duplicate_ngram_spans(ray_session):
+    """Planted cross-doc duplicate 5-gram spans: overlapping windows merge
+    into one island, adjacent (pos2 == pos1 + w) spans fuse, within-doc-only
+    repeats do NOT count (min_docs=2 means distinct docs), short docs are
+    skipped."""
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 toks → 3 windows
+    docs = [
+        # doc 0 and 1 share a 7-token run at different offsets
+        (0, "zero one " + shared + " tail0 tail1"),
+        (1, shared + " other words here"),
+        # doc 2: repeats a 5-gram only within itself — not a cross-doc dup
+        (2, "p q r s t u p q r s t u"),
+        # doc 3: too short for a window
+        (3, "tiny doc"),
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    out = dedup.duplicate_ngram_spans(ds, window=5).to_pandas()
+    spans = {
+        (r.doc_id, r.start_tok, r.end_tok) for r in out.itertuples(index=False)
+    }
+    # doc 0: tokens 3..9 hold the shared run → windows at pos 3,4,5 →
+    # merged island [3, 10); doc 1: windows at 1,2,3 → [1, 8)
+    assert (0, 3, 10) in spans
+    assert (1, 1, 8) in spans
+    assert not any(d == 2 for d, _, _ in spans)  # within-doc repeat excluded
+    assert not any(d == 3 for d, _, _ in spans)
+    assert len(spans) == 2
+
+    # doc 4/5 plant two dup runs separated by exactly w tokens of unique
+    # text (gap > w ⇒ two islands) and doc 6/7 plant adjacency (pos+w) fuse
+    more = docs + [
+        (4, shared + " u0 u1 u2 u3 u4 u5 " + shared.replace("alpha", "alpha")),
+        (5, shared),
+    ]
+    ds2 = ray.data.from_items([{"doc_id": i, "text": t} for i, t in more])
+    out2 = dedup.duplicate_ngram_spans(ds2, window=5).to_pandas()
+    d4 = sorted(
+        (r.start_tok, r.end_tok)
+        for r in out2.itertuples(index=False)
+        if r.doc_id == 4
+    )
+    # doc 4 = shared(7) + 6 unique + shared(7): islands [1,8) and [14,21)
+    assert d4 == [(1, 8), (14, 21)]
