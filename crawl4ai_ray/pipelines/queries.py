@@ -900,6 +900,33 @@ def q_duplicate_spans(sf_dir: str):
     return dedup.duplicate_ngram_spans(docs, window=5)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk training-sequence packing (seq_len=128) over the
+    documents table: each doc's global token offset and sequence span in
+    the deterministic doc_id-ordered token stream. Oracle = window cumsum
+    over SQL token counts."""
+    from ..stages import packing
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return packing.pack_sequences(docs, seq_len=128)
+
+
+def q_pack_manifest(sf_dir: str):
+    """Per-sequence packing manifest (seq_len=128): docs touching each
+    sequence + filled token slots. Oracle explodes each doc's sequence
+    range with generate_series and recomputes the overlap arithmetic."""
+    from ..stages import packing
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return packing.sequence_manifest(
+        packing.pack_sequences(docs, seq_len=128), seq_len=128
+    )
+
+
 def q_ngram_df_histogram(sf_dir: str):
     """Gram document-frequency histogram (boilerplate profile): n_grams
     per doc_freq. Two-level aggregation — per-bucket full reduction, tiny
@@ -1614,6 +1641,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_df_histogram": q_ngram_df_histogram,
     "duplicate_spans": q_duplicate_spans,
+    "pack_sequences": q_pack_sequences,
+    "pack_manifest": q_pack_manifest,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
@@ -2179,6 +2208,57 @@ isl AS (
 )
 SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 5 AS end_tok
 FROM isl GROUP BY doc_id, island
+""",
+    "pack_sequences": r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+  FROM documents
+),
+nz AS (SELECT doc_id, n FROM toks WHERE n > 0),
+cum AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM nz
+)
+SELECT doc_id, n AS n_tok, tok_start,
+       CAST(tok_start // 128 AS BIGINT) AS seq_start,
+       CAST((tok_start + n - 1) // 128 AS BIGINT) AS seq_end,
+       CAST(tok_start % 128 AS BIGINT) AS seq_offset
+FROM cum
+""",
+    "pack_manifest": r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+  FROM documents
+),
+nz AS (SELECT doc_id, n FROM toks WHERE n > 0),
+cum AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+  FROM nz
+),
+spans AS (
+  SELECT doc_id, n, tok_start,
+         CAST(tok_start // 128 AS BIGINT) AS seq_start,
+         CAST((tok_start + n - 1) // 128 AS BIGINT) AS seq_end
+  FROM cum
+),
+touch AS (
+  SELECT s.doc_id, q.seq_id,
+         LEAST(s.tok_start + s.n, (q.seq_id + 1) * 128)
+         - GREATEST(s.tok_start, q.seq_id * 128) AS fill
+  FROM spans s,
+       LATERAL UNNEST(generate_series(s.seq_start, s.seq_end)) AS q(seq_id)
+)
+SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(fill) AS BIGINT) AS n_filled
+FROM touch GROUP BY seq_id
 """,
     "ngram_df_histogram": r"""
 WITH toks AS (

@@ -763,3 +763,34 @@ def test_duplicate_ngram_spans(ray_session):
     )
     # doc 4 = shared(7) + 6 unique + shared(7): islands [1,8) and [14,21)
     assert d4 == [(1, 8), (14, 21)]
+
+
+def test_pack_sequences_semantics(ray_session):
+    """Concat-and-chunk packing: offsets are a prefix sum in doc_id order,
+    straddling docs span multiple sequences, empty docs vanish, and the
+    manifest's fill accounts for every token exactly once."""
+    from crawl4ai_ray.stages import packing
+
+    docs = [
+        (0, "a b c"),            # 3 toks  → [0,3)
+        (1, ""),                 # dropped
+        (2, "d e f g h i"),      # 6 toks  → [3,9)  straddles the L=4 cut at 4,8
+        (3, "j"),                # 1 tok   → [9,10)
+        (4, "k l m n o p q r"),  # 8 toks  → [10,18)
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    packed = packing.pack_sequences(ds, seq_len=4, range_width=2)
+    df = packed.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["doc_id"].tolist() == [0, 2, 3, 4]
+    assert df["tok_start"].tolist() == [0, 3, 9, 10]
+    assert df["seq_start"].tolist() == [0, 0, 2, 2]
+    assert df["seq_end"].tolist() == [0, 2, 2, 4]   # doc 2 touches seqs 0,1,2
+    assert df["seq_offset"].tolist() == [0, 3, 1, 2]
+
+    man = packing.sequence_manifest(packed, seq_len=4).to_pandas()
+    man = man.sort_values("seq_id").reset_index(drop=True)
+    # 18 tokens → seqs 0..4; every slot of 0..3 full, seq 4 holds 2
+    assert man["seq_id"].tolist() == [0, 1, 2, 3, 4]
+    assert man["n_filled"].tolist() == [4, 4, 4, 4, 2]
+    assert int(man["n_filled"].sum()) == 18
+    assert man["n_docs"].tolist() == [2, 1, 3, 1, 1]
