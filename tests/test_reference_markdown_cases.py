@@ -198,3 +198,84 @@ def test_reference_html_sweep(ref_md):
         ident_lines += len(t) - rem
     assert exact == len([f for f in files if len(open(f, encoding="utf-8", errors="replace").read()) <= 2_000_000]), exact
     assert ident_lines / max(total_lines, 1) >= 0.999, (ident_lines, total_lines)
+
+
+# -- behavioral cases ported from the reference's own markdown-generator
+#    test suite (tests/async/test_markdown_genertor.py) — each assert below
+#    mirrors one of its named tests against OUR generator.
+
+def test_ref_mdgen_relative_links_resolved_in_references():
+    """test_markdown_genertor.py:73-88 (test_relative_links): relative hrefs
+    are resolved against base_url inside the references block; absolute
+    ones pass through."""
+    from crawl4ai_ray.html.markdown import generate_markdown
+
+    md_in = (
+        "Here's a [relative link](/wiki/Apple) and an "
+        "[absolute link](https://example.com). Also an "
+        "[image](/images/test.png) and another [page](/wiki/Banana)."
+    )
+    res = generate_markdown(md_in, base_url="https://en.wikipedia.org")
+    refs = res["references_markdown"]
+    assert "https://en.wikipedia.org/wiki/Apple" in refs
+    assert "https://example.com" in refs
+    assert "https://en.wikipedia.org/images/test.png" in refs
+    assert "https://en.wikipedia.org/wiki/Banana" in refs
+
+
+def test_ref_mdgen_duplicate_links_share_citation():
+    """test_markdown_genertor.py:90-103 (test_duplicate_links): the same
+    resolved url gets ONE citation number, reused at every occurrence."""
+    from crawl4ai_ray.html.markdown import generate_markdown
+
+    md_in = "Here's a [link](/test) and another [link](/test) and a [different link](/other)."
+    res = generate_markdown(md_in, base_url="https://example.com")
+    assert res["markdown_with_citations"].count("⟨1⟩") == 2
+    assert res["markdown_with_citations"].count("⟨2⟩") == 1
+    # and the references block lists each url exactly once
+    assert res["references_markdown"].count("https://example.com/test") == 1
+
+
+def test_ref_mdgen_link_titles_and_text_in_references():
+    """test_markdown_genertor.py:106-122 (test_link_descriptions): a link's
+    "title" attribute and its anchor text both land in the references."""
+    from crawl4ai_ray.html.markdown import generate_markdown
+
+    md_in = (
+        'Here\'s a [link with title](/test "Test Title") and a '
+        "[link with description](/other) to test."
+    )
+    res = generate_markdown(md_in, base_url="https://example.com")
+    refs = res["references_markdown"]
+    assert "Test Title" in refs
+    assert "link with description" in refs
+    # title and text are joined "title - text" for the titled link
+    assert "Test Title - link with title" in refs
+
+
+def test_ref_mdgen_image_links_cited():
+    """test_markdown_genertor.py:153+ (test_image_links): image links get
+    citations too, with the ![...] form preserved."""
+    from crawl4ai_ray.html.markdown import generate_markdown
+
+    md_in = (
+        'Here\'s an ![image](/image.png "Image Title") and another '
+        "![image](/other.jpg). And a regular [link](/page)."
+    )
+    res = generate_markdown(md_in, base_url="https://example.com")
+    cit = res["markdown_with_citations"]
+    assert "![image⟨1⟩]" in cit and "![image⟨2⟩]" in cit
+    assert "https://example.com/image.png" in res["references_markdown"]
+
+
+def test_ref_mdgen_references_header():
+    """test_markdown_genertor.py:40-70 (test_basic_markdown_conversion):
+    citations use ⟨⟩ brackets and references carry the '## References'
+    header."""
+    from crawl4ai_ray.html.markdown import generate_markdown
+
+    res = generate_markdown(
+        "<p>go <a href='/x'>here</a></p>", base_url="https://en.wikipedia.org"
+    )
+    assert "⟨" in res["markdown_with_citations"]
+    assert "## References" in res["references_markdown"]
