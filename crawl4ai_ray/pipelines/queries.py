@@ -927,6 +927,23 @@ def q_pack_manifest(sf_dir: str):
     )
 
 
+def q_rebalance_mix(sf_dir: str):
+    """Language-mix rebalancing: target 50% en / 20% de / 20% fr / 10% es
+    (zh dropped) over a 250-doc budget, deterministic integer-cut
+    down-sampling. Oracle reproduces the two-phase cut arithmetic in
+    BIGINT SQL."""
+    from ..stages import sampling
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sampling.rebalance_mix(
+        docs,
+        target_bp={"en": 5000, "de": 2000, "fr": 2000, "es": 1000},
+        total_keep=250,
+    )
+
+
 def q_ngram_df_histogram(sf_dir: str):
     """Gram document-frequency histogram (boilerplate profile): n_grams
     per doc_freq. Two-level aggregation — per-bucket full reduction, tiny
@@ -1643,6 +1660,7 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "pack_sequences": q_pack_sequences,
     "pack_manifest": q_pack_manifest,
+    "rebalance_mix": q_rebalance_mix,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
@@ -2208,6 +2226,20 @@ isl AS (
 )
 SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 5 AS end_tok
 FROM isl GROUP BY doc_id, island
+""",
+    "rebalance_mix": r"""
+WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+cuts AS (
+  SELECT lang,
+         LEAST(10000,
+           (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                      WHEN 'fr' THEN 2000 WHEN 'es' THEN 1000
+                      ELSE 0 END * 250) // c) AS cut
+  FROM cnt
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts USING (lang)
+WHERE ((d.doc_id * 2654435761 + 12345) % 1000000007) % 10000 < cuts.cut
 """,
     "pack_sequences": r"""
 WITH toks AS (

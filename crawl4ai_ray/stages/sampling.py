@@ -89,3 +89,44 @@ def deterministic_split(
         return batch.append_column(split_col, pa.array(split.tolist(), pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def rebalance_mix(
+    ds: "ray.data.Dataset",
+    target_bp: dict[str, int],
+    total_keep: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Down-sample each stratum so the kept corpus approximates a target
+    mix (domain/language rebalancing, the mixing-weights step of
+    pretraining curation). ``target_bp`` gives each stratum's target share
+    in basis points (sum ≤ 10000); strata absent from it are dropped.
+
+    Two phases: (1) ``groupby(strata).count()`` — a tiny aggregate, one row
+    per stratum, folded on the driver into integer per-stratum cuts
+    ``cut_s = min(10000, (target_bp_s * total_keep) // count_s)`` — then
+    (2) the same map-only deterministic bucket rule as
+    ``stratified_sample``. All arithmetic is int64, so a SQL oracle
+    reproduces the cuts bit-for-bit; expected kept per stratum is
+    ``count_s * cut_s / 10000 ≈ target share × total_keep``, capped at the
+    stratum's full size when it is under-represented (a stratum cannot be
+    up-sampled — document, don't silently repeat rows)."""
+    counts = ds.groupby(strata_col).count().take_all()  # ≤ |strata| rows
+    cuts: dict[str, int] = {}
+    for row in counts:
+        s = row[strata_col]
+        c = int(row["count()"])
+        bp = int(target_bp.get(s, 0))
+        cuts[s] = min(_BUCKETS, (bp * int(total_keep)) // c) if c else 0
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        buckets = sample_buckets(ids)
+        strata = batch.column(strata_col).to_pylist()
+        thresh = np.fromiter(
+            (cuts.get(s, 0) for s in strata), dtype=np.int64, count=len(strata)
+        )
+        return batch.filter(pa.array(buckets < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -794,3 +794,38 @@ def test_pack_sequences_semantics(ray_session):
     assert man["n_filled"].tolist() == [4, 4, 4, 4, 2]
     assert int(man["n_filled"].sum()) == 18
     assert man["n_docs"].tolist() == [2, 1, 3, 1, 1]
+
+
+def test_rebalance_mix(ray_session):
+    """Mix rebalancing: integer cuts hit the target shares in expectation,
+    zh (absent from targets) is dropped entirely, and an under-represented
+    stratum is kept whole (cut capped at 10000, never up-sampled)."""
+    from crawl4ai_ray.stages import sampling
+
+    rows = (
+        [{"doc_id": i, "lang": "en"} for i in range(1000)]
+        + [{"doc_id": 1000 + i, "lang": "de"} for i in range(100)]
+        + [{"doc_id": 1100 + i, "lang": "zh"} for i in range(50)]
+        + [{"doc_id": 1150 + i, "lang": "fr"} for i in range(5)]
+    )
+    ds = ray.data.from_items(rows)
+    out = sampling.rebalance_mix(
+        ds,
+        target_bp={"en": 5000, "de": 2000, "fr": 3000},
+        total_keep=100,
+        strata_col="lang",
+    ).to_pandas()
+    by = out.groupby("lang").size().to_dict()
+    assert "zh" not in by
+    # en: cut = 5000*100//1000 = 500 → expect ~5% of 1000 = 50 kept
+    assert 30 <= by.get("en", 0) <= 70
+    # de: cut = 2000*100//100 = 2000 → ~20% of 100 = 20
+    assert 10 <= by.get("de", 0) <= 32
+    # fr: cut = 3000*100//5 = 60000 → capped 10000 → ALL 5 kept
+    assert by.get("fr", 0) == 5
+    # determinism: second run identical
+    out2 = sampling.rebalance_mix(
+        ds, target_bp={"en": 5000, "de": 2000, "fr": 3000},
+        total_keep=100, strata_col="lang",
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
