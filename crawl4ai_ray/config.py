@@ -119,6 +119,11 @@ class CrawlConfig:
     frontier_small_threshold: int = 200_000
     # execution sizing
     seen_shards: int = 16
+    # URL-seen approximate filter: "bloom" (append-only, cheapest writes)
+    # or "cuckoo" (deletable — recrawl/retraction via SeenSet.forget
+    # reclaims filter occupancy; state/cuckoo.py). Crawl semantics are
+    # identical under either: the exact 128-bit store arbitrates.
+    seen_filter: str = "bloom"
     scrape_batch_size: int = 64
     scrape_concurrency: int | None = None
     # checkpointing

@@ -232,7 +232,7 @@ def crawl(
         # one read; every wave then maps over plasma-resident blocks
         pages = pages.materialize()
 
-    seen = SeenSet(num_shards=cfg.seen_shards)
+    seen = SeenSet(num_shards=cfg.seen_shards, approx_filter=cfg.seen_filter)
     politeness = PolitenessPool(
         num_shards=max(2, cfg.seen_shards // 4),
         base_delay=cfg.base_delay_s,

@@ -185,7 +185,8 @@ class UrlSeenShard:
         return {
             "exact_size": len(self.exact),
             "bloom_estimate": self.bloom.estimated_cardinality(),
-            "bloom_bits": self.bloom.num_bits,
+            "bloom_bits": getattr(self.bloom, "num_bits",
+                                  getattr(self.bloom, "num_buckets", 0) * 4 * 16),
         }
 
     def dump(self) -> bytes:

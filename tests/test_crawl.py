@@ -243,3 +243,17 @@ def test_checkpoint_resume_dataset_mode_and_strategies(ray_session, tmp_path):
         full_urls = [u for w in full.waves for u in w["frontier_urls"]]
         resumed_urls = [u for w in resumed.waves for u in w["frontier_urls"]]
         assert full.waves[0]["frontier_urls"] + resumed_urls == full_urls, strategy
+
+
+def test_cuckoo_seen_filter_crawl_parity(ray_session, bfs_run):
+    """Swapping the URL-seen approx filter (bloom → cuckoo) must not change
+    crawl semantics at all: identical wave count, crawl order, and final
+    seen size — the exact 128-bit store arbitrates under both filters."""
+    cfg = CrawlConfig(max_depth=3, seen_shards=4, seen_filter="cuckoo")
+    run = crawl(SF, seeds=SEEDS, cfg=cfg)
+    assert len(run.waves) == len(bfs_run.waves)
+    assert run.crawl_order == bfs_run.crawl_order
+    assert (
+        run.waves[-1]["seen"]["exact_size"]
+        == bfs_run.waves[-1]["seen"]["exact_size"]
+    )
