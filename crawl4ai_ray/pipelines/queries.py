@@ -927,6 +927,64 @@ def q_pack_manifest(sf_dir: str):
     )
 
 
+def q_recrawl_priority(sf_dir: str):
+    """Revisit scheduling by observed change rate (the adaptive-revisit
+    policy of production crawlers): 4 simulated captures per url whose
+    content version bumps at deterministic steps, exact distinct-version
+    count per url via the map-side-dedup + bucketed-groupby machinery,
+    then change_rate (identical rational expression both engines → doubles
+    bit-identical) and an integer revisit interval. Urls that changed at
+    every capture get the shortest interval."""
+    from ..stages.agg import distinct_count_per_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def revisions(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_ids, out_rev, out_ver = [], [], []
+        # change between rev r and r+1 at step s=r iff (doc_id + 2*s) % 4 == 0:
+        # odd ids never change, ids % 4 == 0 change once (s=2),
+        # ids % 4 == 2 change twice (s=1 and s=3)
+        for rev in range(1, 5):
+            ver = np.zeros(len(ids), dtype=np.int64)
+            for s in range(1, rev):
+                ver += ((ids + 2 * s) % 4 == 0).astype(np.int64)
+            out_ids.append(ids)
+            out_rev.append(np.full(len(ids), rev, dtype=np.int64))
+            out_ver.append(ver)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "rev": pa.array(np.concatenate(out_rev), pa.int64()),
+                "ver": pa.array(np.concatenate(out_ver), pa.int64()),
+            }
+        )
+
+    revs = docs.map_batches(revisions, batch_format="pyarrow")
+    nd = distinct_count_per_key(revs, key="doc_id", value="ver")
+
+    def schedule(batch: pa.Table) -> pa.Table:
+        n_distinct = batch.column("n_distinct").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_revs = np.full(len(n_distinct), 4, dtype=np.int64)
+        rate = (n_distinct.astype(np.float64) - 1.0) / (
+            n_revs.astype(np.float64) - 1.0
+        )
+        interval = 86400 * n_revs // (n_distinct * 4)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_revs": pa.array(n_revs, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "change_rate": pa.array(rate, pa.float64()),
+                "revisit_interval_s": pa.array(interval, pa.int64()),
+            }
+        )
+
+    return nd.map_batches(schedule, batch_format="pyarrow")
+
+
 def q_rebalance_mix(sf_dir: str):
     """Language-mix rebalancing: target 50% en / 20% de / 20% fr / 10% es
     (zh dropped) over a 250-doc budget, deterministic integer-cut
@@ -1661,6 +1719,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_manifest": q_pack_manifest,
     "rebalance_mix": q_rebalance_mix,
+    "recrawl_priority": q_recrawl_priority,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
@@ -2226,6 +2285,26 @@ isl AS (
 )
 SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 5 AS end_tok
 FROM isl GROUP BY doc_id, island
+""",
+    "recrawl_priority": r"""
+WITH revs AS (
+  SELECT doc_id, r.rev,
+         (CASE WHEN (doc_id + 2) % 4 = 0 AND r.rev > 1 THEN 1 ELSE 0 END
+        + CASE WHEN (doc_id + 4) % 4 = 0 AND r.rev > 2 THEN 1 ELSE 0 END
+        + CASE WHEN (doc_id + 6) % 4 = 0 AND r.rev > 3 THEN 1 ELSE 0 END) AS ver
+  FROM documents, LATERAL UNNEST(generate_series(1, 4)) AS r(rev)
+),
+d AS (
+  SELECT doc_id, COUNT(DISTINCT ver) AS n_distinct, COUNT(*) AS n_revs
+  FROM revs GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_revs AS BIGINT) AS n_revs,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       (CAST(n_distinct AS DOUBLE) - CAST(1.0 AS DOUBLE))
+         / (CAST(n_revs AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS change_rate,
+       CAST(86400 * n_revs // (n_distinct * 4) AS BIGINT) AS revisit_interval_s
+FROM d
 """,
     "rebalance_mix": r"""
 WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
