@@ -985,6 +985,59 @@ def q_recrawl_priority(sf_dir: str):
     return nd.map_batches(schedule, batch_format="pyarrow")
 
 
+def q_length_vs_lang_mean(sf_dir: str):
+    """Per-doc length relative to its language's mean — the canonical
+    broadcast-aggregate-back pattern: the big table never shuffles; the
+    per-lang (sum, count) aggregate (≤ |langs| rows) is collected once,
+    broadcast, and joined map-side. Ratio = n_tok * cnt / sum over exact
+    int64 sums → both engines evaluate the identical double division,
+    bit-identical."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len((t or "").split()) for t in batch.column("text").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tok": pa.array(n, pa.int64()),
+            }
+        )
+
+    toks = docs.map_batches(counts, batch_format="pyarrow")
+    # tiny per-lang aggregate → driver dict → broadcast into the map stage
+    agg = toks.groupby("lang").aggregate(
+        ray.data.aggregate.Sum("n_tok", alias_name="sum_tok"),
+        ray.data.aggregate.Count(alias_name="cnt"),
+    ).take_all()
+    stats = {r["lang"]: (int(r["sum_tok"]), int(r["cnt"])) for r in agg}
+    stats_ref = ray.put(stats)
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        langs = batch.column("lang").to_pylist()
+        n = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.fromiter((st[l][0] for l in langs), dtype=np.int64, count=len(langs))
+        cnts = np.fromiter((st[l][1] for l in langs), dtype=np.int64, count=len(langs))
+        r = (n * cnts).astype(np.float64) / sums.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tok": pa.array(n, pa.int64()),
+                "len_ratio": pa.array(r, pa.float64()),
+            }
+        )
+
+    return toks.map_batches(ratio, batch_format="pyarrow")
+
+
 def q_rebalance_mix(sf_dir: str):
     """Language-mix rebalancing: target 50% en / 20% de / 20% fr / 10% es
     (zh dropped) over a 250-doc budget, deterministic integer-cut
@@ -1720,6 +1773,7 @@ QUERIES = {
     "pack_manifest": q_pack_manifest,
     "rebalance_mix": q_rebalance_mix,
     "recrawl_priority": q_recrawl_priority,
+    "length_vs_lang_mean": q_length_vs_lang_mean,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
@@ -2285,6 +2339,21 @@ isl AS (
 )
 SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 5 AS end_tok
 FROM isl GROUP BY doc_id, island
+""",
+    "length_vs_lang_mean": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+st AS (
+  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY lang
+)
+SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tok,
+       CAST(t.n_tok * st.cnt AS DOUBLE) / CAST(st.sum_tok AS DOUBLE) AS len_ratio
+FROM toks t JOIN st USING (lang)
 """,
     "recrawl_priority": r"""
 WITH revs AS (
