@@ -1038,6 +1038,38 @@ def q_length_vs_lang_mean(sf_dir: str):
     return toks.map_batches(ratio, batch_format="pyarrow")
 
 
+def q_token_quantiles_sketch(sf_dir: str):
+    """Per-language token-count quantiles from the deterministic KLL-style
+    sketch (stages/sketch.py) — the approximate, O(k log n)-memory sibling
+    of the exact token_percentiles. Deterministic by construction (ordered
+    id-range partials, bucket-ordered fold) → golden-pinned oracle with an
+    independent scalar recompute in scripts/gen_golden_oracles.py."""
+    from ..stages.sketch import quantiles_per_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len((t or "").split()) for t in batch.column("text").to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tok": pa.array(n, pa.int64()),
+            }
+        )
+
+    toks = docs.map_batches(counts, batch_format="pyarrow")
+    return quantiles_per_key(
+        toks, key="lang", value="n_tok", qs=[0.25, 0.5, 0.9], k=64
+    )
+
+
 def q_rebalance_mix(sf_dir: str):
     """Language-mix rebalancing: target 50% en / 20% de / 20% fr / 10% es
     (zh dropped) over a 250-doc budget, deterministic integer-cut
@@ -1774,6 +1806,7 @@ QUERIES = {
     "rebalance_mix": q_rebalance_mix,
     "recrawl_priority": q_recrawl_priority,
     "length_vs_lang_mean": q_length_vs_lang_mean,
+    "token_quantiles_sketch": q_token_quantiles_sketch,
     "simhash_pairs": q_simhash_pairs,
     "fingerprints": q_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,

@@ -44,7 +44,104 @@ GOLDEN_NAMES = [
     "adaptive_embedding",
     "distinct_users_hll",
     "media_decode",
+    "token_quantiles_sketch",
 ]
+
+
+def sketch_pure_python(sf_dir: str) -> list[tuple[str, float, float]]:
+    """Independent scalar reimplementation of q_token_quantiles_sketch
+    (stages/sketch.py DQSketch + quantiles_per_key plan: id-range
+    partials, bucket-ordered left fold) — plain lists, no numpy."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    K = 64
+    QS = [0.25, 0.5, 0.9]
+
+    class ScalarSketch:
+        def __init__(self):
+            self.levels = [[]]
+            self.comp = [0]
+
+        def add(self, vals):
+            for i in range(0, len(vals), K):
+                self.levels[0].extend(float(v) for v in vals[i : i + K])
+                self._compress()
+
+        def _compress(self):
+            lvl = 0
+            while lvl < len(self.levels):
+                if len(self.levels[lvl]) <= K:
+                    lvl += 1
+                    continue
+                buf = sorted(self.levels[lvl])
+                off = self.comp[lvl] & 1
+                self.comp[lvl] += 1
+                promoted = buf[off::2]
+                self.levels[lvl] = []
+                if lvl + 1 == len(self.levels):
+                    self.levels.append([])
+                    self.comp.append(0)
+                self.levels[lvl + 1].extend(promoted)
+                lvl += 1
+
+        def merge(self, other):
+            while len(self.levels) < len(other.levels):
+                self.levels.append([])
+                self.comp.append(0)
+            for lvl, buf in enumerate(other.levels):
+                self.levels[lvl].extend(buf)
+            self._compress()
+            return self
+
+        def quantiles(self, qs):
+            pairs = []
+            for lvl, buf in enumerate(self.levels):
+                pairs.extend((v, 1 << lvl) for v in buf)
+            pairs.sort(key=lambda p: p[0])
+            total = sum(w for _, w in pairs)
+            out = []
+            for q in qs:
+                target = max(1, math.ceil(q * total))
+                acc = 0
+                val = pairs[-1][0]
+                for v, w in pairs:
+                    acc += w
+                    if acc >= target:
+                        val = v
+                        break
+                out.append(val)
+            return out
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    rows = sorted(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("lang").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    )
+    partials: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for doc_id, lang, text in rows:
+        partials.setdefault((lang, doc_id // 64), []).append(
+            (doc_id, len((text or "").split()))
+        )
+    folded: dict[str, ScalarSketch] = {}
+    for (lang, bucket) in sorted(partials):
+        sk = ScalarSketch()
+        sk.add([n for _, n in sorted(partials[(lang, bucket)])])
+        if lang in folded:
+            folded[lang].merge(sk)
+        else:
+            folded[lang] = sk
+    out = []
+    for lang in sorted(folded):
+        for q, v in zip(QS, folded[lang].quantiles(QS)):
+            out.append((lang, float(q), float(v)))
+    return sorted(out)
 
 
 def media_decode_pure_python(sf_dir: str) -> list[tuple[int, str, int, int, str]]:
@@ -242,6 +339,15 @@ def main() -> None:
                 (int(a), str(b), int(c), int(d), str(e)) for a, b, c, d, e in got
             ] == want, "media_decode: stage path != pure-python recompute"
             print(f"   pure-python media recompute OK ({len(want)} rows)")
+        if name == "token_quantiles_sketch":
+            want = sketch_pure_python(SF)
+            got = sorted(
+                zip(d1["lang"].tolist(), d1["q"].tolist(), d1["value"].tolist())
+            )
+            assert [
+                (str(a), float(b), float(c)) for a, b, c in got
+            ] == want, "token_quantiles_sketch: numpy path != scalar recompute"
+            print(f"   pure-python sketch recompute OK ({len(want)} rows)")
         goldens[name] = table_to_values_sql(
             pa.Table.from_pandas(d1, preserve_index=False).cast(
                 pa.schema([t1.schema.field(c) for c in key])

@@ -829,3 +829,83 @@ def test_rebalance_mix(ray_session):
         total_keep=100, strata_col="lang",
     ).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_dqsketch_exact_when_small():
+    from crawl4ai_ray.stages.sketch import DQSketch
+
+    sk = DQSketch(k=128)
+    sk.add_values(np.arange(100, dtype=np.float64))
+    # below capacity nothing compacts: lower-quantile answers are exact
+    assert sk.quantiles([0.5]) == [49.0]
+    assert sk.quantiles([0.01]) == [0.0]
+    assert sk.quantiles([1.0]) == [99.0]
+
+
+def test_dqsketch_deterministic_and_roundtrip():
+    from crawl4ai_ray.stages.sketch import DQSketch
+
+    vals = (np.arange(50_000, dtype=np.float64) * 7919) % 10_000
+    a, b = DQSketch(k=64), DQSketch(k=64)
+    a.add_values(vals)
+    b.add_values(vals)
+    assert a.to_bytes() == b.to_bytes()
+    c = DQSketch.from_bytes(a.to_bytes())
+    assert c.quantiles([0.1, 0.5, 0.9]) == a.quantiles([0.1, 0.5, 0.9])
+
+
+def test_dqsketch_error_bound():
+    from crawl4ai_ray.stages.sketch import DQSketch
+
+    n = 200_000
+    vals = (np.arange(n, dtype=np.float64) * 104_729) % n  # permutation
+    sk = DQSketch(k=128)
+    sk.add_values(vals)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sk.quantiles([q])[0]
+        rank_err = abs(est / n - q)
+        assert rank_err < 0.03, (q, est, rank_err)
+    # memory stays O(k log n): total stored items way below n
+    stored = sum(len(b) for b in sk.levels)
+    assert stored < 40 * 128
+
+
+def test_dqsketch_merge_fold_deterministic():
+    from crawl4ai_ray.stages.sketch import DQSketch
+
+    vals = (np.arange(30_000, dtype=np.float64) * 31) % 1000
+    parts = [vals[i::3] for i in range(3)]
+
+    def fold():
+        acc = None
+        for p in parts:
+            sk = DQSketch(k=64)
+            sk.add_values(p)
+            acc = sk if acc is None else acc.merge(sk)
+        return acc
+
+    assert fold().to_bytes() == fold().to_bytes()
+    est = fold().quantiles([0.5])[0]
+    assert abs(est - 500) < 60  # ~centered
+
+
+def test_quantiles_per_key(ray_session):
+    """Distributed per-key sketch quantiles: deterministic across runs and
+    within rank tolerance of the exact quantiles."""
+    from crawl4ai_ray.stages.sketch import quantiles_per_key
+
+    rows = []
+    for i in range(5000):
+        rows.append({"doc_id": i, "grp": "a" if i % 2 == 0 else "b",
+                     "x": float((i * 7919) % 1000)})
+    ds = ray.data.from_items(rows)
+    out1 = quantiles_per_key(ds, key="grp", value="x", qs=[0.25, 0.5, 0.75],
+                             k=64).to_pandas().sort_values(["grp", "q"]).reset_index(drop=True)
+    out2 = quantiles_per_key(ds, key="grp", value="x", qs=[0.25, 0.5, 0.75],
+                             k=64).to_pandas().sort_values(["grp", "q"]).reset_index(drop=True)
+    assert out1.equals(out2)
+    for grp in ("a", "b"):
+        xs = np.array([r["x"] for r in rows if r["grp"] == grp])
+        for _, row in out1[out1["grp"] == grp].iterrows():
+            exact_rank = (xs <= row["value"]).mean()
+            assert abs(exact_rank - row["q"]) < 0.06, (grp, row["q"], row["value"])
