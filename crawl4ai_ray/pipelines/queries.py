@@ -454,6 +454,26 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=3)
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """Same contamination semantics as q_decontaminate, through the
+    bloom-semijoin + bucketed-exact-verify scale path (benchmark side too
+    big to broadcast exactly → broadcast its BITS, verify the bounded
+    candidate trickle in place). Shares the decontaminate oracle — the
+    verify pass makes the bloom variant exact."""
+    from ..stages.decontaminate import decontaminate_bloom
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = docs.map_batches(
+        lambda b: b.filter(
+            pa.array(b.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    return decontaminate_bloom(docs, bench, n=3)
+
+
 def q_anchor_text_agg(sf_dir: str):
     """Per-destination anchor-text aggregation (the classic web-corpus
     enrichment: a page's in-link anchor texts describe it better than its
@@ -1779,6 +1799,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "pagerank": q_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
     "anchor_text_agg": q_anchor_text_agg,
@@ -2921,3 +2942,7 @@ try:
     ORACLES.update(_GOLDEN_SQL)
 except ImportError:  # pragma: no cover — before first generation
     pass
+
+# the bloom-semijoin variant is exact (bucketed verify kills false
+# positives) → same contamination oracle as the broadcast-exact path
+ORACLES["decontaminate_bloom"] = ORACLES["decontaminate"]

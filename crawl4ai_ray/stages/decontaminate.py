@@ -91,3 +91,161 @@ def decontaminate(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def benchmark_bloom(bench: "ray.data.Dataset", n: int = 3,
+                    capacity: int = 1 << 20, error_rate: float = 0.001):
+    """Mergeable Bloom build over the benchmark's gram hashes: every batch
+    task fills a same-sized filter (word-array OR is the merge), the
+    driver folds |batches| bit arrays — for a benchmark side too big to
+    broadcast as exact strings (10^9 grams ≈ 30 GB of text; the bloom is
+    ~180 MB at these parameters) but whose BITS still fit every worker."""
+    import numpy as np
+
+    from ..functions.hashing import hash64
+    from ..state.bloom import BloomFilter
+
+    def batch_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, error_rate)
+        grams: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            grams |= _doc_ngrams(t, n)
+        if grams:
+            bf.add_hashes(hash64(sorted(grams)))
+        return pa.table({"bloom": pa.array([bf.words.tobytes()], pa.binary())})
+
+    acc = BloomFilter(capacity, error_rate)
+    for b in bench.map_batches(batch_bloom, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for payload in b.column("bloom").to_pylist():
+            acc.words |= np.frombuffer(payload, dtype=np.uint64)
+    return acc
+
+
+def decontaminate_bloom(
+    corpus: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    n: int = 3,
+    num_buckets: int = 32,
+    capacity: int = 1 << 20,
+    error_rate: float = 0.001,
+) -> "ray.data.Dataset":
+    """EXACT decontamination via bloom-semijoin + bucketed verify — the
+    scale path for when the benchmark gram set outgrows exact broadcast:
+
+    1. Broadcast the benchmark's BLOOM (mergeable bit-array build above);
+       corpus tasks probe their distinct grams vectorized and emit only
+       bloom-POSITIVE (bucket=hash(gram)%P, gram, doc_id) candidate rows —
+       the false-positive-rate-bounded trickle, not the corpus.
+    2. ONE groupby(bucket) over candidates ∪ tagged benchmark grams:
+       per bucket, exact set membership kills the bloom's false
+       positives (verify-in-place, no Dataset.join — the dedup verify
+       pattern).
+    3. groupby(doc_id).sum over per-bucket hit counts, unioned with a
+       zero row per doc so uncontaminated docs still appear.
+
+    Output (doc_id, n_contaminated, contaminated) — identical semantics
+    to ``decontaminate`` (same oracle), different scale regime."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import hash64
+
+    bloom = benchmark_bloom(bench, n=n, capacity=capacity, error_rate=error_rate)
+    bloom_ref = ray.put(bloom.to_bytes())
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            grams |= _doc_ngrams(t, n)
+        gl = sorted(grams)
+        h = hash64(gl) if gl else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+                "gram": pa.array(gl, pa.string()),
+                "doc_id": pa.array([-1] * len(gl), pa.int64()),
+            }
+        )
+
+    class BloomProbe:
+        def __init__(self, ref):
+            from ..state.bloom import BloomFilter
+
+            self.bloom = BloomFilter.from_bytes(ray.get(ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b_out, g_out, d_out = [], [], []
+            for did, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                gl = sorted(_doc_ngrams(t, n))
+                if not gl:
+                    continue
+                h = hash64(gl)
+                # uint64 % python-int promotes to float64 in numpy and
+                # garbles the bucket — keep the modulo in uint64
+                buckets = (h % np.uint64(num_buckets)).astype(np.int64)
+                pos = self.bloom.contains_hashes(h)
+                for g, bk, p in zip(gl, buckets, pos):
+                    if p:
+                        b_out.append(int(bk))
+                        g_out.append(g)
+                        d_out.append(did)
+            return pa.table(
+                {
+                    "bucket": pa.array(b_out, pa.int64()),
+                    "gram": pa.array(g_out, pa.string()),
+                    "doc_id": pa.array(d_out, pa.int64()),
+                }
+            )
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        # returns ARROW so the downstream union with the arrow-blocked
+        # zero rows feeds the aggregate a single block type
+        bench_set = set(g.loc[g["doc_id"] < 0, "gram"])
+        cand = g[g["doc_id"] >= 0]
+        hit = cand[cand["gram"].isin(bench_set)]
+        counts = hit.groupby("doc_id").size()
+        return pa.table(
+            {
+                "doc_id": pa.array(counts.index.to_numpy(dtype=np.int64), pa.int64()),
+                "hits": pa.array(counts.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    bench_grams = bench.map_batches(bench_rows, batch_format="pyarrow")
+    cands = corpus.map_batches(
+        BloomProbe, fn_constructor_args=(bloom_ref,),
+        batch_format="pyarrow", concurrency=4,
+    )
+    hits = bench_grams.union(cands).groupby("bucket").map_groups(
+        verify, batch_format="pandas"
+    )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "hits": pa.array([0] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    zeros = corpus.map_batches(zero_rows, batch_format="pyarrow")
+    agg = zeros.union(hits).groupby("doc_id").aggregate(
+        ray.data.aggregate.Sum("hits", alias_name="n_contaminated")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_contaminated").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_contaminated": pa.array(nc, pa.int64()),
+                "contaminated": pa.array((nc > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -909,3 +909,25 @@ def test_quantiles_per_key(ray_session):
         for _, row in out1[out1["grp"] == grp].iterrows():
             exact_rank = (xs <= row["value"]).mean()
             assert abs(exact_rank - row["q"]) < 0.06, (grp, row["q"], row["value"])
+
+
+def test_decontaminate_bloom_matches_exact(ray_session):
+    """The bloom-semijoin + bucketed-verify path must produce EXACTLY the
+    broadcast-exact decontaminate output (the verify pass kills bloom
+    false positives), including zero rows for clean docs."""
+    from crawl4ai_ray.stages.decontaminate import decontaminate, decontaminate_bloom
+
+    corpus = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 1, "text": "zeta eta theta iota kappa"},
+        {"doc_id": 2, "text": "alpha beta gamma nu xi"},      # shares a 3-gram w/ 0
+        {"doc_id": 3, "text": "one two"},                      # too short for grams
+    ]
+    bench = [{"doc_id": 100, "text": "alpha beta gamma delta"}]
+    cds = ray.data.from_items(corpus)
+    bds = ray.data.from_items(bench)
+    a = decontaminate(cds, bds, n=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decontaminate_bloom(cds, bds, n=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b), (a, b)
+    assert a["contaminated"].tolist() == [1, 0, 1, 0]
+    assert a["n_contaminated"].tolist() == [2, 0, 1, 0]
