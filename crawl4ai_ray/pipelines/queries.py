@@ -1443,6 +1443,80 @@ def q_top_k_relevant(sf_dir: str):
     )
 
 
+def q_bm25_topk(sf_dir: str):
+    """Full BM25 (Robertson idf + length normalization, k1=1.2 b=0.75)
+    top-10 document search — the lexical sibling of the ANN queries and
+    the corpus-level big brother of the seeder's head-field BM25. One
+    pass emits per-doc (tf_q…, dl); the collection stats (N, Σdl, df_q)
+    are a tiny aggregate folded on the driver and broadcast back into the
+    scoring map. Both engines evaluate the identical expression tree over
+    exact int64 counts and ROUND to 8 decimals (the pagerank float
+    discipline), with doc_id tiebreak."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    terms = ["table", "scan", "merge"]
+    K1, B = 1.2, 0.75
+
+    def tfs(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch.column("doc_id")}
+        texts = [(t or "").lower().split() for t in batch.column("text").to_pylist()]
+        cols["dl"] = pa.array([len(t) for t in texts], pa.int64())
+        for i, q in enumerate(terms):
+            cols[f"tf{i}"] = pa.array([t.count(q) for t in texts], pa.int64())
+        return pa.table(cols)
+
+    tf_ds = docs.map_batches(tfs, batch_format="pyarrow")
+    aggs = [ray.data.aggregate.Count(alias_name="n_docs"),
+            ray.data.aggregate.Sum("dl", alias_name="sum_dl")]
+    stats_row = tf_ds.aggregate(*aggs)
+    # df per term: tiny second aggregate over boolean masks
+    def df_part(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                f"df{i}": pa.array(
+                    [int((batch.column(f"tf{i}").to_numpy(zero_copy_only=False) > 0).sum())],
+                    pa.int64(),
+                )
+                for i in range(len(terms))
+            }
+        )
+
+    df_row = tf_ds.map_batches(df_part, batch_format="pyarrow").aggregate(
+        *[ray.data.aggregate.Sum(f"df{i}", alias_name=f"df{i}") for i in range(len(terms))]
+    )
+    n_docs = int(stats_row["n_docs"])
+    sum_dl = int(stats_row["sum_dl"])
+    dfs = [int(df_row[f"df{i}"]) for i in range(len(terms))]
+    avgdl = float(sum_dl) / float(n_docs)
+    import math
+
+    # math.log (libm) rather than np.log: numpy's SIMD log can differ
+    # from DuckDB's libm ln in the last ulp
+    idfs = [
+        math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) for df in dfs
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.zeros(len(dl), dtype=np.float64)
+        for i in range(len(terms)):
+            tf = batch.column(f"tf{i}").to_numpy(zero_copy_only=False).astype(np.float64)
+            s += idfs[i] * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(np.round(s, 8), pa.float64()),
+            }
+        )
+
+    return (
+        tf_ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1h window counts per event_type (custom windowed-aggregate
     operator; count-only so the oracle compare is float-free)."""
@@ -1845,6 +1919,7 @@ QUERIES = {
     "regex_extract": q_regex_extract,
     "cosine_sections": q_cosine_sections,
     "top_k_relevant": q_top_k_relevant,
+    "bm25_topk": q_bm25_topk,
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
     "chunk_counts": q_chunk_counts,
@@ -2809,6 +2884,47 @@ sim(wave, n, visited, pending, outp) AS (
 last AS (SELECT outp FROM sim ORDER BY wave DESC LIMIT 1),
 flat AS (SELECT unnest(outp) AS r FROM last)
 SELECT r.u AS url, CAST(r.w AS BIGINT) AS wave FROM flat
+""",
+    "bm25_topk": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'table')) AS tf0,
+         len(list_filter(t, x -> x = 'scan'))  AS tf1,
+         len(list_filter(t, x -> x = 'merge')) AS tf2
+  FROM toks
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(COUNT(*) FILTER (tf0 > 0) AS BIGINT) AS df0,
+         CAST(COUNT(*) FILTER (tf1 > 0) AS BIGINT) AS df1,
+         CAST(COUNT(*) FILTER (tf2 > 0) AS BIGINT) AS df2
+  FROM tf
+),
+scored AS (
+  SELECT tf.doc_id,
+    ROUND(
+      ln((st.n_docs - st.df0 + CAST(0.5 AS DOUBLE)) / (st.df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * (tf.tf0 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        / (tf.tf0 + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * tf.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+    + ln((st.n_docs - st.df1 + CAST(0.5 AS DOUBLE)) / (st.df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * (tf.tf1 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        / (tf.tf1 + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * tf.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+    + ln((st.n_docs - st.df2 + CAST(0.5 AS DOUBLE)) / (st.df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * (tf.tf2 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        / (tf.tf2 + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * tf.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+    , 8) AS score
+  FROM tf, st
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """,
     "top_k_relevant": r"""
 WITH s AS (
