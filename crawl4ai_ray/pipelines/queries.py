@@ -1517,6 +1517,31 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle enumeration over the synthetic doc link graph (the
+    pagerank/CC corpus arithmetic): degree-ordered node-iterator as five
+    bounded union+groupby shuffles (stages/graph.py triangle_enumerate).
+    Oracle = the textbook three-way self-join on the deduped undirected
+    edge list."""
+    from ..stages.graph import triangle_enumerate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def child_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(2 * ids + 1) % n_docs, (2 * ids + 2) % n_docs, (7 * ids + 3) % n_docs]
+        )
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(child_edges, batch_format="pyarrow")
+    return triangle_enumerate(edges)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1h window counts per event_type (custom windowed-aggregate
     operator; count-only so the oracle compare is float-free)."""
@@ -1920,6 +1945,7 @@ QUERIES = {
     "cosine_sections": q_cosine_sections,
     "top_k_relevant": q_top_k_relevant,
     "bm25_topk": q_bm25_topk,
+    "triangles": q_triangles,
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
     "chunk_counts": q_chunk_counts,
@@ -2884,6 +2910,19 @@ sim(wave, n, visited, pending, outp) AS (
 last AS (SELECT outp FROM sim ORDER BY wave DESC LIMIT 1),
 flat AS (SELECT unnest(outp) AS r FROM last)
 SELECT r.u AS url, CAST(r.w AS BIGINT) AS wave FROM flat
+""",
+    "triangles": r"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS s, (2*doc_id+1) % nn.c AS d FROM documents, nn
+  UNION ALL SELECT doc_id, (2*doc_id+2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7*doc_id+3) % nn.c FROM documents, nn
+),
+e AS (SELECT DISTINCT LEAST(s,d) AS a, GREATEST(s,d) AS b FROM child WHERE s <> d)
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """,
     "bm25_topk": r"""
 WITH toks AS (

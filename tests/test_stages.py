@@ -931,3 +931,26 @@ def test_decontaminate_bloom_matches_exact(ray_session):
     assert a.equals(b), (a, b)
     assert a["contaminated"].tolist() == [1, 0, 1, 0]
     assert a["n_contaminated"].tolist() == [2, 0, 1, 0]
+
+
+def test_triangle_enumerate(ray_session):
+    """Known topologies: K5 has C(5,3)=10 triangles; a star hub has none
+    (the degree-orientation hot-node case); duplicate/reversed/self edges
+    are cleaned; triangles come out sorted a<b<c exactly once."""
+    from crawl4ai_ray.stages.graph import triangle_enumerate
+
+    k5 = [(i, j) for i in range(5) for j in range(5) if i != j]  # both dirs
+    star = [(100, 100 + i) for i in range(1, 30)]                # no closes
+    extra = [(0, 0), (1, 0), (2, 100), (100 + 1, 100 + 2)]       # self/dup/bridge
+    edges = k5 + star + extra + [(100 + 2, 100 + 3)]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = triangle_enumerate(ds).to_pandas()
+    tris = sorted(map(tuple, out[["a", "b", "c"]].to_numpy()))
+    assert len(tris) == len(set(tris))  # each triangle exactly once
+    from itertools import combinations
+
+    expect = sorted(combinations(range(5), 3))  # the K5 triangles only
+    assert [t for t in tris if t[2] < 100] == expect
+    # bridge edges close exactly two triangles through the star hub:
+    # 101-102 closes (100,101,102); 102-103 closes (100,102,103)
+    assert [t for t in tris if t[2] >= 100] == [(100, 101, 102), (100, 102, 103)]
