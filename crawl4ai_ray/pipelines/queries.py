@@ -1542,6 +1542,29 @@ def q_triangles(sf_dir: str):
     return triangle_enumerate(edges)
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficients over the synthetic link graph —
+    triangles credited to their three corners, degrees from the deduped
+    edge list, identical (2.0·T)/(deg·(deg−1)) expression both engines."""
+    from ..stages.graph import clustering_coefficients
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def child_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(2 * ids + 1) % n_docs, (2 * ids + 2) % n_docs, (7 * ids + 3) % n_docs]
+        )
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(child_edges, batch_format="pyarrow")
+    return clustering_coefficients(edges)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1h window counts per event_type (custom windowed-aggregate
     operator; count-only so the oracle compare is float-free)."""
@@ -1946,6 +1969,7 @@ QUERIES = {
     "top_k_relevant": q_top_k_relevant,
     "bm25_topk": q_bm25_topk,
     "triangles": q_triangles,
+    "clustering_coeff": q_clustering_coeff,
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
     "chunk_counts": q_chunk_counts,
@@ -2923,6 +2947,37 @@ SELECT e1.a AS a, e1.b AS b, e2.b AS c
 FROM e e1
 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+""",
+    "clustering_coeff": r"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS s, (2*doc_id+1) % nn.c AS d FROM documents, nn
+  UNION ALL SELECT doc_id, (2*doc_id+2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7*doc_id+3) % nn.c FROM documents, nn
+),
+e AS (SELECT DISTINCT LEAST(s,d) AS a, GREATEST(s,d) AS b FROM child WHERE s <> d),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+ntri AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+)
+SELECT deg.node,
+       CAST(deg.d AS BIGINT) AS deg,
+       CAST(COALESCE(ntri.t, 0) AS BIGINT) AS n_tri,
+       CAST(2.0 AS DOUBLE) * CAST(COALESCE(ntri.t, 0) AS DOUBLE)
+         / CAST(deg.d * (deg.d - 1) AS DOUBLE) AS coeff
+FROM deg LEFT JOIN ntri USING (node)
+WHERE deg.d >= 2
 """,
     "bm25_topk": r"""
 WITH toks AS (

@@ -544,3 +544,88 @@ def triangle_enumerate(
         .groupby("wbucket")
         .map_groups(close_wedges, batch_format="pandas")
     )
+
+
+def clustering_coefficients(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Local clustering coefficient per node: C(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    over the undirected simple graph — T(v) from ``triangle_enumerate``
+    (each triangle credits its three corners), degrees from the deduped
+    edge list, combined with one union + groupby(hash(node) % P). Nodes
+    with deg < 2 are omitted (coefficient undefined). Both engines
+    evaluate the identical (2.0·T)/(deg·(deg−1)) expression → doubles
+    bit-identical."""
+    import pandas as pd
+
+    tris = triangle_enumerate(
+        edges, src_col=src_col, dst_col=dst_col, num_buckets=num_buckets
+    )
+
+    def corners(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        n = np.concatenate([a, b, c])
+        return pa.table(
+            {
+                "nbucket": pa.array(n % num_buckets, pa.int64()),
+                "node": pa.array(n, pa.int64()),
+                "t": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                "d": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+            }
+        )
+
+    def und_endpoints(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    e = (
+        edges.map_batches(und_endpoints, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    def deg_halves(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        n = np.concatenate([a, b])
+        return pa.table(
+            {
+                "nbucket": pa.array(n % num_buckets, pa.int64()),
+                "node": pa.array(n, pa.int64()),
+                "t": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                "d": pa.array(np.ones(len(n), np.int64), pa.int64()),
+            }
+        )
+
+    both = tris.map_batches(corners, batch_format="pyarrow").union(
+        e.map_batches(deg_halves, batch_format="pyarrow")
+    )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("node")[["t", "d"]].sum()
+        deg = agg["d"].to_numpy(dtype=np.int64)
+        tri = agg["t"].to_numpy(dtype=np.int64)
+        keep = deg >= 2
+        node = agg.index.to_numpy(dtype=np.int64)[keep]
+        deg, tri = deg[keep], tri[keep]
+        coeff = (2.0 * tri.astype(np.float64)) / (deg * (deg - 1)).astype(np.float64)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+                "n_tri": pa.array(tri, pa.int64()),
+                "coeff": pa.array(coeff, pa.float64()),
+            }
+        )
+
+    return both.groupby("nbucket").map_groups(combine, batch_format="pandas")
