@@ -121,9 +121,15 @@ class CrawlConfig:
     seen_shards: int = 16
     # URL-seen approximate filter: "bloom" (append-only, cheapest writes)
     # or "cuckoo" (deletable — recrawl/retraction via SeenSet.forget
-    # reclaims filter occupancy; state/cuckoo.py). Crawl semantics are
-    # identical under either: the exact 128-bit store arbitrates.
+    # reclaims filter occupancy; state/cuckoo.py). Crawl RESULTS are
+    # identical under either (the exact 128-bit store arbitrates); their
+    # over-capacity behavior differs — a Bloom degrades fpp, a full
+    # cuckoo table is rebuilt at 2x from the exact store (an O(shard)
+    # rebuild pause, state/seen.py _filter_add). Size
+    # seen_capacity_per_shard to the expected unique urls / seen_shards
+    # to avoid rebuilds.
     seen_filter: str = "bloom"
+    seen_capacity_per_shard: int = 1_000_000
     scrape_batch_size: int = 64
     scrape_concurrency: int | None = None
     # checkpointing

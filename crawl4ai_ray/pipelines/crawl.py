@@ -232,7 +232,11 @@ def crawl(
         # one read; every wave then maps over plasma-resident blocks
         pages = pages.materialize()
 
-    seen = SeenSet(num_shards=cfg.seen_shards, approx_filter=cfg.seen_filter)
+    seen = SeenSet(
+        num_shards=cfg.seen_shards,
+        capacity_per_shard=cfg.seen_capacity_per_shard,
+        approx_filter=cfg.seen_filter,
+    )
     politeness = PolitenessPool(
         num_shards=max(2, cfg.seen_shards // 4),
         base_delay=cfg.base_delay_s,

@@ -1005,13 +1005,9 @@ def q_recrawl_priority(sf_dir: str):
     return nd.map_batches(schedule, batch_format="pyarrow")
 
 
-def q_length_vs_lang_mean(sf_dir: str):
-    """Per-doc length relative to its language's mean — the canonical
-    broadcast-aggregate-back pattern: the big table never shuffles; the
-    per-lang (sum, count) aggregate (≤ |langs| rows) is collected once,
-    broadcast, and joined map-side. Ratio = n_tok * cnt / sum over exact
-    int64 sums → both engines evaluate the identical double division,
-    bit-identical."""
+def _token_counts_ds(sf_dir: str):
+    """(doc_id, lang, n_tok) over documents — whitespace token counts,
+    shared by the per-lang mean and sketch-quantile queries."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     )
@@ -1030,7 +1026,39 @@ def q_length_vs_lang_mean(sf_dir: str):
             }
         )
 
-    toks = docs.map_batches(counts, batch_format="pyarrow")
+    return docs.map_batches(counts, batch_format="pyarrow")
+
+
+def _synthetic_link_edges(sf_dir: str):
+    """The synthetic doc link graph (same arithmetic as the pagerank / CC
+    oracles): src -> (2s+1, 2s+2, 7s+3) mod N. Shared by the triangle and
+    clustering queries — one Python site, mirrored by one SQL CTE shape."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def child_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(2 * ids + 1) % n_docs, (2 * ids + 2) % n_docs, (7 * ids + 3) % n_docs]
+        )
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    return docs.map_batches(child_edges, batch_format="pyarrow")
+
+
+def q_length_vs_lang_mean(sf_dir: str):
+    """Per-doc length relative to its language's mean — the canonical
+    broadcast-aggregate-back pattern: the big table never shuffles; the
+    per-lang (sum, count) aggregate (≤ |langs| rows) is collected once,
+    broadcast, and joined map-side. Ratio = n_tok * cnt / sum over exact
+    int64 sums → both engines evaluate the identical double division,
+    bit-identical."""
+    # materialized: consumed by the aggregate AND the ratio map (one
+    # tokenization pass, review finding)
+    toks = _token_counts_ds(sf_dir).materialize()
     # tiny per-lang aggregate → driver dict → broadcast into the map stage
     agg = toks.groupby("lang").aggregate(
         ray.data.aggregate.Sum("n_tok", alias_name="sum_tok"),
@@ -1066,25 +1094,7 @@ def q_token_quantiles_sketch(sf_dir: str):
     independent scalar recompute in scripts/gen_golden_oracles.py."""
     from ..stages.sketch import quantiles_per_key
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
-    )
-
-    def counts(batch: pa.Table) -> pa.Table:
-        n = np.fromiter(
-            (len((t or "").split()) for t in batch.column("text").to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "lang": batch.column("lang"),
-                "n_tok": pa.array(n, pa.int64()),
-            }
-        )
-
-    toks = docs.map_batches(counts, batch_format="pyarrow")
+    toks = _token_counts_ds(sf_dir)
     return quantiles_per_key(
         toks, key="lang", value="n_tok", qs=[0.25, 0.5, 0.9], k=64
     )
@@ -1466,7 +1476,10 @@ def q_bm25_topk(sf_dir: str):
             cols[f"tf{i}"] = pa.array([t.count(q) for t in texts], pa.int64())
         return pa.table(cols)
 
-    tf_ds = docs.map_batches(tfs, batch_format="pyarrow")
+    # materialized: consumed by the stats aggregate, the df aggregate AND
+    # the scoring map — without it the corpus is read+tokenized three
+    # times (review finding)
+    tf_ds = docs.map_batches(tfs, batch_format="pyarrow").materialize()
     aggs = [ray.data.aggregate.Count(alias_name="n_docs"),
             ray.data.aggregate.Sum("dl", alias_name="sum_dl")]
     stats_row = tf_ds.aggregate(*aggs)
@@ -1525,21 +1538,7 @@ def q_triangles(sf_dir: str):
     edge list."""
     from ..stages.graph import triangle_enumerate
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    n_docs = docs.count()
-
-    def child_edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.concatenate([ids, ids, ids])
-        dst = np.concatenate(
-            [(2 * ids + 1) % n_docs, (2 * ids + 2) % n_docs, (7 * ids + 3) % n_docs]
-        )
-        return pa.table(
-            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
-        )
-
-    edges = docs.map_batches(child_edges, batch_format="pyarrow")
-    return triangle_enumerate(edges)
+    return triangle_enumerate(_synthetic_link_edges(sf_dir))
 
 
 def q_clustering_coeff(sf_dir: str):
@@ -1548,21 +1547,7 @@ def q_clustering_coeff(sf_dir: str):
     edge list, identical (2.0·T)/(deg·(deg−1)) expression both engines."""
     from ..stages.graph import clustering_coefficients
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    n_docs = docs.count()
-
-    def child_edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        src = np.concatenate([ids, ids, ids])
-        dst = np.concatenate(
-            [(2 * ids + 1) % n_docs, (2 * ids + 2) % n_docs, (7 * ids + 3) % n_docs]
-        )
-        return pa.table(
-            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
-        )
-
-    edges = docs.map_batches(child_edges, batch_format="pyarrow")
-    return clustering_coefficients(edges)
+    return clustering_coefficients(_synthetic_link_edges(sf_dir))
 
 
 def q_events_window(sf_dir: str):
@@ -2585,7 +2570,8 @@ cum AS (
 SELECT doc_id, n AS n_tok, tok_start,
        CAST(tok_start // 128 AS BIGINT) AS seq_start,
        CAST((tok_start + n - 1) // 128 AS BIGINT) AS seq_end,
-       CAST(tok_start % 128 AS BIGINT) AS seq_offset
+       CAST(tok_start % 128 AS BIGINT) AS seq_offset,
+       CAST(128 AS BIGINT) AS seq_len
 FROM cum
 """,
     "pack_manifest": r"""

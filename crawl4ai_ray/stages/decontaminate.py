@@ -165,7 +165,10 @@ def decontaminate_bloom(
             {
                 "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
                 "gram": pa.array(gl, pa.string()),
-                "doc_id": pa.array([-1] * len(gl), pa.int64()),
+                "doc_id": pa.array([0] * len(gl), pa.int64()),
+                # explicit side flag, NOT an in-band doc_id sentinel —
+                # corpus ids may legitimately be negative (review finding)
+                "is_bench": pa.array([1] * len(gl), pa.int64()),
             }
         )
 
@@ -199,14 +202,15 @@ def decontaminate_bloom(
                     "bucket": pa.array(b_out, pa.int64()),
                     "gram": pa.array(g_out, pa.string()),
                     "doc_id": pa.array(d_out, pa.int64()),
+                    "is_bench": pa.array([0] * len(d_out), pa.int64()),
                 }
             )
 
     def verify(g: pd.DataFrame) -> pa.Table:
         # returns ARROW so the downstream union with the arrow-blocked
         # zero rows feeds the aggregate a single block type
-        bench_set = set(g.loc[g["doc_id"] < 0, "gram"])
-        cand = g[g["doc_id"] >= 0]
+        bench_set = set(g.loc[g["is_bench"] == 1, "gram"])
+        cand = g[g["is_bench"] == 0]
         hit = cand[cand["gram"].isin(bench_set)]
         counts = hit.groupby("doc_id").size()
         return pa.table(

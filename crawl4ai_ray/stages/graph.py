@@ -332,11 +332,40 @@ def connected_components(
     )
 
 
+def _undirected_canonical(batch: pa.Table, src_col: str, dst_col: str) -> pa.Table:
+    """Directed (src, dst) rows → canonical undirected (a < b) rows with
+    self-loops dropped — the shared first step of every undirected graph
+    operator here (one kernel, review finding: was duplicated)."""
+    s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    a = np.minimum(s, d)
+    b = np.maximum(s, d)
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+def undirected_dedup(
+    edges: "ray.data.Dataset", src_col: str = "src", dst_col: str = "dst"
+) -> "ray.data.Dataset":
+    """Distinct canonical undirected edge list — ONE groupby((a, b))."""
+    return (
+        edges.map_batches(
+            lambda b: _undirected_canonical(b, src_col, dst_col),
+            batch_format="pyarrow",
+        )
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+
+
 def triangle_enumerate(
     edges: "ray.data.Dataset",
     src_col: str = "src",
     dst_col: str = "dst",
     num_buckets: int = 32,
+    edges_canonical: bool = False,
 ) -> "ray.data.Dataset":
     """Exact triangle enumeration over the undirected simple graph induced
     by ``edges`` → one row per triangle ``(a, b, c)``, a < b < c.
@@ -365,21 +394,14 @@ def triangle_enumerate(
     worker's heap."""
     import pandas as pd
 
-    def und(batch: pa.Table) -> pa.Table:
-        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
+    # ``edges_canonical=True`` means the caller already holds the distinct
+    # (a < b) edge list (e.g. clustering_coefficients, which also needs it
+    # for degrees) — don't pay the dedup shuffle twice (review finding)
     e = (
-        edges.map_batches(und, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
-        .materialize()  # consumed three times (degrees, orientation, verify)
+        edges
+        if edges_canonical
+        else undirected_dedup(edges, src_col, dst_col).materialize()
+        # materialized: consumed three times (degrees, orientation, verify)
     )
 
     def endpoints(batch: pa.Table) -> pa.Table:
@@ -404,7 +426,10 @@ def triangle_enumerate(
                 "node": pa.array(np.concatenate([a, b]), pa.int64()),
                 "oa": pa.array(np.concatenate([a, a]), pa.int64()),
                 "ob": pa.array(np.concatenate([b, b]), pa.int64()),
-                "deg": pa.array(np.full(2 * len(a), -1), pa.int64()),
+                "deg": pa.array(np.zeros(2 * len(a), np.int64), pa.int64()),
+                # explicit side flag rather than an in-band -1 sentinel:
+                # node ids may legitimately be negative (review finding)
+                "is_deg": pa.array(np.zeros(2 * len(a), np.int64), pa.int64()),
             }
         )
 
@@ -414,9 +439,10 @@ def triangle_enumerate(
             {
                 "nbucket": pa.array(n % num_buckets, pa.int64()),
                 "node": pa.array(n, pa.int64()),
-                "oa": pa.array(np.full(len(n), -1), pa.int64()),
-                "ob": pa.array(np.full(len(n), -1), pa.int64()),
+                "oa": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                "ob": pa.array(np.zeros(len(n), np.int64), pa.int64()),
                 "deg": batch.column("deg"),
+                "is_deg": pa.array(np.ones(len(n), np.int64), pa.int64()),
             }
         )
 
@@ -425,9 +451,9 @@ def triangle_enumerate(
     )
 
     def attach_deg(g: pd.DataFrame) -> pa.Table:
-        degs = g[g["oa"] < 0]
+        degs = g[g["is_deg"] == 1]
         dmap = dict(zip(degs["node"], degs["deg"]))
-        rows = g[g["oa"] >= 0]
+        rows = g[g["is_deg"] == 0]
         node = rows["node"].to_numpy()
         return pa.table(
             {
@@ -485,7 +511,8 @@ def triangle_enumerate(
         if not P:
             z = np.zeros(0, np.int64)
             return pa.table({"wbucket": pa.array(z), "x": pa.array(z),
-                             "y": pa.array(z), "pivot": pa.array(z)})
+                             "y": pa.array(z), "pivot": pa.array(z),
+                             "is_edge": pa.array(z)})
         piv = np.concatenate(P)
         q = np.concatenate(Q)
         r = np.concatenate(R)
@@ -497,6 +524,7 @@ def triangle_enumerate(
                 "x": pa.array(x, pa.int64()),
                 "y": pa.array(y, pa.int64()),
                 "pivot": pa.array(piv, pa.int64()),
+                "is_edge": pa.array(np.zeros(len(x), np.int64), pa.int64()),
             }
         )
 
@@ -510,13 +538,14 @@ def triangle_enumerate(
                 "wbucket": pa.array((a * 1_000_003 + b) % num_buckets, pa.int64()),
                 "x": pa.array(a, pa.int64()),
                 "y": pa.array(b, pa.int64()),
-                "pivot": pa.array(np.full(len(a), -1), pa.int64()),
+                "pivot": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "is_edge": pa.array(np.ones(len(a), np.int64), pa.int64()),
             }
         )
 
     def close_wedges(g: pd.DataFrame) -> pa.Table:
-        eset = set(zip(g.loc[g["pivot"] < 0, "x"], g.loc[g["pivot"] < 0, "y"]))
-        w = g[g["pivot"] >= 0]
+        eset = set(zip(g.loc[g["is_edge"] == 1, "x"], g.loc[g["is_edge"] == 1, "y"]))
+        w = g[g["is_edge"] == 0]
         if not len(w) or not eset:
             z = np.zeros(0, np.int64)
             return pa.table({"a": pa.array(z), "b": pa.array(z), "c": pa.array(z)})
@@ -561,8 +590,9 @@ def clustering_coefficients(
     bit-identical."""
     import pandas as pd
 
+    e = undirected_dedup(edges, src_col, dst_col).materialize()
     tris = triangle_enumerate(
-        edges, src_col=src_col, dst_col=dst_col, num_buckets=num_buckets
+        e, num_buckets=num_buckets, edges_canonical=True
     )
 
     def corners(batch: pa.Table) -> pa.Table:
@@ -578,21 +608,6 @@ def clustering_coefficients(
                 "d": pa.array(np.zeros(len(n), np.int64), pa.int64()),
             }
         )
-
-    def und_endpoints(batch: pa.Table) -> pa.Table:
-        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
-    e = (
-        edges.map_batches(und_endpoints, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-    )
 
     def deg_halves(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)

@@ -90,7 +90,7 @@ def pack_sequences(
             z = np.zeros(0, np.int64)
             return pd.DataFrame(
                 {"doc_id": z, "n_tok": z, "tok_start": z,
-                 "seq_start": z, "seq_end": z, "seq_offset": z}
+                 "seq_start": z, "seq_end": z, "seq_offset": z, "seq_len": z}
             )
         base = base_map[int(g["bucket"].iloc[0])]
         tok_start = base + np.cumsum(n) - n
@@ -102,6 +102,10 @@ def pack_sequences(
                 "seq_start": (tok_start // L).astype(np.int64),
                 "seq_end": ((tok_start + n - 1) // L).astype(np.int64),
                 "seq_offset": (tok_start % L).astype(np.int64),
+                # seq_len rides with the rows so sequence_manifest can
+                # VALIDATE against it — a silently mismatched seq_len
+                # yields negative fills (review finding)
+                "seq_len": np.full(len(ids), int(L), dtype=np.int64),
             }
         )
 
@@ -114,10 +118,20 @@ def sequence_manifest(
     """Per-sequence summary from ``pack_sequences`` output: how many docs
     touch each sequence and how many of its token slots are filled (the
     final, possibly partial, sequence is the only one not full). One
-    flat_map-style explode + one groupby."""
+    flat_map-style explode + one groupby. ``seq_len`` must equal the one
+    the rows were packed with — validated against the carried ``seq_len``
+    column per batch (a mismatch used to produce silently-wrong negative
+    fills; review finding)."""
     L = np.int64(seq_len)
 
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows and "seq_len" in batch.column_names:
+            carried = batch.column("seq_len").to_numpy(zero_copy_only=False)
+            if (carried != int(L)).any():
+                raise ValueError(
+                    f"sequence_manifest(seq_len={int(L)}) over rows packed "
+                    f"with seq_len={int(carried[0])} — the two must match"
+                )
         starts = batch.column("seq_start").to_numpy(zero_copy_only=False)
         ends = batch.column("seq_end").to_numpy(zero_copy_only=False)
         toks = batch.column("tok_start").to_numpy(zero_copy_only=False)

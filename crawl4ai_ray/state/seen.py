@@ -112,7 +112,7 @@ class UrlSeenShard:
         if not new:
             return None
         h1 = np.fromiter((v[5] for _, v in new), dtype=np.uint64, count=len(new))
-        self.bloom.add_hashes(h1)
+        self._filter_add(h1)
         self.exact.update(k for k, _ in new)
         if out_path is not None:
             import pyarrow as pa
@@ -149,12 +149,42 @@ class UrlSeenShard:
             out[i] = ((int(h1[i]) << 64) | int(h2[i])) in self.exact
         return out
 
+    def _filter_add(self, h1_new: np.ndarray) -> None:
+        """Insert into the approx filter, growing a full cuckoo table in
+        place: the exact store's 128-bit keys carry h1 in their high half,
+        so the shard can always rebuild a doubled table (a Bloom never
+        raises; review finding — over-capacity must degrade, not kill the
+        crawl)."""
+        from .cuckoo import CuckooFilter, CuckooFilterFull
+
+        while True:
+            try:
+                self.bloom.add_hashes(h1_new)
+                return
+            except CuckooFilterFull:
+                bigger = CuckooFilter(max(self.bloom.capacity * 2, 1024))
+                keys = np.fromiter(
+                    (k >> 64 for k in self.exact),
+                    dtype=np.uint64,
+                    count=len(self.exact),
+                )
+                bigger.add_hashes(keys)
+                self.bloom = bigger
+                # retry h1_new against the doubled table
+
     def add(self, h1: np.ndarray, h2: np.ndarray) -> int:
-        """Mark keys seen; returns number newly added."""
-        before = len(self.exact)
-        self.bloom.add_hashes(h1)
-        self.exact.update(_combine(h1, h2))
-        return len(self.exact) - before
+        """Mark keys seen; returns number newly added. Idempotent under
+        BOTH filters: only keys absent from the exact store touch the
+        approx filter — re-adding a seen url must never accumulate
+        duplicate cuckoo fingerprints (review finding: repeated adds of
+        the same batch previously filled the table to CuckooFilterFull)."""
+        keys = _combine(h1, h2)
+        new_idx = [i for i, k in enumerate(keys) if k not in self.exact]
+        if not new_idx:
+            return 0
+        self._filter_add(np.asarray(h1, dtype=np.uint64)[new_idx])
+        self.exact.update(keys[i] for i in new_idx)
+        return len(new_idx)
 
     def check_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         seen = self.check(h1, h2)

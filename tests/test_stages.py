@@ -787,6 +787,10 @@ def test_pack_sequences_semantics(ray_session):
     assert df["seq_end"].tolist() == [0, 2, 2, 4]   # doc 2 touches seqs 0,1,2
     assert df["seq_offset"].tolist() == [0, 3, 1, 2]
 
+    # mismatched seq_len must fail loudly, not emit negative fills
+    with pytest.raises(Exception, match="must match"):
+        packing.sequence_manifest(packed, seq_len=8).to_pandas()
+
     man = packing.sequence_manifest(packed, seq_len=4).to_pandas()
     man = man.sort_values("seq_id").reset_index(drop=True)
     # 18 tokens → seqs 0..4; every slot of 0..3 full, seq 4 holds 2

@@ -380,3 +380,28 @@ def test_seen_set_bloom_forget_still_correct(ray_session):
         assert not mask[0] and mask[1]
     finally:
         seen.shutdown()
+
+
+def test_cuckoo_seen_add_idempotent_and_grows(ray_session):
+    """Review findings: (a) re-adding seen urls must NOT accumulate
+    duplicate cuckoo fingerprints (add is exact-store-gated); (b) pushing
+    past the filter's capacity rebuilds a doubled table from the exact
+    store instead of killing the shard."""
+    from crawl4ai_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=1, capacity_per_shard=256,
+                   approx_filter="cuckoo")
+    try:
+        urls = [f"https://r.com/{i}" for i in range(200)]
+        for _ in range(12):  # would overflow 256-cap table if not gated
+            seen.add(urls)
+        assert seen.stats()["exact_size"] == 200
+        assert seen.check(urls).all()
+        # now genuinely exceed capacity: the shard must grow, not crash
+        more = [f"https://r.com/more/{i}" for i in range(2000)]
+        seen.add(more)
+        assert seen.stats()["exact_size"] == 2200
+        assert seen.check(urls).all() and seen.check(more).all()
+        assert not seen.check(["https://r.com/never"]).any()
+    finally:
+        seen.shutdown()
