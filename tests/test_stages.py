@@ -958,3 +958,23 @@ def test_triangle_enumerate(ray_session):
     # bridge edges close exactly two triangles through the star hub:
     # 101-102 closes (100,101,102); 102-103 closes (100,102,103)
     assert [t for t in tris if t[2] >= 100] == [(100, 101, 102), (100, 102, 103)]
+
+
+def test_decontaminate_bloom_negative_doc_ids(ray_session):
+    """Regression (review finding): corpus docs with negative ids must not
+    be misread as benchmark rows — side identity is an explicit flag, not
+    an in-band doc_id sentinel."""
+    from crawl4ai_ray.stages.decontaminate import decontaminate, decontaminate_bloom
+
+    corpus = [
+        {"doc_id": -1, "text": "alpha beta gamma delta epsilon"},  # contaminated
+        {"doc_id": -2, "text": "zeta eta theta iota kappa"},       # clean
+        {"doc_id": 5, "text": "alpha beta gamma nu xi"},           # contaminated
+    ]
+    bench = [{"doc_id": 100, "text": "alpha beta gamma delta"}]
+    cds = ray.data.from_items(corpus)
+    bds = ray.data.from_items(bench)
+    a = decontaminate(cds, bds, n=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decontaminate_bloom(cds, bds, n=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b), (a, b)
+    assert dict(zip(a["doc_id"], a["contaminated"])) == {-2: 0, -1: 1, 5: 1}
