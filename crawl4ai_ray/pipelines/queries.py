@@ -1100,6 +1100,19 @@ def q_token_quantiles_sketch(sf_dir: str):
     )
 
 
+def q_grouped_sample(sf_dir: str):
+    """Deterministic exact-k (k=5) sample per language — smallest Knuth
+    bucket of doc_id wins, ties by id; the fixed-size complement of the
+    rate-based stratified_sample. Oracle = ROW_NUMBER window over the
+    same integer decision function."""
+    from ..stages import sampling
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sampling.grouped_sample(docs, k=5)
+
+
 def q_rebalance_mix(sf_dir: str):
     """Language-mix rebalancing: target 50% en / 20% de / 20% fr / 10% es
     (zh dropped) over a 250-doc budget, deterministic integer-cut
@@ -1932,6 +1945,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_manifest": q_pack_manifest,
     "rebalance_mix": q_rebalance_mix,
+    "grouped_sample": q_grouped_sample,
     "recrawl_priority": q_recrawl_priority,
     "length_vs_lang_mean": q_length_vs_lang_mean,
     "token_quantiles_sketch": q_token_quantiles_sketch,
@@ -2538,6 +2552,20 @@ SELECT doc_id,
          / (CAST(n_revs AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS change_rate,
        CAST(86400 * n_revs // (n_distinct * 4) AS BIGINT) AS revisit_interval_s
 FROM d
+""",
+    "grouped_sample": r"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ((doc_id * 2654435761 + 12345) % 1000000007) % 10000 AS bkt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rk
+  FROM b
+)
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= 5
 """,
     "rebalance_mix": r"""
 WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),

@@ -130,3 +130,61 @@ def rebalance_mix(
         return batch.filter(pa.array(buckets < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_sample(
+    ds: "ray.data.Dataset",
+    k: int = 5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Deterministic FIXED-SIZE sample per stratum: the k rows with the
+    smallest Knuth-hash bucket of their id (ties → id) — the exact-k
+    complement of the rate-based ``stratified_sample``. Same engine-
+    independent decision function, so a SQL window oracle reproduces it.
+
+    Two-level like grouped_topk: map-side partial keep-k per stratum
+    (rows beyond the batch's k smallest can never make the global k),
+    then ONE groupby on hash(stratum) % num_buckets with an exact
+    per-bucket rank. Output (stratum, id, sample_rank)."""
+    import pandas as pd
+
+    from ..functions.hashing import hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        strata = batch.column(strata_col).to_pylist()
+        bkt = sample_buckets(ids)
+        df = pd.DataFrame({strata_col: strata, id_col: ids, "bkt": bkt})
+        df = df.sort_values(["bkt", id_col], kind="mergesort").groupby(
+            strata_col, sort=False
+        ).head(k)
+        sh = hash64([str(s) for s in df[strata_col]])
+        return pa.table(
+            {
+                "sbucket": pa.array(
+                    (sh % np.uint64(num_buckets)).astype(np.int64)
+                ),
+                strata_col: pa.array(df[strata_col].tolist(), pa.string()),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "bkt": pa.array(df["bkt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([strata_col, "bkt", id_col], kind="mergesort")
+        rank = g.groupby(strata_col, sort=False).cumcount() + 1
+        g = g.assign(sample_rank=rank)
+        g = g[g["sample_rank"] <= k]
+        return pd.DataFrame(
+            {
+                strata_col: g[strata_col].tolist(),
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "sample_rank": g["sample_rank"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "sbucket"
+    ).map_groups(per_bucket, batch_format="pandas")
