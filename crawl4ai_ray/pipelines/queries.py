@@ -11,6 +11,8 @@ CTE). Column names match between Ray and SQL by construction.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -1100,6 +1102,34 @@ def q_token_quantiles_sketch(sf_dir: str):
     )
 
 
+_TERM_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_term_index_lookup(sf_dir: str):
+    """Point lookup against the term-partitioned postings layout
+    (stages/index.py): (doc_id, tf) for the term 'merge', reading ONE of
+    32 partitions (bytes-scanned telemetry asserted in tests). The layout
+    is built once per session per sf_dir. Oracle recomputes the term's tf
+    from the text in SQL."""
+    import hashlib as _hl
+
+    from ..stages.index import build_term_index, term_lookup
+
+    key = os.path.realpath(sf_dir)
+    if key not in _TERM_INDEX_CACHE:
+        out = os.path.join(
+            "/tmp/c4r_term_index", _hl.md5(key.encode()).hexdigest()[:12]
+        )
+        if not os.path.exists(os.path.join(out, "_META")):
+            docs = ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            build_term_index(docs, out, num_partitions=32)
+        _TERM_INDEX_CACHE[key] = out
+    ds, _tel = term_lookup(_TERM_INDEX_CACHE[key], "merge")
+    return ds
+
+
 def q_grouped_sample(sf_dir: str):
     """Deterministic exact-k (k=5) sample per language — smallest Knuth
     bucket of doc_id wins, ties by id; the fixed-size complement of the
@@ -1946,6 +1976,7 @@ QUERIES = {
     "pack_manifest": q_pack_manifest,
     "rebalance_mix": q_rebalance_mix,
     "grouped_sample": q_grouped_sample,
+    "term_index_lookup": q_term_index_lookup,
     "recrawl_priority": q_recrawl_priority,
     "length_vs_lang_mean": q_length_vs_lang_mean,
     "token_quantiles_sketch": q_token_quantiles_sketch,
@@ -2552,6 +2583,19 @@ SELECT doc_id,
          / (CAST(n_revs AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS change_rate,
        CAST(86400 * n_revs // (n_distinct * 4) AS BIGINT) AS revisit_interval_s
 FROM d
+""",
+    "term_index_lookup": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf
+  FROM toks
+)
+SELECT doc_id, tf FROM tf WHERE tf > 0
 """,
     "grouped_sample": r"""
 WITH b AS (

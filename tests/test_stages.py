@@ -978,3 +978,26 @@ def test_decontaminate_bloom_negative_doc_ids(ray_session):
     b = decontaminate_bloom(cds, bds, n=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b), (a, b)
     assert dict(zip(a["doc_id"], a["contaminated"])) == {-2: 0, -1: 1, 5: 1}
+
+
+def test_term_index_pruned_lookup(ray_session, tmp_path):
+    """Term-partitioned postings: a lookup reads exactly ONE of P
+    partitions (bytes-scanned telemetry), returns the exact per-doc tf,
+    and misses return empty without scanning everything."""
+    from crawl4ai_ray.stages.index import build_term_index, term_lookup
+
+    docs = [
+        {"doc_id": 0, "text": "merge sort Merge MERGE beats bubble"},
+        {"doc_id": 1, "text": "no relevant words here"},
+        {"doc_id": 2, "text": "merge once"},
+    ]
+    d = str(tmp_path / "tidx")
+    build_term_index(ray.data.from_items(docs), d, num_partitions=8)
+    ds, tel = term_lookup(d, "MERGE")  # lookup lowercases
+    got = dict(zip(*[ds.to_pandas()[c] for c in ("doc_id", "tf")]))
+    assert got == {0: 3, 2: 1}
+    assert tel["partitions_read"] == 1 and tel["partitions_total"] == 8
+    assert 0 < tel["bytes_scanned"] < tel["bytes_total"]
+    miss, tel2 = term_lookup(d, "zzz_not_present")
+    assert miss.count() == 0
+    assert tel2["bytes_scanned"] < tel2["bytes_total"]
