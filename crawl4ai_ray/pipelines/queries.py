@@ -439,6 +439,23 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_line_dedup(sf_dir: str):
+    """RefinedWeb-style corpus-frequency boilerplate removal
+    (stages/linededup.py): segments recurring in >2 distinct docs are
+    dropped from every doc and the residual text reassembled. The
+    synthetic documents have no newline structure, so the deterministic
+    stand-in segment model is non-overlapping 3-token windows (partial
+    tail window included) — the SQL oracle applies the identical model.
+    Only (128-bit key, doc_id) pairs shuffle; the boilerplate set is
+    broadcast once via ray.put and probed per actor."""
+    from ..stages.linededup import line_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return line_dedup(docs, width=3, max_docs=2)
+
+
 def q_decontaminate(sf_dir: str):
     from ..stages.decontaminate import decontaminate
 
@@ -1977,6 +1994,7 @@ QUERIES = {
     "rebalance_mix": q_rebalance_mix,
     "grouped_sample": q_grouped_sample,
     "term_index_lookup": q_term_index_lookup,
+    "line_dedup": q_line_dedup,
     "recrawl_priority": q_recrawl_priority,
     "length_vs_lang_mean": q_length_vs_lang_mean,
     "token_quantiles_sketch": q_token_quantiles_sketch,
@@ -3214,3 +3232,50 @@ except ImportError:  # pragma: no cover — before first generation
 # the bloom-semijoin variant is exact (bucketed verify kills false
 # positives) → same contamination oracle as the broadcast-exact path
 ORACLES["decontaminate_bloom"] = ORACLES["decontaminate"]
+
+# RefinedWeb-style boilerplate line dedup: identical segment model as the
+# Ray side (non-overlapping 3-token windows incl. the partial tail;
+# whitespace-split tokens), doc-frequency > 2 = boilerplate. Parallel
+# unnest(range(...)) zips the per-row segment index; empty-token docs fall
+# out of segs and are restored by the LEFT JOIN with ('', 0, 0).
+ORACLES["line_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idxd AS (
+  SELECT doc_id, t,
+         unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS seg_idx
+  FROM toks
+),
+seg2 AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(list_slice(t, seg_idx * 3 + 1, seg_idx * 3 + 3), ' ') AS seg
+  FROM idxd
+),
+boiler AS (
+  SELECT seg
+  FROM (SELECT DISTINCT doc_id, seg FROM seg2)
+  GROUP BY seg
+  HAVING COUNT(*) > 2
+),
+kept AS (
+  SELECT doc_id, seg_idx, seg
+  FROM seg2
+  WHERE seg NOT IN (SELECT seg FROM boiler)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_seg FROM seg2 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_seg, 0) AS BIGINT) AS n_seg,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN agg USING (doc_id)
+"""

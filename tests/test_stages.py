@@ -1001,3 +1001,58 @@ def test_term_index_pruned_lookup(ray_session, tmp_path):
     miss, tel2 = term_lookup(d, "zzz_not_present")
     assert miss.count() == 0
     assert tel2["bytes_scanned"] < tel2["bytes_total"]
+
+
+def test_line_dedup_newline_mode(ray_session):
+    """Production segment model: newline lines; a line present in >2 docs
+    is boilerplate and removed from every doc; residual text reassembled
+    in order; a doc whose every line is boilerplate survives with ''."""
+    from crawl4ai_ray.stages.linededup import line_dedup
+
+    footer = "subscribe to our newsletter"
+    docs = [
+        {"doc_id": 0, "text": f"alpha body\n{footer}"},
+        {"doc_id": 1, "text": f"{footer}\nbeta body"},
+        {"doc_id": 2, "text": f"gamma one\ngamma two\n{footer}"},
+        {"doc_id": 3, "text": footer},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (
+        line_dedup(ray.data.from_items(docs), width=None, max_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "alpha body"
+    assert out.loc[1, "clean_text"] == "beta body"
+    assert out.loc[2, "clean_text"] == "gamma one\ngamma two"
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_seg"] == 1
+    # empty text → zero segments (not one empty line)
+    assert out.loc[4, "n_seg"] == 0 and out.loc[4, "clean_text"] == ""
+    assert list(out["n_kept"]) == [1, 1, 2, 0, 0]
+
+
+def test_line_dedup_token_window_mode(ray_session):
+    """Stand-in segment model for line-less corpora: non-overlapping
+    width-token windows, partial tail kept; within-doc duplicates count
+    the doc ONCE toward the frequency threshold."""
+    from crawl4ai_ray.stages.linededup import line_dedup
+
+    # "x y" appears in 3 docs (twice in doc 0 — still one doc), "a b" in 2
+    docs = [
+        {"doc_id": 0, "text": "x y x y tail"},
+        {"doc_id": 1, "text": "x y a b"},
+        {"doc_id": 2, "text": "x y"},
+        {"doc_id": 3, "text": "a b"},
+    ]
+    out = (
+        line_dedup(ray.data.from_items(docs), width=2, max_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "tail"
+    assert out.loc[0, "n_seg"] == 3 and out.loc[0, "n_kept"] == 1
+    assert out.loc[1, "clean_text"] == "a b"
+    assert out.loc[2, "clean_text"] == ""
+    assert out.loc[3, "clean_text"] == "a b"
