@@ -456,6 +456,22 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(docs, width=3, max_docs=2)
 
 
+def q_lm_bucket(sf_dir: str):
+    """CCNet-style unigram-LM perplexity bucketing (stages/lmscore.py):
+    corpus-fit capped-vocab model (top-16 tokens + one OOV class so the
+    broadcast stays bounded at any corpus size), per-doc nll accumulated
+    in fixed-point int64 (order-independent — no float-summation hash
+    instability), head/middle/tail by fixed integer thresholds."""
+    from ..stages.lmscore import unigram_lm_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return unigram_lm_score(
+        docs, vocab_k=16, head_t=342_800_000, tail_t=343_500_000
+    )
+
+
 def q_decontaminate(sf_dir: str):
     from ..stages.decontaminate import decontaminate
 
@@ -1995,6 +2011,7 @@ QUERIES = {
     "grouped_sample": q_grouped_sample,
     "term_index_lookup": q_term_index_lookup,
     "line_dedup": q_line_dedup,
+    "lm_bucket": q_lm_bucket,
     "recrawl_priority": q_recrawl_priority,
     "length_vs_lang_mean": q_length_vs_lang_mean,
     "token_quantiles_sketch": q_token_quantiles_sketch,
@@ -3278,4 +3295,63 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tot USING (doc_id)
 LEFT JOIN agg USING (doc_id)
+"""
+
+# CCNet-style unigram-LM bucketing: identical model fit (top-16 vocab by
+# (count desc, token asc) + one OOV class, add-one smoothing over
+# n + v_kept + 1) and the identical per-token fixed-point quantization
+# floor(-ln((c+1)/denom) * 1e8 + 0.5) — the per-doc SUM is then pure
+# int64, so summation order cannot perturb the value hash.
+ORACLES["lm_bucket"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+kept AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 16),
+kst AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vk,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS ck
+  FROM kept
+),
+par AS (
+  SELECT st.n, kst.vk,
+         (st.n - kst.ck) // GREATEST(st.v - kst.vk, 1) AS oov_c,
+         st.n + kst.vk + 1 AS denom
+  FROM st, kst
+),
+q AS (
+  SELECT w,
+         CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / CAST(par.denom AS DOUBLE))
+                    * 1e8 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nq
+  FROM kept, par
+),
+oq AS (
+  SELECT CAST(floor(-ln(CAST(par.oov_c + 1 AS DOUBLE) / CAST(par.denom AS DOUBLE))
+                    * 1e8 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nq
+  FROM par
+),
+scored AS (
+  SELECT tok.doc_id,
+         CAST(SUM(COALESCE(q.nq, (SELECT nq FROM oq))) AS BIGINT) AS nll,
+         CAST(COUNT(*) AS BIGINT) AS dl
+  FROM tok LEFT JOIN q ON tok.w = q.w
+  GROUP BY tok.doc_id
+),
+m AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(s.dl, 0) AS BIGINT) AS dl,
+         CAST(COALESCE(s.nll, 0) AS BIGINT) AS nll_fixed,
+         CAST(CASE WHEN COALESCE(s.dl, 0) = 0 THEN 0
+                   ELSE s.nll // s.dl END AS BIGINT) AS mean_nll_fixed
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+SELECT doc_id, dl, nll_fixed, mean_nll_fixed,
+       CASE WHEN mean_nll_fixed < 342800000 THEN 'head'
+            WHEN mean_nll_fixed < 343500000 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM m
 """

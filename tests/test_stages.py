@@ -1056,3 +1056,53 @@ def test_line_dedup_token_window_mode(ray_session):
     assert out.loc[1, "clean_text"] == "a b"
     assert out.loc[2, "clean_text"] == ""
     assert out.loc[3, "clean_text"] == "a b"
+
+
+def test_unigram_lm_score_oov_and_buckets(ray_session):
+    """Capped vocab folds rare tokens into ONE OOV class; the per-doc nll
+    is the exact integer sum of fixed-point per-token nlls (recomputed
+    here scalar-side), and bucket thresholds split on mean_nll_fixed."""
+    import math
+    from collections import Counter
+
+    from crawl4ai_ray.stages.lmscore import unigram_lm_score
+
+    docs = [
+        {"doc_id": 0, "text": "a a a a b"},
+        {"doc_id": 1, "text": "a b rare1 rare2"},
+        {"doc_id": 2, "text": "rare3 rare4 rare5"},
+        {"doc_id": 3, "text": ""},
+    ]
+    # vocab_k=2 → vocab {a:5, b:2}; OOV pool = 5 rare tokens
+    out = (
+        unigram_lm_score(
+            ray.data.from_items(docs), vocab_k=2, head_t=10**8, tail_t=2 * 10**8
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    n, vk = 12, 2
+    denom = n + vk + 1
+
+    def q(c):
+        return int(math.floor(-math.log((c + 1) / denom) * 1e8 + 0.5))
+
+    model = {"a": q(5), "b": q(2)}
+    # 5 OOV occurrences over 5 distinct OOV types → per-type rate 1
+    oov = q(1)
+    for d in docs:
+        toks = d["text"].split()
+        nll = sum(c * model.get(w, oov) for w, c in Counter(toks).items())
+        row = out.loc[d["doc_id"]]
+        assert row["dl"] == len(toks)
+        assert row["nll_fixed"] == nll
+        expect_mean = nll // len(toks) if toks else 0
+        assert row["mean_nll_fixed"] == expect_mean
+        expect_bucket = (
+            "head" if expect_mean < 10**8 else
+            "middle" if expect_mean < 2 * 10**8 else "tail"
+        )
+        assert row["bucket"] == expect_bucket
+    # the doc of pure rare tokens must score strictly worse than doc 0
+    assert out.loc[2, "mean_nll_fixed"] > out.loc[0, "mean_nll_fixed"]
