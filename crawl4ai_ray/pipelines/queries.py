@@ -27,6 +27,7 @@ from ..functions.filters import (
     URLPatternFilter,
 )
 from ..functions.urls import normalize_url, normalize_url_for_deep_crawl
+from ..functions import hashing
 from ..sources.pages import url_of
 from ..stages import ann, dedup, sampling, textstats
 from ..stages.extract import ExtractPages
@@ -469,6 +470,71 @@ def q_lm_bucket(sf_dir: str):
     )
     return unigram_lm_score(
         docs, vocab_k=16, head_t=342_800_000, tail_t=343_500_000
+    )
+
+
+def q_webtext_pipeline(sf_dir: str):
+    """Flagship end-to-end training-data pipeline — the composition a
+    100 TB webtext run would actually execute, as ONE streaming Dataset
+    chain (no stage materializes the corpus; the only driver-held state
+    is the boilerplate key set and the capped LM dict, both broadcast):
+
+      1. quality filter (CCNet/Gopher-style composite score ≥ 0.5)
+      2. corpus-frequency boilerplate removal (stages/linededup.py),
+         boilerplate-only docs dropped
+      3. exact dedup on the CLEANED text — bucketed by hash64 % 64 so the
+         shuffle has 64 scheduling units (string-exact keep-min-doc_id
+         within bucket; not one group per distinct text)
+      4. unigram-LM perplexity bucketing (stages/lmscore.py), tail
+         dropped
+
+    Output: survivors as (doc_id, dl, nll_fixed, mean_nll_fixed, bucket).
+    The SQL oracle recomputes the identical four-stage composition."""
+    from ..stages.linededup import line_dedup
+    from ..stages.lmscore import unigram_lm_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def qual_keep(batch: pa.Table) -> pa.Table:
+        q = textstats.quality_score_batch(batch).column("quality")
+        return batch.filter(pa.compute.greater_equal(q, pa.scalar(0.5)))
+
+    survivors = docs.map_batches(qual_keep, batch_format="pyarrow")
+    cleaned = line_dedup(survivors, width=3, max_docs=2).map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("n_kept"), pa.scalar(0))),
+        batch_format="pyarrow",
+    )
+
+    def bucket_tag(batch: pa.Table) -> pa.Table:
+        h = hashing.hash64(batch.column("clean_text").to_pylist())
+        return batch.append_column(
+            "b", pa.array((h % np.uint64(64)).view(np.int64), pa.int64())
+        )
+
+    def keep_min(group):
+        # string-exact dedup within the bucket: min doc_id per clean_text
+        idx = group.groupby("clean_text", sort=False)["doc_id"].idxmin()
+        return group.loc[sorted(idx)][["doc_id", "clean_text"]]
+
+    deduped = (
+        cleaned.map_batches(bucket_tag, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+    scored = unigram_lm_score(
+        deduped,
+        text_col="clean_text",
+        vocab_k=16,
+        head_t=342_900_000,
+        tail_t=343_500_000,
+    )
+    return scored.map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(b.column("bucket"), pa.scalar("tail"))
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -2012,6 +2078,7 @@ QUERIES = {
     "term_index_lookup": q_term_index_lookup,
     "line_dedup": q_line_dedup,
     "lm_bucket": q_lm_bucket,
+    "webtext_pipeline": q_webtext_pipeline,
     "recrawl_priority": q_recrawl_priority,
     "length_vs_lang_mean": q_length_vs_lang_mean,
     "token_quantiles_sketch": q_token_quantiles_sketch,
@@ -3354,4 +3421,105 @@ SELECT doc_id, dl, nll_fixed, mean_nll_fixed,
             WHEN mean_nll_fixed < 343500000 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM m
+"""
+
+# The flagship four-stage composition, recomputed stage-for-stage:
+# quality ≥ 0.5 → 3-token-window boilerplate removal (df > 2 over the
+# SURVIVOR corpus, boilerplate-only docs dropped) → exact dedup on the
+# cleaned text (min doc_id per distinct clean_text) → unigram-LM bucket
+# fit on the DEDUPED cleaned corpus, tail dropped. Same float/integer
+# discipline as quality_filter / line_dedup / lm_bucket.
+ORACLES["webtext_pipeline"] = rf"""
+WITH qc AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         CAST(length(regexp_extract_all(lower(text), '{_STOP_RE}')) AS DOUBLE) AS n_stop
+  FROM documents
+),
+surv AS (
+  SELECT doc_id, text FROM qc
+  WHERE (LEAST(GREATEST(n_tok / CAST(100.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+     + LEAST(GREATEST(CAST(1.0 AS DOUBLE) - CAST(5.0 AS DOUBLE) * (n_punct + n_digit) / GREATEST(n_chars, CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+     + LEAST(GREATEST(CAST(5.0 AS DOUBLE) * n_stop / GREATEST(n_tok, CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    ) / CAST(3.0 AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM surv
+),
+idxd AS (
+  SELECT doc_id, t,
+         unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS seg_idx
+  FROM toks
+),
+seg2 AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(list_slice(t, seg_idx * 3 + 1, seg_idx * 3 + 3), ' ') AS seg
+  FROM idxd
+),
+boiler AS (
+  SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM seg2)
+  GROUP BY seg HAVING COUNT(*) > 2
+),
+cleaned AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM seg2 WHERE seg NOT IN (SELECT seg FROM boiler)
+  GROUP BY doc_id
+),
+dedup AS (
+  SELECT clean_text, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+  FROM cleaned GROUP BY clean_text
+),
+tok2 AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(clean_text, '\s+'), x -> x <> '')) AS w
+  FROM dedup
+),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok2 GROUP BY w),
+st AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt),
+kept AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 16),
+kst AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vk,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS ck
+  FROM kept
+),
+par AS (
+  SELECT st.n, kst.vk,
+         (st.n - kst.ck) // GREATEST(st.v - kst.vk, 1) AS oov_c,
+         st.n + kst.vk + 1 AS denom
+  FROM st, kst
+),
+q AS (
+  SELECT w,
+         CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / CAST(par.denom AS DOUBLE))
+                    * 1e8 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nq
+  FROM kept, par
+),
+oq AS (
+  SELECT CAST(floor(-ln(CAST(par.oov_c + 1 AS DOUBLE) / CAST(par.denom AS DOUBLE))
+                    * 1e8 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nq
+  FROM par
+),
+scored AS (
+  SELECT tok2.doc_id,
+         CAST(SUM(COALESCE(q.nq, (SELECT nq FROM oq))) AS BIGINT) AS nll_fixed,
+         CAST(COUNT(*) AS BIGINT) AS dl
+  FROM tok2 LEFT JOIN q ON tok2.w = q.w
+  GROUP BY tok2.doc_id
+),
+m AS (
+  SELECT doc_id, dl, nll_fixed,
+         CAST(nll_fixed // dl AS BIGINT) AS mean_nll_fixed
+  FROM scored
+)
+SELECT doc_id, dl, nll_fixed, mean_nll_fixed,
+       CASE WHEN mean_nll_fixed < 342900000 THEN 'head'
+            WHEN mean_nll_fixed < 343500000 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM m
+WHERE mean_nll_fixed < 343500000
 """

@@ -170,7 +170,7 @@ def line_dedup(
     text_col: str = "text",
     width: int | None = None,
     max_docs: int = 2,
-    concurrency: int = 4,
+    concurrency=(1, 4),
 ) -> "ray.data.Dataset":
     """Remove corpus-frequent segments from every document.
 

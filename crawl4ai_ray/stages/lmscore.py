@@ -160,7 +160,7 @@ def unigram_lm_score(
     vocab_k: int = 65536,
     head_t: int = 0,
     tail_t: int = 0,
-    concurrency: int = 4,
+    concurrency=(1, 4),
 ) -> "ray.data.Dataset":
     """Score every document with the corpus-fit capped unigram LM.
 

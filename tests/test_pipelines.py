@@ -91,3 +91,21 @@ def test_entry_contract(ray_session):
     assert len(qs) >= 20
     assert set(oracles) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_webtext_pipeline_composition(ray_session):
+    """Flagship composition must actually prune at every stage: survivors
+    < corpus, every survivor is head/middle (tail dropped), doc_ids are
+    unique (exact dedup ran), and dl > 0 (boilerplate-only docs dropped)."""
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    df = entrymod.queries()["webtext_pipeline"](sf).to_pandas()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert 0 < len(df) < n_docs
+    assert set(df["bucket"]) <= {"head", "middle"}
+    assert df["doc_id"].is_unique
+    assert (df["dl"] > 0).all()
+    assert (df["nll_fixed"] // df["dl"] == df["mean_nll_fixed"]).all()
