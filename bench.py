@@ -128,6 +128,16 @@ def bench_pagerank() -> float:
     return time.time() - t0
 
 
+def bench_webtext() -> float:
+    """The flagship 4-stage training-data composition (quality filter →
+    boilerplate line dedup → exact dedup → LM tail-drop) end-to-end."""
+    from crawl4ai_ray.pipelines.queries import q_webtext_pipeline
+
+    t0 = time.time()
+    q_webtext_pipeline(SF_DIR).materialize()
+    return time.time() - t0
+
+
 def bench_textstats() -> float:
     import ray
 
@@ -277,6 +287,7 @@ def main():
     queries["ann_topk"] = round(bench_ann(), 3)
     queries["textstats"] = round(bench_textstats(), 3)
     queries["tfidf"] = round(bench_tfidf(), 3)
+    queries["webtext"] = round(bench_webtext(), 3)
     queries["pagerank"] = round(bench_pagerank(), 3)
     total = round(sum(queries.values()), 3)
     print(

@@ -501,7 +501,12 @@ def q_webtext_pipeline(sf_dir: str):
         q = textstats.quality_score_batch(batch).column("quality")
         return batch.filter(pa.compute.greater_equal(q, pa.scalar(0.5)))
 
-    survivors = docs.map_batches(qual_keep, batch_format="pyarrow")
+    # materialized seams: `survivors` is consumed twice (boilerplate fold
+    # + cleaning pass) and `deduped` twice (LM fit fold + scoring) — at
+    # 100 TB each seam is a parquet checkpoint instead; without a seam the
+    # whole upstream lineage re-executes once per consumer (measured 35 s
+    # → ~7 s warm at sf0.1)
+    survivors = docs.map_batches(qual_keep, batch_format="pyarrow").materialize()
     cleaned = line_dedup(survivors, width=3, max_docs=2).map_batches(
         lambda b: b.filter(pa.compute.greater(b.column("n_kept"), pa.scalar(0))),
         batch_format="pyarrow",
@@ -522,6 +527,7 @@ def q_webtext_pipeline(sf_dir: str):
         cleaned.map_batches(bucket_tag, batch_format="pyarrow")
         .groupby("b")
         .map_groups(keep_min, batch_format="pandas")
+        .materialize()
     )
     scored = unigram_lm_score(
         deduped,
