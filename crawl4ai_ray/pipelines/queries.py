@@ -490,58 +490,12 @@ def q_webtext_pipeline(sf_dir: str):
 
     Output: survivors as (doc_id, dl, nll_fixed, mean_nll_fixed, bucket).
     The SQL oracle recomputes the identical four-stage composition."""
-    from ..stages.linededup import line_dedup
-    from ..stages.lmscore import unigram_lm_score
+    from .webtext import webtext_pipeline
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-
-    def qual_keep(batch: pa.Table) -> pa.Table:
-        q = textstats.quality_score_batch(batch).column("quality")
-        return batch.filter(pa.compute.greater_equal(q, pa.scalar(0.5)))
-
-    # materialized seams: `survivors` is consumed twice (boilerplate fold
-    # + cleaning pass) and `deduped` twice (LM fit fold + scoring) — at
-    # 100 TB each seam is a parquet checkpoint instead; without a seam the
-    # whole upstream lineage re-executes once per consumer (measured 35 s
-    # → ~7 s warm at sf0.1)
-    survivors = docs.map_batches(qual_keep, batch_format="pyarrow").materialize()
-    cleaned = line_dedup(survivors, width=3, max_docs=2).map_batches(
-        lambda b: b.filter(pa.compute.greater(b.column("n_kept"), pa.scalar(0))),
-        batch_format="pyarrow",
-    )
-
-    def bucket_tag(batch: pa.Table) -> pa.Table:
-        h = hashing.hash64(batch.column("clean_text").to_pylist())
-        return batch.append_column(
-            "b", pa.array((h % np.uint64(64)).view(np.int64), pa.int64())
-        )
-
-    def keep_min(group):
-        # string-exact dedup within the bucket: min doc_id per clean_text
-        idx = group.groupby("clean_text", sort=False)["doc_id"].idxmin()
-        return group.loc[sorted(idx)][["doc_id", "clean_text"]]
-
-    deduped = (
-        cleaned.map_batches(bucket_tag, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(keep_min, batch_format="pandas")
-        .materialize()
-    )
-    scored = unigram_lm_score(
-        deduped,
-        text_col="clean_text",
-        vocab_k=16,
-        head_t=342_900_000,
-        tail_t=343_500_000,
-    )
-    return scored.map_batches(
-        lambda b: b.filter(
-            pa.compute.not_equal(b.column("bucket"), pa.scalar("tail"))
-        ),
-        batch_format="pyarrow",
-    )
+    return webtext_pipeline(docs)
 
 
 def q_decontaminate(sf_dir: str):

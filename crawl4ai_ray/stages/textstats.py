@@ -142,7 +142,7 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     )
     toks = (
         df.select("doc_id", tok=pl.col("lst"))
-        .explode("tok")
+        .explode("tok", empty_as_null=True)
         .filter(pl.col("tok").is_not_null())
     )
     per_tok = toks.group_by(["doc_id", "tok"]).len()
@@ -177,7 +177,7 @@ def term_frequency_batch(batch: pa.Table) -> pa.Table:
     )
     toks = (
         df.select("doc_id", tok=pl.col("lst"))
-        .explode("tok")
+        .explode("tok", empty_as_null=True)
         .filter(pl.col("tok").is_not_null())
     )
     out = toks.group_by(["doc_id", "tok"]).len().rename({"len": "tf"})
