@@ -88,3 +88,170 @@ def webtext_pipeline(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed / resumable runner
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import json as _json
+import os as _os
+import shutil as _shutil
+import time as _time
+
+from ..functions.hashing import HASH_SPEC
+
+
+def _config_hash(params: dict) -> str:
+    return _hashlib.md5(
+        _json.dumps(params, sort_keys=True).encode("utf-8")
+    ).hexdigest()
+
+
+def run_webtext(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    width: int | None = 3,
+    max_docs: int = 2,
+    vocab_k: int = 16,
+    head_t: int = 342_900_000,
+    tail_t: int = 343_500_000,
+    dedup_buckets: int = 64,
+    concurrency=(1, 16),
+) -> dict:
+    """Checkpointed webtext run: every stage writes partitioned parquet
+    under ``out_dir/<N>_<name>/`` and a ``_DONE`` marker carrying the
+    config hash, so a failed or killed run resumes by SKIPPING finished
+    stages (the crawl-checkpoint discipline of `pipelines/crawl.py`
+    applied to the data pipeline). ``manifest.json`` records per-stage
+    lineage (input stage, rows in/out, seconds, resumed) plus the frozen
+    ``HASH_SPEC`` — a checkpoint written under different parameters or a
+    different hash spec refuses to resume rather than silently mixing
+    semantics.
+
+    Returns the manifest dict; the final dataset is parquet at
+    ``manifest["stages"]["4_lm_filter"]["path"]``.
+    """
+    params = {
+        "width": width,
+        "max_docs": max_docs,
+        "vocab_k": vocab_k,
+        "head_t": head_t,
+        "tail_t": tail_t,
+        "dedup_buckets": dedup_buckets,
+        "hash_spec": HASH_SPEC,
+    }
+    cfg_hash = _config_hash(params)
+    _os.makedirs(out_dir, exist_ok=True)
+    man_path = _os.path.join(out_dir, "manifest.json")
+    if _os.path.exists(man_path):
+        with open(man_path) as f:
+            manifest = _json.load(f)
+        if manifest.get("config_hash") != cfg_hash:
+            raise ValueError(
+                f"checkpoint at {out_dir} was written with different "
+                f"parameters or hash spec ({manifest.get('config_hash')!r} "
+                f"!= {cfg_hash!r}); refusing to resume — pass a fresh "
+                "out_dir or the original parameters"
+            )
+    else:
+        manifest = {"config_hash": cfg_hash, "params": params, "stages": {}}
+
+    def _save():
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f, indent=1)
+        _os.replace(tmp, man_path)
+
+    def stage(name: str, input_stage: str | None, fn):
+        d = _os.path.join(out_dir, name)
+        done = _os.path.join(d, "_DONE")
+        if _os.path.exists(done):
+            with open(done) as f:
+                if f.read().strip() != cfg_hash:
+                    raise ValueError(
+                        f"stage {name} _DONE hash mismatch at {d}; "
+                        "refusing to resume"
+                    )
+            entry = manifest["stages"].setdefault(
+                name, {"path": d, "input": input_stage}
+            )
+            entry["resumed"] = True
+            _save()
+            return ray.data.read_parquet(d)
+        t0 = _time.time()
+        ds = fn()
+        _shutil.rmtree(d, ignore_errors=True)
+        ds.write_parquet(d)
+        out = ray.data.read_parquet(d)
+        manifest["stages"][name] = {
+            "path": d,
+            "input": input_stage,
+            "rows": out.count(),
+            "sec": round(_time.time() - t0, 2),
+            "resumed": False,
+        }
+        with open(done, "w") as f:
+            f.write(cfg_hash)
+        _save()
+        return out
+
+    def qual_keep(batch: pa.Table) -> pa.Table:
+        q = textstats.quality_score_batch(batch).column("quality")
+        return batch.filter(pa.compute.greater_equal(q, pa.scalar(0.5)))
+
+    survivors = stage(
+        "1_quality",
+        None,
+        lambda: docs.map_batches(qual_keep, batch_format="pyarrow"),
+    )
+    cleaned = stage(
+        "2_line_dedup",
+        "1_quality",
+        lambda: line_dedup(
+            survivors, width=width, max_docs=max_docs, concurrency=concurrency
+        ).map_batches(
+            lambda b: b.filter(
+                pa.compute.greater(b.column("n_kept"), pa.scalar(0))
+            ),
+            batch_format="pyarrow",
+        ),
+    )
+
+    def bucket_tag(batch: pa.Table) -> pa.Table:
+        h = hashing.hash64(batch.column("clean_text").to_pylist())
+        return batch.append_column(
+            "b",
+            pa.array((h % np.uint64(dedup_buckets)).view(np.int64), pa.int64()),
+        )
+
+    def keep_min(group):
+        idx = group.groupby("clean_text", sort=False)["doc_id"].idxmin()
+        return group.loc[sorted(idx)][["doc_id", "clean_text"]]
+
+    deduped = stage(
+        "3_exact_dedup",
+        "2_line_dedup",
+        lambda: cleaned.map_batches(bucket_tag, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(keep_min, batch_format="pandas"),
+    )
+    stage(
+        "4_lm_filter",
+        "3_exact_dedup",
+        lambda: unigram_lm_score(
+            deduped,
+            text_col="clean_text",
+            vocab_k=vocab_k,
+            head_t=head_t,
+            tail_t=tail_t,
+            concurrency=concurrency,
+        ).map_batches(
+            lambda b: b.filter(
+                pa.compute.not_equal(b.column("bucket"), pa.scalar("tail"))
+            ),
+            batch_format="pyarrow",
+        ),
+    )
+    return manifest

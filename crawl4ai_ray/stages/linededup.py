@@ -109,6 +109,10 @@ def boilerplate_keys(
     )
 
     def over(batch: pa.Table) -> pa.Table:
+        if "count()" not in batch.column_names:  # empty-corpus schema loss
+            return pa.table(
+                {"h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64())}
+            )
         mask = pa.compute.greater(batch.column("count()"), pa.scalar(max_docs))
         return batch.filter(mask).select(["h1", "h2"])
 

@@ -93,6 +93,10 @@ def fit_unigram(
     entries regardless of corpus size."""
     counts = token_counts(docs, text_col)
     rows = counts.to_pandas()
+    if "c" not in rows.columns:  # all-empty corpus: groupby emits no schema
+        import pandas as pd
+
+        rows = pd.DataFrame({"w": pd.Series([], dtype=str), "c": pd.Series([], dtype="int64")})
     rows = rows.sort_values(["c", "w"], ascending=[False, True], kind="mergesort")
     n_total = int(rows["c"].sum())
     kept = rows.iloc[:vocab_k]

@@ -109,3 +109,58 @@ def test_webtext_pipeline_composition(ray_session):
     assert df["doc_id"].is_unique
     assert (df["dl"] > 0).all()
     assert (df["nll_fixed"] // df["dl"] == df["mean_nll_fixed"]).all()
+
+
+def test_webtext_checkpoint_resume(ray_session, tmp_path):
+    """Checkpointed runner: fresh run == streaming pipeline result;
+    re-running resumes (skips finished stages); a killed stage-4 recomputes
+    from stage-3 parquet; changed params refuse to resume."""
+    import json
+    import shutil
+
+    import pytest as _pytest
+
+    from crawl4ai_ray.pipelines.webtext import run_webtext, webtext_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = str(tmp_path / "wt")
+    man = run_webtext(docs, out)
+    final = (
+        ray.data.read_parquet(man["stages"]["4_lm_filter"]["path"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        webtext_pipeline(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert final.equals(want[final.columns])
+    assert [s["resumed"] for s in man["stages"].values()] == [False] * 4
+    assert man["stages"]["4_lm_filter"]["input"] == "3_exact_dedup"
+
+    # full resume: all four stages skipped
+    man2 = run_webtext(docs, out)
+    assert all(s["resumed"] for s in man2["stages"].values())
+
+    # kill stage 4 → stages 1-3 resume, 4 recomputes, result identical
+    shutil.rmtree(man["stages"]["4_lm_filter"]["path"])
+    man3 = run_webtext(docs, out)
+    assert man3["stages"]["3_exact_dedup"]["resumed"]
+    assert man3["stages"]["4_lm_filter"]["resumed"] is False
+    final3 = (
+        ray.data.read_parquet(man3["stages"]["4_lm_filter"]["path"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert final3.equals(final)
+
+    # parameter drift must refuse to resume, not silently mix semantics
+    with _pytest.raises(ValueError, match="refusing to resume"):
+        run_webtext(docs, out, vocab_k=8)

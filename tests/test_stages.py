@@ -1106,3 +1106,38 @@ def test_unigram_lm_score_oov_and_buckets(ray_session):
         assert row["bucket"] == expect_bucket
     # the doc of pure rare tokens must score strictly worse than doc 0
     assert out.loc[2, "mean_nll_fixed"] > out.loc[0, "mean_nll_fixed"]
+
+
+def test_line_dedup_and_lm_degenerate_inputs(ray_session):
+    """Single-doc and all-empty corpora must flow through both new stages
+    without schema loss: no boilerplate exists at n=1, the LM scores an
+    empty doc 0/head, and outputs keep their declared int64/string types."""
+    from crawl4ai_ray.stages.linededup import line_dedup
+    from crawl4ai_ray.stages.lmscore import unigram_lm_score
+
+    one = ray.data.from_items([{"doc_id": 7, "text": "x y z"}])
+    out = line_dedup(one, width=2, max_docs=2).to_pandas()
+    assert out.iloc[0]["clean_text"] == "x y z" and out.iloc[0]["n_kept"] == 2
+
+    empties = ray.data.from_items(
+        [{"doc_id": i, "text": ""} for i in range(3)]
+    )
+    led = line_dedup(empties, width=3, max_docs=2).to_pandas()
+    assert list(led["n_seg"]) == [0, 0, 0]
+    assert list(led["clean_text"]) == ["", "", ""]
+    lm = unigram_lm_score(empties, vocab_k=4, head_t=1, tail_t=2).to_pandas()
+    assert list(lm["dl"]) == [0, 0, 0]
+    assert list(lm["nll_fixed"]) == [0, 0, 0]
+    assert set(lm["bucket"]) == {"head"}
+
+
+def test_webtext_pipeline_all_filtered(ray_session):
+    """A corpus the quality filter kills entirely must yield an EMPTY
+    result (not crash on empty downstream shuffles)."""
+    from crawl4ai_ray.pipelines.webtext import webtext_pipeline
+
+    junk = ray.data.from_items(
+        [{"doc_id": i, "text": "9 " * 40} for i in range(5)]
+    )
+    out = webtext_pipeline(junk)
+    assert out.count() == 0
