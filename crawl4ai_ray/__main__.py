@@ -6,6 +6,7 @@ stdout out.
   python -m crawl4ai_ray crawl   --sf-dir ... --seeds 0,1,2 --depth 3 --out /tmp/crawl
   python -m crawl4ai_ray show    --sf-dir ... --doc-id 7          # one page's markdown
   python -m crawl4ai_ray queries --sf-dir ... --name token_stats  # run a named query
+  python -m crawl4ai_ray webtext --sf-dir ... --out /tmp/wt       # checkpointed pipeline
 """
 
 from __future__ import annotations
@@ -56,6 +57,17 @@ def main(argv=None):
     pq.add_argument("--name", default=None)
     pq.add_argument("--limit", type=int, default=20)
 
+    pw = sub.add_parser(
+        "webtext",
+        help="checkpointed training-data pipeline (quality → line dedup → "
+        "exact dedup → LM filter); resumes from finished stages",
+    )
+    pw.add_argument("--sf-dir", required=True)
+    pw.add_argument("--out", required=True)
+    pw.add_argument("--width", type=int, default=3)
+    pw.add_argument("--max-docs", type=int, default=2)
+    pw.add_argument("--vocab-k", type=int, default=16)
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import ray
@@ -97,6 +109,20 @@ def main(argv=None):
                 print("not found", file=sys.stderr)
                 return 1
             print(doc["markdown"])
+        elif args.cmd == "webtext":
+            from .pipelines.webtext import run_webtext
+
+            docs = ray.data.read_parquet(
+                f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            man = run_webtext(
+                docs,
+                args.out,
+                width=args.width,
+                max_docs=args.max_docs,
+                vocab_k=args.vocab_k,
+            )
+            print(json.dumps(man["stages"], indent=1))
         elif args.cmd == "queries":
             from .pipelines.queries import ORACLES, QUERIES
 
