@@ -218,6 +218,61 @@ def extract_extension(url: str) -> str:
     return url[pos + 1 : end].lower()
 
 
+_UTILITY_FILES = (
+    "ads.txt", "humans.txt", "security.txt", ".well-known/security.txt",
+    "crossdomain.xml", "browserconfig.xml", "manifest.json",
+    "apple-app-site-association", ".well-known/apple-app-site-association",
+    "favicon.ico", "apple-touch-icon.png", "android-chrome-192x192.png",
+)
+
+_NON_CONTENT_PATHS = (
+    "/wp-admin", "/wp-includes", "/wp-content/uploads",
+    "/admin", "/login", "/signin", "/signup", "/register",
+    "/checkout", "/cart", "/account", "/profile",
+    "/search", "/404", "/error",
+    "/.git", "/.svn", "/.hg",
+    "/cgi-bin", "/scripts", "/includes",
+)
+
+_PRINT_PATTERNS = ("?print=", "&print=", "/print/", "_print.")
+
+_SHORT_PATH_WHITELIST = ("/", "/en", "/de", "/fr", "/es", "/it")
+
+
+def is_nonsense_url(url: str) -> bool:
+    """Utility/nonsense URL gate — the seeder's pre-crawl filter
+    (async_url_seeder.py:1284-1380, the ACTIVE rules only; the
+    reference ships rules 4-8 commented out and we mirror that).
+    True means the URL should not be crawled."""
+    url_lower = url.lower()
+    try:
+        path = urlparse(url).path.lower()
+    except Exception:
+        return False
+    # 1. robots / sitemap roots
+    if path.endswith(("/robots.txt", "/sitemap.xml", "/sitemap_index.xml")):
+        return True
+    # 2. sitemap variations
+    if "/sitemap" in path and path.endswith((".xml", ".xml.gz", ".txt")):
+        return True
+    # 3. common utility files
+    if any(path.endswith(f"/{f}") for f in _UTILITY_FILES):
+        return True
+    # 9. hidden files / directories (any path part starting with '.')
+    if any(part.startswith(".") for part in path.split("/") if part):
+        return True
+    # 10. common non-content paths (substring match, as in the reference)
+    if any(ncp in path for ncp in _NON_CONTENT_PATHS):
+        return True
+    # 11. print views
+    if any(p in url_lower for p in _PRINT_PATTERNS):
+        return True
+    # 12. very short paths (likely redirects/errors), language roots exempt
+    if len(path.strip("/")) < 3 and path not in _SHORT_PATH_WHITELIST:
+        return True
+    return False
+
+
 _YEAR_RE = re.compile(
     r"(?:/|[-_])((?:19|20)\d{2})(?:(?:/|[-_])(?:\d{2})(?:(?:/|[-_])(?:\d{2}))?)?"
 )

@@ -350,6 +350,51 @@ def q_url_scores(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_url_nonsense(sf_dir: str):
+    """Seeder nonsense-URL gate (async_url_seeder.py:1284-1380): derive a
+    deterministic URL variant per doc (one per active rule family) and flag
+    it with is_nonsense_url. The oracle re-implements every active rule
+    generically in SQL — it does NOT branch on the variant index, so a rule
+    regression on either side breaks the hash."""
+    from ..functions.urls import is_nonsense_url
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls, flags = [], []
+        for i in ids:
+            base = f"https://site{i % 50}.example.com/page/{i}"
+            k = i % 8
+            if k == 0:
+                u = base
+            elif k == 1:
+                u = base + "/robots.txt"
+            elif k == 2:
+                u = base + "/sitemap-news.xml"
+            elif k == 3:
+                u = base + "?print=1"
+            elif k == 4:
+                u = base + "/.well-known/security.txt"
+            elif k == 5:
+                u = base + "/wp-admin/options.html"
+            elif k == 6:
+                u = f"https://site{i % 50}.example.com/a"
+            else:
+                u = base + "/humans.txt"
+            urls.append(u)
+            flags.append(is_nonsense_url(u))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "nonsense": pa.array(flags, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(derive, batch_format="pyarrow")
+
+
 def q_extract_docs(sf_dir: str):
     docs = _docs(sf_dir)
     return docs.select_columns(["url", "success", "n_links", "n_images"])
@@ -2001,6 +2046,7 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "url_filter_pattern": q_url_filter_pattern,
     "url_scores": q_url_scores,
+    "url_nonsense": q_url_nonsense,
     "extract_docs": q_extract_docs,
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
@@ -2209,6 +2255,54 @@ SELECT doc_id,
                     1.0::DOUBLE - (2024 - (2015 + doc_id % 10))::DOUBLE * 0.1::DOUBLE)
       END) AS score
 FROM documents
+""",
+    "url_nonsense": r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN base
+      WHEN 1 THEN base || '/robots.txt'
+      WHEN 2 THEN base || '/sitemap-news.xml'
+      WHEN 3 THEN base || '?print=1'
+      WHEN 4 THEN base || '/.well-known/security.txt'
+      WHEN 5 THEN base || '/wp-admin/options.html'
+      WHEN 6 THEN 'https://site' || (doc_id % 50) || '.example.com/a'
+      ELSE base || '/humans.txt'
+    END AS url
+  FROM (SELECT doc_id,
+               'https://site' || (doc_id % 50) || '.example.com/page/' || doc_id AS base
+        FROM documents)
+),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', ''), '\?.*$', '')) AS path,
+    lower(url) AS ul
+  FROM u
+)
+SELECT doc_id, url,
+  ( regexp_matches(path, '/(robots\.txt|sitemap\.xml|sitemap_index\.xml)$')
+    OR (position('/sitemap' IN path) > 0
+        AND regexp_matches(path, '(\.xml|\.xml\.gz|\.txt)$'))
+    OR regexp_matches(path,
+        '/(ads\.txt|humans\.txt|security\.txt|crossdomain\.xml|browserconfig\.xml|manifest\.json|apple-app-site-association|favicon\.ico|apple-touch-icon\.png|android-chrome-192x192\.png)$')
+    OR regexp_matches(path, '(^|/)\.')
+    OR position('/wp-admin' IN path) > 0 OR position('/wp-includes' IN path) > 0
+    OR position('/wp-content/uploads' IN path) > 0
+    OR position('/admin' IN path) > 0 OR position('/login' IN path) > 0
+    OR position('/signin' IN path) > 0 OR position('/signup' IN path) > 0
+    OR position('/register' IN path) > 0 OR position('/checkout' IN path) > 0
+    OR position('/cart' IN path) > 0 OR position('/account' IN path) > 0
+    OR position('/profile' IN path) > 0 OR position('/search' IN path) > 0
+    OR position('/404' IN path) > 0 OR position('/error' IN path) > 0
+    OR position('/.git' IN path) > 0 OR position('/.svn' IN path) > 0
+    OR position('/.hg' IN path) > 0 OR position('/cgi-bin' IN path) > 0
+    OR position('/scripts' IN path) > 0 OR position('/includes' IN path) > 0
+    OR position('?print=' IN ul) > 0 OR position('&print=' IN ul) > 0
+    OR position('/print/' IN ul) > 0 OR position('_print.' IN ul) > 0
+    OR (length(trim(path, '/')) < 3
+        AND path NOT IN ('/', '/en', '/de', '/fr', '/es', '/it'))
+  ) AS nonsense
+FROM p
 """,
     "exact_dedup": """
 WITH nn AS (SELECT COUNT(*) AS c FROM documents),

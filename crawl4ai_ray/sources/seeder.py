@@ -12,7 +12,9 @@ scan of the pages table. Everything else mirrors the reference surface:
               extract_head=False,     # parse head prefix → title/description
               query=None,             # BM25 relevance over head fields
               score_threshold=None,   # keep urls with score ≥ threshold
-              max_urls=-1)            # cap (reference max_urls)
+              max_urls=-1,            # cap (reference max_urls)
+              filter_nonsense_urls=True)  # drop robots/sitemap/utility urls
+                                          # (SeedingConfig default, :1676)
 
 Returns a Dataset of (url[, title, description][, relevance_score]).
 Head peeking slices the html at </head> (HeadPeekr parity, utils.py:
@@ -40,8 +42,10 @@ def seed_urls(
     query: str | None = None,
     score_threshold: float | None = None,
     max_urls: int = -1,
+    filter_nonsense_urls: bool = True,
 ) -> "ray.data.Dataset":
     from ..functions.filters import ContentRelevanceFilter, head_fields
+    from ..functions.urls import is_nonsense_url
 
     if isinstance(pages, str):
         from .pages import read_pages
@@ -59,6 +63,7 @@ def seed_urls(
             for i, u in enumerate(urls)
             if pat_re.match(u)
             and (domain is None or u.split("://", 1)[-1].split("/", 1)[0] == domain)
+            and not (filter_nonsense_urls and is_nonsense_url(u))
         ]
         out: dict[str, list] = {"url": [urls[i] for i in keep]}
         if extract_head or query:

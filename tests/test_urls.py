@@ -100,3 +100,68 @@ def test_path_depth_and_extension_and_year():
     assert extract_year("https://a.com/blog/2021/post") == 2021
     assert extract_year("https://a.com/blog/1850/x") is None
     assert host_of("https://A.b.COM:443/x") == "a.b.com"
+
+
+def test_is_nonsense_url_active_rules():
+    """Mirrors the ACTIVE rules of async_url_seeder.py:1284-1380 (rules 4-8
+    are commented out in the reference and must stay off here)."""
+    from crawl4ai_ray.functions.urls import is_nonsense_url as f
+
+    # rule 1: robots / sitemap roots
+    assert f("https://a.com/robots.txt")
+    assert f("https://a.com/deep/sitemap.xml")
+    assert f("https://a.com/sitemap_index.xml")
+    # rule 2: sitemap variations
+    assert f("https://a.com/sitemap-news.xml")
+    assert f("https://a.com/sitemaps/part1.xml.gz")
+    assert f("https://a.com/sitemap/urls.txt")
+    assert not f("https://a.com/sitemap/page.html")
+    # rule 3: utility files
+    assert f("https://a.com/humans.txt")
+    assert f("https://a.com/favicon.ico")
+    assert f("https://a.com/.well-known/security.txt")
+    # rules 4-8 are COMMENTED OUT in the reference: feeds/api/media pass
+    assert not f("https://a.com/feed.xml/article-name")
+    assert not f("https://a.com/api/v1/page-about-apis")
+    assert not f("https://a.com/downloads/report.pdf")
+    # rule 9: hidden path parts
+    assert f("https://a.com/.git/config")
+    assert f("https://a.com/x/.hidden/page")
+    assert not f("https://a.com/x/file.txt.bak")
+    # rule 10: non-content paths (substring semantics, as in the reference)
+    assert f("https://a.com/wp-admin/options.php")
+    assert f("https://a.com/checkout/step1")
+    assert f("https://a.com/administrator/page")  # '/admin' substring fires
+    # rule 11: print views
+    assert f("https://a.com/article?print=1")
+    assert f("https://a.com/x/print/article")
+    assert f("https://a.com/article_print.html")
+    # rule 12: very short paths, language roots exempt
+    assert f("https://a.com/a")
+    assert not f("https://a.com/")
+    assert not f("https://a.com/en")
+    assert not f("https://a.com/page/123")
+
+
+def test_seeder_filter_nonsense(tmp_path):
+    """filter_nonsense_urls defaults on (SeedingConfig :1676) and drops
+    utility urls from seeding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    from crawl4ai_ray.sources.seeder import seed_urls
+
+    urls = [
+        "https://s.example.com/page/1",
+        "https://s.example.com/robots.txt",
+        "https://s.example.com/page/2",
+        "https://s.example.com/wp-admin/x",
+    ]
+    pages = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "html": pa.array([b""] * 4, pa.binary())})
+    )
+    kept = sorted(seed_urls(pages).to_pandas()["url"].tolist())
+    assert kept == ["https://s.example.com/page/1", "https://s.example.com/page/2"]
+    all_urls = sorted(seed_urls(pages, filter_nonsense_urls=False).to_pandas()["url"].tolist())
+    assert all_urls == sorted(urls)
