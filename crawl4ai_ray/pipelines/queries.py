@@ -395,6 +395,18 @@ def q_url_nonsense(sf_dir: str):
     return docs.map_batches(derive, batch_format="pyarrow")
 
 
+def q_shuffle_export(sf_dir: str):
+    """Deterministic shuffle-for-training placement (stages/shuffle.py):
+    every doc's (shard, in-shard position) under the seed-keyed 64-bit
+    mixed order. Rank computed with the two-level distributed scan; the
+    oracle recomputes key/shard in HUGEINT arithmetic and ranks with
+    ROW_NUMBER over the identical order."""
+    from ..stages.shuffle import shuffle_assignments
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_assignments(docs, n_shards=16, seed=7)
+
+
 def q_extract_docs(sf_dir: str):
     docs = _docs(sf_dir)
     return docs.select_columns(["url", "success", "n_links", "n_images"])
@@ -2047,6 +2059,7 @@ QUERIES = {
     "url_filter_pattern": q_url_filter_pattern,
     "url_scores": q_url_scores,
     "url_nonsense": q_url_nonsense,
+    "shuffle_export": q_shuffle_export,
     "extract_docs": q_extract_docs,
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
@@ -2303,6 +2316,18 @@ SELECT doc_id, url,
         AND path NOT IN ('/', '/en', '/de', '/fr', '/es', '/it'))
   ) AS nonsense
 FROM p
+""",
+    "shuffle_export": """
+WITH k AS (
+  SELECT doc_id,
+    (CAST(doc_id AS HUGEINT) * 6364136223846793005
+     + 1442695040888963407 + 7) % CAST('18446744073709551616' AS HUGEINT) AS key
+  FROM documents
+)
+SELECT doc_id,
+  CAST(key % 16 AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+FROM k
 """,
     "exact_dedup": """
 WITH nn AS (SELECT COUNT(*) AS c FROM documents),

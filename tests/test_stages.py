@@ -1141,3 +1141,53 @@ def test_webtext_pipeline_all_filtered(ray_session):
     )
     out = webtext_pipeline(junk)
     assert out.count() == 0
+
+
+def test_shuffle_export_shards(ray_session, tmp_path):
+    """export_shards writes shard-partitioned parquet whose per-shard pos
+    column is a dense 0..n-1 permutation order, identical across layouts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.stages.shuffle import export_shards, shuffle_assignments
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i} body"} for i in range(200)]
+    )
+    out = str(tmp_path / "shards")
+    man = export_shards(docs, out, n_shards=4, seed=11, columns=["text"])
+    assert sum(man["rows_per_shard"].values()) == 200
+    assert set(man["rows_per_shard"]) == {0, 1, 2, 3}
+    seen_ids = []
+    for s in range(4):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert files
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        pos = sorted(t.column("pos").to_pylist())
+        assert pos == list(range(man["rows_per_shard"][s]))
+        assert set(t.column_names) >= {"doc_id", "text", "pos"}
+        seen_ids += t.column("doc_id").to_pylist()
+    assert sorted(seen_ids) == list(range(200))
+
+    # placement is block-layout independent (the determinism contract)
+    a1 = (
+        shuffle_assignments(docs, n_shards=4, seed=11)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a2 = (
+        shuffle_assignments(docs.repartition(7), n_shards=4, seed=11)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a1.equals(a2)
+    # a different seed must produce a different permutation
+    a3 = shuffle_assignments(docs, n_shards=4, seed=12).to_pandas()
+    merged = a1.merge(a3, on="doc_id", suffixes=("_a", "_b"))
+    assert (
+        (merged["shard_a"] != merged["shard_b"])
+        | (merged["pos_a"] != merged["pos_b"])
+    ).any()
