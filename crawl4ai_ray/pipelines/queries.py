@@ -407,6 +407,45 @@ def q_shuffle_export(sf_dir: str):
     return shuffle_assignments(docs, n_shards=16, seed=7)
 
 
+def q_crawl_delta(sf_dir: str):
+    """Incremental recrawl diff (stages/delta.py): two simulated snapshots
+    of the corpus — prev drops doc_id%7==3, curr drops doc_id%10==6 and
+    rewrites every 5th doc — classified new/gone/changed/unchanged with one
+    bucketed full-outer shuffle. Oracle = FULL OUTER JOIN + CASE."""
+    import hashlib
+
+    from ..stages.delta import snapshot_delta
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def snap(keep_fn, mutate: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            texts = batch.column("text").to_pylist()
+            keep = keep_fn(ids)
+            out_ids, out_h = [], []
+            for i, t in zip(ids[keep], [t for t, k in zip(texts, keep) if k]):
+                body = t + "v2" if (mutate and i % 5 == 0) else t
+                out_ids.append(int(i))
+                out_h.append(hashlib.md5(body.encode()).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "content_hash": pa.array(out_h, pa.string()),
+                }
+            )
+
+        return fn
+
+    prev = docs.map_batches(snap(lambda i: i % 7 != 3, False), batch_format="pyarrow")
+    curr = docs.map_batches(snap(lambda i: i % 10 != 6, True), batch_format="pyarrow")
+    return snapshot_delta(prev, curr)
+
+
 def q_extract_docs(sf_dir: str):
     docs = _docs(sf_dir)
     return docs.select_columns(["url", "success", "n_links", "n_images"])
@@ -2060,6 +2099,7 @@ QUERIES = {
     "url_scores": q_url_scores,
     "url_nonsense": q_url_nonsense,
     "shuffle_export": q_shuffle_export,
+    "crawl_delta": q_crawl_delta,
     "extract_docs": q_extract_docs,
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
@@ -2328,6 +2368,22 @@ SELECT doc_id,
   CAST(key % 16 AS BIGINT) AS shard,
   CAST(ROW_NUMBER() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
 FROM k
+""",
+    "crawl_delta": """
+WITH prev AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 3
+),
+curr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 10 <> 6
+)
+SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+  CASE WHEN c.doc_id IS NULL THEN 'gone'
+       WHEN p.doc_id IS NULL THEN 'new'
+       WHEN p.h = c.h THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
 """,
     "exact_dedup": """
 WITH nn AS (SELECT COUNT(*) AS c FROM documents),

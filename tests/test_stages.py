@@ -1191,3 +1191,35 @@ def test_shuffle_export_shards(ray_session, tmp_path):
         (merged["shard_a"] != merged["shard_b"])
         | (merged["pos_a"] != merged["pos_b"])
     ).any()
+
+
+def test_snapshot_delta_classes_and_guard(ray_session):
+    from crawl4ai_ray.stages.delta import snapshot_delta
+
+    prev = ray.data.from_items(
+        [
+            {"doc_id": 1, "content_hash": "a"},
+            {"doc_id": 2, "content_hash": "b"},
+            {"doc_id": 3, "content_hash": "c"},
+        ]
+    )
+    curr = ray.data.from_items(
+        [
+            {"doc_id": 2, "content_hash": "b"},     # unchanged
+            {"doc_id": 3, "content_hash": "c2"},    # changed
+            {"doc_id": 4, "content_hash": "d"},     # new
+        ]
+    )
+    out = snapshot_delta(prev, curr).to_pandas().set_index("doc_id")["status"]
+    assert out.to_dict() == {1: "gone", 2: "unchanged", 3: "changed", 4: "new"}
+
+    dup = ray.data.from_items(
+        [
+            {"doc_id": 1, "content_hash": "a"},
+            {"doc_id": 1, "content_hash": "a2"},
+        ]
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="duplicate ids|RayTaskError|not a snapshot"):
+        snapshot_delta(dup, curr).to_pandas()
