@@ -734,6 +734,16 @@ def q_tfidf_top_terms(sf_dir: str):
     return textstats.tfidf_top_terms(docs, k=3)
 
 
+def q_pmi_pairs(sf_dir: str):
+    """Windowed PMI collocations (stages/textstats.py pmi_pairs): forward
+    window 3, min_count 5. All-integer counts with one float expression at
+    the end, mirrored operand-for-operand by the oracle."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return textstats.pmi_pairs(docs, window=3, min_count=5)
+
+
 def q_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel over the events table
     (stages/windows.py funnel_counts — bucket-pattern sequence matching)."""
@@ -2110,6 +2120,7 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "pagerank": q_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "pmi_pairs": q_pmi_pairs,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
     "snapshot_latest": q_snapshot_latest,
@@ -2599,6 +2610,27 @@ ranked AS (
 )
 SELECT doc_id, tok AS term, CAST(rnk AS BIGINT) AS rank, ROUND(score, 8) AS score
 FROM ranked WHERE rnk <= 3
+""",
+    "pmi_pairs": r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
+pos AS (
+  SELECT doc_id, gs AS i, arr[gs] AS tok
+  FROM t, UNNEST(generate_series(1, len(arr))) AS s(gs)
+),
+pairs AS (
+  SELECT p1.tok AS x, p2.tok AS y, COUNT(*) AS n_xy
+  FROM pos p1
+  JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i > p1.i AND p2.i <= p1.i + 3
+  GROUP BY p1.tok, p2.tok
+),
+l AS (SELECT x, SUM(n_xy) AS lx FROM pairs GROUP BY x),
+r AS (SELECT y, SUM(n_xy) AS ry FROM pairs GROUP BY y),
+tot AS (SELECT SUM(n_xy) AS p FROM pairs)
+SELECT x, y, CAST(n_xy AS BIGINT) AS n_xy,
+  ROUND(ln((CAST(n_xy AS DOUBLE) * CAST((SELECT p FROM tot) AS DOUBLE))
+           / (CAST(lx AS DOUBLE) * CAST(ry AS DOUBLE))), 8) AS pmi
+FROM pairs JOIN l USING (x) JOIN r USING (y)
+WHERE n_xy >= 5
 """,
     "lang_dist": """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang

@@ -305,3 +305,111 @@ def fingerprint_batch(batch: pa.Table, n_keep: int = 8) -> pa.Table:
             "fingerprint": pa.array(fps, pa.list_(pa.uint64())),
         }
     )
+
+
+def pmi_pairs(
+    docs: "ray.data.Dataset",
+    window: int = 3,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Windowed pointwise mutual information over ordered token pairs —
+    the collocation/phrase-mining primitive (word2vec-style forward window:
+    positions i < j ≤ i+window in the same doc emit pair (tok_i, tok_j)).
+
+        pmi(x,y) = ln( n_xy · P / (L_x · R_y) )
+
+    with P = total pairs, L_x = pairs with left=x, R_y = pairs with
+    right=y — every operand an exact integer, ONE float expression at the
+    end (x·P then /(L·R), doubles), so the value hashes bit-stably.
+
+    Scale plan: pair counting is map-side combined per batch (a Counter —
+    distinct pairs per batch ≤ tokens·window), so only (x, y, partial_n)
+    rows shuffle into ONE groupby; marginals are vocab-sized aggregates of
+    the pair table, collected and ray.put-broadcast exactly like tfidf's
+    DF table. min_count prunes AFTER marginals (pruning before would bias
+    the denominators)."""
+    import math
+    from collections import Counter
+
+    import ray as _ray
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            n = len(toks)
+            for i in range(n):
+                x = toks[i]
+                for j in range(i + 1, min(i + window, n - 1) + 1):
+                    cnt[(x, toks[j])] += 1
+        xs, ys, cs = [], [], []
+        for (x, y), c in cnt.items():
+            xs.append(x)
+            ys.append(y)
+            cs.append(c)
+        return pa.table(
+            {
+                "x": pa.array(xs, pa.string()),
+                "y": pa.array(ys, pa.string()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    pair_tbl = (
+        docs.select_columns([text_col])
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(_ray.data.aggregate.Sum("c", alias_name="n_xy"))
+        .materialize()
+    )
+    left: dict[str, int] = {}
+    right: dict[str, int] = {}
+    total = 0
+    for b in (
+        pair_tbl.groupby("x")
+        .aggregate(_ray.data.aggregate.Sum("n_xy", alias_name="s"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for x, s in zip(b.column("x").to_pylist(), b.column("s").to_pylist()):
+            left[x] = s
+            total += s
+    for b in (
+        pair_tbl.groupby("y")
+        .aggregate(_ray.data.aggregate.Sum("n_xy", alias_name="s"))
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for y, s in zip(b.column("y").to_pylist(), b.column("s").to_pylist()):
+            right[y] = s
+    left_ref, right_ref = _ray.put(left), _ray.put(right)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lmap, rmap = _ray.get(left_ref), _ray.get(right_ref)
+        xs = batch.column("x").to_pylist()
+        ys = batch.column("y").to_pylist()
+        ns = batch.column("n_xy").to_pylist()
+        keep_x, keep_y, keep_n, pmis = [], [], [], []
+        for x, y, n in zip(xs, ys, ns):
+            if n < min_count:
+                continue
+            keep_x.append(x)
+            keep_y.append(y)
+            keep_n.append(n)
+            pmis.append(
+                round(
+                    math.log(
+                        (float(n) * float(total)) / (float(lmap[x]) * float(rmap[y]))
+                    ),
+                    8,
+                )
+            )
+        return pa.table(
+            {
+                "x": pa.array(keep_x, pa.string()),
+                "y": pa.array(keep_y, pa.string()),
+                "n_xy": pa.array(keep_n, pa.int64()),
+                "pmi": pa.array(pmis, pa.float64()),
+            }
+        )
+
+    return pair_tbl.map_batches(score, batch_format="pyarrow")

@@ -1223,3 +1223,29 @@ def test_snapshot_delta_classes_and_guard(ray_session):
 
     with pytest.raises(Exception, match="duplicate ids|RayTaskError|not a snapshot"):
         snapshot_delta(dup, curr).to_pandas()
+
+
+def test_pmi_pairs_window_semantics(ray_session):
+    """Forward-window pairs and the exact PMI expression on a corpus small
+    enough to hand-count: 'a b c a b' with window=2 emits pairs
+    (a,b)x2 (a,c) (b,c) (b,a) (c,a) (c,b)."""
+    import math
+
+    from crawl4ai_ray.stages.textstats import pmi_pairs
+
+    docs = ray.data.from_items([{"doc_id": 0, "text": "a b c a b"}])
+    out = (
+        pmi_pairs(docs, window=2, min_count=1)
+        .to_pandas()
+        .set_index(["x", "y"])
+        .sort_index()
+    )
+    assert out.loc[("a", "b"), "n_xy"] == 2
+    assert out["n_xy"].sum() == 7  # total forward-window pairs
+    # pmi(a,b) = ln(2*7 / (L_a * R_b)); L_a = pairs with left a = 3,
+    # R_b = pairs with right b = 3
+    assert out.loc[("a", "b"), "pmi"] == round(math.log((2.0 * 7.0) / (3.0 * 3.0)), 8)
+    # min_count prunes pairs but not marginals
+    pruned = pmi_pairs(docs, window=2, min_count=2).to_pandas()
+    assert len(pruned) == 1
+    assert pruned.iloc[0]["pmi"] == round(math.log((2.0 * 7.0) / (3.0 * 3.0)), 8)
