@@ -734,6 +734,22 @@ def q_tfidf_top_terms(sf_dir: str):
     return textstats.tfidf_top_terms(docs, k=3)
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule bundle (stages/textstats.py gopher_rules_batch):
+    per-rule flags + conjunction, all ratios compared as exact integers."""
+    import functools
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # min_stops=1 on the synthetic corpus (its stopword density is low by
+    # construction) so the conjunction discriminates; production default is 2
+    return docs.map_batches(
+        functools.partial(textstats.gopher_rules_batch, min_stops=1),
+        batch_format="pyarrow",
+    )
+
+
 def q_pmi_pairs(sf_dir: str):
     """Windowed PMI collocations (stages/textstats.py pmi_pairs): forward
     window 3, min_count 5. All-integer counts with one float expression at
@@ -2121,6 +2137,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_pairs": q_pmi_pairs,
+    "gopher_rules": q_gopher_rules,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
     "snapshot_latest": q_snapshot_latest,
@@ -2610,6 +2627,38 @@ ranked AS (
 )
 SELECT doc_id, tok AS term, CAST(rnk AS BIGINT) AS rank, ROUND(score, 8) AS score
 FROM ranked WHERE rnk <= 3
+""",
+    "gopher_rules": r"""
+WITH base AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS arr FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(arr) AS n,
+    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3 AS syms,
+    len(list_filter(arr, w -> regexp_matches(w, '\p{L}'))) AS alpha,
+    (CASE WHEN list_contains(arr, 'the') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(arr, 'be') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(arr, 'to') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(arr, 'of') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(arr, 'and') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(arr, 'that') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(arr, 'have') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(arr, 'with') THEN 1 ELSE 0 END) AS stops
+  FROM base
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  (n BETWEEN 50 AND 100000) AS ok_word_count,
+  (n > 0 AND 3 * n <= chars AND chars <= 10 * n) AS ok_mean_len,
+  (10 * syms <= n) AS ok_symbol,
+  (5 * alpha >= 4 * n) AS ok_alpha,
+  (stops >= 1) AS ok_stop,
+  ((n BETWEEN 50 AND 100000) AND (n > 0 AND 3 * n <= chars AND chars <= 10 * n)
+   AND (10 * syms <= n) AND (5 * alpha >= 4 * n) AND (stops >= 1)) AS keep
+FROM m
 """,
     "pmi_pairs": r"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),

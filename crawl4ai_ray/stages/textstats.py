@@ -413,3 +413,62 @@ def pmi_pairs(
         )
 
     return pair_tbl.map_batches(score, batch_format="pyarrow")
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stops: int = 2,
+) -> pa.Table:
+    """The Gopher web-corpus repetition/quality rule bundle (Rae et al.
+    2021, table A1 — the rules that apply to plain text without line
+    structure), emitted as per-rule flags + the conjunction:
+
+      ok_word_count   min_words ≤ n_words ≤ max_words
+      ok_mean_len     3 ≤ mean word length ≤ 10
+      ok_symbol       (#-marks + '...' occurrences) / n_words ≤ 0.1
+      ok_alpha        ≥80% of words contain an alphabetic character
+      ok_stop         ≥min_stops distinct Gopher stop words present
+
+    Every ratio is compared by integer cross-multiplication
+    (3·n ≤ chars ≤ 10·n, 10·sym ≤ n, 5·alpha ≥ 4·n) so both engines
+    compare exact integers — no float leaves the stage."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    n_words, ok_wc, ok_ml, ok_sym, ok_al, ok_st, keep = [], [], [], [], [], [], []
+    for t in texts:
+        toks = (t or "").split()
+        n = len(toks)
+        chars = sum(len(w) for w in toks)
+        syms = (t or "").count("#") + (t or "").count("...")
+        alpha = sum(1 for w in toks if any(c.isalpha() for c in w))
+        stops = len(set(toks) & set(_GOPHER_STOPS))
+        r1 = min_words <= n <= max_words
+        r2 = n > 0 and (3 * n <= chars <= 10 * n)
+        r3 = 10 * syms <= n
+        r4 = 5 * alpha >= 4 * n
+        r5 = stops >= min_stops
+        n_words.append(n)
+        ok_wc.append(r1)
+        ok_ml.append(r2)
+        ok_sym.append(r3)
+        ok_al.append(r4)
+        ok_st.append(r5)
+        keep.append(r1 and r2 and r3 and r4 and r5)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "ok_word_count": pa.array(ok_wc, pa.bool_()),
+            "ok_mean_len": pa.array(ok_ml, pa.bool_()),
+            "ok_symbol": pa.array(ok_sym, pa.bool_()),
+            "ok_alpha": pa.array(ok_al, pa.bool_()),
+            "ok_stop": pa.array(ok_st, pa.bool_()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )

@@ -1249,3 +1249,37 @@ def test_pmi_pairs_window_semantics(ray_session):
     pruned = pmi_pairs(docs, window=2, min_count=2).to_pandas()
     assert len(pruned) == 1
     assert pruned.iloc[0]["pmi"] == round(math.log((2.0 * 7.0) / (3.0 * 3.0)), 8)
+
+
+def test_gopher_rules_each_rule_fires(ray_session):
+    """One doc per rule violation; integer cross-multiplication semantics."""
+    from crawl4ai_ray.stages.textstats import gopher_rules_batch
+
+    good = "the quick brown fox jumps over that lazy dog and runs with vigor " * 5
+    docs = [
+        {"doc_id": 0, "text": good},                                # all pass
+        {"doc_id": 1, "text": "the and short"},                     # word count
+        {"doc_id": 2, "text": ("a " * 60) + "the and"},             # mean len < 3
+        {"doc_id": 3, "text": ("the word " + "# " * 20) * 3},       # symbols
+        {"doc_id": 4, "text": ("123 456 " * 30) + "the and"},       # alpha
+        {"doc_id": 5, "text": "zebra quark lemon " * 20},           # stops
+    ]
+    out = (
+        ray.data.from_items(docs)
+        .map_batches(gopher_rules_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1, "ok_word_count"]
+    assert not out.loc[2, "ok_mean_len"]
+    assert not out.loc[3, "ok_symbol"]
+    assert not out.loc[4, "ok_alpha"]
+    assert not out.loc[5, "ok_stop"]
+    assert not out.loc[1:, "keep"].any()
+    # '...' counted non-overlapping, like str.count
+    e = ray.data.from_items(
+        [{"doc_id": 0, "text": "the and word word.... more " + "tok " * 60}]
+    ).map_batches(gopher_rules_batch, batch_format="pyarrow").to_pandas()
+    assert bool(e.loc[0, "ok_symbol"])  # 1 ellipsis vs 65+ words
