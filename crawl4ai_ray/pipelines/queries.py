@@ -1532,6 +1532,20 @@ def q_link_preview(sf_dir: str):
     return link_preview(docs, pages)
 
 
+def q_link_preview_filtered(sf_dir: str):
+    """LinkPreviewConfig knobs exercised: exclude glob prunes targets
+    map-side, max_links=5 caps distinct previewed targets per source
+    (first-by-target-asc, via grouped_topk)."""
+    from ..sources.pages import read_pages
+    from ..stages.link_preview import link_preview
+
+    docs = _docs(sf_dir)
+    pages = read_pages(sf_dir, columns=["url", "html"])
+    return link_preview(
+        docs, pages, exclude_patterns=["*/page/1*"], max_links=5
+    )
+
+
 def q_adaptive_crawl(sf_dir: str):
     """Statistical-stopping adaptive crawl (rows-only: iterative algorithm)."""
     from .adaptive import adaptive_crawl
@@ -2180,6 +2194,7 @@ QUERIES = {
     "dfs_order": q_dfs_order,
     "politeness_budget": q_politeness_budget,
     "link_preview": q_link_preview,
+    "link_preview_filtered": q_link_preview_filtered,
     "adaptive_crawl": q_adaptive_crawl,
     "adaptive_embedding": q_adaptive_embedding,
     "schema_extract": q_schema_extract,
@@ -3419,6 +3434,17 @@ LIMIT 10
 WITH {SQL_PAGES}, {SQL_EDGES}
 SELECT e.src, e.dst, 'Page ' || u2.doc_id || ' — ' || u2.host AS dst_title
 FROM edges e JOIN purl u2 ON u2.url = e.dst
+""",
+    "link_preview_filtered": f"""
+WITH {SQL_PAGES}, {SQL_EDGES},
+f AS (SELECT src, dst FROM edges WHERE dst NOT LIKE '%/page/1%'),
+r AS (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+  FROM f
+)
+SELECT r.src, r.dst, 'Page ' || u2.doc_id || ' — ' || u2.host AS dst_title
+FROM r JOIN purl u2 ON u2.url = r.dst
+WHERE r.rn <= 5
 """,
     "schema_extract": f"""
 WITH {SQL_PAGES}

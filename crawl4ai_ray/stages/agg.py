@@ -88,7 +88,14 @@ def grouped_topk(
         )
         tbl = out.to_arrow()
         keyvals = tbl.column(key).to_numpy(zero_copy_only=False)
-        bucket = (keyvals.astype(np.uint64) % num_buckets).astype(np.int64)
+        if keyvals.dtype.kind in ("i", "u"):
+            bucket = (keyvals.astype(np.uint64) % num_buckets).astype(np.int64)
+        else:  # string keys: stable 64-bit content hash, never Python hash()
+            from ..functions.hashing import hash64
+
+            bucket = (
+                hash64(keyvals).astype(np.uint64) % np.uint64(num_buckets)
+            ).astype(np.int64)
         return tbl.append_column("bucket", pa.array(bucket))
 
     def per_bucket(g):

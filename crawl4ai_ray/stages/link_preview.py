@@ -44,8 +44,29 @@ def head_meta_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def explode_internal_links(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """docs → (src, dst) edges with seen-key-normalized targets."""
+def explode_internal_links(
+    docs: "ray.data.Dataset",
+    include_patterns: list[str] | None = None,
+    exclude_patterns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """docs → (src, dst) edges with seen-key-normalized targets.
+    include/exclude are glob patterns on the normalized target
+    (LinkPreviewConfig.include_patterns/exclude_patterns,
+    async_configs.py:650-651,676-677) — applied HERE, before the edge
+    shuffle, so excluded targets never leave the map stage."""
+    import fnmatch
+    import re
+
+    inc = (
+        [re.compile(fnmatch.translate(p)) for p in include_patterns]
+        if include_patterns
+        else None
+    )
+    exc = (
+        [re.compile(fnmatch.translate(p)) for p in exclude_patterns]
+        if exclude_patterns
+        else None
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
         srcs, dsts = [], []
@@ -55,9 +76,14 @@ def explode_internal_links(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         ):
             for link in links:
                 key = normalize_url_for_deep_crawl(link["href"], src)
-                if key:
-                    srcs.append(src)
-                    dsts.append(key)
+                if not key:
+                    continue
+                if inc is not None and not any(p.match(key) for p in inc):
+                    continue
+                if exc is not None and any(p.match(key) for p in exc):
+                    continue
+                srcs.append(src)
+                dsts.append(key)
         return pa.table(
             {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
         )
@@ -69,13 +95,41 @@ def link_preview(
     docs: "ray.data.Dataset",
     pages: "ray.data.Dataset",
     num_partitions: int = 8,
+    include_patterns: list[str] | None = None,
+    exclude_patterns: list[str] | None = None,
+    max_links: int | None = None,
 ) -> "ray.data.Dataset":
     """(src, dst, dst_title): inner-join link targets against corpus heads.
     Head extraction is a cheap prefix parse; the join shuffles only
-    (url, title, description) triples — never the page bodies."""
-    edges = explode_internal_links(docs).groupby(["src", "dst"]).count().select_columns(
-        ["src", "dst"]
-    )
+    (url, title, description) triples — never the page bodies.
+
+    LinkPreviewConfig parity (async_configs.py:643-721): include/exclude
+    glob patterns prune targets map-side; ``max_links`` caps the DISTINCT
+    targets previewed per source page (deterministic: first max_links by
+    target asc), via the shared grouped_topk two-level cap — never one
+    scheduling unit per source."""
+    edges = explode_internal_links(
+        docs, include_patterns=include_patterns, exclude_patterns=exclude_patterns
+    ).groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    if max_links is not None:
+        from .agg import grouped_topk
+
+        def zero(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return batch.append_column(
+                "z", pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+            )
+
+        capped = grouped_topk(
+            edges.map_batches(zero, batch_format="pyarrow"),
+            key="src",
+            value="z",
+            k=max_links,
+            extra_cols=("dst",),
+            tie_col="dst",
+        )
+        edges = capped.select_columns(["src", "dst"])
     heads = pages.map_batches(head_meta_batch, batch_format="pyarrow")
     joined = edges.join(
         heads,
