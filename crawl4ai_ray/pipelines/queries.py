@@ -1269,6 +1269,55 @@ def q_length_vs_lang_mean(sf_dir: str):
     return toks.map_batches(ratio, batch_format="pyarrow")
 
 
+def q_host_curation(sf_dir: str):
+    """Domain-level curation (the C4/Gopher per-domain keep/drop step):
+    per-host (sum_tok, n_docs) aggregate — ≤ |hosts| rows — collected and
+    broadcast, every doc annotated map-side with its host verdict
+    keep = n_docs ≥ 8 AND mean tokens ≥ 52 (integer cross-multiplication:
+    sum ≥ 52·n — no float anywhere). The corpus never shuffles."""
+    from ..sources.pages import host_id_of
+
+    toks = _token_counts_ds(sf_dir).materialize()
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hosts = [f"site{host_id_of(int(i))}.example.com" for i in ids]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "host": pa.array(hosts, pa.string()),
+                "n_tok": batch.column("n_tok"),
+            }
+        )
+
+    hosted = toks.map_batches(add_host, batch_format="pyarrow").materialize()
+    agg = hosted.groupby("host").aggregate(
+        ray.data.aggregate.Sum("n_tok", alias_name="sum_tok"),
+        ray.data.aggregate.Count(alias_name="n_docs"),
+    ).take_all()
+    stats = {r["host"]: (int(r["sum_tok"]), int(r["n_docs"])) for r in agg}
+    stats_ref = ray.put(stats)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        hosts = batch.column("host").to_pylist()
+        n_docs = np.fromiter((st[h][1] for h in hosts), dtype=np.int64,
+                             count=len(hosts))
+        sums = np.fromiter((st[h][0] for h in hosts), dtype=np.int64,
+                           count=len(hosts))
+        keep = (n_docs >= 8) & (sums >= 52 * n_docs)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "host": batch.column("host"),
+                "host_n_docs": pa.array(n_docs, pa.int64()),
+                "host_keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return hosted.map_batches(verdict, batch_format="pyarrow")
+
+
 def q_token_quantiles_sketch(sf_dir: str):
     """Per-language token-count quantiles from the deterministic KLL-style
     sketch (stages/sketch.py) — the approximate, O(k log n)-memory sibling
@@ -2152,6 +2201,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_pairs": q_pmi_pairs,
     "gopher_rules": q_gopher_rules,
+    "host_curation": q_host_curation,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
     "snapshot_latest": q_snapshot_latest,
@@ -2674,6 +2724,19 @@ SELECT doc_id,
   ((n BETWEEN 50 AND 100000) AND (n > 0 AND 3 * n <= chars AND chars <= 10 * n)
    AND (10 * syms <= n) AND (5 * alpha >= 4 * n) AND (stops >= 1)) AS keep
 FROM m
+""",
+    "host_curation": rf"""
+WITH {SQL_PAGES},
+toks AS (
+  SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+j AS (SELECT p.doc_id, p.host, t.n_tok FROM purl p JOIN toks t USING (doc_id)),
+h AS (SELECT host, SUM(n_tok) AS s, COUNT(*) AS c FROM j GROUP BY host)
+SELECT j.doc_id, j.host,
+  CAST(h.c AS BIGINT) AS host_n_docs,
+  (h.c >= 8 AND h.s >= 52 * h.c) AS host_keep
+FROM j JOIN h USING (host)
 """,
     "pmi_pairs": r"""
 WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents),
