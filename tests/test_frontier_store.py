@@ -105,3 +105,37 @@ def test_starved_host_drains_with_aging(ray_session):
     for s in (url_of(0), url_of(7), url_of(14)):
         assert s in crawled
     assert run.pages_crawled > 0
+
+
+@pytest.mark.parametrize("strategy", ["bfs", "dfs", "best_first"])
+def test_pruned_pop_byte_identical(ray_session, strategy):
+    """The threshold-pruned pop (budget ≪ frontier) must admit the exact
+    same rows in the exact same order as the driver-side total sort, and
+    repeated pops must keep draining correctly from the unsorted
+    remainder."""
+    tbl = _mk_frontier(20_000, seed=11)
+
+    big = FrontierStore(strategy, aging_rate=0.05, small_threshold=100)
+    big.push(tbl)
+    small = FrontierStore(strategy, aging_rate=0.05, small_threshold=10**9)
+    small.push(tbl)
+
+    for wave in range(1, 4):
+        a_big = big.pop_wave(500, wave)  # 20k ≥ max(8·500, 2·100) → pruned
+        a_small = small.pop_wave(500, wave)
+        assert big.last_pop_pruned, "pruned path did not engage"
+        assert a_big.equals(a_small), f"wave {wave} diverged"
+        assert len(big) == len(small) == 20_000 - 500 * wave
+
+
+def test_pruned_pop_undershoot_falls_back(ray_session):
+    """With budget close to n the prune gate must not engage (or fall back)
+    and the result still matches the driver sort."""
+    tbl = _mk_frontier(4_000, seed=5)
+    fs = FrontierStore("best_first", small_threshold=100)
+    fs.push(tbl)
+    ref = FrontierStore("best_first", small_threshold=10**9)
+    ref.push(tbl)
+    a = fs.pop_wave(3_000, 1)
+    b = ref.pop_wave(3_000, 1)
+    assert a.equals(b)
