@@ -67,6 +67,12 @@ def main(argv=None):
     pw.add_argument("--width", type=int, default=3)
     pw.add_argument("--max-docs", type=int, default=2)
     pw.add_argument("--vocab-k", type=int, default=16)
+    pw.add_argument(
+        "--export-shards", type=int, default=0,
+        help="also write the kept docs as a deterministic seed-keyed "
+        "training shuffle under <out>/5_export/shard=NN/",
+    )
+    pw.add_argument("--export-seed", type=int, default=0)
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -121,6 +127,8 @@ def main(argv=None):
                 width=args.width,
                 max_docs=args.max_docs,
                 vocab_k=args.vocab_k,
+                export_shards_n=args.export_shards or None,
+                export_seed=args.export_seed,
             )
             print(json.dumps(man["stages"], indent=1))
         elif args.cmd == "queries":

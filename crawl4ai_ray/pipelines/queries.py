@@ -3821,10 +3821,11 @@ m AS (
          CAST(nll_fixed // dl AS BIGINT) AS mean_nll_fixed
   FROM scored
 )
-SELECT doc_id, dl, nll_fixed, mean_nll_fixed,
-       CASE WHEN mean_nll_fixed < 342900000 THEN 'head'
-            WHEN mean_nll_fixed < 343500000 THEN 'middle'
-            ELSE 'tail' END AS bucket
-FROM m
-WHERE mean_nll_fixed < 343500000
+SELECT m.doc_id, m.dl, m.nll_fixed, m.mean_nll_fixed,
+       CASE WHEN m.mean_nll_fixed < 342900000 THEN 'head'
+            WHEN m.mean_nll_fixed < 343500000 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       d.clean_text
+FROM m JOIN dedup d ON d.doc_id = m.doc_id
+WHERE m.mean_nll_fixed < 343500000
 """

@@ -81,6 +81,7 @@ def webtext_pipeline(
         head_t=head_t,
         tail_t=tail_t,
         concurrency=concurrency,
+        carry_cols=("clean_text",),
     )
     return scored.map_batches(
         lambda b: b.filter(
@@ -119,6 +120,8 @@ def run_webtext(
     tail_t: int = 343_500_000,
     dedup_buckets: int = 64,
     concurrency=(1, 16),
+    export_shards_n: int | None = None,
+    export_seed: int = 0,
 ) -> dict:
     """Checkpointed webtext run: every stage writes partitioned parquet
     under ``out_dir/<N>_<name>/`` and a ``_DONE`` marker carrying the
@@ -141,6 +144,12 @@ def run_webtext(
         "tail_t": tail_t,
         "dedup_buckets": dedup_buckets,
         "hash_spec": HASH_SPEC,
+        # schema v2: stage 4 carries clean_text; export params are part of
+        # the run identity (a resume under different export config must
+        # refuse, like any other param change)
+        "schema_v": 2,
+        "export_shards_n": export_shards_n,
+        "export_seed": export_seed,
     }
     cfg_hash = _config_hash(params)
     _os.makedirs(out_dir, exist_ok=True)
@@ -237,7 +246,7 @@ def run_webtext(
         .groupby("b")
         .map_groups(keep_min, batch_format="pandas"),
     )
-    stage(
+    final = stage(
         "4_lm_filter",
         "3_exact_dedup",
         lambda: unigram_lm_score(
@@ -247,6 +256,7 @@ def run_webtext(
             head_t=head_t,
             tail_t=tail_t,
             concurrency=concurrency,
+            carry_cols=("clean_text",),
         ).map_batches(
             lambda b: b.filter(
                 pa.compute.not_equal(b.column("bucket"), pa.scalar("tail"))
@@ -254,4 +264,46 @@ def run_webtext(
             batch_format="pyarrow",
         ),
     )
+
+    if export_shards_n:
+        # Stage 5: deterministic shuffle-for-training export. Writes its
+        # own shard=NN layout (stages/shuffle.py), so it manages its stage
+        # dir directly instead of going through stage()'s write_parquet.
+        from ..stages.shuffle import export_shards
+
+        name = "5_export"
+        d = _os.path.join(out_dir, name)
+        done = _os.path.join(d, "_DONE")
+        if _os.path.exists(done):
+            with open(done) as f:
+                if f.read().strip() != cfg_hash:
+                    raise ValueError(
+                        f"stage {name} _DONE hash mismatch at {d}; refusing to resume"
+                    )
+            entry = manifest["stages"].setdefault(
+                name, {"path": d, "input": "4_lm_filter"}
+            )
+            entry["resumed"] = True
+            _save()
+        else:
+            t0 = _time.time()
+            _shutil.rmtree(d, ignore_errors=True)
+            exp = export_shards(
+                final,
+                d,
+                n_shards=export_shards_n,
+                seed=export_seed,
+                columns=["clean_text", "bucket"],
+            )
+            manifest["stages"][name] = {
+                "path": d,
+                "input": "4_lm_filter",
+                "rows": sum(exp["rows_per_shard"].values()),
+                "rows_per_shard": {str(k): v for k, v in sorted(exp["rows_per_shard"].items())},
+                "sec": round(_time.time() - t0, 2),
+                "resumed": False,
+            }
+            with open(done, "w") as f:
+                f.write(cfg_hash)
+            _save()
     return manifest

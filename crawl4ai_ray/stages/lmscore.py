@@ -122,12 +122,13 @@ class UnigramScorer:
     The model dict is resolved from plasma once per actor."""
 
     def __init__(self, model_ref, text_col: str = "text",
-                 head_t: int = 0, tail_t: int = 0):
+                 head_t: int = 0, tail_t: int = 0, carry_cols: tuple = ()):
         self.model: dict = ray.get(model_ref)
         self.oov = self.model[OOV]
         self.text_col = text_col
         self.head_t = head_t
         self.tail_t = tail_t
+        self.carry_cols = tuple(carry_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
@@ -147,15 +148,18 @@ class UnigramScorer:
         bucket = np.where(
             mean < self.head_t, "head", np.where(mean < self.tail_t, "middle", "tail")
         )
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "dl": pa.array(dl, pa.int64()),
-                "nll_fixed": pa.array(nll, pa.int64()),
-                "mean_nll_fixed": pa.array(mean, pa.int64()),
-                "bucket": pa.array(bucket.tolist(), pa.string()),
-            }
-        )
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "dl": pa.array(dl, pa.int64()),
+            "nll_fixed": pa.array(nll, pa.int64()),
+            "mean_nll_fixed": pa.array(mean, pa.int64()),
+            "bucket": pa.array(bucket.tolist(), pa.string()),
+        }
+        # passthrough columns (e.g. the text for a downstream export) —
+        # a pure map, so carrying them costs no shuffle
+        for c in self.carry_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
 
 def unigram_lm_score(
@@ -165,6 +169,7 @@ def unigram_lm_score(
     head_t: int = 0,
     tail_t: int = 0,
     concurrency=(1, 4),
+    carry_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """Score every document with the corpus-fit capped unigram LM.
 
@@ -173,7 +178,7 @@ def unigram_lm_score(
     model_ref, _, _ = fit_unigram(docs, text_col, vocab_k)
     return docs.map_batches(
         UnigramScorer,
-        fn_constructor_args=(model_ref, text_col, head_t, tail_t),
+        fn_constructor_args=(model_ref, text_col, head_t, tail_t, carry_cols),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

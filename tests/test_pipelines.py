@@ -164,3 +164,36 @@ def test_webtext_checkpoint_resume(ray_session, tmp_path):
     # parameter drift must refuse to resume, not silently mix semantics
     with _pytest.raises(ValueError, match="refusing to resume"):
         run_webtext(docs, out, vocab_k=8)
+
+
+def test_webtext_export_stage(ray_session, tmp_path):
+    """Optional stage 5: deterministic training-shard export — shard dirs
+    written, manifest carries per-shard rows, resume skips the stage, and
+    export config is part of the run identity."""
+    import glob
+
+    import pytest as _pytest
+
+    from crawl4ai_ray.pipelines.webtext import run_webtext
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = str(tmp_path / "wt")
+    man = run_webtext(docs, out, export_shards_n=4, export_seed=3)
+    exp = man["stages"]["5_export"]
+    kept = man["stages"]["4_lm_filter"]["rows"]
+    assert exp["rows"] == kept
+    assert sum(exp["rows_per_shard"].values()) == kept
+    for s in range(4):
+        files = glob.glob(f"{out}/5_export/shard={s}/*.parquet")
+        assert files, f"shard {s} missing"
+    t = ray.data.read_parquet(f"{out}/5_export/shard=0/").to_pandas()
+    assert {"doc_id", "clean_text", "bucket", "pos"} <= set(t.columns)
+    assert sorted(t["pos"]) == list(range(len(t)))
+
+    man2 = run_webtext(docs, out, export_shards_n=4, export_seed=3)
+    assert man2["stages"]["5_export"]["resumed"]
+
+    with _pytest.raises(ValueError, match="refusing to resume"):
+        run_webtext(docs, out, export_shards_n=8, export_seed=3)
