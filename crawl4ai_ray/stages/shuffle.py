@@ -201,7 +201,10 @@ def _attach(payload: "ray.data.Dataset", assign: "ray.data.Dataset", id_col: str
     left = left.map_batches(pad(rcols - lcols, rtypes), batch_format="pyarrow")
     right = right.map_batches(pad(lcols - rcols, ltypes), batch_format="pyarrow")
 
-    value_cols = [c for c in lcols - {"_b", "_is_assign"}]
+    # payload schema order (a set here would make column order vary per run)
+    value_cols = [
+        c for c in payload.schema().names if c not in ("_b", "_is_assign")
+    ]
 
     def glue(g: pd.DataFrame) -> pa.Table:
         a = g[g["_is_assign"]]
