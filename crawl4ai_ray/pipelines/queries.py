@@ -750,6 +750,20 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_logreg_quality(sf_dir: str):
+    """Trainable quality classifier (stages/logreg.py): class-weighted
+    full-batch GD as iterative broadcast-aggregate with fixed-point
+    integer gradient sums (order-free → hash-stable). Oracle replays the
+    12 unrolled iterations in MATERIALIZED CTEs with the identical float
+    expressions."""
+    from ..stages.logreg import logreg_quality_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return logreg_quality_scores(docs, iters=12, lr=2.0, pos_weight=6.0)
+
+
 def q_pmi_pairs(sf_dir: str):
     """Windowed PMI collocations (stages/textstats.py pmi_pairs): forward
     window 3, min_count 5. All-integer counts with one float expression at
@@ -2200,6 +2214,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_pairs": q_pmi_pairs,
+    "logreg_quality": q_logreg_quality,
     "gopher_rules": q_gopher_rules,
     "host_curation": q_host_curation,
     "anchor_text_agg": q_anchor_text_agg,
@@ -2270,6 +2285,82 @@ QUERIES = {
 }
 
 _STOP_RE = r"\b(the|a|and|of|to|in|is|it|that|for)\b"
+
+
+def _logreg_sql(iters: int = 12, lr: str = "2.0", pos_weight: str = "6.0") -> str:
+    """Unrolled-iteration logistic-GD oracle (stages/logreg.py). Gradient
+    sums are fixed-point BIGINTs (order-free, bit-exact); the per-doc
+    sigmoid and the per-iteration weight update are the IDENTICAL float
+    expression trees the Ray side evaluates (libm exp both sides)."""
+    J = range(5)
+    z = "(" + " + ".join(f"w.w{j} * x{j}" for j in J) + ")"
+    head = f"""f AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+    CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+    CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+    CAST(length(regexp_extract_all(lower(text), '{_STOP_RE}')) AS BIGINT) AS n_stop
+  FROM documents
+),
+x AS (
+  SELECT doc_id,
+    CAST(1.0 AS DOUBLE) AS x0,
+    CAST(n_tok AS DOUBLE) / CAST(50.0 AS DOUBLE) AS x1,
+    CAST(n_punct AS DOUBLE) / CAST(10.0 AS DOUBLE) AS x2,
+    CAST(n_digit AS DOUBLE) / CAST(10.0 AS DOUBLE) AS x3,
+    CAST(n_stop AS DOUBLE) / CAST(10.0 AS DOUBLE) AS x4,
+    CASE WHEN 10 * n_stop >= n_tok THEN CAST(1.0 AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS y
+  FROM x0src
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+w0 AS (SELECT {", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in J)})"""
+    head = head.replace("FROM x0src", "FROM f")
+    parts = [head]
+    for k in range(1, iters + 1):
+        sums = ",\n    ".join(
+            f"CAST(SUM(CAST(floor(((p - y) * wt) * x{j} * 1e9 + CAST(0.5 AS DOUBLE)) "
+            f"AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in J
+        )
+        ups = ",\n    ".join(
+            f"w.w{j} - CAST({lr} AS DOUBLE) * (CAST(g.g{j} AS DOUBLE) / nn.n) "
+            f"* 1e-9 AS w{j}"
+            for j in J
+        )
+        # MATERIALIZED: without it DuckDB inlines each wk into both its
+        # consumers and the weight expression tree doubles per iteration
+        parts.append(
+            f""",
+g{k} AS MATERIALIZED (
+  SELECT
+    {sums}
+  FROM (
+    SELECT x.*,
+           CAST(1.0 AS DOUBLE)
+           / (CAST(1.0 AS DOUBLE) + exp(-{z})) AS p,
+           CASE WHEN y = CAST(1.0 AS DOUBLE) THEN CAST({pos_weight} AS DOUBLE)
+                ELSE CAST(1.0 AS DOUBLE) END AS wt
+    FROM x, w{k - 1} w
+  )
+),
+w{k} AS MATERIALIZED (
+  SELECT
+    {ups}
+  FROM w{k - 1} w, g{k} g, nn
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id, pr AS p, (pr >= CAST(0.5 AS DOUBLE)) AS pred
+FROM (
+  SELECT x.doc_id,
+         ROUND(CAST(1.0 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE) + exp(-{z})), 8) AS pr
+  FROM x, w{iters} w
+)"""
+    )
+    return "WITH " + "".join(parts)
 
 
 def _pagerank_sql(n_iters: int = 5) -> str:
@@ -2693,6 +2784,7 @@ ranked AS (
 SELECT doc_id, tok AS term, CAST(rnk AS BIGINT) AS rank, ROUND(score, 8) AS score
 FROM ranked WHERE rnk <= 3
 """,
+    "logreg_quality": _logreg_sql(12),
     "gopher_rules": r"""
 WITH base AS (
   SELECT doc_id, text, regexp_extract_all(text, '\S+') AS arr FROM documents

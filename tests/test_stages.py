@@ -1283,3 +1283,52 @@ def test_gopher_rules_each_rule_fires(ray_session):
         [{"doc_id": 0, "text": "the and word word.... more " + "tok " * 60}]
     ).map_batches(gopher_rules_batch, batch_format="pyarrow").to_pandas()
     assert bool(e.loc[0, "ok_symbol"])  # 1 ellipsis vs 65+ words
+
+
+def test_logreg_quality_bitexact_and_recall(ray_session):
+    """Class-weighted distributed GD: (1) scores are invariant to block
+    layout (integer gradient sums are order-free), (2) the fitted model
+    reaches full recall on the planted stopword-density labels."""
+    from crawl4ai_ray.stages.logreg import logreg_quality_scores
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        logreg_quality_scores(docs, iters=6, lr=2.0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        logreg_quality_scores(docs.repartition(7), iters=6, lr=2.0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+    full = (
+        logreg_quality_scores(docs)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    import pandas as pd
+
+    raw = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    import re
+
+    stop_re = re.compile(r"\b(the|a|and|of|to|in|is|it|that|for)\b")
+    y = pd.Series(
+        [
+            10 * len(stop_re.findall(t.lower())) >= len(t.split())
+            for t in raw["text"]
+        ],
+        index=raw["doc_id"],
+    )
+    pos = y[y].index
+    assert len(pos) > 0
+    assert full.loc[pos, "pred"].all(), "planted positives must be recalled"
+    assert not full["pred"].all(), "classifier must discriminate"
