@@ -2287,6 +2287,34 @@ QUERIES = {
 _STOP_RE = r"\b(the|a|and|of|to|in|is|it|that|for)\b"
 
 
+def _nonsense_sql_cond(path: str, ul: str) -> str:
+    """The is_nonsense_url active rules as a SQL boolean over a lowered
+    path expression and a lowered-url expression (shared by the
+    url_nonsense and url_seeder oracles — the seeder filters nonsense
+    urls by default, SeedingConfig :1676)."""
+    return rf"""( regexp_matches({path}, '/(robots\.txt|sitemap\.xml|sitemap_index\.xml)$')
+    OR (position('/sitemap' IN {path}) > 0
+        AND regexp_matches({path}, '(\.xml|\.xml\.gz|\.txt)$'))
+    OR regexp_matches({path},
+        '/(ads\.txt|humans\.txt|security\.txt|crossdomain\.xml|browserconfig\.xml|manifest\.json|apple-app-site-association|favicon\.ico|apple-touch-icon\.png|android-chrome-192x192\.png)$')
+    OR regexp_matches({path}, '(^|/)\.')
+    OR position('/wp-admin' IN {path}) > 0 OR position('/wp-includes' IN {path}) > 0
+    OR position('/wp-content/uploads' IN {path}) > 0
+    OR position('/admin' IN {path}) > 0 OR position('/login' IN {path}) > 0
+    OR position('/signin' IN {path}) > 0 OR position('/signup' IN {path}) > 0
+    OR position('/register' IN {path}) > 0 OR position('/checkout' IN {path}) > 0
+    OR position('/cart' IN {path}) > 0 OR position('/account' IN {path}) > 0
+    OR position('/profile' IN {path}) > 0 OR position('/search' IN {path}) > 0
+    OR position('/404' IN {path}) > 0 OR position('/error' IN {path}) > 0
+    OR position('/.git' IN {path}) > 0 OR position('/.svn' IN {path}) > 0
+    OR position('/.hg' IN {path}) > 0 OR position('/cgi-bin' IN {path}) > 0
+    OR position('/scripts' IN {path}) > 0 OR position('/includes' IN {path}) > 0
+    OR position('?print=' IN {ul}) > 0 OR position('&print=' IN {ul}) > 0
+    OR position('/print/' IN {ul}) > 0 OR position('_print.' IN {ul}) > 0
+    OR (length(trim({path}, '/')) < 3
+        AND {path} NOT IN ('/', '/en', '/de', '/fr', '/es', '/it')) )"""
+
+
 def _logreg_sql(iters: int = 12, lr: str = "2.0", pos_weight: str = "6.0") -> str:
     """Unrolled-iteration logistic-GD oracle (stages/logreg.py). Gradient
     sums are fixed-point BIGINTs (order-free, bit-exact); the per-doc
@@ -2458,12 +2486,22 @@ SELECT url,
 FROM purl
 """,
     "url_seeder": f"""
-WITH {SQL_PAGES}
+WITH {SQL_PAGES},
+cand AS (
+  SELECT url, doc_id, host, lang FROM purl JOIN documents USING (doc_id)
+  WHERE doc_id % 3 = 0
+),
+pn AS (
+  SELECT *,
+    lower(regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', ''), '\\?.*$', '')) AS path,
+    lower(url) AS ul
+  FROM cand
+)
 SELECT url,
        'Page ' || doc_id || ' — ' || host AS title,
        'Synthetic page ' || doc_id || ' in lang ' || lang AS description
-FROM purl JOIN documents USING (doc_id)
-WHERE doc_id % 3 = 0
+FROM pn
+WHERE NOT {_nonsense_sql_cond("path", "ul")}
 """,
     "url_normalize": """
 SELECT doc_id,
@@ -2493,7 +2531,7 @@ SELECT doc_id,
       END) AS score
 FROM documents
 """,
-    "url_nonsense": r"""
+    "url_nonsense": rf"""
 WITH u AS (
   SELECT doc_id,
     CASE doc_id % 8
@@ -2517,28 +2555,7 @@ p AS (
   FROM u
 )
 SELECT doc_id, url,
-  ( regexp_matches(path, '/(robots\.txt|sitemap\.xml|sitemap_index\.xml)$')
-    OR (position('/sitemap' IN path) > 0
-        AND regexp_matches(path, '(\.xml|\.xml\.gz|\.txt)$'))
-    OR regexp_matches(path,
-        '/(ads\.txt|humans\.txt|security\.txt|crossdomain\.xml|browserconfig\.xml|manifest\.json|apple-app-site-association|favicon\.ico|apple-touch-icon\.png|android-chrome-192x192\.png)$')
-    OR regexp_matches(path, '(^|/)\.')
-    OR position('/wp-admin' IN path) > 0 OR position('/wp-includes' IN path) > 0
-    OR position('/wp-content/uploads' IN path) > 0
-    OR position('/admin' IN path) > 0 OR position('/login' IN path) > 0
-    OR position('/signin' IN path) > 0 OR position('/signup' IN path) > 0
-    OR position('/register' IN path) > 0 OR position('/checkout' IN path) > 0
-    OR position('/cart' IN path) > 0 OR position('/account' IN path) > 0
-    OR position('/profile' IN path) > 0 OR position('/search' IN path) > 0
-    OR position('/404' IN path) > 0 OR position('/error' IN path) > 0
-    OR position('/.git' IN path) > 0 OR position('/.svn' IN path) > 0
-    OR position('/.hg' IN path) > 0 OR position('/cgi-bin' IN path) > 0
-    OR position('/scripts' IN path) > 0 OR position('/includes' IN path) > 0
-    OR position('?print=' IN ul) > 0 OR position('&print=' IN ul) > 0
-    OR position('/print/' IN ul) > 0 OR position('_print.' IN ul) > 0
-    OR (length(trim(path, '/')) < 3
-        AND path NOT IN ('/', '/en', '/de', '/fr', '/es', '/it'))
-  ) AS nonsense
+  {_nonsense_sql_cond("path", "ul")} AS nonsense
 FROM p
 """,
     "shuffle_export": """
