@@ -3724,8 +3724,12 @@ try:
     from .golden_sf001 import GOLDEN_SQL as _GOLDEN_SQL
 
     ORACLES.update(_GOLDEN_SQL)
+    # These oracles are literal VALUES pinned at sf0.01 — comparing them
+    # at any other scale factor is meaningless by construction. Local
+    # sweeps at other sfs should skip them, not report MISMATCH.
+    GOLDEN_PINNED_SF001 = frozenset(_GOLDEN_SQL)
 except ImportError:  # pragma: no cover — before first generation
-    pass
+    GOLDEN_PINNED_SF001 = frozenset()
 
 # the bloom-semijoin variant is exact (bucketed verify kills false
 # positives) → same contamination oracle as the broadcast-exact path
