@@ -1093,16 +1093,17 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """EXACT all-pairs 3-gram Jaccard >= 0.9 via the inverted-index
-    operator (postings explode → bucketed pair-generation → groupby
-    intersection counts; sizes ride with the postings so there is no join).
-    The non-approximate sibling of q_minhash_pairs — same metric, same
+    """EXACT all-pairs 3-gram Jaccard >= 0.9 via PREFIX-FILTERED candidate
+    generation (AllPairs/ppjoin) + exact verification — identical result
+    to the full inverted-index ngram_jaccard_pairs (equality locked by
+    test) but ~(1-tau)^2 the pair explosion on hot shingles. The
+    non-approximate sibling of q_minhash_pairs — same metric, same
     threshold, no LSH recall caveat; the oracle recomputes it from string
     grams in SQL."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return dedup.ngram_jaccard_pairs(docs, tau=0.9, shingle=3)
+    return dedup.ngram_jaccard_pairs_prefix(docs, tau=0.9, shingle=3)
 
 
 def q_duplicate_spans(sf_dir: str):

@@ -1332,3 +1332,35 @@ def test_logreg_quality_bitexact_and_recall(ray_session):
     assert len(pos) > 0
     assert full.loc[pos, "pred"].all(), "planted positives must be recalled"
     assert not full["pred"].all(), "classifier must discriminate"
+
+
+def test_ngram_prefix_filter_equals_full_index(ray_session):
+    """Prefix-filtered candidate generation + exact verify must return the
+    IDENTICAL pair set as the full inverted index (prefix filtering is an
+    exactness-preserving optimization, not an approximation)."""
+    from crawl4ai_ray.stages import dedup
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    full = (
+        dedup.ngram_jaccard_pairs(docs, tau=0.9, shingle=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pref = (
+        dedup.ngram_jaccard_pairs_prefix(docs, tau=0.9, shingle=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(full) > 0
+    assert full[["a", "b"]].equals(pref[["a", "b"]])
+    # boundary tau exercises the ceil-epsilon guard in the prefix length
+    full2 = dedup.ngram_jaccard_pairs(docs, tau=0.5, shingle=3).to_pandas()
+    pref2 = dedup.ngram_jaccard_pairs_prefix(docs, tau=0.5, shingle=3).to_pandas()
+    assert (
+        full2.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b"]]
+        .equals(pref2.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b"]])
+    )
