@@ -750,6 +750,36 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_c4_rules(sf_dir: str):
+    """C4 cleaning-rule bundle (stages/textstats.py c4_rules_batch) over
+    deterministically derived structured pages (the synthetic table is
+    line-less; derive_structured_page adds lines/punct/contaminations the
+    SQL oracle mirrors). Pure map_batches — trivially 100 TB-safe."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def structure(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(
+                    [
+                        textstats.derive_structured_page(i, t)
+                        for i, t in zip(ids, texts)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return docs.map_batches(structure, batch_format="pyarrow").map_batches(
+        textstats.c4_rules_batch, batch_format="pyarrow"
+    )
+
+
 def q_logreg_quality(sf_dir: str):
     """Trainable quality classifier (stages/logreg.py): class-weighted
     full-batch GD as iterative broadcast-aggregate with fixed-point
@@ -2217,6 +2247,7 @@ QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "logreg_quality": q_logreg_quality,
     "gopher_rules": q_gopher_rules,
+    "c4_rules": q_c4_rules,
     "host_curation": q_host_curation,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
@@ -2803,6 +2834,55 @@ SELECT doc_id, tok AS term, CAST(rnk AS BIGINT) AS rank, ROUND(score, 8) AS scor
 FROM ranked WHERE rnk <= 3
 """,
     "logreg_quality": _logreg_sql(12),
+    "c4_rules": r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS arr,
+         3 + doc_id % 5 AS k
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, gs AS li,
+    array_to_string(arr[((gs-1)*k + 1):(gs*k)], ' ')
+    || CASE WHEN (doc_id + gs) % 13 = 0 THEN ' javascript' ELSE '' END
+    || CASE (doc_id + gs) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?' ELSE '' END AS line
+  FROM t, UNNEST(generate_series(1, (len(arr) + k - 1) // k)) s(gs)
+),
+doc AS (
+  SELECT d.doc_id,
+    string_agg(ln.line, chr(10) ORDER BY ln.li)
+    || CASE WHEN d.doc_id % 41 = 0 THEN ' lorem ipsum' ELSE '' END
+    || CASE WHEN d.doc_id % 43 = 0 THEN ' {' ELSE '' END
+    || CASE WHEN d.doc_id % 37 = 0 THEN ' badword' ELSE '' END AS s
+  FROM (SELECT DISTINCT doc_id FROM t) d JOIN ln ON ln.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+r AS (
+  SELECT doc_id, s, string_split(s, chr(10)) AS ls,
+    list_filter(string_split(s, chr(10)),
+      l -> regexp_matches(rtrim(l), '[.!?"]$')
+           AND len(regexp_extract_all(l, '\S+')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM doc
+),
+f AS (
+  SELECT doc_id, s, len(ls) AS n_lines, len(kept) AS n_kept,
+    COALESCE(array_to_string(kept, chr(10)), '') AS retained
+  FROM r
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_kept AS BIGINT) AS n_kept_lines,
+  CAST(len(regexp_extract_all(retained, '[.!?]')) AS BIGINT) AS n_sentences,
+  list_has_any(regexp_extract_all(lower(s), '[a-z]+'), ['badword']) AS has_bad_word,
+  contains(lower(s), 'lorem ipsum') AS has_lorem,
+  contains(s, '{') AS has_brace,
+  (n_kept >= 1 AND len(regexp_extract_all(retained, '[.!?]')) >= 3
+   AND NOT list_has_any(regexp_extract_all(lower(s), '[a-z]+'), ['badword'])
+   AND NOT contains(lower(s), 'lorem ipsum')
+   AND NOT contains(s, '{')) AS keep,
+  CAST(length(retained) AS BIGINT) AS clean_chars
+FROM f
+""",
     "gopher_rules": r"""
 WITH base AS (
   SELECT doc_id, text, regexp_extract_all(text, '\S+') AS arr FROM documents

@@ -418,6 +418,117 @@ def pmi_pairs(
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def derive_structured_page(doc_id: int, text: str) -> str:
+    """Deterministic structured-page generator for the line-less synthetic
+    ``documents`` table (the ``url_nonsense`` / ``line_dedup`` pattern:
+    both engines derive the SAME variant, so a rule regression on either
+    side breaks the value hash). Lines are k-token windows
+    (k = 3 + doc_id%5, partial tail kept), terminal punctuation rotates
+    '.'/'!'/'?'/none per (doc_id+line)%4, a 'javascript' token is injected
+    on (doc_id+line)%13 lines, and doc-level contaminations ('lorem
+    ipsum' / '{' / a bad word) append to the final line on doc_id%41 /
+    %43 / %37. Mirrored operand-for-operand by the ``c4_rules`` SQL
+    oracle."""
+    import re
+
+    toks = re.findall(r"\S+", text or "")
+    k = 3 + doc_id % 5
+    nlines = (len(toks) + k - 1) // k
+    lines = []
+    for li in range(1, nlines + 1):
+        base = " ".join(toks[(li - 1) * k : li * k])
+        if (doc_id + li) % 13 == 0:
+            base += " javascript"
+        base += (".", "!", "?", "")[(doc_id + li) % 4]
+        lines.append(base)
+    s = "\n".join(lines)
+    if doc_id % 41 == 0:
+        s += " lorem ipsum"
+    if doc_id % 43 == 0:
+        s += " {"
+    if doc_id % 37 == 0:
+        s += " badword"
+    return s
+
+
+def c4_rules_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    bad_words: tuple[str, ...] = ("badword",),
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> pa.Table:
+    """The C4 cleaning-rule bundle (Raffel et al. 2020, §2.2) over
+    newline-structured text, emitted as per-rule observables + the keep
+    conjunction:
+
+      line kept      rstripped line ends in terminal punct (. ! ? \") AND
+                     has ≥ min_line_words whitespace tokens AND does not
+                     contain 'javascript' (case-insensitive)
+      n_sentences    count of [.!?] in the RETAINED (kept-lines) text — the
+                     deterministic sentence model both engines share
+      page dropped   if it contains any bad word (lowercase [a-z]+ token
+                     membership), the phrase 'lorem ipsum', or a '{'
+      keep           ≥1 kept line AND n_sentences ≥ min_sentences AND no
+                     page-level contamination
+
+    The reference corpus pipeline this models is public C4; counts are
+    integers and containment flags are exact, so the DuckDB oracle
+    comparison is bit-stable. The span-dedup rule of C4 lives separately
+    in ``duplicate_spans`` (stages/dedup.py)."""
+    import re
+
+    term_re = re.compile(r'[.!?"]$')
+    word_re = re.compile(r"\S+")
+    sent_re = re.compile(r"[.!?]")
+    tok_re = re.compile(r"[a-z]+")
+    bad = set(bad_words)
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    n_lines, n_kept, n_sent = [], [], []
+    has_bad, has_lorem, has_brace, keep, clean_chars = [], [], [], [], []
+    for t in texts:
+        s = t or ""
+        ls = s.split("\n")
+        kept = [
+            l
+            for l in ls
+            if term_re.search(l.rstrip()) is not None
+            and len(word_re.findall(l)) >= min_line_words
+            and "javascript" not in l.lower()
+        ]
+        retained = "\n".join(kept)
+        ns = len(sent_re.findall(retained))
+        low = s.lower()
+        lorem = "lorem ipsum" in low
+        brace = "{" in s
+        badw = not bad.isdisjoint(tok_re.findall(low))
+        n_lines.append(len(ls))
+        n_kept.append(len(kept))
+        n_sent.append(ns)
+        has_bad.append(badw)
+        has_lorem.append(lorem)
+        has_brace.append(brace)
+        keep.append(
+            len(kept) >= 1 and ns >= min_sentences and not (lorem or brace or badw)
+        )
+        clean_chars.append(len(retained))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept_lines": pa.array(n_kept, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "has_bad_word": pa.array(has_bad, pa.bool_()),
+            "has_lorem": pa.array(has_lorem, pa.bool_()),
+            "has_brace": pa.array(has_brace, pa.bool_()),
+            "keep": pa.array(keep, pa.bool_()),
+            "clean_chars": pa.array(clean_chars, pa.int64()),
+        }
+    )
+
+
 def gopher_rules_batch(
     batch: pa.Table,
     text_col: str = "text",

@@ -1285,6 +1285,70 @@ def test_gopher_rules_each_rule_fires(ray_session):
     assert bool(e.loc[0, "ok_symbol"])  # 1 ellipsis vs 65+ words
 
 
+def test_c4_rules_each_rule_fires(ray_session):
+    """One doc per C4 rule: line terminal-punct/min-words/javascript
+    filters, sentence floor, page-level lorem/brace/bad-word drops."""
+    from crawl4ai_ray.stages.textstats import c4_rules_batch
+
+    good = "one two three four five six.\nseven eight nine ten eleven!\ntwelve more words here too?"
+    docs = [
+        {"doc_id": 0, "text": good},                                   # all pass
+        {"doc_id": 1, "text": "one two three four five six"},          # no terminal punct
+        {"doc_id": 2, "text": "one two."},                             # < 5 words/line
+        {"doc_id": 3, "text": "enable javascript to view this page."}, # javascript line
+        {"doc_id": 4, "text": "one two three four five six."},         # 1 sentence < 3
+        {"doc_id": 5, "text": good + "\nlorem ipsum dolor sit amet."}, # lorem
+        {"doc_id": 6, "text": good + "\nvar x = { a: 1 };"},           # brace
+        {"doc_id": 7, "text": good + "\nthis has a badword in it."},   # bad word
+    ]
+    out = (
+        ray.data.from_items(docs)
+        .map_batches(c4_rules_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "keep"])
+    assert out.loc[0, "n_lines"] == 3 and out.loc[0, "n_kept_lines"] == 3
+    assert out.loc[0, "n_sentences"] == 3
+    assert out.loc[1, "n_kept_lines"] == 0 and not out.loc[1, "keep"]
+    assert out.loc[2, "n_kept_lines"] == 0
+    assert out.loc[3, "n_kept_lines"] == 0  # javascript filter, not word count
+    assert out.loc[4, "n_kept_lines"] == 1 and out.loc[4, "n_sentences"] == 1
+    assert not out.loc[4, "keep"]
+    assert bool(out.loc[5, "has_lorem"]) and not out.loc[5, "keep"]
+    assert bool(out.loc[6, "has_brace"]) and not out.loc[6, "keep"]
+    assert bool(out.loc[7, "has_bad_word"]) and not out.loc[7, "keep"]
+    # clean_chars counts the retained text only
+    assert out.loc[4, "clean_chars"] == len("one two three four five six.")
+    # bad-word match is token-exact, not substring: 'notbadwordish' is one
+    # [a-z]+ token and must NOT trip the filter
+    tok = (
+        ray.data.from_items([{"doc_id": 0, "text": good + "\nnotbadwordish text here okay."}])
+        .map_batches(c4_rules_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert not tok.loc[0, "has_bad_word"] and bool(tok.loc[0, "keep"])
+
+
+def test_c4_structured_page_derivation_deterministic():
+    """The synthetic structured-page generator is pure and injects each
+    contamination on its documented residue class."""
+    from crawl4ai_ray.stages.textstats import derive_structured_page
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert derive_structured_page(7, t) == derive_structured_page(7, t)
+    # doc 0: k=3, lines of 3 tokens; %41==0 → lorem, %43==0 → brace, 0%37==0 → badword
+    s0 = derive_structured_page(0, t)
+    assert "lorem ipsum" in s0 and "{" in s0 and "badword" in s0
+    s1 = derive_structured_page(1, t)
+    assert "lorem ipsum" not in s1 and "{" not in s1 and "badword" not in s1
+    # line width k = 3 + doc_id%5: doc 1 → k=4 → ceil(10/4)=3 lines
+    assert s1.count("\n") == 2
+    # (doc_id+li)%13==0 injects a javascript token: doc 12 line 1
+    assert "javascript" in derive_structured_page(12, t).split("\n")[0]
+
+
 def test_logreg_quality_bitexact_and_recall(ray_session):
     """Class-weighted distributed GD: (1) scores are invariant to block
     layout (integer gradient sums are order-free), (2) the fitted model
