@@ -750,6 +750,38 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_token_budget_select(sf_dir: str):
+    """Greedy quality-ordered token-budget selection
+    (stages/sampling.py token_budget_select): keep the best docs while
+    the running token total stays ≤ 12000 — a two-level scan over
+    score-ordered bins, with bins past the budget pruned map-side before
+    the only shuffle. Oracle = the quality expression tree (proven
+    float-exact by quality_filter) + SUM() OVER (ORDER BY quality DESC,
+    doc_id)."""
+    from ..stages.sampling import token_budget_select
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # score and token count in ONE pass over the read (a join of two
+    # derived maps would shuffle for nothing)
+    def score_and_count(batch: pa.Table) -> pa.Table:
+        s = textstats.quality_score_batch(batch)
+        t = textstats.token_stats_batch(batch)
+        return pa.table(
+            {
+                "doc_id": s.column("doc_id"),
+                "quality": s.column("quality"),
+                "n_tok": t.column("n_tokens"),
+            }
+        )
+
+    combined = docs.map_batches(score_and_count, batch_format="pyarrow")
+    return token_budget_select(
+        combined, budget=12000, score_col="quality", weight_col="n_tok"
+    )
+
+
 def q_c4_rules(sf_dir: str):
     """C4 cleaning-rule bundle (stages/textstats.py c4_rules_batch) over
     deterministically derived structured pages (the synthetic table is
@@ -2248,6 +2280,7 @@ QUERIES = {
     "logreg_quality": q_logreg_quality,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
+    "token_budget_select": q_token_budget_select,
     "host_curation": q_host_curation,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
@@ -2834,6 +2867,33 @@ SELECT doc_id, tok AS term, CAST(rnk AS BIGINT) AS rank, ROUND(score, 8) AS scor
 FROM ranked WHERE rnk <= 3
 """,
     "logreg_quality": _logreg_sql(12),
+    "token_budget_select": rf"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         CAST(length(regexp_extract_all(lower(text), '{_STOP_RE}')) AS DOUBLE) AS n_stop
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    (LEAST(GREATEST(n_tok / CAST(100.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+     + LEAST(GREATEST(CAST(1.0 AS DOUBLE) - CAST(5.0 AS DOUBLE) * (n_punct + n_digit) / GREATEST(n_chars, CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+     + LEAST(GREATEST(CAST(5.0 AS DOUBLE) * n_stop / GREATEST(n_tok, CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    ) / CAST(3.0 AS DOUBLE) AS quality,
+    CAST(n_tok AS BIGINT) AS n_tok
+  FROM c
+),
+w AS (
+  SELECT doc_id, quality, n_tok,
+    CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM s
+)
+SELECT doc_id, quality, n_tok, cum_tok FROM w WHERE cum_tok <= 12000
+""",
     "c4_rules": r"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS arr,

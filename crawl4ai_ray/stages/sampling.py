@@ -188,3 +188,100 @@ def grouped_sample(
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "sbucket"
     ).map_groups(per_bucket, batch_format="pandas")
+
+
+def token_budget_select(
+    ds: "ray.data.Dataset",
+    budget: int,
+    score_col: str = "quality",
+    weight_col: str = "n_tok",
+    id_col: str = "doc_id",
+    num_bins: int = 64,
+) -> "ray.data.Dataset":
+    """Greedy token-budget selection: walk the corpus in (score DESC,
+    id ASC) order and keep every doc while the running token total stays
+    ≤ ``budget`` — the "best docs until the budget is full" curation step
+    of a training-data run.
+
+    The running total is a prefix sum over a GLOBAL sort order; like
+    ``pack_sequences`` it distributes as a two-level scan, but over
+    score-ordered bins instead of id ranges:
+
+    1. map: ``bin = min(num_bins-1, floor(score · num_bins))`` (scores in
+       [0,1]; same score ⇒ same bin, so cross-bin order == score order and
+       in-bin ties resolve by id). Per-bin weight totals via one tiny
+       groupby.
+    2. driver: fold bin totals in score-DESC bin order → each bin's base
+       offset (O(num_bins) — bounded, not a data loop). Bins whose base
+       already ≥ budget can select nothing and are PRUNED MAP-SIDE — at a
+       tight budget almost none of the corpus enters the final shuffle.
+    3. groupby(bin).map_groups: vectorized (score desc, id) sort + cumsum
+       rebased on the bin base; keep rows with cum ≤ budget.
+
+    Output (id, score, weight, cum) for the selected docs. Exact and
+    engine-independent: selection depends only on the global order and
+    integer cumsum, never on bin granularity; a SQL window oracle
+    (SUM() OVER (ORDER BY score DESC, id)) reproduces it bit-for-bit.
+    """
+    import pandas as pd
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    B = int(num_bins)
+
+    def binned(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bins = np.minimum(B - 1, np.floor(s * B).astype(np.int64))
+        bins = np.maximum(bins, 0)
+        return pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                score_col: pa.array(s, pa.float64()),
+                weight_col: pa.array(w, pa.int64()),
+            }
+        )
+
+    binned_ds = ds.map_batches(binned, batch_format="pyarrow")
+    # one tiny aggregate: ≤ num_bins rows reach the driver
+    totals = (
+        binned_ds.groupby("bin")
+        .aggregate(ray.data.aggregate.Sum(weight_col, alias_name="total"))
+        .take_all()
+    )
+    totals.sort(key=lambda r: -r["bin"])  # score-descending bin order
+    bases: dict[int, int] = {}
+    acc = 0
+    for row in totals:
+        bases[row["bin"]] = acc
+        acc += row["total"]
+    live = {b for b, base in bases.items() if base < budget}
+    bases_ref = ray.put(bases)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bins = batch.column("bin").to_numpy(zero_copy_only=False)
+        mask = np.isin(bins, list(live)) if live else np.zeros(len(bins), bool)
+        return batch.filter(pa.array(mask))
+
+    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        base_map = ray.get(bases_ref)
+        g = g.sort_values([score_col, id_col], ascending=[False, True], kind="mergesort")
+        base = base_map[int(g["bin"].iloc[0])]
+        cum = base + g[weight_col].to_numpy(dtype=np.int64).cumsum()
+        keep = cum <= budget
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(dtype=np.int64)[keep],
+                score_col: g[score_col].to_numpy(dtype=np.float64)[keep],
+                weight_col: g[weight_col].to_numpy(dtype=np.int64)[keep],
+                "cum_tok": cum[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        binned_ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("bin")
+        .map_groups(per_bin, batch_format="pandas")
+    )

@@ -1285,6 +1285,48 @@ def test_gopher_rules_each_rule_fires(ray_session):
     assert bool(e.loc[0, "ok_symbol"])  # 1 ellipsis vs 65+ words
 
 
+def test_token_budget_select_exact_and_bin_independent(ray_session):
+    """Greedy budget selection: inclusive boundary, bin-granularity
+    independence (the two-level scan is exact for ANY num_bins), and
+    map-side pruning of bins past the budget."""
+    from crawl4ai_ray.stages.sampling import token_budget_select
+
+    rows = [
+        {"doc_id": i, "quality": q, "n_tok": w}
+        for i, (q, w) in enumerate(
+            [(0.9, 10), (0.8, 20), (0.8, 5), (0.7, 40), (0.5, 100), (0.3, 1)]
+        )
+    ]
+    ds = ray.data.from_items(rows)
+    # order: d0(10) d1(30) d2(35) d3(75) d4(175) d5(176); budget 75 keeps
+    # exactly d0,d1,d2,d3 (d3 lands ON the boundary — inclusive)
+    out = (
+        token_budget_select(ds, budget=75, num_bins=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["cum_tok"].tolist() == [10, 30, 35, 75]
+    # same-quality tie (d1 vs d2) resolves by doc_id ascending
+    assert out.loc[1, "cum_tok"] == 30 and out.loc[2, "cum_tok"] == 35
+    # bin-granularity independence: 1 bin (pure sort) == many bins
+    for bins in (1, 64, 1000):
+        alt = (
+            token_budget_select(ds, budget=75, num_bins=bins)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert alt["doc_id"].tolist() == [0, 1, 2, 3]
+        assert alt["cum_tok"].tolist() == [10, 30, 35, 75]
+    # tight budget: only the top doc fits; low bins never shuffle
+    top = token_budget_select(ds, budget=10, num_bins=4).to_pandas()
+    assert top["doc_id"].tolist() == [0]
+    # budget below the best doc's weight → empty result
+    assert token_budget_select(ds, budget=5, num_bins=4).count() == 0
+
+
 def test_c4_rules_each_rule_fires(ray_session):
     """One doc per C4 rule: line terminal-punct/min-words/javascript
     filters, sentence floor, page-level lorem/brace/bad-word drops."""
