@@ -750,6 +750,27 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR hashed-unigram importance weights (stages/dsir.py) with
+    target = English docs: per-bucket log-ratios fitted from ONE K-row
+    aggregate, broadcast as fixed-point int64, per-doc weight = integer
+    dot product (order-free → hash-stable). Oracle reproduces the bucket
+    hash via DuckDB's md5_number_lower and the identical quantized ln."""
+    from ..stages.dsir import dsir_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_target", pa.compute.equal(batch.column("lang"), pa.scalar("en"))
+        )
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow")
+    return dsir_weights(tagged, target_col="is_target")
+
+
 def q_token_budget_select(sf_dir: str):
     """Greedy quality-ordered token-budget selection
     (stages/sampling.py token_budget_select): keep the best docs while
@@ -2281,6 +2302,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
     "token_budget_select": q_token_budget_select,
+    "dsir_weights": q_dsir_weights,
     "host_curation": q_host_curation,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
@@ -2867,6 +2889,52 @@ SELECT doc_id, tok AS term, CAST(rnk AS BIGINT) AS rank, ROUND(score, 8) AS scor
 FROM ranked WHERE rnk <= 3
 """,
     "logreg_quality": _logreg_sql(12),
+    "dsir_weights": r"""
+WITH d AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, is_target, unnest(toks) AS tok FROM d),
+b AS (
+  SELECT doc_id, is_target,
+         CAST(md5_number_lower(tok) % 1024 AS BIGINT) AS bucket
+  FROM tok
+),
+cnt AS (
+  SELECT bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_all,
+    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+  FROM b GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n_all) AS BIGINT) AS a_tot, CAST(SUM(n_t) AS BIGINT) AS t_tot
+  FROM cnt
+),
+r AS (
+  SELECT bucket,
+    CAST(floor(
+      ln(((CAST(n_t AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(t_tot + 1024 AS DOUBLE))
+       / ((CAST(n_all AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(a_tot + 1024 AS DOUBLE)))
+      * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rfp
+  FROM cnt, tot
+),
+dc AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY doc_id, bucket
+),
+w AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feat,
+         CAST(SUM(c * rfp) AS BIGINT) AS logw_fp
+  FROM dc JOIN r USING (bucket) GROUP BY doc_id
+)
+SELECT d2.doc_id,
+  COALESCE(w.n_feat, 0) AS n_feat,
+  COALESCE(w.logw_fp, 0) AS logw_fp,
+  d2.is_target
+FROM (SELECT doc_id, (lang = 'en') AS is_target FROM documents) d2
+LEFT JOIN w USING (doc_id)
+""",
     "token_budget_select": rf"""
 WITH c AS (
   SELECT doc_id,

@@ -1285,6 +1285,33 @@ def test_gopher_rules_each_rule_fires(ray_session):
     assert bool(e.loc[0, "ok_symbol"])  # 1 ellipsis vs 65+ words
 
 
+def test_dsir_weights_tilt_and_bitexact(ray_session):
+    """DSIR importance weights: (1) docs made of target-slice tokens score
+    above docs made of raw-only tokens, (2) fixed-point integer weights
+    are invariant to block layout."""
+    from crawl4ai_ray.stages.dsir import dsir_weights
+
+    rows = []
+    for i in range(8):
+        rows.append({"doc_id": i, "text": "alpha beta alpha beta", "is_target": True})
+    for i in range(8, 16):
+        rows.append({"doc_id": i, "text": "gamma delta gamma delta", "is_target": False})
+    # probe docs: target-looking vs raw-only-looking, both non-target
+    rows.append({"doc_id": 16, "text": "alpha beta", "is_target": False})
+    rows.append({"doc_id": 17, "text": "gamma delta", "is_target": False})
+    ds = ray.data.from_items(rows)
+    out = dsir_weights(ds, target_col="is_target", k=64).to_pandas().set_index("doc_id")
+    assert out.loc[16, "logw_fp"] > 0 > out.loc[17, "logw_fp"]
+    assert out.loc[16, "n_feat"] == 2
+    assert bool(out.loc[0, "is_target"]) and not bool(out.loc[17, "is_target"])
+    # block-layout invariance: integer sums are order-free
+    a = dsir_weights(ds, target_col="is_target", k=64).to_pandas()
+    b = dsir_weights(ds.repartition(7), target_col="is_target", k=64).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_token_budget_select_exact_and_bin_independent(ray_session):
     """Greedy budget selection: inclusive boundary, bin-granularity
     independence (the two-level scan is exact for ANY num_bins), and
