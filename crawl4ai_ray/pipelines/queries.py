@@ -771,6 +771,39 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(tagged, target_col="is_target")
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table
+    (stages/cluster.py kmeans_fp): integer-exact fixed-point arithmetic
+    throughout, so the iterative algorithm is SQL-reproducible — the
+    oracle unrolls the same 4 iterations as CTEs."""
+    from ..stages.cluster import kmeans_fp
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, _ = kmeans_fp(emb, k=8, iters=4)
+    return assignments
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (cluster-then-cosine-drop) over embeddings with planted
+    identical copies (vec_id + N, like embedding_neardup): every copy is
+    cos=1 to its original and must be dropped; cluster assignment +
+    threshold test are integer-exact so the SQL oracle reproduces the
+    full pipeline including the k-means chain."""
+    from ..stages.cluster import semdedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+
+    def copy(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.add(batch.column("vec_id"), n)
+        return batch.set_column(
+            batch.schema.get_field_index("vec_id"), "vec_id", ids
+        )
+
+    dup = emb.union(emb.map_batches(copy, batch_format="pyarrow"))
+    return semdedup(dup, k=8, iters=4, tau_num=81, tau_den=100)
+
+
 def q_token_budget_select(sf_dir: str):
     """Greedy quality-ordered token-budget selection
     (stages/sampling.py token_budget_select): keep the best docs while
@@ -2303,6 +2336,8 @@ QUERIES = {
     "c4_rules": q_c4_rules,
     "token_budget_select": q_token_budget_select,
     "dsir_weights": q_dsir_weights,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup": q_semdedup,
     "host_curation": q_host_curation,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
@@ -4150,4 +4185,102 @@ SELECT m.doc_id, m.dl, m.nll_fixed, m.mean_nll_fixed,
        d.clean_text
 FROM m JOIN dedup d ON d.doc_id = m.doc_id
 WHERE m.mean_nll_fixed < 343500000
+"""
+
+
+def _kmeans_cte_chain(k: int, iters: int, emb_src: str = "embeddings") -> str:
+    """Unrolled fixed-point k-means as a CTE chain mirroring
+    stages/cluster.py kmeans_fp operand-for-operand: quantize
+    floor(v*2^20+0.5) in DOUBLE, integer squared distances, ties to the
+    lowest cluster, centroid update floor(SUM::DOUBLE / COUNT) (exact
+    while |sum| < 2^53 — DuckDB's // truncates toward zero, so it is NOT
+    used), empty clusters carry the previous centroid. AS MATERIALIZED on
+    every multi-consumer CTE or DuckDB 1.0 inlines the chain
+    exponentially (same gotcha as the logreg oracle)."""
+    parts = [
+        f"""efp AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e
+  FROM {emb_src}
+),
+c0 AS MATERIALIZED (SELECT vec_id AS cluster, dim, e AS c FROM efp WHERE vec_id < {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT f.vec_id, c.cluster, SUM((f.e - c.c) * (f.e - c.c)) AS d
+  FROM efp f JOIN c{i - 1} c USING (dim) GROUP BY f.vec_id, c.cluster
+),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d{i}) WHERE rn = 1
+),
+c{i} AS MATERIALIZED (
+  SELECT prev.cluster, prev.dim, COALESCE(upd.c, prev.c) AS c
+  FROM c{i - 1} prev LEFT JOIN (
+    SELECT a.cluster, f.dim,
+           CAST(floor(CAST(SUM(f.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM a{i} a JOIN efp f USING (vec_id) GROUP BY a.cluster, f.dim
+  ) upd ON prev.cluster = upd.cluster AND prev.dim = upd.dim
+)"""
+        )
+    parts.append(
+        f"""dfin AS (
+  SELECT f.vec_id, c.cluster, SUM((f.e - c.c) * (f.e - c.c)) AS d
+  FROM efp f JOIN c{iters} c USING (dim) GROUP BY f.vec_id, c.cluster
+),
+afinal AS MATERIALIZED (
+  SELECT vec_id, cluster, d FROM (
+    SELECT vec_id, cluster, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM dfin) WHERE rn = 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
+ORACLES["kmeans_embeddings"] = f"""
+WITH {_kmeans_cte_chain(8, 4)}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(d AS BIGINT) AS dist_fp
+FROM afinal
+"""
+
+# semdedup: the same k-means chain over the doubled (planted-copy) table,
+# then within-cluster lower-id-dominates cosine drops, integer-exact:
+# cos(u,v) > 0.9  ⟺  dot > 0 AND dot^2*100 > 81*|u|^2*|v|^2 (HUGEINT).
+ORACLES["semdedup"] = f"""
+WITH emb2 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT COUNT(*) FROM embeddings), embedding FROM embeddings
+),
+{_kmeans_cte_chain(8, 4, emb_src="emb2")},
+norms AS MATERIALIZED (
+  SELECT vec_id, SUM(CAST(e AS HUGEINT) * e) AS nn FROM efp GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM afinal a JOIN afinal b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.u, p.v, SUM(CAST(fu.e AS HUGEINT) * fv.e) AS dot
+  FROM pairs p
+  JOIN efp fu ON fu.vec_id = p.u
+  JOIN efp fv ON fv.vec_id = p.v AND fv.dim = fu.dim
+  GROUP BY p.u, p.v
+),
+dropped AS (
+  SELECT DISTINCT d.v
+  FROM dots d
+  JOIN norms nu ON nu.vec_id = d.u
+  JOIN norms nv ON nv.vec_id = d.v
+  WHERE d.dot > 0 AND d.dot * d.dot * 100 > 81 * nu.nn * nv.nn
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       a.vec_id NOT IN (SELECT v FROM dropped) AS keep
+FROM afinal a
 """

@@ -1285,6 +1285,117 @@ def test_gopher_rules_each_rule_fires(ray_session):
     assert bool(e.loc[0, "ok_symbol"])  # 1 ellipsis vs 65+ words
 
 
+def _kmeans_pure_python(embs, k, iters):
+    """Independent scalar reimplementation of stages/cluster.py kmeans_fp
+    (plain lists + math.floor — none of the numpy path)."""
+    import math
+
+    q = 1 << 20
+    fp = [
+        [int(math.floor(float(v) * q + 0.5)) for v in e] for e in embs
+    ]
+    cents = [list(fp[i]) for i in range(k)]
+    d = len(fp[0])
+
+    def assign(vec):
+        best, bd = 0, None
+        for ci in range(k):
+            dist = sum((vec[j] - cents[ci][j]) ** 2 for j in range(d))
+            if bd is None or dist < bd:
+                best, bd = ci, dist
+        return best, bd
+
+    for _ in range(iters):
+        sums = [[0] * d for _ in range(k)]
+        ns = [0] * k
+        for vec in fp:
+            a, _ = assign(vec)
+            ns[a] += 1
+            for j in range(d):
+                sums[a][j] += vec[j]
+        for ci in range(k):
+            if ns[ci] > 0:
+                cents[ci] = [sums[ci][j] // ns[ci] for j in range(d)]
+    return [assign(vec) for vec in fp]
+
+
+def test_kmeans_fp_matches_pure_python_and_layout(ray_session):
+    """kmeans_fp separates planted blobs, matches an independent scalar
+    recompute exactly (integer arithmetic), and is invariant to block
+    layout."""
+    import random
+
+    from crawl4ai_ray.stages.cluster import kmeans_fp
+
+    rng = random.Random(7)
+    embs, rows = [], []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0, 0.0]
+        e = [b + rng.uniform(-0.05, 0.05) for b in base]
+        embs.append(e)
+        rows.append({"vec_id": i, "embedding": e})
+    expect = _kmeans_pure_python(embs, k=2, iters=3)
+
+    ds = ray.data.from_items(rows)
+    out = (
+        kmeans_fp(ds, k=2, iters=3)[0]
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["cluster"]) == [a for a, _ in expect]
+    assert list(out["dist_fp"]) == [d for _, d in expect]
+    # blob separation: odd ids (≈e0) one cluster, even ids the other
+    assert len(set(out[out.vec_id % 2 == 1]["cluster"])) == 1
+    assert len(set(out[out.vec_id % 2 == 0]["cluster"])) == 1
+
+    out7 = (
+        kmeans_fp(ds.repartition(7), k=2, iters=3)[0]
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out7)
+
+
+def test_semdedup_strict_threshold_and_chain(ray_session):
+    """SemDeDup drop rule: strict > at the exact integer boundary, and
+    lower-id-dominates-ANY-earlier semantics (a dropped doc still
+    dominates later docs)."""
+    from crawl4ai_ray.stages.cluster import semdedup
+
+    # k=1 (single cluster): u=(1,0), v=(1,1) → cos^2 = 1/2 exactly in
+    # fixed point. tau^2 = 1/2 → equality → KEEP (strict >);
+    # tau^2 = 2/5 → 1/2 > 2/5 → DROP.
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 1, "embedding": [1.0, 1.0]},
+    ]
+    ds = ray.data.from_items(rows)
+    eq = semdedup(ds, k=1, iters=1, tau_num=1, tau_den=2).to_pandas()
+    assert eq.sort_values("vec_id")["keep"].tolist() == [True, True]
+    gt = semdedup(ds, k=1, iters=1, tau_num=2, tau_den=5).to_pandas()
+    assert gt.sort_values("vec_id")["keep"].tolist() == [True, False]
+
+    # chain: b ~ a and c ~ b but c !~ a. All-earlier semantics: b dropped
+    # by a, c dropped by b EVEN THOUGH b itself was dropped.
+    import math
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 1, "embedding": [math.cos(0.25), math.sin(0.25)]},
+        {"vec_id": 2, "embedding": [math.cos(0.5), math.sin(0.5)]},
+    ]
+    # cos(0.25) ≈ 0.9689 > 0.95 (adjacent), cos(0.5) ≈ 0.8776 < 0.95
+    ds = ray.data.from_items(rows)
+    out = (
+        semdedup(ds, k=1, iters=1, tau_num=9025, tau_den=10000)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert out["keep"].tolist() == [True, False, False]
+
+
 def test_dsir_weights_tilt_and_bitexact(ray_session):
     """DSIR importance weights: (1) docs made of target-slice tokens score
     above docs made of raw-only tokens, (2) fixed-point integer weights
