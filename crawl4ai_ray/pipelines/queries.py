@@ -1222,6 +1222,49 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs_prefix(docs, tau=0.9, shingle=3)
 
 
+def q_neardup_keep(sf_dir: str):
+    """End-to-end near-dup REMOVAL (the composition a training-data user
+    actually runs): exact prefix-filtered 3-gram Jaccard pairs →
+    undirected edges → distributed connected components (min-label
+    propagation with convergence detection) → canonical winner = the
+    lowest doc_id per component. → (doc_id, component, keep). The oracle
+    recomputes pairs from string grams and closes components with a
+    recursive CTE."""
+    from ..stages.graph import connected_components
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, tau=0.9, shingle=3)
+    edges = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("a").cast(pa.int64()),
+                "dst": b.column("b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(nodes, edges)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("node").cast(pa.int64()),
+                "component": batch.column("component").cast(pa.int64()),
+                "keep": pa.compute.equal(
+                    batch.column("node"), batch.column("component")
+                ),
+            }
+        )
+
+    return comp.map_batches(verdict, batch_format="pyarrow")
+
+
 def q_duplicate_spans(sf_dir: str):
     """Merged maximal cross-document duplicate 5-token spans (substring
     dedup à la exact-substring dup marking): windows whose gram occurs in
@@ -1871,19 +1914,14 @@ def q_top_k_relevant(sf_dir: str):
     )
 
 
-def q_bm25_topk(sf_dir: str):
-    """Full BM25 (Robertson idf + length normalization, k1=1.2 b=0.75)
-    top-10 document search — the lexical sibling of the ANN queries and
-    the corpus-level big brother of the seeder's head-field BM25. One
-    pass emits per-doc (tf_q…, dl); the collection stats (N, Σdl, df_q)
-    are a tiny aggregate folded on the driver and broadcast back into the
-    scoring map. Both engines evaluate the identical expression tree over
-    exact int64 counts and ROUND to 8 decimals (the pagerank float
-    discipline), with doc_id tiebreak."""
+def _bm25_scored(sf_dir: str, terms=("table", "scan", "merge")):
+    """Shared BM25 scoring plan (doc_id, score): one tokenize pass emits
+    per-doc (tf…, dl); collection stats fold on the driver and broadcast
+    back into the scoring map. Used by q_bm25_topk and q_hybrid_rrf."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    terms = ["table", "scan", "merge"]
+    terms = list(terms)
     K1, B = 1.2, 0.75
 
     def tfs(batch: pa.Table) -> pa.Table:
@@ -1941,11 +1979,68 @@ def q_bm25_topk(sf_dir: str):
             }
         )
 
+    return tf_ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_bm25_topk(sf_dir: str):
+    """Full BM25 (Robertson idf + length normalization, k1=1.2 b=0.75)
+    top-10 document search — the lexical sibling of the ANN queries and
+    the corpus-level big brother of the seeder's head-field BM25. Both
+    engines evaluate the identical expression tree over exact int64
+    counts and ROUND to 8 decimals (the pagerank float discipline), with
+    doc_id tiebreak."""
     return (
-        tf_ds.map_batches(score, batch_format="pyarrow")
+        _bm25_scored(sf_dir)
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(10)
     )
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-20 and the exact-cosine semantic top-20 (query = embedding 0,
+    vec_id aligned with doc_id). Fusion is integer-exact —
+    contribution = 10^9 // (60 + rank) — so only the two input RANKINGS
+    carry float comparisons (both already oracle-proven: bm25_topk,
+    ann_topk). → (doc_id, rrf_fp, rank) top-10."""
+    from ..stages.ann import brute_force_topk, rrf_fuse
+
+    lex20 = (
+        _bm25_scored(sf_dir)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+    def lex_rank(batch: pa.Table) -> pa.Table:
+        # post-limit the dataset is ≤20 ordered rows in one block
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, batch.num_rows + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    lex = lex20.repartition(1).map_batches(
+        lex_rank, batch_format="pyarrow", batch_size=None
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = sorted(
+        emb.filter(expr="vec_id < 1").take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.asarray([r["embedding"] for r in q0], dtype=np.float64)
+    sem = brute_force_topk(emb, queries, [0], k=20).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("neighbor_id").cast(pa.int64()),
+                "rank": b.column("rank").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rrf_fuse([lex, sem], k_const=60, topk=10)
 
 
 def q_triangles(sf_dir: str):
@@ -2338,6 +2433,8 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
+    "neardup_keep": q_neardup_keep,
+    "hybrid_rrf": q_hybrid_rrf,
     "host_curation": q_host_curation,
     "anchor_text_agg": q_anchor_text_agg,
     "token_percentiles": q_token_percentiles,
@@ -4283,4 +4380,101 @@ dropped AS (
 SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
        a.vec_id NOT IN (SELECT v FROM dropped) AS keep
 FROM afinal a
+"""
+
+
+# neardup_keep: the ngram_jaccard_pairs oracle supplies the edge list;
+# components close via a recursive CTE (UNION dedups the label frontier,
+# so the recursion enumerates (node, reachable-label) pairs — bounded on
+# near-dup clusters, which are tiny); canonical winner = min label.
+ORACLES["neardup_keep"] = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({ORACLES["ngram_jaccard_pairs"]}),
+und AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+cc(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.comp FROM cc c JOIN und e ON e.src = c.node
+)
+SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS component,
+       (node = MIN(comp)) AS keep
+FROM cc GROUP BY node
+"""
+
+# hybrid_rrf: BM25 lexical top-20 + exact-cosine semantic top-20
+# (query = embedding 0), fused with integer reciprocal-rank contributions
+# 10^9 // (60 + rank). DuckDB // truncates toward zero == floor here
+# (operands positive).
+ORACLES["hybrid_rrf"] = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'table')) AS tf0,
+         len(list_filter(t, x -> x = 'scan'))  AS tf1,
+         len(list_filter(t, x -> x = 'merge')) AS tf2
+  FROM toks
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         CAST(COUNT(*) FILTER (tf0 > 0) AS BIGINT) AS df0,
+         CAST(COUNT(*) FILTER (tf1 > 0) AS BIGINT) AS df1,
+         CAST(COUNT(*) FILTER (tf2 > 0) AS BIGINT) AS df2
+  FROM tf
+),
+scored AS (
+  SELECT tf.doc_id,
+    ROUND(
+      ln((st.n_docs - st.df0 + CAST(0.5 AS DOUBLE)) / (st.df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * (tf.tf0 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        / (tf.tf0 + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * tf.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+    + ln((st.n_docs - st.df1 + CAST(0.5 AS DOUBLE)) / (st.df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * (tf.tf1 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        / (tf.tf1 + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * tf.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+    + ln((st.n_docs - st.df2 + CAST(0.5 AS DOUBLE)) / (st.df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * (tf.tf2 * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        / (tf.tf2 + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * tf.dl / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+    , 8) AS score
+  FROM tf, st
+),
+lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM scored
+  ) WHERE r <= 20
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT doc_id, r FROM (
+    SELECT e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id
+           ) AS r
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> 0
+  ) WHERE r <= 20
+),
+contribs AS (
+  SELECT doc_id, 1000000000 // (60 + r) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1000000000 // (60 + r) AS c FROM sem
+),
+fused AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fp
+  FROM contribs GROUP BY doc_id
+)
+SELECT doc_id, rrf_fp,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+FROM fused
+ORDER BY rank LIMIT 10
 """

@@ -313,3 +313,47 @@ def ivf_topk_bucketed(
         lambda g: _reduce_topk(g, k, True), batch_format="pyarrow"
     )
     return out, telemetry
+
+
+def rrf_fuse(
+    lists: list,
+    k_const: int = 60,
+    contrib_scale: int = 10**9,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public SIGIR paper)
+    of N ranked lists, integer-exact: each (id, rank) row contributes
+    ``contrib_scale // (k_const + rank)`` (positive integer floor
+    division — identical to DuckDB ``//`` on positive operands), summed
+    per id with one groupby, then top-k by (score DESC, id). Only the
+    input rankings carry float comparisons; the fusion itself is
+    order-free integer arithmetic. Returns a pa.Table
+    (id_col, rrf_fp, rank) of topk rows — small by construction."""
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        ranks = batch.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "c": pa.array(contrib_scale // (k_const + ranks), pa.int64()),
+            }
+        )
+
+    fused = lists[0].map_batches(contrib, batch_format="pyarrow")
+    for other in lists[1:]:
+        fused = fused.union(other.map_batches(contrib, batch_format="pyarrow"))
+    top = (
+        fused.groupby(id_col)
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="rrf_fp"))
+        .sort(["rrf_fp", id_col], descending=[True, False])
+        .limit(topk)
+        .take_all()
+    )
+    return pa.table(
+        {
+            id_col: pa.array([int(r[id_col]) for r in top], pa.int64()),
+            "rrf_fp": pa.array([int(r["rrf_fp"]) for r in top], pa.int64()),
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        }
+    )

@@ -249,10 +249,17 @@ def verify_pairs(
     n_pairs = pairs.count()
     cand_ref = None
     if n_pairs <= broadcast_threshold:
-        tbl = pa.concat_tables(
-            [ray.get(r) for r in pairs.to_arrow_refs()]
-        ) if n_pairs else pa.table({"a": pa.array([], pa.int64()),
-                                    "b": pa.array([], pa.int64())})
+        # empty shuffle partitions come back as ZERO-COLUMN blocks (not
+        # zero-row (a,b) blocks) — drop them before concat or the schema
+        # check trips on tiny inputs
+        nonempty = [
+            t.select(["a", "b"])
+            for t in (ray.get(r) for r in pairs.to_arrow_refs())
+            if t.num_rows
+        ]
+        tbl = pa.concat_tables(nonempty) if nonempty else pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
         cand_ids = np.unique(
             np.concatenate(
                 [

@@ -1285,6 +1285,67 @@ def test_gopher_rules_each_rule_fires(ray_session):
     assert bool(e.loc[0, "ok_symbol"])  # 1 ellipsis vs 65+ words
 
 
+def test_rrf_fuse_exact(ray_session):
+    """Integer RRF: hand-computed contributions, membership in one list
+    only, and (score DESC, id ASC) tie ordering."""
+    from crawl4ai_ray.stages.ann import rrf_fuse
+
+    lex = ray.data.from_items(
+        [{"doc_id": 10, "rank": 1}, {"doc_id": 20, "rank": 2}]
+    )
+    sem = ray.data.from_items(
+        [{"doc_id": 20, "rank": 1}, {"doc_id": 30, "rank": 2}]
+    )
+    out = rrf_fuse([lex, sem], k_const=60, topk=10).to_pandas()
+    s = 10**9
+    exp = {
+        20: s // 62 + s // 61,  # in both lists
+        10: s // 61,
+        30: s // 62,
+    }
+    got = dict(zip(out["doc_id"], out["rrf_fp"]))
+    assert got == exp
+    assert out["doc_id"].tolist() == [20, 10, 30]  # fused order
+    assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_neardup_keep_canonical_winner(ray_session):
+    """pairs → components → keep: identical docs collapse to the lowest
+    id; a transitive chain shares one component; uniques keep."""
+    from crawl4ai_ray.stages import dedup
+    from crawl4ai_ray.stages.graph import connected_components
+
+    t_dup = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        {"doc_id": 0, "text": t_dup},
+        {"doc_id": 1, "text": t_dup},
+        {"doc_id": 2, "text": t_dup},
+        {"doc_id": 3, "text": "totally different words here entirely now"},
+    ]
+    docs = ray.data.from_items(rows)
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, tau=0.9, shingle=3)
+    edges = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("a").cast(pa.int64()),
+                "dst": b.column("b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    comp = (
+        connected_components(nodes, edges)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert comp["component"].tolist() == [0, 0, 0, 3]
+
+
 def _kmeans_pure_python(embs, k, iters):
     """Independent scalar reimplementation of stages/cluster.py kmeans_fp
     (plain lists + math.floor — none of the numpy path)."""
