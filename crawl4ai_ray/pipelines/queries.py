@@ -395,6 +395,23 @@ def q_url_nonsense(sf_dir: str):
     return docs.map_batches(derive, batch_format="pyarrow")
 
 
+def q_sitemap_urls(sf_dir: str):
+    """Sitemap discovery (AsyncUrlSeeder._iter_sitemap parity,
+    async_url_seeder.py:830-960): synthesize each host's sitemap corpus
+    (root index → two parity-split sub-sitemap urlsets with lastmod /
+    priority fields), walk it from the root indexes with the distributed
+    two-level parser, glob-filter like SeedingConfig.pattern. The oracle
+    re-derives every field (including the hash-derived lastmod/priority)
+    straight from the pages universe — the XML build+parse round-trip on
+    the Ray side must be lossless for the value hash to match."""
+    from ..sources.pages import read_pages
+    from ..sources.sitemap import build_sitemap_table, parse_sitemaps
+
+    pages = read_pages(sf_dir, columns=["url"])
+    sm = build_sitemap_table(pages)
+    return parse_sitemaps(sm, pattern="https://site1*.example.com/*")
+
+
 def q_shuffle_export(sf_dir: str):
     """Deterministic shuffle-for-training placement (stages/shuffle.py):
     every doc's (shard, in-shard position) under the seed-keyed 64-bit
@@ -2413,6 +2430,7 @@ QUERIES = {
     "url_filter_pattern": q_url_filter_pattern,
     "url_scores": q_url_scores,
     "url_nonsense": q_url_nonsense,
+    "sitemap_urls": q_sitemap_urls,
     "shuffle_export": q_shuffle_export,
     "crawl_delta": q_crawl_delta,
     "extract_docs": q_extract_docs,
@@ -4477,4 +4495,24 @@ SELECT doc_id, rrf_fp,
        CAST(ROW_NUMBER() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
 FROM fused
 ORDER BY rank LIMIT 10
+"""
+
+# --- sitemap_urls -----------------------------------------------------------
+# The Ray side builds per-host sitemap XML (index -> parity-split urlsets,
+# lastmod/priority from the multiplicative sampling hash), walks it from the
+# root indexes and parses it back with ElementTree. The oracle derives the
+# same (host, url, lastmod, priority) rows DIRECTLY from the pages universe:
+# a lossy or lossless-but-wrong XML round-trip on the Ray side (missed strip,
+# dropped entry, field swap, glob drift) breaks rows or the value hash.
+ORACLES["sitemap_urls"] = f"""
+WITH {SQL_PAGES},
+h AS (
+  SELECT host, url, (doc_id * 2654435761 + 12345) % 1000000007 AS hsh
+  FROM purl
+  WHERE url LIKE 'https://site1%.example.com/%'
+)
+SELECT host, url,
+       CAST(CAST(DATE '2024-01-01' + (hsh % 365) * INTERVAL 1 DAY AS DATE) AS VARCHAR) AS lastmod,
+       CAST(hsh % 9 + 1 AS DOUBLE) / 10.0 AS priority
+FROM h
 """
