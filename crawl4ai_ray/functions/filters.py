@@ -183,6 +183,19 @@ class ContentTypeFilter(URLFilter):
         return out
 
 
+class TrapFilter(URLFilter):
+    """Drop spider-trap URLs (functions/urls.py trap_flags — repeated
+    path segments, excessive depth, session ids, param explosions,
+    over-long URLs, out-of-range calendar years). No reference analogue
+    (a page-at-a-time crawler never meets traps); at frontier scale this
+    sits in the deep-crawl FilterChain beside URLPatternFilter."""
+
+    def _mask(self, urls):
+        from .urls import trap_mask
+
+        return trap_mask(list(urls))
+
+
 class FilterChain:
     """AND of filters with early-exit, chain-level stats
     (filters.py:68-116)."""

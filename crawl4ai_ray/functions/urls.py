@@ -273,6 +273,78 @@ def is_nonsense_url(url: str) -> bool:
     return False
 
 
+# --- spider-trap heuristics -------------------------------------------------
+# Classic crawler-trap rules (Heritrix PathologicalPathDecideRule /
+# TooManyPathSegmentsDecideRule lineage; no reference analogue — crawl4ai
+# crawls page-at-a-time and never meets traps, but a 10^10-URL frontier
+# does). Every rule is a pure function of the URL string so the SQL oracle
+# reproduces it generically (RE2 has no backreferences, so the repeated-
+# segment rule is expressed over the split segment list on both sides).
+
+_TRAP_SESSION_RE = re.compile(r"(^|&)(sessionid|phpsessid|jsessionid|sid|sess)=")
+_TRAP_4DIGIT_RE = re.compile(r"^\d{4}$")
+TRAP_MAX_DEPTH = 8  # path segments
+TRAP_MAX_LEN = 200  # whole-url chars
+TRAP_MAX_PARAMS = 5  # query params (>= flags)
+TRAP_YEAR_MIN, TRAP_YEAR_MAX = 1990, 2025
+
+_TRAP_RULES = (
+    "repeated_segment",
+    "too_deep",
+    "session_id",
+    "many_params",
+    "too_long",
+    "bad_year",
+)
+
+
+def trap_flags(url: str) -> dict[str, bool]:
+    """Per-rule spider-trap flags + their disjunction ``is_trap``.
+
+    Rules: (1) a path segment repeated >=3 times consecutively
+    (/x/x/x — mirror galleries, cyclic links); (2) path deeper than
+    TRAP_MAX_DEPTH segments; (3) a session-id query param (each visitor
+    mints a fresh URL universe); (4) >= TRAP_MAX_PARAMS query params
+    (faceted-search explosion); (5) URL longer than TRAP_MAX_LEN chars;
+    (6) a 4-digit path segment outside [TRAP_YEAR_MIN, TRAP_YEAR_MAX]
+    (infinite-calendar pages). Unparseable URLs are not flagged (the
+    validity gate drops them upstream)."""
+    out = {r: False for r in _TRAP_RULES}
+    try:
+        parsed = urlparse(url)
+        path, query = parsed.path, parsed.query
+    except Exception:
+        out["is_trap"] = False
+        return out
+    segs = [s for s in path.split("/") if s]
+    out["repeated_segment"] = any(
+        segs[i] == segs[i + 1] == segs[i + 2] for i in range(len(segs) - 2)
+    )
+    out["too_deep"] = len(segs) > TRAP_MAX_DEPTH
+    out["session_id"] = bool(_TRAP_SESSION_RE.search(query.lower()))
+    out["many_params"] = (
+        len([p for p in query.split("&") if p]) >= TRAP_MAX_PARAMS if query else False
+    )
+    out["too_long"] = len(url) > TRAP_MAX_LEN
+    out["bad_year"] = any(
+        _TRAP_4DIGIT_RE.match(s) and not (TRAP_YEAR_MIN <= int(s) <= TRAP_YEAR_MAX)
+        for s in segs
+    )
+    out["is_trap"] = any(out[r] for r in _TRAP_RULES)
+    return out
+
+
+def is_trap_url(url: str) -> bool:
+    return trap_flags(url)["is_trap"]
+
+
+def trap_mask(urls: list[str]) -> np.ndarray:
+    """Vectorized keep-mask (True = NOT a trap) for frontier admission."""
+    return np.fromiter(
+        (not trap_flags(u)["is_trap"] for u in urls), dtype=bool, count=len(urls)
+    )
+
+
 _YEAR_RE = re.compile(
     r"(?:/|[-_])((?:19|20)\d{2})(?:(?:/|[-_])(?:\d{2})(?:(?:/|[-_])(?:\d{2}))?)?"
 )

@@ -395,6 +395,59 @@ def q_url_nonsense(sf_dir: str):
     return docs.map_batches(derive, batch_format="pyarrow")
 
 
+def q_url_traps(sf_dir: str):
+    """Spider-trap gate (functions/urls.py trap_flags): derive one URL
+    variant per doc (one per rule family + two negative controls) and emit
+    every per-rule flag. Like url_nonsense, the oracle re-implements every
+    rule generically in SQL over the URL STRING (segment-list form, since
+    RE2 lacks backreferences) — it does not branch on the variant index."""
+    from ..functions.urls import trap_flags
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = []
+        for i in ids:
+            base = f"https://site{i % 50}.example.com/page/{i}"
+            k = i % 8
+            if k == 0:
+                u = base
+            elif k == 1:
+                u = base + "/x/x/x"
+            elif k == 2:
+                u = base + "/a1/a2/a3/a4/a5/a6/a7"
+            elif k == 3:
+                u = base + "?phpsessid=deadbeef"
+            elif k == 4:
+                u = base + "?a=1&b=2&c=3&d=4&e=5"
+            elif k == 5:
+                u = base + "/" + "x" * 200
+            elif k == 6:
+                u = base + "/2050/01/05/report"
+            else:
+                u = base + "/y/z/y/z"
+            urls.append(u)
+        flags = [trap_flags(u) for u in urls]
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+        }
+        for rule in (
+            "repeated_segment",
+            "too_deep",
+            "session_id",
+            "many_params",
+            "too_long",
+            "bad_year",
+            "is_trap",
+        ):
+            cols[rule] = pa.array([f[rule] for f in flags], pa.bool_())
+        return pa.table(cols)
+
+    return docs.map_batches(derive, batch_format="pyarrow")
+
+
 def q_sitemap_urls(sf_dir: str):
     """Sitemap discovery (AsyncUrlSeeder._iter_sitemap parity,
     async_url_seeder.py:830-960): synthesize each host's sitemap corpus
@@ -2431,6 +2484,7 @@ QUERIES = {
     "url_scores": q_url_scores,
     "url_nonsense": q_url_nonsense,
     "sitemap_urls": q_sitemap_urls,
+    "url_traps": q_url_traps,
     "shuffle_export": q_shuffle_export,
     "crawl_delta": q_crawl_delta,
     "extract_docs": q_extract_docs,
@@ -4515,4 +4569,64 @@ SELECT host, url,
        CAST(CAST(DATE '2024-01-01' + (hsh % 365) * INTERVAL 1 DAY AS DATE) AS VARCHAR) AS lastmod,
        CAST(hsh % 9 + 1 AS DOUBLE) / 10.0 AS priority
 FROM h
+"""
+
+# --- url_traps ---------------------------------------------------------------
+# Every trap rule recomputed generically from the URL string (no branching on
+# the variant index k): path/query split by regex, segment list via
+# str_split+list_filter, the consecutive-repeat rule over indexed segments
+# (RE2 has no backreferences), TRY_CAST-guarded year range.
+ORACLES["url_traps"] = r"""
+WITH v AS (
+  SELECT doc_id,
+         'https://site' || (doc_id % 50) || '.example.com/page/' || doc_id AS base,
+         doc_id % 8 AS k
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+    CASE k
+      WHEN 0 THEN base
+      WHEN 1 THEN base || '/x/x/x'
+      WHEN 2 THEN base || '/a1/a2/a3/a4/a5/a6/a7'
+      WHEN 3 THEN base || '?phpsessid=deadbeef'
+      WHEN 4 THEN base || '?a=1&b=2&c=3&d=4&e=5'
+      WHEN 5 THEN base || '/' || repeat('x', 200)
+      WHEN 6 THEN base || '/2050/01/05/report'
+      ELSE base || '/y/z/y/z'
+    END AS url
+  FROM v
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+),
+segged AS (
+  SELECT doc_id, url, path, query,
+         list_filter(str_split(path, '/'), s -> s <> '') AS segs
+  FROM parts
+),
+flags AS (
+  SELECT doc_id, url,
+    len(segs) >= 3 AND len(list_filter(range(1, len(segs) - 1),
+        i -> list_extract(segs, i) = list_extract(segs, i + 1)
+         AND list_extract(segs, i) = list_extract(segs, i + 2))) > 0
+      AS repeated_segment,
+    len(segs) > 8 AS too_deep,
+    regexp_matches('&' || lower(query), '&(sessionid|phpsessid|jsessionid|sid|sess)=')
+      AS session_id,
+    len(list_filter(str_split(query, '&'), p -> p <> '')) >= 5 AS many_params,
+    length(url) > 200 AS too_long,
+    len(list_filter(segs, s -> regexp_matches(s, '^[0-9]{4}$')
+         AND (TRY_CAST(s AS INTEGER) < 1990 OR TRY_CAST(s AS INTEGER) > 2025))) > 0
+      AS bad_year
+  FROM segged
+)
+SELECT doc_id, url, repeated_segment, too_deep, session_id, many_params,
+       too_long, bad_year,
+       (repeated_segment OR too_deep OR session_id OR many_params
+        OR too_long OR bad_year) AS is_trap
+FROM flags
 """

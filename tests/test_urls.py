@@ -165,3 +165,48 @@ def test_seeder_filter_nonsense(tmp_path):
     assert kept == ["https://s.example.com/page/1", "https://s.example.com/page/2"]
     all_urls = sorted(seed_urls(pages, filter_nonsense_urls=False).to_pandas()["url"].tolist())
     assert all_urls == sorted(urls)
+
+
+def test_trap_flags_rules():
+    from crawl4ai_ray.functions.urls import is_trap_url, trap_flags
+
+    base = "https://a.example.com/page/5"
+    assert not is_trap_url(base)
+    # consecutive repetition >= 3 (x/x/x), not alternation (y/z/y/z)
+    assert trap_flags(base + "/x/x/x")["repeated_segment"]
+    assert not is_trap_url(base + "/y/z/y/z")
+    assert not trap_flags(base + "/x/x")["repeated_segment"]
+    # depth: > 8 segments
+    deep = "https://a.example.com/" + "/".join(f"s{i}" for i in range(9))
+    assert trap_flags(deep)["too_deep"]
+    assert not trap_flags("https://a.example.com/" + "/".join(f"s{i}" for i in range(8)))["too_deep"]
+    # session ids: first param or later, case-insensitive
+    assert trap_flags(base + "?PHPSESSID=ab")["session_id"]
+    assert trap_flags(base + "?x=1&sid=9")["session_id"]
+    assert not trap_flags(base + "?classid=9")["session_id"]
+    # param explosion: >= 5
+    assert trap_flags(base + "?a=1&b=2&c=3&d=4&e=5")["many_params"]
+    assert not trap_flags(base + "?a=1&b=2&c=3&d=4")["many_params"]
+    # length
+    assert trap_flags(base + "/" + "x" * 200)["too_long"]
+    # calendar years out of [1990, 2025]
+    assert trap_flags(base + "/2050/01/05/report")["bad_year"]
+    assert not trap_flags(base + "/2024/01/05/report")["bad_year"]
+    assert not trap_flags(base + "/1234x/")["bad_year"]  # not a pure 4-digit seg
+
+
+def test_trap_filter_in_chain():
+    from crawl4ai_ray.functions.filters import FilterChain, TrapFilter
+
+    f = TrapFilter()
+    urls = [
+        "https://a.example.com/ok",
+        "https://a.example.com/x/x/x/gallery",
+        "https://a.example.com/post?jsessionid=z",
+    ]
+    mask = f.apply_batch(urls)
+    assert mask.tolist() == [True, False, False]
+    assert f.stats.passed == 1 and f.stats.rejected == 2
+    chain = FilterChain([TrapFilter()])
+    assert chain.apply("https://a.example.com/ok")
+    assert not chain.apply("https://a.example.com/2077/01/01")
