@@ -1634,6 +1634,19 @@ def q_rebalance_mix(sf_dir: str):
     )
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled (α=1/2) language-mix sampling over a 250-doc
+    budget: per-stratum shares ∝ isqrt(count), integer-exact cuts, same
+    map-only deterministic keep rule as the other samplers. The oracle
+    recomputes isqrt as FLOOR(SQRT(...)) — exact for counts < 2^52."""
+    from ..stages import sampling
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sampling.temperature_mix(docs, total_keep=250)
+
+
 def q_ngram_df_histogram(sf_dir: str):
     """Gram document-frequency histogram (boilerplate profile): n_grams
     per doc_freq. Two-level aggregation — per-bucket full reduction, tiny
@@ -2531,6 +2544,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "pack_manifest": q_pack_manifest,
     "rebalance_mix": q_rebalance_mix,
+    "temperature_mix": q_temperature_mix,
     "grouped_sample": q_grouped_sample,
     "term_index_lookup": q_term_index_lookup,
     "line_dedup": q_line_dedup,
@@ -4629,4 +4643,23 @@ SELECT doc_id, url, repeated_segment, too_deep, session_id, many_params,
        (repeated_segment OR too_deep OR session_id OR many_params
         OR too_long OR bad_year) AS is_trap
 FROM flags
+"""
+
+# --- temperature_mix ---------------------------------------------------------
+# α=1/2 temperature sampling: weight = floor(sqrt(count)) — FLOOR(SQRT())
+# agrees with math.isqrt exactly for counts < 2^52 (IEEE sqrt of an integer
+# is correctly rounded and the fractional gap to the next integer is far
+# above one ulp at this magnitude). All later arithmetic is BIGINT.
+ORACLES["temperature_mix"] = r"""
+WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+w AS (SELECT lang, c, CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) AS wt FROM cnt),
+tot AS (SELECT SUM(wt) AS sw FROM w),
+cuts AS (
+  SELECT lang,
+         LEAST(10000, (((wt * 10000) // tot.sw) * 250) // c) AS cut
+  FROM w, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts USING (lang)
+WHERE ((d.doc_id * 2654435761 + 12345) % 1000000007) % 10000 < cuts.cut
 """

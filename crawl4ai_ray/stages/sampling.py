@@ -285,3 +285,54 @@ def token_budget_select(
         .groupby("bin")
         .map_groups(per_bin, batch_format="pandas")
     )
+
+
+def temperature_mix(
+    ds: "ray.data.Dataset",
+    total_keep: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Temperature-scaled mixture sampling (the multilingual-corpus
+    p ∝ c^α rule at α = 1/2): strata are weighted by the SQUARE ROOT of
+    their size, flattening the head so low-resource strata keep a larger
+    share — the standard alternative to rebalance_mix's explicit target
+    table when no hand-tuned mix exists.
+
+    α = 1/2 is the one temperature that stays integer-exact end to end:
+    w_s = isqrt(c_s) (floor square root — math.isqrt here,
+    FLOOR(SQRT(...)) in the oracle; IEEE sqrt of an integer is correctly
+    rounded, so the two agree exactly for c_s < 2^52 — document the
+    domain, don't trust it silently), share_bp_s = (w_s * 10000) // Σw,
+    cut_s = min(10000, (share_bp_s * total_keep) // c_s). Then the same
+    map-only deterministic bucket keep as every sampler in this module.
+
+    Same shuffle shape as rebalance_mix: ONE tiny groupby(strata).count()
+    (≤ |strata| rows to the driver), then a pure map — the corpus never
+    shuffles.
+    """
+    import math
+
+    counts = ds.groupby(strata_col).count().take_all()
+    sizes = {row[strata_col]: int(row["count()"]) for row in counts}
+    assert all(c < 2**52 for c in sizes.values()), "isqrt/SQRT parity domain"
+    weights = {s: math.isqrt(c) for s, c in sizes.items()}
+    sum_w = sum(weights.values())
+    cuts: dict[str, int] = {}
+    for s, c in sizes.items():
+        if not c or not sum_w:
+            cuts[s] = 0
+            continue
+        share_bp = (weights[s] * _BUCKETS) // sum_w
+        cuts[s] = min(_BUCKETS, (share_bp * int(total_keep)) // c)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        buckets = sample_buckets(ids)
+        strata = batch.column(strata_col).to_pylist()
+        thresh = np.fromiter(
+            (cuts.get(s, 0) for s in strata), dtype=np.int64, count=len(strata)
+        )
+        return batch.filter(pa.array(buckets < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1669,3 +1669,29 @@ def test_ngram_prefix_filter_equals_full_index(ray_session):
         full2.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b"]]
         .equals(pref2.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b"]])
     )
+
+
+def test_temperature_mix_flattens_head(ray_session):
+    """α=1/2 temperature sampling: shares follow sqrt(count), so the
+    low-resource stratum keeps a far larger fraction of itself than the
+    head (fr ~89% vs en ~15% here), while the head still dominates the
+    absolute sample. Deterministic across runs."""
+    from crawl4ai_ray.stages import sampling
+
+    rows = (
+        [{"doc_id": i, "lang": "en"} for i in range(900)]
+        + [{"doc_id": 900 + i, "lang": "de"} for i in range(100)]
+        + [{"doc_id": 1000 + i, "lang": "fr"} for i in range(25)]
+    )
+    ds = ray.data.from_items(rows)
+    out = sampling.temperature_mix(ds, total_keep=200, strata_col="lang").to_pandas()
+    by = out.groupby("lang").size().to_dict()
+    # weights isqrt: en 30, de 10, fr 5 (sum 45) → cuts 1481/4444/8888 bp
+    # expected kept ≈ 133 / 44 / 22; generous bands for hash variance
+    assert 100 <= by.get("en", 0) <= 165
+    assert 30 <= by.get("de", 0) <= 60
+    assert 15 <= by.get("fr", 0) <= 25
+    # flattening: per-stratum keep RATE is monotone in 1/size
+    assert by["fr"] / 25 > by["de"] / 100 > by["en"] / 900
+    out2 = sampling.temperature_mix(ds, total_keep=200, strata_col="lang").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
