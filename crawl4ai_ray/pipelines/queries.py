@@ -1634,6 +1634,17 @@ def q_rebalance_mix(sf_dir: str):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (stages/bpe.py): top-24 merges over
+    the documents corpus word frequencies. Iterative + argmax-valued —
+    not SQL-expressible; golden-pinned at sf0.01 with an independent
+    scalar recompute asserted by the generator (learn_bpe_scalar)."""
+    from ..stages.bpe import learn_bpe
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return learn_bpe(docs, num_merges=24)
+
+
 def q_temperature_mix(sf_dir: str):
     """Temperature-scaled (α=1/2) language-mix sampling over a 250-doc
     budget: per-stratum shares ∝ isqrt(count), integer-exact cuts, same
@@ -2545,6 +2556,7 @@ QUERIES = {
     "pack_manifest": q_pack_manifest,
     "rebalance_mix": q_rebalance_mix,
     "temperature_mix": q_temperature_mix,
+    "bpe_merges": q_bpe_merges,
     "grouped_sample": q_grouped_sample,
     "term_index_lookup": q_term_index_lookup,
     "line_dedup": q_line_dedup,

@@ -53,10 +53,11 @@ def main(sf_dir: str, only: list[str] | None = None):
         )
     from crawl4ai_ray.pipelines.queries import GOLDEN_PINNED_SF001
 
-    # goldens are pinned at sf0.01 (sf0.001 ships the identical documents
-    # table, so they verify there too); any other sf is meaningless
+    # goldens are pinned at sf0.01 ONLY (sf0.001's documents table has the
+    # same row count but different text — verified 2026-08-18); any other
+    # sf is meaningless for a pinned-VALUES oracle
     base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    pinned_sf = base in ("sf0.01", "sf0.001")
+    pinned_sf = base == "sf0.01"
     results = {}
     for name, fn in qs.items():
         if only and name not in only:

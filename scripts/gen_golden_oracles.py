@@ -45,6 +45,7 @@ GOLDEN_NAMES = [
     "distinct_users_hll",
     "media_decode",
     "token_quantiles_sketch",
+    "bpe_merges",
 ]
 
 
@@ -279,13 +280,15 @@ def table_to_values_sql(tbl: pa.Table) -> str:
         lines.append(
             "(" + ", ".join(sql_literal(v, t) for v, t in zip(row, types)) + ")"
         )
+    # column names are double-quoted: reserved words like left/right are
+    # legal column names in the Ray output but bare they break the parser
     select = ", ".join(
-        f"CAST({c} AS {duck_type(t)}) AS {c}" for c, t in zip(cols, types)
+        f'CAST("{c}" AS {duck_type(t)}) AS "{c}"' for c, t in zip(cols, types)
     )
     return (
         f"SELECT {select} FROM (VALUES\n"
         + ",\n".join(lines)
-        + f"\n) AS golden({', '.join(cols)})"
+        + "\n) AS golden({})".format(", ".join(f'"{c}"' for c in cols))
     )
 
 
@@ -339,6 +342,27 @@ def main() -> None:
                 (int(a), str(b), int(c), int(d), str(e)) for a, b, c, d, e in got
             ] == want, "media_decode: stage path != pure-python recompute"
             print(f"   pure-python media recompute OK ({len(want)} rows)")
+        if name == "bpe_merges":
+            import pyarrow.parquet as pq
+
+            from crawl4ai_ray.stages.bpe import learn_bpe_scalar
+
+            texts = pq.read_table(
+                f"{SF}/documents.parquet", columns=["text"]
+            ).column("text").to_pylist()
+            want = learn_bpe_scalar(texts, 24)
+            got = list(
+                zip(
+                    d1["rank"].tolist(),
+                    d1["left"].tolist(),
+                    d1["right"].tolist(),
+                    d1["pair_count"].tolist(),
+                )
+            )
+            assert [
+                (int(a), str(b), str(c), int(d)) for a, b, c, d in got
+            ] == want, "bpe_merges: distributed path != pure-python recompute"
+            print(f"   pure-python BPE recompute OK ({len(want)} merges)")
         if name == "token_quantiles_sketch":
             want = sketch_pure_python(SF)
             got = sorted(

@@ -1695,3 +1695,36 @@ def test_temperature_mix_flattens_head(ray_session):
     assert by["fr"] / 25 > by["de"] / 100 > by["en"] / 900
     out2 = sampling.temperature_mix(ds, total_keep=200, strata_col="lang").to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_bpe_merges_match_scalar_and_layout(ray_session):
+    """Distributed BPE learning equals the pure-python reference merge-
+    for-merge (rank, left, right, count), regardless of block layout, and
+    the deterministic tiebreak (lexicographic on ties) is exercised."""
+    from crawl4ai_ray.stages.bpe import apply_merge, learn_bpe, learn_bpe_scalar
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low newer",
+        "ties tie tie ties",  # exercises count ties between pairs
+    ] * 3
+    want = learn_bpe_scalar(texts, 12)
+    for blocks in (1, 4):
+        ds = ray.data.from_items([{"text": t} for t in texts]).repartition(blocks)
+        got = learn_bpe(ds, num_merges=12)
+        rows = list(
+            zip(
+                got.column("rank").to_pylist(),
+                got.column("left").to_pylist(),
+                got.column("right").to_pylist(),
+                got.column("pair_count").to_pylist(),
+            )
+        )
+        assert rows == want, f"layout blocks={blocks} diverged"
+    # early stop: a corpus of 1-char words has one mergeable pair per word
+    tiny = ray.data.from_items([{"text": "a b a"}])
+    out = learn_bpe(tiny, num_merges=50)
+    assert out.num_rows < 50  # stopped when no pair remained above vocab
+    # greedy left-to-right apply: overlapping pair merges leftmost first
+    assert apply_merge(list("aaa") + ["</w>"], "a", "a") == ["aa", "a", "</w>"]
