@@ -1635,14 +1635,31 @@ def q_rebalance_mix(sf_dir: str):
 
 
 def q_bpe_merges(sf_dir: str):
-    """Distributed BPE merge learning (stages/bpe.py): top-24 merges over
-    the documents corpus word frequencies. Iterative + argmax-valued —
-    not SQL-expressible; golden-pinned at sf0.01 with an independent
-    scalar recompute asserted by the generator (learn_bpe_scalar)."""
+    """Distributed BPE merge learning (stages/bpe.py, sharded incremental
+    scale path): top-24 merges over the documents corpus word
+    frequencies. Iterative + argmax-valued — not SQL-expressible;
+    golden-pinned at sf0.01 with an independent scalar recompute asserted
+    by the generator (learn_bpe_scalar)."""
     from ..stages.bpe import learn_bpe
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return learn_bpe(docs, num_merges=24)
+
+
+def q_bpe_tokenize(sf_dir: str):
+    """Tokenizer train→apply: learn 48 merges (sharded incremental), then
+    stream the corpus through the cached actor-pool encoder — per-doc
+    (doc_id, n_words, n_chars, n_tokens). Golden-pinned at sf0.01; the
+    generator recomputes it with the SEQUENTIAL reference encoder
+    (tokenize_scalar), so the rank-argmin encode is cross-validated."""
+    from ..stages.bpe import learn_bpe, tokenize_corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    m = learn_bpe(docs, num_merges=48)
+    merges = list(zip(m.column("left").to_pylist(), m.column("right").to_pylist()))
+    return tokenize_corpus(docs, merges)
 
 
 def q_temperature_mix(sf_dir: str):
@@ -2557,6 +2574,7 @@ QUERIES = {
     "rebalance_mix": q_rebalance_mix,
     "temperature_mix": q_temperature_mix,
     "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
     "grouped_sample": q_grouped_sample,
     "term_index_lookup": q_term_index_lookup,
     "line_dedup": q_line_dedup,

@@ -1,32 +1,44 @@
-"""Distributed BPE merge learning (Sennrich-style byte-pair encoding).
+"""Distributed BPE merge learning + encoding (Sennrich-style byte-pair
+encoding).
 
 The tokenizer-training step of a training-data pipeline: learn the top-K
-merge operations over the corpus word frequencies. No reference analogue
-(crawl4ai stops at markdown); this is the corpus-side operator the build
-brief adds for LLM-training pipelines.
+merge operations over the corpus word frequencies, then encode the corpus
+with them. No reference analogue (crawl4ai stops at markdown); this is
+the corpus-side operator the build brief adds for LLM-training pipelines.
 
-Distribution shape — the corpus is touched ONCE, everything iterative
-runs on the (much smaller) word-frequency table:
+Two learners share one distribution insight — the corpus (the 100 TB
+part) is touched ONCE for word counting; everything iterative runs on the
+aggregated word-frequency table, which is bounded by |distinct words|
+(~10⁷-10⁸ even for a web corpus), not corpus size:
 
-1. corpus → word counts: map-side Counter per batch (only (word, partial)
-   rows shuffle) → one groupby(word) sum. The vocab table is the
-   loop-carried dataset; each word carries its symbol list
-   (chars + '</w>' end marker).
-2. per merge iteration: map-side adjacent-pair Counter over the vocab
-   table (weighted by word count) → groupby(pair) sum → distributed
-   argmax via sort(count desc, pair asc) + limit(1) — the pair table
-   never materializes on the driver, only the single winner does.
-   Deterministic tiebreak: lexicographically smallest (left, right).
-3. broadcast the winning pair; one map_batches rewrites every word's
-   symbol list (greedy left-to-right merge — the standard BPE apply).
-   The vocab table is materialized per iteration to keep the lazy plan
-   flat (loop-carried Ray datasets otherwise accumulate operators and
-   block counts superlinearly — r3 pagerank finding).
+``learn_bpe_sharded`` (the scale path, used by the queries): the word
+table is hash-sharded across stateful actors. Each actor keeps its
+shard's pair counts INCREMENTALLY — applying merge (l, r) touches only
+the words that contain the pair (an inverted pair→word index makes that
+lookup O(1)) and returns a sparse count delta. The driver folds deltas
+into a global Counter and takes the argmax per iteration, so each of the
+K merge iterations costs one small actor round-trip instead of a full
+dataset shuffle. This is the classic single-machine incremental BPE
+(Sennrich et al. 2016 / GPT-2 tokenizer training), sharded. 50k merges
+are feasible; the dataset-loop version below pays ~1.3 s of fixed
+Aggregate+Sort cost PER MERGE (measured at sf0.01) and is kept only as
+the all-Dataset baseline (``learn_bpe_dataset``).
 
-All counts are int64 and every decision is integer/lexicographic, so the
-learned merge sequence is bit-identical under any block layout or
-parallelism (locked by tests) and reproducible by a scalar reference
-implementation (scripts/gen_golden_oracles.py pins it).
+``learn_bpe_dataset``: per iteration, map-side adjacent-pair Counter over
+the vocab Dataset → groupby(pair) sum → distributed argmax via
+sort+limit(1); winner broadcast; one map_batches rewrites the symbol
+lists. Scale-correct per step but the per-iteration fixed cost makes it
+the wrong loop shape for real merge counts.
+
+``encode_with_merges``: broadcast the learned merge ranks (tiny) into a
+map_batches actor stage with a per-actor word→encoding cache (Zipf makes
+the hit rate ~1); the corpus streams through once.
+
+All counts are int64 and every decision is integer/lexicographic
+(tiebreak: count desc, then lexicographically smallest (left, right)),
+so the learned merge sequence is bit-identical under any block layout,
+sharding or parallelism (locked by tests) and reproducible by a scalar
+reference implementation (scripts/gen_golden_oracles.py pins it).
 """
 
 from __future__ import annotations
@@ -80,14 +92,16 @@ def apply_merge(symbols: list[str], left: str, right: str) -> list[str]:
     return out
 
 
-def learn_bpe(
+def learn_bpe_dataset(
     docs: "ray.data.Dataset",
     num_merges: int,
     text_col: str = "text",
 ) -> pa.Table:
-    """Learn ``num_merges`` BPE merges; returns (rank, left, right,
-    pair_count) — rank 1 = first merge learned. Stops early when no
-    adjacent pair remains (tiny corpora)."""
+    """All-Dataset baseline learner: one groupby+sort shuffle PER MERGE
+    (~1.3 s fixed cost each at sf0.01). Same output as
+    ``learn_bpe_sharded`` (locked by tests); kept as the no-actor-state
+    reference shape. Returns (rank, left, right, pair_count) — rank 1 =
+    first merge learned. Stops early when no adjacent pair remains."""
     words = _word_count_table(docs, text_col)
 
     def init_syms(batch: pa.Table) -> pa.Table:
@@ -164,6 +178,190 @@ def learn_bpe(
     )
 
 
+@ray.remote
+class _BpeShard:
+    """One shard of the word-frequency table with INCREMENTAL pair counts.
+
+    Holds: per-word symbol lists + counts, the shard's full adjacent-pair
+    Counter, and an inverted pair→{word idx} index so applying a merge
+    touches only the words that contain the pair. ``apply`` returns a
+    sparse count delta (old pairs subtracted, new pairs added), which
+    keeps the driver's global Counter exact — correctness is therefore
+    independent of how words were sharded (locked by tests)."""
+
+    def __init__(self, table_refs: list):
+        from collections import defaultdict
+
+        self.syms: list[list[str]] = []
+        self.n: list[int] = []
+        for ref in table_refs:
+            t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            # Ray's sort-based aggregate can emit empty partition blocks
+            # that carry NO columns (r2 finding) — skip them.
+            if t.num_rows == 0 or "word" not in t.schema.names:
+                continue
+            for w, c in zip(
+                t.column("word").to_pylist(), t.column("count").to_pylist()
+            ):
+                self.syms.append(word_symbols(w))
+                self.n.append(int(c))
+        self.pair_counts: Counter = Counter()
+        self.index: dict = defaultdict(set)
+        for wid, (syms, c) in enumerate(zip(self.syms, self.n)):
+            for p in zip(syms, syms[1:]):
+                self.pair_counts[p] += c
+                self.index[p].add(wid)
+
+    def initial_counts(self) -> list[tuple[str, str, int]]:
+        return [(a, b, c) for (a, b), c in self.pair_counts.items()]
+
+    def apply(self, left: str, right: str) -> list[tuple[str, str, int]]:
+        pair = (left, right)
+        delta: Counter = Counter()
+        for wid in list(self.index.get(pair, ())):
+            syms, c = self.syms[wid], self.n[wid]
+            old = Counter(zip(syms, syms[1:]))
+            new_syms = apply_merge(syms, left, right)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            for p, k in old.items():
+                delta[p] -= k * c
+            for p, k in new.items():
+                delta[p] += k * c
+            for p in old:
+                if p not in new:
+                    self.index[p].discard(wid)
+            for p in new:
+                if p not in old:
+                    self.index[p].add(wid)
+            self.syms[wid] = new_syms
+        self.pair_counts.update(delta)
+        return [(a, b, d) for (a, b), d in delta.items() if d != 0]
+
+
+def learn_bpe_sharded(
+    docs: "ray.data.Dataset",
+    num_merges: int,
+    text_col: str = "text",
+    num_shards: int = 4,
+) -> pa.Table:
+    """Scale-path learner: ONE distributed shuffle (corpus → word counts),
+    then ``num_shards`` stateful actors run the classic incremental
+    pair-count update per merge. Each of the K iterations is a small
+    actor round-trip (sparse deltas), not a dataset shuffle — 50k merges
+    are feasible where the Dataset loop pays a full Aggregate+Sort each.
+
+    Driver memory: the global pair Counter, bounded by the number of
+    DISTINCT adjacent symbol pairs (≪ |vocab|·avg_len; prune-at-zero keeps
+    it tight). The word table itself never transits the driver — block
+    refs go straight to the shard actors."""
+    words = _word_count_table(docs, text_col).materialize()
+    block_refs = [r[0] if isinstance(r, tuple) else r for r in words.to_arrow_refs()]
+    num_shards = max(1, min(int(num_shards), max(1, len(block_refs))))
+    shards = [
+        _BpeShard.remote(block_refs[i::num_shards]) for i in range(num_shards)
+    ]
+    total: Counter = Counter()
+    for part in ray.get([s.initial_counts.remote() for s in shards]):
+        for a, b, c in part:
+            total[(a, b)] += c
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(num_merges) + 1):
+        live = [(p, c) for p, c in total.items() if c > 0]
+        if not live:
+            break
+        (left, right), cnt = min(live, key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, int(cnt)))
+        for part in ray.get([s.apply.remote(left, right) for s in shards]):
+            for a, b, d in part:
+                total[(a, b)] += d
+                if total[(a, b)] == 0:
+                    del total[(a, b)]
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+
+
+# the name queries/tests reach for — points at the scale path (r2 VERDICT:
+# "the queries a user copies should default to the scale path")
+learn_bpe = learn_bpe_sharded
+
+
+def encode_word(word: str, ranks: dict) -> list[str]:
+    """GPT-2-style encode: repeatedly merge the lowest-rank adjacent pair
+    present. Provably equivalent to replaying the merge list in training
+    order (asserted against the sequential form in tests)."""
+    syms = word_symbols(word)
+    while len(syms) > 1:
+        best = None
+        best_rank = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = p, r
+        if best is None:
+            break
+        syms = apply_merge(syms, best[0], best[1])
+    return syms
+
+
+class EncodeWithMerges:
+    """Actor-pool encode stage: merge ranks broadcast once per actor via
+    the constructor (tiny), per-actor word→token-count cache (Zipf word
+    law makes the hit rate ~1), corpus streams through in one pass."""
+
+    def __init__(self, merges: list[tuple[str, str]], id_col: str, text_col: str):
+        self.ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self.id_col, self.text_col = id_col, text_col
+        self.cache: dict[str, int] = {}
+
+    def _ntok(self, word: str) -> int:
+        v = self.cache.get(word)
+        if v is None:
+            v = len(encode_word(word, self.ranks))
+            self.cache[word] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        n_words, n_tokens, n_chars = [], [], []
+        for t in batch.column(self.text_col).to_pylist():
+            ws = (t or "").lower().split()
+            n_words.append(len(ws))
+            n_chars.append(sum(len(w) for w in ws))
+            n_tokens.append(sum(self._ntok(w) for w in ws))
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+            }
+        )
+
+
+def tokenize_corpus(
+    docs: "ray.data.Dataset",
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-doc BPE token statistics under a learned merge list:
+    (id, n_words, n_chars, n_tokens)."""
+    return docs.map_batches(
+        EncodeWithMerges,
+        fn_constructor_args=(list(merges), id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def learn_bpe_scalar(
     texts: list[str], num_merges: int
 ) -> list[tuple[int, str, str, int]]:
@@ -186,3 +384,34 @@ def learn_bpe_scalar(
         merges.append((rank, left, right, int(cnt)))
         vocab = {w: apply_merge(s, left, right) for w, s in vocab.items()}
     return merges
+
+
+def encode_word_sequential(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encode: replay the merge list in training order (the
+    textbook definition). ``encode_word`` must agree with this on every
+    input — the tests assert it; the golden generator pins against it."""
+    syms = word_symbols(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        syms = apply_merge(syms, left, right)
+    return syms
+
+
+def tokenize_scalar(
+    ids: list, texts: list[str], merges: list[tuple[str, str]]
+) -> list[tuple[int, int, int, int]]:
+    """Pure-python recompute of ``tokenize_corpus`` via the sequential
+    encoder — (id, n_words, n_chars, n_tokens) per doc."""
+    out = []
+    for i, t in zip(ids, texts):
+        ws = (t or "").lower().split()
+        out.append(
+            (
+                int(i),
+                len(ws),
+                sum(len(w) for w in ws),
+                sum(len(encode_word_sequential(w, merges)) for w in ws),
+            )
+        )
+    return out

@@ -46,6 +46,7 @@ GOLDEN_NAMES = [
     "media_decode",
     "token_quantiles_sketch",
     "bpe_merges",
+    "bpe_tokenize",
 ]
 
 
@@ -363,6 +364,28 @@ def main() -> None:
                 (int(a), str(b), str(c), int(d)) for a, b, c, d in got
             ] == want, "bpe_merges: distributed path != pure-python recompute"
             print(f"   pure-python BPE recompute OK ({len(want)} merges)")
+        if name == "bpe_tokenize":
+            import pyarrow.parquet as pq
+
+            from crawl4ai_ray.stages.bpe import learn_bpe_scalar, tokenize_scalar
+
+            t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+            texts = t.column("text").to_pylist()
+            ids = t.column("doc_id").to_pylist()
+            merges = [(l, r) for _, l, r, _ in learn_bpe_scalar(texts, 48)]
+            want = sorted(tokenize_scalar(ids, texts, merges))
+            got = sorted(
+                zip(
+                    d1["doc_id"].tolist(),
+                    d1["n_words"].tolist(),
+                    d1["n_chars"].tolist(),
+                    d1["n_tokens"].tolist(),
+                )
+            )
+            assert [
+                (int(a), int(b), int(c), int(d)) for a, b, c, d in got
+            ] == want, "bpe_tokenize: actor-pool encode != sequential scalar recompute"
+            print(f"   pure-python tokenize recompute OK ({len(want)} docs)")
         if name == "token_quantiles_sketch":
             want = sketch_pure_python(SF)
             got = sorted(

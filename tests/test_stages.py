@@ -1698,10 +1698,17 @@ def test_temperature_mix_flattens_head(ray_session):
 
 
 def test_bpe_merges_match_scalar_and_layout(ray_session):
-    """Distributed BPE learning equals the pure-python reference merge-
-    for-merge (rank, left, right, count), regardless of block layout, and
-    the deterministic tiebreak (lexicographic on ties) is exercised."""
-    from crawl4ai_ray.stages.bpe import apply_merge, learn_bpe, learn_bpe_scalar
+    """Both BPE learners (sharded-incremental scale path and all-Dataset
+    baseline) equal the pure-python reference merge-for-merge
+    (rank, left, right, count), regardless of block layout or shard
+    count, and the deterministic tiebreak (lexicographic on ties) is
+    exercised."""
+    from crawl4ai_ray.stages.bpe import (
+        apply_merge,
+        learn_bpe_dataset,
+        learn_bpe_scalar,
+        learn_bpe_sharded,
+    )
 
     texts = [
         "low lower lowest low low",
@@ -1710,21 +1717,69 @@ def test_bpe_merges_match_scalar_and_layout(ray_session):
         "ties tie tie ties",  # exercises count ties between pairs
     ] * 3
     want = learn_bpe_scalar(texts, 12)
-    for blocks in (1, 4):
-        ds = ray.data.from_items([{"text": t} for t in texts]).repartition(blocks)
-        got = learn_bpe(ds, num_merges=12)
-        rows = list(
+
+    def rows_of(t):
+        return list(
             zip(
-                got.column("rank").to_pylist(),
-                got.column("left").to_pylist(),
-                got.column("right").to_pylist(),
-                got.column("pair_count").to_pylist(),
+                t.column("rank").to_pylist(),
+                t.column("left").to_pylist(),
+                t.column("right").to_pylist(),
+                t.column("pair_count").to_pylist(),
             )
         )
-        assert rows == want, f"layout blocks={blocks} diverged"
+
+    for blocks in (1, 4):
+        ds = ray.data.from_items([{"text": t} for t in texts]).repartition(blocks)
+        for shards in (1, 3):
+            got = learn_bpe_sharded(ds, num_merges=12, num_shards=shards)
+            assert rows_of(got) == want, f"blocks={blocks} shards={shards} diverged"
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(2)
+    assert rows_of(learn_bpe_dataset(ds, num_merges=12)) == want
     # early stop: a corpus of 1-char words has one mergeable pair per word
     tiny = ray.data.from_items([{"text": "a b a"}])
-    out = learn_bpe(tiny, num_merges=50)
+    out = learn_bpe_sharded(tiny, num_merges=50)
     assert out.num_rows < 50  # stopped when no pair remained above vocab
     # greedy left-to-right apply: overlapping pair merges leftmost first
     assert apply_merge(list("aaa") + ["</w>"], "a", "a") == ["aa", "a", "</w>"]
+
+
+def test_bpe_encode_rank_argmin_equals_sequential_and_tokenize(ray_session):
+    """The GPT-2-style rank-argmin encoder equals the textbook sequential
+    merge replay on every corpus word (incl. overlap-heavy words), and
+    the actor-pool tokenize stage matches the scalar recompute."""
+    from crawl4ai_ray.stages.bpe import (
+        encode_word,
+        encode_word_sequential,
+        learn_bpe_scalar,
+        tokenize_corpus,
+        tokenize_scalar,
+    )
+
+    texts = [
+        "banana bandana ananas banana",
+        "aaaa aaa aa a aaaa",  # overlapping-pair stress
+        "mississippi missive misses",
+        "low lower lowest newer newest",
+    ] * 2
+    merge_rows = learn_bpe_scalar(texts, 20)
+    merges = [(l, r) for _, l, r, _ in merge_rows]
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+    vocab = {w for t in texts for w in t.split()}
+    for w in sorted(vocab):
+        assert encode_word(w, ranks) == encode_word_sequential(w, merges), w
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+    got = tokenize_corpus(ds, merges).to_pandas().sort_values("doc_id")
+    want = tokenize_scalar(list(range(len(texts))), texts, merges)
+    assert (
+        list(
+            zip(
+                got["doc_id"].astype(int),
+                got["n_words"].astype(int),
+                got["n_chars"].astype(int),
+                got["n_tokens"].astype(int),
+            )
+        )
+        == want
+    )
