@@ -701,6 +701,39 @@ def q_decontaminate_bloom(sf_dir: str):
     return decontaminate_bloom(docs, bench, n=3)
 
 
+def q_decontaminate_fuzzy(sf_dir: str):
+    """NEAR-duplicate decontamination: a corpus doc is contaminated when
+    its 3-gram Jaccard against any benchmark doc is ≥ 0.8 — the fuzzy
+    complement of the verbatim-n-gram `decontaminate`. Deterministic
+    stand-in benchmark: every 97th doc with its FIRST TOKEN DROPPED, so
+    matches are near-duplicates (J < 1), never byte-equal — exercising
+    the fuzzy path specifically. Cross-side prefix-filtered AllPairs +
+    exact verify; corpus never shuffles whole."""
+    from ..stages.decontaminate import decontaminate_fuzzy
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def mk_bench(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 97 == 0
+        texts = [
+            " ".join(t.split()[1:])
+            for t, k in zip(b.column("text").to_pylist(), keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    bench = docs.map_batches(mk_bench, batch_format="pyarrow")
+    return decontaminate_fuzzy(docs, bench, tau=0.8, shingle=3)
+
+
 def q_anchor_text_agg(sf_dir: str):
     """Per-destination anchor-text aggregation (the classic web-corpus
     enrichment: a page's in-link anchor texts describe it better than its
@@ -2536,6 +2569,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "pagerank": q_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_pairs": q_pmi_pairs,
@@ -4191,6 +4225,63 @@ except ImportError:  # pragma: no cover — before first generation
 # the bloom-semijoin variant is exact (bucketed verify kills false
 # positives) → same contamination oracle as the broadcast-exact path
 ORACLES["decontaminate_bloom"] = ORACLES["decontaminate"]
+
+# Fuzzy (near-dup) decontamination: bench = every 97th doc with its first
+# token dropped; gram model identical to the ngram_jaccard_pairs oracle;
+# the Jaccard predicate mirrors verify_pairs' judge operand-for-operand
+# (float division, not the cross-multiplied form).
+ORACLES["decontaminate_fuzzy"] = r"""
+WITH ctoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+btoks AS (
+  SELECT doc_id, t[2:len(t)] AS t FROM ctoks WHERE doc_id % 97 = 0
+),
+cgrams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN generate_series(1, len(t) - 2)]
+      END AS gl
+    FROM ctoks WHERE len(t) > 0
+  ), UNNEST(gl) AS u(g)
+),
+bgrams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN generate_series(1, len(t) - 2)]
+      END AS gl
+    FROM btoks WHERE len(t) > 0
+  ), UNNEST(gl) AS u(g)
+),
+csz AS (SELECT doc_id, COUNT(*) AS sz FROM cgrams GROUP BY doc_id),
+bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bgrams GROUP BY doc_id),
+inter AS (
+  SELECT cg.doc_id AS a, bg.doc_id AS b, COUNT(*) AS i
+  FROM cgrams cg JOIN bgrams bg ON cg.g = bg.g
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT i.a, COUNT(*) AS n
+  FROM inter i
+  JOIN csz ON csz.doc_id = i.a
+  JOIN bsz ON bsz.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (csz.sz + bsz.sz - i.i) >= CAST(0.8 AS DOUBLE)
+  GROUP BY i.a
+)
+SELECT c.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_fuzzy_matches,
+       CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS fuzzy_contaminated
+FROM ctoks c LEFT JOIN hits h ON h.a = c.doc_id
+"""
 
 # RefinedWeb-style boilerplate line dedup: identical segment model as the
 # Ray side (non-overlapping 3-token windows incl. the partial tail;

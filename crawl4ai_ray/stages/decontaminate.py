@@ -253,3 +253,131 @@ def decontaminate_bloom(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def decontaminate_fuzzy(
+    corpus: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    tau: float = 0.8,
+    shingle: int = 3,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_offset: int = 1 << 40,
+) -> "ray.data.Dataset":
+    """NEAR-duplicate (fuzzy) benchmark decontamination: flag every corpus
+    doc whose ``shingle``-gram Jaccard against ANY benchmark doc is ≥ tau —
+    the Llama/PaLM-style "near-duplicate of an eval example" rule, the
+    fuzzy complement of the verbatim-n-gram ``decontaminate``.
+
+    EXACT (not LSH-approximate), by reusing the prefix-filtered AllPairs
+    candidate generator restricted to CROSS-side pairs:
+
+    1. Benchmark ids are lifted into a disjoint id space
+       (``id + bench_offset``; corpus ids must be < bench_offset) so side
+       membership is a range test — no schema change to the shared
+       postings shape.
+    2. Both sides enter ``ngram_postings(prefix_tau=tau)``: candidate
+       pairs can only arise from prefix postings (AllPairs both-prefix
+       theorem, recall exact), and per gram-bucket only corpus×bench
+       pairs are emitted — never corpus² (that is the dedup operator's
+       job), so hot-gram cost is |corpus_run|·|bench_run|, with the
+       bench side small by construction.
+    3. Candidates are exactly verified by the sketch-carrying
+       ``verify_pairs`` (Jaccard ≥ tau on full gram sets).
+    4. Surviving per-corpus-doc match counts (bounded by the
+       contamination volume) are folded small, broadcast via ``ray.put``,
+       and every corpus doc is flagged map-side — the corpus never
+       shuffles whole, mirroring ``decontaminate``'s plan shape.
+
+    Output: (doc_id, n_fuzzy_matches, fuzzy_contaminated) for EVERY
+    corpus doc.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import ngram_postings, verify_pairs
+
+    def lift(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= bench_offset:
+            raise ValueError("bench ids collide with bench_offset")
+        return pa.table(
+            {
+                id_col: pa.array(ids + bench_offset, pa.int64()),
+                text_col: batch.column(text_col),
+            }
+        )
+
+    both = corpus.select_columns([id_col, text_col]).union(
+        bench.select_columns([id_col, text_col]).map_batches(
+            lift, batch_format="pyarrow"
+        )
+    )
+    posted = ngram_postings(
+        both, shingle=shingle, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets, prefix_tau=tau,
+    )
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", "id"], kind="mergesort")
+        grams = g["gram"].to_numpy()
+        ids = g["id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
+        ends = np.r_[starts[1:], len(grams)]
+        A, B = [], []
+        for s, e in zip(starts, ends):
+            run = ids[s:e]
+            corp = run[run < bench_offset]
+            ben = run[run >= bench_offset]
+            if len(corp) == 0 or len(ben) == 0:
+                continue
+            A.append(np.repeat(corp, len(ben)))
+            B.append(np.tile(ben, len(corp)))
+        if not A:
+            return pd.DataFrame(
+                {"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)}
+            )
+        return pd.DataFrame({"a": np.concatenate(A), "b": np.concatenate(B)})
+
+    cands = (
+        posted.groupby("bucket")
+        .map_groups(cross_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+    # a (corpus) < bench_offset <= b (bench): verify_pairs' a<b invariant
+    # holds for every cross pair by construction
+    verified = verify_pairs(
+        cands, both, mode="jaccard", tau=tau, shingle=shingle,
+        id_col=id_col, text_col=text_col,
+    )
+
+    counts: dict[int, int] = {}
+    for t in verified.groupby("a").count().iter_batches(batch_format="pyarrow"):
+        for a, n in zip(t.column("a").to_pylist(), t.column("count()").to_pylist()):
+            counts[a] = int(n)
+    counts_ref = ray.put(counts)
+
+    class Flag:
+        def __init__(self, ref):
+            self.counts: dict[int, int] = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            n = [self.counts.get(i, 0) for i in ids]
+            return pa.table(
+                {
+                    "doc_id": batch.column(id_col),
+                    "n_fuzzy_matches": pa.array(n, pa.int64()),
+                    "fuzzy_contaminated": pa.array(
+                        [1 if x else 0 for x in n], pa.int64()
+                    ),
+                }
+            )
+
+    return corpus.map_batches(
+        Flag, fn_constructor_args=(counts_ref,),
+        batch_format="pyarrow", concurrency=4,
+    )

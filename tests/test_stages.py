@@ -368,6 +368,72 @@ def test_decontaminate(ray_session):
     assert out[2]["contaminated"] == 0 and out[2]["n_contaminated"] == 0
 
 
+def test_decontaminate_fuzzy(ray_session):
+    """Cross-side near-dup flagging: a corpus doc near-duplicating a bench
+    doc is flagged; corpus-internal duplicates are NOT (pairs are strictly
+    cross-side); unrelated docs stay clean."""
+    from crawl4ai_ray.stages.decontaminate import decontaminate_fuzzy
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    base,                      # near-dup of bench 100
+                    base,                      # exact dup of doc 0 — but only
+                                               # cross-side pairs count
+                    "totally different words here by construction now",
+                    "tiny",
+                ],
+            }
+        )
+    )
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [100, 101],
+                # first token dropped → J = 7/8 ≥ 0.8 vs base
+                "text": [" ".join(base.split()[1:]), "unrelated bench content"],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_fuzzy(corpus, bench, tau=0.8, shingle=3).take_all()
+    }
+    assert len(out) == 4
+    assert out[0]["fuzzy_contaminated"] == 1 and out[0]["n_fuzzy_matches"] == 1
+    assert out[1]["fuzzy_contaminated"] == 1  # same text, same cross match
+    assert out[2]["fuzzy_contaminated"] == 0
+    assert out[3]["fuzzy_contaminated"] == 0 and out[3]["n_fuzzy_matches"] == 0
+
+
+def test_decontaminate_fuzzy_below_threshold(ray_session):
+    """A bench doc sharing SOME grams but below tau must not flag."""
+    from crawl4ai_ray.stages.decontaminate import decontaminate_fuzzy
+
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0],
+                "text": ["alpha beta gamma delta epsilon zeta eta theta"],
+            }
+        )
+    )
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [7],
+                # shares only the leading grams — J well under 0.8
+                "text": ["alpha beta gamma completely other tail words now"],
+            }
+        )
+    )
+    out = decontaminate_fuzzy(corpus, bench, tau=0.8, shingle=3).take_all()
+    assert out[0]["fuzzy_contaminated"] == 0
+
+
 def test_fingerprint_deterministic():
     batch = pa.table({"doc_id": [0], "text": ["word " * 50]})
     a = textstats.fingerprint_batch(batch).column("fingerprint").to_pylist()
