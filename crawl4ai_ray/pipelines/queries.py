@@ -1177,6 +1177,35 @@ def q_pagerank(sf_dir: str):
     return pagerank(nodes, edges, n_iters=5, damping=0.85)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities over the synthetic id-level link graph —
+    same distinct-edge model as pagerank (collisions only within one
+    row's 3 candidates, so dedup is local). 4 L1-normalized sweeps,
+    ROUND(8) on both engines."""
+    from ..stages.graph import hits
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = (2 * ids + 1) % n
+        d2 = (2 * ids + 2) % n
+        d3 = (7 * ids + 3) % n
+        keep3 = ~((d3 == d1) | (d3 == d2))  # d1 != d2 always
+        src = np.concatenate([ids, ids, ids[keep3]])
+        dst = np.concatenate([d1, d2, d3[keep3]])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return hits(nodes, edges, n_iters=4)
+
+
 def q_ann_topk(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qrows = sorted(
@@ -2571,6 +2600,7 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "pagerank": q_pagerank,
+    "hits_scores": q_hits,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_pairs": q_pmi_pairs,
     "logreg_quality": q_logreg_quality,
@@ -2801,6 +2831,59 @@ r{k} AS (
         + "".join(parts)
         + f"\nSELECT node, ROUND(rank, 8) AS rank FROM {prev}"
     )
+
+def _hits_sql(n_iters: int = 4) -> str:
+    """Unrolled-iteration HITS oracle. Same float discipline as pagerank
+    (CAST every constant AS DOUBLE, mirror the raw-sum-then-divide
+    expression, absorb summation-order drift with the final ROUND) plus
+    the logreg lesson: every iterative CTE is AS MATERIALIZED, otherwise
+    DuckDB inlines each score CTE into both consumers of the next sweep
+    and the plan blows up exponentially."""
+    head = """WITH nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS src_id, (2 * doc_id + 1) % nn.c AS dst_id FROM documents, nn
+  UNION ALL SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+e AS MATERIALIZED (SELECT DISTINCT src_id AS src, dst_id AS dst FROM child),
+h0 AS MATERIALIZED (
+  SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS s
+  FROM documents
+)"""
+    parts = [head]
+    prev_h = "h0"
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f""",
+a{k}r AS MATERIALIZED (
+  SELECT d.doc_id AS node, COALESCE(SUM(h.s), CAST(0.0 AS DOUBLE)) AS s
+  FROM documents d
+  LEFT JOIN e ON e.dst = d.doc_id
+  LEFT JOIN {prev_h} h ON h.node = e.src
+  GROUP BY d.doc_id
+),
+a{k} AS MATERIALIZED (
+  SELECT node, s / (SELECT SUM(s) FROM a{k}r) AS s FROM a{k}r
+),
+h{k}r AS MATERIALIZED (
+  SELECT d.doc_id AS node, COALESCE(SUM(a.s), CAST(0.0 AS DOUBLE)) AS s
+  FROM documents d
+  LEFT JOIN e ON e.src = d.doc_id
+  LEFT JOIN a{k} a ON a.node = e.dst
+  GROUP BY d.doc_id
+),
+h{k} AS MATERIALIZED (
+  SELECT node, s / (SELECT SUM(s) FROM h{k}r) AS s FROM h{k}r
+)"""
+        )
+        prev_h = f"h{k}"
+    return (
+        "".join(parts)
+        + f"""
+SELECT h.node, ROUND(h.s, 8) AS hub, ROUND(a.s, 8) AS auth
+FROM h{n_iters} h JOIN a{n_iters} a USING (node)"""
+    )
+
 
 ORACLES = {
     "pages_per_host": f"""
@@ -3040,6 +3123,7 @@ SELECT d.doc_id,
 FROM d LEFT JOIN hits h USING (doc_id)
 """,
     "pagerank": _pagerank_sql(5),
+    "hits_scores": _hits_sql(4),
     "anchor_text_agg": f"""
 WITH {SQL_PAGES},
 nn AS (SELECT COUNT(*) AS c FROM documents),

@@ -644,3 +644,195 @@ def clustering_coefficients(
         )
 
     return both.groupby("nbucket").map_groups(combine, batch_format="pandas")
+
+
+def hits(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    n_iters: int = 4,
+    num_partitions: int = 16,
+    round_to: int | None = 8,
+) -> "ray.data.Dataset":
+    """HITS hubs & authorities (Kleinberg 1999) over (node:int64) /
+    (src:int64, dst:int64) — the query-independent sibling of ``pagerank``
+    for page-quality priors. Returns (node, hub, auth).
+
+    Per iteration, two half-steps, each the pagerank plan shape:
+      auth(v) = Σ_{u→v} hub(u)   (edges co-located by SRC bucket)
+      hub(u)  = Σ_{u→v} auth(v)  (edges co-located by DST bucket)
+    each L1-normalized (score / Σ scores — the tiny global sum is a
+    driver scalar, never a shuffle). The two tagged edge tables are
+    materialized ONCE (bucketed by src and by dst respectively); each
+    half-step costs one union+groupby(bucket) with map-side partial sums
+    plus one groupby(node).sum — only (node, partial) rows move, the
+    same two-all-to-alls-per-sweep bound as pagerank. Score tables are
+    repartitioned to ``num_partitions`` blocks per half-step (Ray's
+    Aggregate emits blocks ∝ input blocks — unbounded growth otherwise).
+
+    Float discipline: both half-step expressions (raw sum, then one
+    division by the total) are mirrored operand-for-operand by the SQL
+    oracle; summation-order drift is absorbed by the final ROUND.
+    Edges must be distinct (multi-edges would double-count).
+    """
+    P = num_partitions
+    n = nodes.count()
+
+    def tag_edges_by(key_col: str):
+        other_col = "dst" if key_col == "src" else "src"
+
+        def tag(batch: pa.Table) -> pa.Table:
+            key = batch.column(key_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array((key % P).astype(np.int64)),
+                    "key": batch.column(key_col),
+                    "other": batch.column(other_col),
+                    "score": pa.nulls(batch.num_rows, pa.float64()),
+                }
+            )
+
+        return tag
+
+    edges_by_src = edges.map_batches(
+        tag_edges_by("src"), batch_format="pyarrow"
+    ).materialize()
+    edges_by_dst = edges.map_batches(
+        tag_edges_by("dst"), batch_format="pyarrow"
+    ).materialize()
+
+    zeros = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "val": pa.array(np.zeros(b.num_rows), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    scores = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "score": pa.array(np.full(b.num_rows, 1.0 / n), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((node % P).astype(np.int64)),
+                "key": batch.column("node"),
+                "other": pa.nulls(batch.num_rows, pa.int64()),
+                "score": batch.column("score"),
+            }
+        )
+
+    def bucket_push(g: pd.DataFrame) -> pa.Table:
+        """Vectorized per hash bucket: key→score lookup for the bucket's
+        edges, contribution pushed to `other`, partial-summed MAP-SIDE."""
+        is_edge = g["score"].isna()
+        srows = g[~is_edge]
+        erows = g[is_edge]
+        if erows.empty:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "val": pa.array([], pa.float64())}
+            )
+        lookup = pd.Series(srows["score"].to_numpy(), index=srows["key"].to_numpy())
+        vals = lookup.reindex(erows["key"].to_numpy()).to_numpy()
+        part = (
+            pd.DataFrame(
+                {"node": erows["other"].to_numpy().astype(np.int64), "val": vals}
+            )
+            .groupby("node", sort=True)["val"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "node": pa.array(part.index.to_numpy(), pa.int64()),
+                "val": pa.array(part.to_numpy(), pa.float64()),
+            }
+        )
+
+    def half_step(sc: "ray.data.Dataset", tagged_edges: "ray.data.Dataset"):
+        tagged = sc.map_batches(tag_scores, batch_format="pyarrow")
+        parts = (
+            tagged_edges.union(tagged)
+            .groupby("bucket")
+            .map_groups(bucket_push, batch_format="pandas")
+        )
+        sums = parts.union(zeros).groupby("node").sum("val").materialize()
+        total = sums.sum("sum(val)")  # 0 only for an edgeless graph
+
+        def norm(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column("sum(val)"), dtype=np.float64)
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    # score / total (not score * inv): mirror the oracle's
+                    # division operand-for-operand
+                    "score": pa.array(
+                        v / total if total else v * 0.0, pa.float64()
+                    ),
+                }
+            )
+
+        return (
+            sums.map_batches(norm, batch_format="pyarrow")
+            .repartition(P)
+            .materialize()
+        )
+
+    auths = None
+    for _ in range(n_iters):
+        auths = half_step(scores, edges_by_src)
+        scores = half_step(auths, edges_by_dst)
+
+    def hub_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "hub": batch.column("score"),
+                "auth": pa.array(np.zeros(batch.num_rows), pa.float64()),
+            }
+        )
+
+    def auth_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "hub": pa.array(np.zeros(batch.num_rows), pa.float64()),
+                "auth": batch.column("score"),
+            }
+        )
+
+    both = (
+        scores.map_batches(hub_rows, batch_format="pyarrow")
+        .union(auths.map_batches(auth_rows, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(
+            ray.data.aggregate.Sum("hub", alias_name="hub"),
+            ray.data.aggregate.Sum("auth", alias_name="auth"),
+        )
+    )
+    if round_to is None:
+        return both
+    return both.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "hub": pa.array(
+                    np.round(np.asarray(b.column("hub"), dtype=np.float64), round_to),
+                    pa.float64(),
+                ),
+                "auth": pa.array(
+                    np.round(np.asarray(b.column("auth"), dtype=np.float64), round_to),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

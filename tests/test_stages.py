@@ -620,6 +620,66 @@ def test_pagerank_matches_numpy(ray_session):
     assert abs(got[3] - 0.15 / 4) < 1e-9
 
 
+def test_hits_star_graph(ray_session):
+    """Star 1,2,3 → 0 (+ isolated node 4): the L1-normalized fixpoint is
+    analytic — auth(0)=1, hub(1..3)=1/3, node 4 gets nothing — and is
+    reached after the first sweep, so 4 iterations must sit exactly on it."""
+    from crawl4ai_ray.stages.graph import hits
+
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2, 3], pa.int64()),
+                "dst": pa.array([0, 0, 0], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r for r in hits(nodes, edges, n_iters=4, num_partitions=2).take_all()
+    }
+    assert len(got) == 5
+    assert abs(got[0]["auth"] - 1.0) < 1e-8 and got[0]["hub"] == 0.0
+    for i in (1, 2, 3):
+        assert abs(got[i]["hub"] - 1.0 / 3.0) < 1e-7 and got[i]["auth"] == 0.0
+    assert got[4]["hub"] == 0.0 and got[4]["auth"] == 0.0
+
+
+def test_hits_matches_numpy(ray_session):
+    """General graph vs a scalar reference of the same L1-normalized sweep."""
+    from crawl4ai_ray.stages.graph import hits
+
+    e = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1)]
+    N, iters = 4, 4
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array(range(N), pa.int64())}))
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in e], pa.int64()),
+                "dst": pa.array([d for _, d in e], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r for r in hits(nodes, edges, n_iters=iters, num_partitions=2).take_all()
+    }
+    h = np.full(N, 1.0 / N)
+    for _ in range(iters):
+        a = np.zeros(N)
+        for s, d in e:
+            a[d] += h[s]
+        a = a / a.sum()
+        h = np.zeros(N)
+        for s, d in e:
+            h[s] += a[d]
+        h = h / h.sum()
+    for i in range(N):
+        assert abs(got[i]["hub"] - h[i]) < 1e-7, (i, got[i], h[i])
+        assert abs(got[i]["auth"] - a[i]) < 1e-7, (i, got[i], a[i])
+
+
 def test_connected_components(ray_session):
     from crawl4ai_ray.stages.graph import connected_components
 
