@@ -734,6 +734,59 @@ def q_decontaminate_fuzzy(sf_dir: str):
     return decontaminate_fuzzy(docs, bench, tau=0.8, shingle=3)
 
 
+def q_url_canonical_groups(sf_dir: str):
+    """Mirror/variant URL consolidation — the crawl-side dedup that
+    collapses scheme-case, trailing-slash, tracking-param and fragment
+    variants of one page into a canonical group. Variants are exploded
+    map-side, normalized with the oracled `normalize_url`, then ONE
+    groupby(url_norm) with Count + Min aggregates (map-side combined);
+    no row ever carries more than the url strings."""
+    from ..functions.urls import normalize_url
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        raws = []
+        for i in batch.column("doc_id").to_pylist():
+            h = i % 50
+            raws.append(f"HTTPS://SITE{h}.EXAMPLE.COM/page/{i}/")
+            if i % 2 == 0:
+                raws.append(
+                    f"https://site{h}.example.com/page/{i}?utm_campaign=c&gclid=g"
+                )
+            if i % 3 != 1:
+                raws.append(f"https://site{h}.example.com/page/{i}#sec")
+        norms = [normalize_url(r, "https://example.com") for r in raws]
+        return pa.table(
+            {
+                "url_norm": pa.array(norms, pa.string()),
+                "raw": pa.array(raws, pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(variants, batch_format="pyarrow")
+        .groupby("url_norm")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_variants"),
+            ray.data.aggregate.Min("raw", alias_name="canonical_raw"),
+        )
+    )
+
+
+def q_corpus_rollup(sf_dir: str):
+    """Corpus-composition report (GROUP BY ROLLUP re-expressed): docs and
+    chars by language × source, per-language subtotals, grand total —
+    one distributed groupby over the finest cells, coarser levels folded
+    from the bounded cell table."""
+    from ..stages.agg import rollup_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return rollup_stats(docs, ["lang", "source"], "n_chars")
+
+
 def q_anchor_text_agg(sf_dir: str):
     """Per-destination anchor-text aggregation (the classic web-corpus
     enrichment: a page's in-link anchor texts describe it better than its
@@ -2599,6 +2652,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "corpus_rollup": q_corpus_rollup,
+    "url_canonical_groups": q_url_canonical_groups,
     "pagerank": q_pagerank,
     "hits_scores": q_hits,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3124,6 +3179,51 @@ FROM d LEFT JOIN hits h USING (doc_id)
 """,
     "pagerank": _pagerank_sql(5),
     "hits_scores": _hits_sql(4),
+    "corpus_rollup": r"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents GROUP BY lang, source
+UNION ALL
+SELECT lang, 'ALL',
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'ALL', 'ALL',
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+FROM documents
+""",
+    # normalize_url semantics for these variant families are pinned by the
+    # url_normalize oracle: lowercase scheme+host, strip trailing slash,
+    # drop tracking params and fragments — so the oracle can write the
+    # normalized form directly.
+    "url_canonical_groups": r"""
+WITH v AS (
+  SELECT doc_id,
+         'HTTPS://SITE' || (doc_id % 50) || '.EXAMPLE.COM/page/' || doc_id || '/'
+         AS raw
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://site' || (doc_id % 50) || '.example.com/page/' || doc_id
+           || '?utm_campaign=c&gclid=g'
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id,
+         'https://site' || (doc_id % 50) || '.example.com/page/' || doc_id || '#sec'
+  FROM documents WHERE doc_id % 3 <> 1
+),
+n AS (
+  SELECT 'https://site' || (doc_id % 50) || '.example.com/page/' || doc_id
+           AS url_norm,
+         raw
+  FROM v
+)
+SELECT url_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       MIN(raw) AS canonical_raw
+FROM n GROUP BY url_norm
+""",
     "anchor_text_agg": f"""
 WITH {SQL_PAGES},
 nn AS (SELECT COUNT(*) AS c FROM documents),

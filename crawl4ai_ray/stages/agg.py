@@ -472,3 +472,47 @@ def heavy_hitters(
         return pa.table({key: batch.column(key), "n": n}).filter(keep)
 
     return exact.map_batches(final, batch_format="pyarrow")
+
+
+def rollup_stats(
+    ds: "ray.data.Dataset",
+    dims: list[str],
+    value_col: str,
+    all_token: str = "ALL",
+) -> "ray.data.Dataset":
+    """ROLLUP-style corpus-composition report: one row per grouping level
+    of the dimension hierarchy — (d1,…,dk), (d1,…,ALL), …, (ALL,…,ALL) —
+    each carrying ``n_rows`` and ``sum_<value_col>``. The training-data
+    "what's in this corpus" report (docs and bytes by language × source
+    × …), SQL's GROUP BY ROLLUP re-expressed for Ray Data.
+
+    Scale shape — the classic two-level aggregate: ONE distributed
+    groupby over the full dimension tuple (Ray's Aggregate combines
+    map-side, so only (dims, partials) rows shuffle), producing at most
+    Π|dim cardinalities| finest cells; every coarser level is a pure
+    fold of those cells, done driver-side on the bounded table and
+    returned as a Dataset. Rolled-up dimensions carry ``all_token``
+    rather than NULL so the row's level is self-describing (and
+    NULL-vs-NaN hash ambiguity never arises downstream).
+    """
+    import pandas as pd
+
+    sum_col = f"sum_{value_col}"
+    finest = ds.groupby(dims).aggregate(
+        ray.data.aggregate.Count(alias_name="n_rows"),
+        ray.data.aggregate.Sum(value_col, alias_name=sum_col),
+    )
+    cells = finest.to_pandas()  # ≤ product of dim cardinalities — bounded
+    levels = []
+    for lvl in range(len(dims), -1, -1):
+        g = cells.copy()
+        for d in dims[lvl:]:
+            g[d] = all_token
+        agg = g.groupby(dims, as_index=False).agg(
+            n_rows=("n_rows", "sum"), **{sum_col: (sum_col, "sum")}
+        )
+        levels.append(agg)
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out[sum_col] = out[sum_col].astype("int64")
+    return ray.data.from_pandas(out)

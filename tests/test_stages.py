@@ -620,6 +620,30 @@ def test_pagerank_matches_numpy(ray_session):
     assert abs(got[3] - 0.15 / 4) < 1e-9
 
 
+def test_rollup_stats(ray_session):
+    from crawl4ai_ray.stages.agg import rollup_stats
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": ["en", "en", "de", "de", "de"],
+                "source": ["web", "wiki", "web", "web", "wiki"],
+                "n": pa.array([1, 2, 4, 8, 16], pa.int64()),
+            }
+        )
+    )
+    rows = {
+        (r["lang"], r["source"]): r
+        for r in rollup_stats(ds, ["lang", "source"], "n").take_all()
+    }
+    assert rows[("en", "web")]["n_rows"] == 1 and rows[("en", "web")]["sum_n"] == 1
+    assert rows[("de", "web")]["n_rows"] == 2 and rows[("de", "web")]["sum_n"] == 12
+    assert rows[("en", "ALL")]["sum_n"] == 3
+    assert rows[("de", "ALL")]["sum_n"] == 28
+    assert rows[("ALL", "ALL")]["n_rows"] == 5 and rows[("ALL", "ALL")]["sum_n"] == 31
+    assert len(rows) == 4 + 2 + 1
+
+
 def test_hits_star_graph(ray_session):
     """Star 1,2,3 → 0 (+ isolated node 4): the L1-normalized fixpoint is
     analytic — auth(0)=1, hub(1..3)=1/3, node 4 gets nothing — and is
