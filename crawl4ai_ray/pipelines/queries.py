@@ -734,6 +734,24 @@ def q_decontaminate_fuzzy(sf_dir: str):
     return decontaminate_fuzzy(docs, bench, tau=0.8, shingle=3)
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """Pages → `.warc.gz` shards → pages: the Common-Crawl interchange
+    format as sink AND source (sources/warc.py). `digest_ok` recomputes
+    each payload's md5 on read against the digest stamped at write, so
+    byte-level losslessness is checked IN-BAND — the oracle asserting
+    digest_ok=TRUE for every url is a corruption check, not a tautology."""
+    import hashlib as _hashlib
+
+    from ..sources.pages import read_pages
+    from ..sources.warc import read_warc, write_warc
+
+    pages = read_pages(sf_dir, columns=["url", "warc_ts", "html"])
+    key = _hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/c4r_warc/{key}"
+    write_warc(pages, out).materialize()  # drive the sink to completion
+    return read_warc(out).select_columns(["url", "warc_ts", "digest_ok"])
+
+
 def q_url_canonical_groups(sf_dir: str):
     """Mirror/variant URL consolidation — the crawl-side dedup that
     collapses scheme-case, trailing-slash, tracking-param and fragment
@@ -2654,6 +2672,7 @@ QUERIES = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "corpus_rollup": q_corpus_rollup,
     "url_canonical_groups": q_url_canonical_groups,
+    "warc_roundtrip": q_warc_roundtrip,
     "pagerank": q_pagerank,
     "hits_scores": q_hits,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3223,6 +3242,13 @@ SELECT url_norm,
        CAST(COUNT(*) AS BIGINT) AS n_variants,
        MIN(raw) AS canonical_raw
 FROM n GROUP BY url_norm
+""",
+    "warc_roundtrip": f"""
+WITH {SQL_PAGES}
+SELECT url,
+       TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       TRUE AS digest_ok
+FROM purl
 """,
     "anchor_text_agg": f"""
 WITH {SQL_PAGES},

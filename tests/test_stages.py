@@ -620,6 +620,89 @@ def test_pagerank_matches_numpy(ray_session):
     assert abs(got[3] - 0.15 / 4) < 1e-9
 
 
+def test_warc_roundtrip_bytes(ray_session, tmp_path):
+    """Byte-lossless sink→source round trip, including payloads with
+    non-UTF8 bytes and embedded CRLFCRLF (the record separator)."""
+    from datetime import datetime
+
+    from crawl4ai_ray.sources.warc import read_warc, write_warc
+
+    payloads = {
+        "https://a.example.com/x": b"<html>\xff\xfe raw \r\n\r\n tail</html>",
+        "https://b.example.com/y": "unicode <p>é中</p>".encode(),
+        "https://c.example.com/empty": b"",
+    }
+    ts = datetime(2024, 1, 2, 3, 4, 5)
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(list(payloads), pa.string()),
+                "warc_ts": pa.array([ts] * 3, pa.timestamp("us")),
+                "html": pa.array(list(payloads.values()), pa.binary()),
+            }
+        )
+    )
+    man = write_warc(pages, str(tmp_path)).take_all()
+    assert sum(r["n_records"] for r in man) == 3
+    back = {r["url"]: r for r in read_warc(str(tmp_path)).take_all()}
+    assert back.keys() == payloads.keys()
+    for u, p in payloads.items():
+        assert back[u]["html"] == p, u
+        assert back[u]["digest_ok"] is True or back[u]["digest_ok"] == True  # noqa: E712
+        assert back[u]["warc_ts"] == ts
+
+
+def test_warc_digest_detects_corruption():
+    import hashlib
+    from datetime import datetime
+
+    from crawl4ai_ray.sources.warc import (
+        _http_payload,
+        _parse_warc_stream,
+        _record_bytes,
+    )
+
+    rec = _record_bytes("https://a/x", datetime(2024, 1, 1), b"payload bytes")
+    bad = rec.replace(b"payload bytes", b"tampered byte")  # same length
+    ((h, block),) = list(_parse_warc_stream(bad))
+    got = "md5:" + hashlib.md5(_http_payload(block)).hexdigest()
+    assert h["WARC-Payload-Digest"] != got
+
+
+def test_warc_write_deterministic(ray_session, tmp_path):
+    """Same rows → byte-identical shard under the same name (idempotent,
+    resumable sink)."""
+    from datetime import datetime
+
+    from crawl4ai_ray.sources.warc import write_warc
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["https://a/1", "https://a/2"], pa.string()),
+                "warc_ts": pa.array(
+                    [datetime(2024, 1, 1)] * 2, pa.timestamp("us")
+                ),
+                "html": pa.array([b"one", b"two"], pa.binary()),
+            }
+        )
+    )
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    p1 = write_warc(pages, d1).take_all()
+    p2 = write_warc(pages, d2).take_all()
+    assert [r["n_records"] for r in p1] == [r["n_records"] for r in p2]
+    import os as _os
+
+    f1 = sorted(_os.listdir(d1))
+    f2 = sorted(_os.listdir(d2))
+    assert f1 == f2
+    for f in f1:
+        with open(_os.path.join(d1, f), "rb") as a, open(
+            _os.path.join(d2, f), "rb"
+        ) as b:
+            assert a.read() == b.read()
+
+
 def test_rollup_stats(ray_session):
     from crawl4ai_ray.stages.agg import rollup_stats
 
