@@ -1248,6 +1248,56 @@ def q_pagerank(sf_dir: str):
     return pagerank(nodes, edges, n_iters=5, damping=0.85)
 
 
+def q_host_pagerank(sf_dir: str):
+    """Host-level (domain) authority, CC-curation style: the page link
+    graph is contracted map-side to host ids, collapsed to weighted
+    inter-host simple edges (self-loops dropped) by ONE int-pair groupby,
+    out-weights normalized row-stochastic with the bucketed attach, then
+    weighted PageRank runs on the (orders-of-magnitude smaller) host
+    graph. 4 iterations, ROUND(8) both engines."""
+    from ..stages.graph import (
+        contract_to_host_graph,
+        normalize_out_weights,
+        pagerank,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_host_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = (2 * ids + 1) % n
+        d2 = (2 * ids + 2) % n
+        d3 = (7 * ids + 3) % n
+        keep3 = ~((d3 == d1) | (d3 == d2))  # distinct page edges (local)
+        src = np.concatenate([ids, ids, ids[keep3]])
+        dst = np.concatenate([d1, d2, d3[keep3]])
+        hs = np.where(src % 7 == 0, 0, src % 50)
+        hd = np.where(dst % 7 == 0, 0, dst % 50)
+        return pa.table(
+            {
+                "src_host": pa.array(hs, pa.int64()),
+                "dst_host": pa.array(hd, pa.int64()),
+            }
+        )
+
+    def mk_host_nodes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(np.where(ids % 7 == 0, 0, ids % 50), pa.int64())}
+        )
+
+    page_edges = docs.map_batches(mk_host_edges, batch_format="pyarrow")
+    host_edges = normalize_out_weights(contract_to_host_graph(page_edges))
+    nodes = (
+        docs.map_batches(mk_host_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+    )
+    return pagerank(nodes, host_edges, n_iters=4, damping=0.85)
+
+
 def q_hits(sf_dir: str):
     """HITS hubs/authorities over the synthetic id-level link graph —
     same distinct-edge model as pagerank (collisions only within one
@@ -2675,6 +2725,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "pagerank": q_pagerank,
     "hits_scores": q_hits,
+    "host_pagerank": q_host_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_pairs": q_pmi_pairs,
     "logreg_quality": q_logreg_quality,
@@ -2959,6 +3010,63 @@ FROM h{n_iters} h JOIN a{n_iters} a USING (node)"""
     )
 
 
+def _host_pagerank_sql(n_iters: int = 4) -> str:
+    """Unrolled weighted host-level PageRank oracle: distinct page edges
+    → host contraction (self-loops dropped) → row-stochastic weights via
+    a window sum (float(cnt)/float(tot): integer-exact doubles, identical
+    to the Ray division) → pagerank iterations, ROUND(8)."""
+    head = """WITH nn AS MATERIALIZED (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS src_id, (2 * doc_id + 1) % nn.c AS dst_id FROM documents, nn
+  UNION ALL SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+pe AS (SELECT DISTINCT src_id, dst_id FROM child),
+he AS MATERIALIZED (
+  SELECT CASE WHEN src_id % 7 = 0 THEN 0 ELSE src_id % 50 END AS src,
+         CASE WHEN dst_id % 7 = 0 THEN 0 ELSE dst_id % 50 END AS dst,
+         COUNT(*) AS cnt
+  FROM pe
+  WHERE (CASE WHEN src_id % 7 = 0 THEN 0 ELSE src_id % 50 END)
+     <> (CASE WHEN dst_id % 7 = 0 THEN 0 ELSE dst_id % 50 END)
+  GROUP BY 1, 2
+),
+hw AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY src) AS DOUBLE) AS w
+  FROM he
+),
+hn AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 50 END AS node
+  FROM documents
+),
+hc AS MATERIALIZED (SELECT COUNT(*) AS c FROM hn),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM hc) AS rank FROM hn
+)"""
+    parts = [head]
+    prev = "r0"
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f""",
+r{k} AS MATERIALIZED (
+  SELECT h.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM hc)
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(p.rank * hw.w), CAST(0.0 AS DOUBLE)) AS rank
+  FROM hn h
+  LEFT JOIN hw ON hw.dst = h.node
+  LEFT JOIN {prev} p ON p.node = hw.src
+  GROUP BY h.node
+)"""
+        )
+        prev = f"r{k}"
+    return (
+        "".join(parts)
+        + f"\nSELECT node, ROUND(rank, 8) AS rank FROM {prev}"
+    )
+
+
 ORACLES = {
     "pages_per_host": f"""
 WITH {SQL_PAGES}
@@ -3198,6 +3306,7 @@ FROM d LEFT JOIN hits h USING (doc_id)
 """,
     "pagerank": _pagerank_sql(5),
     "hits_scores": _hits_sql(4),
+    "host_pagerank": _host_pagerank_sql(4),
     "corpus_rollup": r"""
 SELECT lang, source,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -836,3 +836,112 @@ def hits(
         ),
         batch_format="pyarrow",
     )
+
+
+def normalize_out_weights(
+    edges: "ray.data.Dataset",
+    num_partitions: int = 16,
+    cnt_col: str = "cnt",
+) -> "ray.data.Dataset":
+    """(src, dst, cnt) → (src, dst, w = cnt / Σ_dst' cnt(src, dst')) —
+    row-stochastic edge weights for weighted PageRank, computed with the
+    union+bucketed-groupby attach (NO Dataset.join): per-src out-weight
+    totals are a groupby aggregate, then totals and edges co-locate in ONE
+    hash(src) % P shuffle and divide vectorized per bucket."""
+    P = num_partitions
+
+    totals = edges.groupby("src").sum(cnt_col)
+
+    def tag_totals(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((src % P).astype(np.int64)),
+                "src": batch.column("src"),
+                "dst": pa.nulls(batch.num_rows, pa.int64()),
+                "cnt": pa.nulls(batch.num_rows, pa.int64()),
+                "tot": batch.column(f"sum({cnt_col})").cast(pa.int64()),
+            }
+        )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((src % P).astype(np.int64)),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "cnt": batch.column(cnt_col).cast(pa.int64()),
+                "tot": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def divide(g: pd.DataFrame) -> pa.Table:
+        is_tot = g["dst"].isna()
+        trows = g[is_tot]
+        erows = g[~is_tot]
+        if erows.empty:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.float64()),
+                }
+            )
+        lookup = pd.Series(
+            trows["tot"].to_numpy(dtype=np.float64), index=trows["src"].to_numpy()
+        )
+        tot = lookup.reindex(erows["src"].to_numpy()).to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(erows["src"].to_numpy().astype(np.int64)),
+                "dst": pa.array(erows["dst"].to_numpy().astype(np.int64)),
+                "w": pa.array(
+                    erows["cnt"].to_numpy(dtype=np.float64) / tot, pa.float64()
+                ),
+            }
+        )
+
+    tagged = totals.map_batches(tag_totals, batch_format="pyarrow").union(
+        edges.map_batches(tag_edges, batch_format="pyarrow")
+    )
+    return tagged.groupby("bucket").map_groups(divide, batch_format="pandas")
+
+
+def contract_to_host_graph(
+    edges: "ray.data.Dataset",
+    src_host_col: str = "src_host",
+    dst_host_col: str = "dst_host",
+) -> "ray.data.Dataset":
+    """Page-level edges already annotated with host ids → the inter-host
+    multigraph collapsed to weighted simple edges (src, dst, cnt):
+    self-loops (intra-host links) dropped, ONE groupby over int pairs.
+    The contraction is what makes host-level PageRank tractable: the
+    host graph is orders of magnitude smaller than the page graph."""
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_host_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst_host_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        return pa.table(
+            {
+                "src": pa.array(s[keep], pa.int64()),
+                "dst": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                    "cnt": b.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

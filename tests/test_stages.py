@@ -727,6 +727,36 @@ def test_rollup_stats(ray_session):
     assert len(rows) == 4 + 2 + 1
 
 
+def test_contract_and_normalize_host_graph(ray_session):
+    from crawl4ai_ray.stages.graph import (
+        contract_to_host_graph,
+        normalize_out_weights,
+    )
+
+    page_edges = ray.data.from_arrow(
+        pa.table(
+            {
+                # host 0 → host 1 twice, 0 → 2 once, 1 → 1 (self, dropped),
+                # 2 → 0 once
+                "src_host": pa.array([0, 0, 0, 1, 2], pa.int64()),
+                "dst_host": pa.array([1, 1, 2, 1, 0], pa.int64()),
+            }
+        )
+    )
+    he = {
+        (r["src"], r["dst"]): r["cnt"]
+        for r in contract_to_host_graph(page_edges).take_all()
+    }
+    assert he == {(0, 1): 2, (0, 2): 1, (2, 0): 1}
+    w = {
+        (r["src"], r["dst"]): r["w"]
+        for r in normalize_out_weights(
+            contract_to_host_graph(page_edges), num_partitions=2
+        ).take_all()
+    }
+    assert w[(0, 1)] == 2.0 / 3.0 and w[(0, 2)] == 1.0 / 3.0 and w[(2, 0)] == 1.0
+
+
 def test_hits_star_graph(ray_session):
     """Star 1,2,3 → 0 (+ isolated node 4): the L1-normalized fixpoint is
     analytic — auth(0)=1, hub(1..3)=1/3, node 4 gets nothing — and is
