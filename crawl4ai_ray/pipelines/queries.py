@@ -945,6 +945,20 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(tagged, target_col="is_target")
 
 
+def q_ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (stages/ann.py pq_topk): 2 subspaces ×
+    8-centroid integer-exact codebooks (2 Lloyd iterations), codes built
+    with one bucketed pivot shuffle, broadcast ADC lookup tables, local
+    top-k per code batch. Fully fixed-point, so the oracle unrolls BOTH
+    subspace k-means chains and recomputes the ADC distances in SQL."""
+    from ..stages.ann import pq_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(
+        emb, query_ids=range(5), k=10, m_subspaces=2, codebook_k=8, iters=2
+    )
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table
     (stages/cluster.py kmeans_fp): integer-exact fixed-point arithmetic
@@ -2734,6 +2748,7 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "dsir_weights": q_dsir_weights,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "ann_topk_pq": q_ann_topk_pq,
     "semdedup": q_semdedup,
     "neardup_keep": q_neardup_keep,
     "hybrid_rrf": q_hybrid_rrf,
@@ -4811,7 +4826,8 @@ WHERE m.mean_nll_fixed < 343500000
 """
 
 
-def _kmeans_cte_chain(k: int, iters: int, emb_src: str = "embeddings") -> str:
+def _kmeans_cte_chain(k: int, iters: int, emb_src: str = "embeddings",
+                      prefix: str = "") -> str:
     """Unrolled fixed-point k-means as a CTE chain mirroring
     stages/cluster.py kmeans_fp operand-for-operand: quantize
     floor(v*2^20+0.5) in DOUBLE, integer squared distances, ties to the
@@ -4821,50 +4837,95 @@ def _kmeans_cte_chain(k: int, iters: int, emb_src: str = "embeddings") -> str:
     every multi-consumer CTE or DuckDB 1.0 inlines the chain
     exponentially (same gotcha as the logreg oracle)."""
     parts = [
-        f"""efp AS MATERIALIZED (
+        f"""{prefix}efp AS MATERIALIZED (
   SELECT vec_id,
          CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0
                     + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e
   FROM {emb_src}
 ),
-c0 AS MATERIALIZED (SELECT vec_id AS cluster, dim, e AS c FROM efp WHERE vec_id < {k})"""
+{prefix}c0 AS MATERIALIZED (SELECT vec_id AS cluster, dim, e AS c FROM {prefix}efp WHERE vec_id < {k})"""
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"""d{i} AS (
+            f"""{prefix}d{i} AS (
   SELECT f.vec_id, c.cluster, SUM((f.e - c.c) * (f.e - c.c)) AS d
-  FROM efp f JOIN c{i - 1} c USING (dim) GROUP BY f.vec_id, c.cluster
+  FROM {prefix}efp f JOIN {prefix}c{i - 1} c USING (dim) GROUP BY f.vec_id, c.cluster
 ),
-a{i} AS MATERIALIZED (
+{prefix}a{i} AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT vec_id, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM d{i}) WHERE rn = 1
+    FROM {prefix}d{i}) WHERE rn = 1
 ),
-c{i} AS MATERIALIZED (
+{prefix}c{i} AS MATERIALIZED (
   SELECT prev.cluster, prev.dim, COALESCE(upd.c, prev.c) AS c
-  FROM c{i - 1} prev LEFT JOIN (
+  FROM {prefix}c{i - 1} prev LEFT JOIN (
     SELECT a.cluster, f.dim,
            CAST(floor(CAST(SUM(f.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-    FROM a{i} a JOIN efp f USING (vec_id) GROUP BY a.cluster, f.dim
+    FROM {prefix}a{i} a JOIN {prefix}efp f USING (vec_id) GROUP BY a.cluster, f.dim
   ) upd ON prev.cluster = upd.cluster AND prev.dim = upd.dim
 )"""
         )
     parts.append(
-        f"""dfin AS (
+        f"""{prefix}dfin AS (
   SELECT f.vec_id, c.cluster, SUM((f.e - c.c) * (f.e - c.c)) AS d
-  FROM efp f JOIN c{iters} c USING (dim) GROUP BY f.vec_id, c.cluster
+  FROM {prefix}efp f JOIN {prefix}c{iters} c USING (dim) GROUP BY f.vec_id, c.cluster
 ),
-afinal AS MATERIALIZED (
+{prefix}afinal AS MATERIALIZED (
   SELECT vec_id, cluster, d FROM (
     SELECT vec_id, cluster, d,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM dfin) WHERE rn = 1
+    FROM {prefix}dfin) WHERE rn = 1
 )"""
     )
     return ",\n".join(parts)
 
+
+# PQ-ANN: two prefixed k-means chains (one per 32-dim subspace slice),
+# then ADC = per-(query, neighbor) sum of integer squared distances
+# query-subvector ↔ the centroid of the neighbor's code, per subspace.
+ORACLES["ann_topk_pq"] = f"""
+WITH s0 AS MATERIALIZED (
+  SELECT vec_id, embedding[1:32] AS embedding FROM embeddings
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, embedding[33:64] AS embedding FROM embeddings
+),
+{_kmeans_cte_chain(8, 2, emb_src="s0", prefix="p0_")},
+{_kmeans_cte_chain(8, 2, emb_src="s1", prefix="p1_")},
+q AS (SELECT vec_id FROM embeddings WHERE vec_id < 5),
+dd0 AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         SUM((f.e - c.c) * (f.e - c.c)) AS d
+  FROM q
+  JOIN p0_afinal a ON a.vec_id <> q.vec_id
+  JOIN p0_efp f ON f.vec_id = q.vec_id
+  JOIN p0_c2 c ON c.cluster = a.cluster AND c.dim = f.dim
+  GROUP BY 1, 2
+),
+dd1 AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         SUM((f.e - c.c) * (f.e - c.c)) AS d
+  FROM q
+  JOIN p1_afinal a ON a.vec_id <> q.vec_id
+  JOIN p1_efp f ON f.vec_id = q.vec_id
+  JOIN p1_c2 c ON c.cluster = a.cluster AND c.dim = f.dim
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT query_id, neighbor_id, dd0.d + dd1.d AS d
+  FROM dd0 JOIN dd1 USING (query_id, neighbor_id)
+),
+ranked AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+  FROM tot
+)
+SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist_fp,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 10
+"""
 
 ORACLES["kmeans_embeddings"] = f"""
 WITH {_kmeans_cte_chain(8, 4)}

@@ -357,3 +357,203 @@ def rrf_fuse(
             "rank": pa.array(range(1, len(top) + 1), pa.int64()),
         }
     )
+
+
+def pq_topk(
+    ds: "ray.data.Dataset",
+    query_ids,
+    k: int = 10,
+    m_subspaces: int = 2,
+    codebook_k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    num_buckets: int = 32,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Product-quantization ANN (Jégou et al. 2011) — the compressed-index
+    scale path of the ANN family: vectors are stored as ``m_subspaces``
+    small codes (bytes, not floats), and query distances are looked up,
+    not computed, so the scan touches ~1% of the raw bytes.
+
+    Everything is INTEGER-exact so a SQL oracle can reproduce it
+    end-to-end (the kmeans_fp fixed-point discipline):
+
+    1. Split the d dims into M contiguous subspaces; run the integer
+       fixed-point ``kmeans_fp`` on each (codebooks: M × (K, d/M) int64).
+    2. Encode: subspace assignments (vec_id, m, cluster) union across M
+       → ONE hash(vec_id) % P groupby; a vectorized per-bucket pivot
+       yields the code table (vec_id, code_0..code_{M-1}) — the
+       compressed index, built with one bounded shuffle of M·N tiny rows.
+    3. ADC: per query, the (M, K) lookup table of integer squared
+       distances query-subvector ↔ codebook centroid is computed once on
+       the driver (Q·M·K ints) and broadcast; each code batch sums M
+       lookups per (query, vector) and emits only its local top-k′
+       (deterministic (dist, id) order), k′ = k+1 to absorb
+       self-exclusion; a final Q-group reduce yields the global top-k.
+
+    Returns (query_id, neighbor_id, dist_fp, rank); asymmetric distance
+    = Σ_m ‖q_m − c_m[code_m(v)]‖² in fixed-point int64, ties broken by
+    neighbor_id. Exact-vs-brute recall is whatever the codebooks give —
+    this is lossy compression by design; the ORACLE checks the PQ
+    semantics themselves.
+    """
+    import pandas as pd
+
+    from .cluster import kmeans_fp, quantize_embeddings
+
+    first = ds.take(1)[0]
+    d = len(first["embedding"])
+    assert d % m_subspaces == 0, "dim must divide evenly into subspaces"
+    d_sub = d // m_subspaces
+
+    def slicer(m: int):
+        lo, hi = m * d_sub, (m + 1) * d_sub
+
+        def f(batch: pa.Table) -> pa.Table:
+            embs = [e[lo:hi] for e in batch.column("embedding").to_pylist()]
+            return pa.table(
+                {
+                    id_col: batch.column(id_col).cast(pa.int64()),
+                    "embedding": pa.array(
+                        embs, pa.list_(batch.schema.field("embedding").type.value_type)
+                    ),
+                }
+            )
+
+        return f
+
+    assigns, cents = [], []
+    for m in range(m_subspaces):
+        sub = ds.map_batches(slicer(m), batch_format="pyarrow")
+        a, c = kmeans_fp(sub, k=codebook_k, iters=iters, id_col=id_col)
+        assigns.append(a)
+        cents.append(c)  # (K, d_sub) int64
+
+    # ---- code table: (vec_id, m, cluster) union → bucketed pivot
+    def tag_m(m: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        (ids.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                            np.int64
+                        )
+                    ),
+                    id_col: batch.column(id_col),
+                    "m": pa.array(np.full(len(ids), m), pa.int64()),
+                    "cluster": batch.column("cluster"),
+                }
+            )
+
+        return f
+
+    tagged = assigns[0].map_batches(tag_m(0), batch_format="pyarrow")
+    for m in range(1, m_subspaces):
+        tagged = tagged.union(
+            assigns[m].map_batches(tag_m(m), batch_format="pyarrow")
+        )
+
+    code_cols = [f"code_{m}" for m in range(m_subspaces)]
+
+    def pivot(g: pd.DataFrame) -> pa.Table:
+        wide = g.pivot_table(
+            index=id_col, columns="m", values="cluster", aggfunc="first"
+        )
+        cols = {id_col: pa.array(wide.index.to_numpy(np.int64), pa.int64())}
+        for m in range(m_subspaces):
+            cols[code_cols[m]] = pa.array(
+                wide[m].to_numpy(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    codes = tagged.groupby("bucket").map_groups(pivot, batch_format="pandas")
+
+    # ---- per-query ADC lookup tables (Q, M, K) — tiny, broadcast once
+    import pyarrow.compute as pc
+
+    qset = sorted(int(q) for q in query_ids)
+    qvals = pa.array(qset, pa.int64())
+    qrows = {
+        r[id_col]: r["embedding"]
+        for r in ds.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column(id_col).cast(pa.int64()), value_set=qvals)
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    lut = np.zeros((len(qset), m_subspaces, codebook_k), dtype=np.int64)
+    for qi, qid in enumerate(qset):
+        q_fp = quantize_embeddings(
+            pa.table({"embedding": pa.array([qrows[qid]])}), "embedding"
+        )[0]
+        for m in range(m_subspaces):
+            q_sub = q_fp[m * d_sub : (m + 1) * d_sub]
+            diff = cents[m] - q_sub[None, :]
+            lut[qi, m] = np.sum(diff * diff, axis=1)
+    lut_ref = ray.put(lut)
+    qids_ref = ray.put(np.asarray(qset, dtype=np.int64))
+
+    kprime = k + (1 if exclude_self else 0)
+
+    class AdcTopK:
+        def __init__(self, lut_ref, qids_ref):
+            self.lut = ray.get(lut_ref)  # (Q, M, K)
+            self.qids = ray.get(qids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "dist_fp": pa.array([], pa.int64()),
+                    }
+                )
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            dist = np.zeros((len(self.qids), len(ids)), dtype=np.int64)
+            for m in range(m_subspaces):
+                cm = batch.column(code_cols[m]).to_numpy(zero_copy_only=False)
+                dist += self.lut[:, m, :][:, cm]
+            out_q, out_n, out_d = [], [], []
+            kk = min(kprime, len(ids))
+            for qi in range(len(self.qids)):
+                order = np.lexsort((ids, dist[qi]))[:kk]
+                out_q.extend([int(self.qids[qi])] * kk)
+                out_n.extend(ids[order].tolist())
+                out_d.extend(dist[qi][order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "dist_fp": pa.array(out_d, pa.int64()),
+                }
+            )
+
+    cand = codes.map_batches(
+        AdcTopK,
+        fn_constructor_args=(lut_ref, qids_ref),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+    def reduce_q(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nid = np.asarray(group.column("neighbor_id").to_pylist())
+        dd = np.asarray(group.column("dist_fp").to_pylist())
+        if exclude_self:
+            keep = nid != qid
+            nid, dd = nid[keep], dd[keep]
+        order = np.lexsort((nid, dd))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "dist_fp": pa.array(dd[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return cand.groupby("query_id").map_groups(reduce_q, batch_format="pyarrow")

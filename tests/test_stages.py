@@ -727,6 +727,45 @@ def test_rollup_stats(ray_session):
     assert len(rows) == 4 + 2 + 1
 
 
+def test_pq_topk_separated_clusters(ray_session):
+    """Two well-separated clusters, even ids in A / odd ids in B (so the
+    lowest-id codebook init starts one centroid in each): a query from A
+    must rank every other A member before any B member, distances
+    non-decreasing by rank, deterministic across runs."""
+    from crawl4ai_ray.stages.ann import pq_topk
+
+    vecs = []
+    for i in range(8):
+        if i % 2 == 0:  # cluster A
+            vecs.append([1.0, 1.0 + 0.01 * i, 0.0, 0.01 * i])
+        else:  # cluster B
+            vecs.append([9.0, 9.0, 8.0, 8.0 + 0.01 * i])
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(8), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = pq_topk(
+        emb, query_ids=[0], k=7, m_subspaces=2, codebook_k=2, iters=2
+    ).take_all()
+    rows = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 8))
+    assert 0 not in [r["neighbor_id"] for r in rows]  # self excluded
+    # all of A (2, 4, 6) before any of B (1, 3, 5, 7)
+    assert {r["neighbor_id"] for r in rows[:3]} == {2, 4, 6}
+    dists = [r["dist_fp"] for r in rows]
+    assert dists == sorted(dists)
+    out2 = pq_topk(
+        emb, query_ids=[0], k=7, m_subspaces=2, codebook_k=2, iters=2
+    ).take_all()
+    assert sorted(map(tuple, (r.items() for r in out))) == sorted(
+        map(tuple, (r.items() for r in out2))
+    )
+
+
 def test_contract_and_normalize_host_graph(ray_session):
     from crawl4ai_ray.stages.graph import (
         contract_to_host_graph,
