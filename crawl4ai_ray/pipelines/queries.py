@@ -740,14 +740,16 @@ def q_warc_roundtrip(sf_dir: str):
     each payload's md5 on read against the digest stamped at write, so
     byte-level losslessness is checked IN-BAND — the oracle asserting
     digest_ok=TRUE for every url is a corruption check, not a tautology."""
-    import hashlib as _hashlib
+    import tempfile
 
     from ..sources.pages import read_pages
     from ..sources.warc import read_warc, write_warc
 
     pages = read_pages(sf_dir, columns=["url", "warc_ts", "html"])
-    key = _hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    out = f"/tmp/c4r_warc/{key}"
+    # fresh dir per run: shard names depend on block boundaries, so a
+    # REUSED dir would accumulate stale shards from a differently-batched
+    # earlier run and read back duplicates (caught by the sweep gate)
+    out = tempfile.mkdtemp(prefix="c4r_warc_", dir="/tmp")
     write_warc(pages, out).materialize()  # drive the sink to completion
     return read_warc(out).select_columns(["url", "warc_ts", "digest_ok"])
 
@@ -1473,6 +1475,55 @@ def q_minhash_pairs(sf_dir: str):
     ).materialize()  # consumed by the LSH pipeline and both verify joins
     cands = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=16)
     return dedup.verify_pairs(cands, docs, mode="jaccard", tau=0.9)
+
+
+def q_minhash_index_dedup(sf_dir: str):
+    """Incremental near-dup check of a NEW crawl batch against a
+    PERSISTED minhash index of the historical corpus (build once, probe
+    per batch — signatures of the old side never recompute): bucket-
+    partitioned band-key store + pruned probe (stages/dedup.py
+    build_minhash_index / probe_minhash_index), then exact 3-gram-Jaccard
+    verification at tau=0.9 over old∪new texts. New batch = every 31st
+    doc with its first token dropped, ids lifted by 1e6."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    key = _hashlib.md5(_os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = f"/tmp/c4r_mhidx/{key}"
+    if not _os.path.exists(_os.path.join(index_dir, "_SPEC.json")):
+        build = f"{index_dir}.build-{_uuid.uuid4().hex[:8]}"
+        dedup.build_minhash_index(docs, build, num_perm=64, bands=16)
+        _os.makedirs(_os.path.dirname(index_dir), exist_ok=True)
+        try:  # atomic move-into-place; a concurrent winner keeps its copy
+            _os.rename(build, index_dir)
+        except OSError:
+            _shutil.rmtree(build, ignore_errors=True)
+
+    def mk_new(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 31 == 0
+        texts = [
+            " ".join(t.split()[1:])
+            for t, k in zip(b.column("text").to_pylist(), keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep] + 1_000_000, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    new_docs = docs.map_batches(mk_new, batch_format="pyarrow").materialize()
+    cands, telemetry = dedup.probe_minhash_index(new_docs, index_dir)
+    assert telemetry["bytes_total"] > 0
+    both = docs.union(new_docs)
+    return dedup.verify_pairs(cands, both, mode="jaccard", tau=0.9)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
@@ -2749,6 +2800,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "kmeans_embeddings": q_kmeans_embeddings,
     "ann_topk_pq": q_ann_topk_pq,
+    "minhash_index_dedup": q_minhash_index_dedup,
     "semdedup": q_semdedup,
     "neardup_keep": q_neardup_keep,
     "hybrid_rrf": q_hybrid_rrf,
@@ -3754,6 +3806,56 @@ FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE)
       >= 0.9
+""",
+    # cross-side exact 3-gram Jaccard at 0.9 between the corpus and the
+    # derived "new batch" (every 31st doc minus its first token, id + 1e6);
+    # the LSH index prunes candidates, verify_pairs makes the result exact,
+    # so the oracle recomputes the metric directly (miss prob ≤ 3e-8/pair
+    # at J = 0.9 with 16 bands × 4 rows, vanishing above it).
+    "minhash_index_dedup": r"""
+WITH ctoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+ntoks AS (
+  SELECT doc_id + 1000000 AS doc_id, t[2:len(t)] AS t
+  FROM ctoks WHERE doc_id % 31 = 0
+),
+cgrams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN generate_series(1, len(t) - 2)]
+      END AS gl
+    FROM ctoks WHERE len(t) > 0
+  ), UNNEST(gl) AS u(g)
+),
+ngrams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN generate_series(1, len(t) - 2)]
+      END AS gl
+    FROM ntoks WHERE len(t) > 0
+  ), UNNEST(gl) AS u(g)
+),
+csz AS (SELECT doc_id, COUNT(*) AS sz FROM cgrams GROUP BY doc_id),
+nsz AS (SELECT doc_id, COUNT(*) AS sz FROM ngrams GROUP BY doc_id),
+inter AS (
+  SELECT cg.doc_id AS a, ng.doc_id AS b, COUNT(*) AS i
+  FROM cgrams cg JOIN ngrams ng ON cg.g = ng.g
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b
+FROM inter i
+JOIN csz ON csz.doc_id = i.a
+JOIN nsz ON nsz.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / (csz.sz + nsz.sz - i.i) >= CAST(0.9 AS DOUBLE)
 """,
     "neardup_resolve": r"""
 WITH RECURSIVE toks AS (

@@ -72,7 +72,13 @@ def write_warc(
     """Sink: pages Dataset → `out_dir/shard-<hash>.warc.gz`, one gzip
     member per record, one shard per input block (task-local writes — no
     shuffle, no driver transit). Returns the shard manifest
-    (path, n_records, n_bytes) as a Dataset."""
+    (path, n_records, n_bytes) as a Dataset.
+
+    Shard names are content-derived (the hash of the block's urls), so
+    re-running the SAME dataset with the SAME block layout is idempotent
+    byte-for-byte — but a different block layout writes differently-named
+    shards, so `out_dir` must be fresh (or cleaned) per logical export;
+    mixing layouts in one dir would double records on read."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_batch(batch: pa.Table) -> pa.Table:

@@ -1306,3 +1306,193 @@ def embedding_neardup_pairs(
         batch_size=512,
         concurrency=(1, 8),
     )
+
+
+def build_minhash_index(
+    docs: "ray.data.Dataset",
+    index_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    num_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Persist the corpus's LSH band keys as a PARTITIONED index —
+    the incremental-dedup layout: recrawls/new batches are near-dup
+    checked against the historical corpus WITHOUT recomputing its
+    signatures (the dedup analogue of the IVF-bucketed embedding store
+    and the term-partitioned postings store).
+
+    Layout: ``index_dir/bucket=NN/*.parquet`` holding
+    (band:int32, band_hash:uint64, id:int64), bucket = band_hash %
+    num_buckets, sorted before the partitioned write so each bucket
+    lands in O(1) files; ``_SPEC.json`` pins (num_perm, bands,
+    num_buckets, HASH_SPEC) and a mismatched probe REFUSES rather than
+    silently returning wrong candidates."""
+    import json
+    import os
+
+    from ..functions.hashing import HASH_SPEC
+
+    rows_per_band = num_perm // bands
+    sigs = docs.map_batches(
+        MinHashSignatures(num_perm, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+    def banded_with_bucket(batch: pa.Table) -> pa.Table:
+        t = _band_explode(batch, bands, rows_per_band)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        # keep modulo operands uint64: uint64 % python-int promotes to
+        # float64 and garbles high hashes (r3 gotcha)
+        bucket = (bh.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    (
+        sigs.map_batches(banded_with_bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .write_parquet(index_dir, partition_cols=["bucket"])
+    )
+    with open(os.path.join(index_dir, "_SPEC.json"), "w") as f:
+        json.dump(
+            {
+                "num_perm": num_perm,
+                "bands": bands,
+                "num_buckets": num_buckets,
+                "hash_spec": HASH_SPEC,
+            },
+            f,
+        )
+    return index_dir
+
+
+def probe_minhash_index(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[ray.data.Dataset, dict]":
+    """Cross-side candidate pairs (a = indexed id, b = new id) between a
+    persisted minhash index and a NEW document batch: new docs band-key
+    themselves under the index's pinned spec, only the partitions whose
+    buckets actually occur in the probe set are READ (bytes-scanned
+    telemetry, like the IVF store), and matching is one
+    groupby(bucket) with a vectorized per-bucket (band, band_hash)
+    equijoin across sides. Pair distinctness via the usual (a, b)
+    groupby. Candidates still need exact verification downstream
+    (verify_pairs against old∪new texts) — same contract as
+    minhash_lsh_pairs."""
+    import glob as _glob
+    import json
+    import os
+
+    import pandas as pd
+
+    from ..functions.hashing import HASH_SPEC
+
+    with open(os.path.join(index_dir, "_SPEC.json")) as f:
+        spec = json.load(f)
+    if spec["hash_spec"] != HASH_SPEC:
+        raise ValueError(
+            f"index built under hash spec {spec['hash_spec']!r}, "
+            f"runtime is {HASH_SPEC!r} — rebuild the index"
+        )
+    num_perm, bands = spec["num_perm"], spec["bands"]
+    num_buckets = spec["num_buckets"]
+    rows_per_band = num_perm // bands
+
+    sigs = new_docs.map_batches(
+        MinHashSignatures(num_perm, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+    def banded_new(batch: pa.Table) -> pa.Table:
+        t = _band_explode(batch, bands, rows_per_band)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        bucket = (bh.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "band": t.column("band").cast(pa.int64()),
+                "band_hash": t.column("band_hash"),
+                "id": t.column("id"),
+                "is_new": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    probe = sigs.map_batches(banded_new, batch_format="pyarrow").materialize()
+    present = sorted(
+        {
+            r["bucket"]
+            for t in probe.select_columns(["bucket"]).iter_batches(
+                batch_format="pyarrow"
+            )
+            for r in t.to_pylist()
+        }
+    )
+    files = [
+        f
+        for c in present
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, f"bucket={c}", "*.parquet"))
+        )
+    ]
+    all_files = _glob.glob(os.path.join(index_dir, "bucket=*", "*.parquet"))
+    telemetry = {
+        # buckets the probe set hashes into (missing partitions read 0 bytes)
+        "probed_buckets": len(present),
+        "total_buckets": num_buckets,
+        "bytes_scanned": sum(os.path.getsize(f) for f in files),
+        "bytes_total": sum(os.path.getsize(f) for f in all_files),
+    }
+    if not files:
+        empty = ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+        return empty, telemetry
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        bucket = (bh.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "band": batch.column("band").cast(pa.int64()),
+                "band_hash": batch.column("band_hash"),
+                "id": batch.column("id"),
+                "is_new": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    # partition dirs drop the bucket column from the files — recompute it
+    old = ray.data.read_parquet(files, columns=["band", "band_hash", "id"]).map_batches(
+        tag_old, batch_format="pyarrow"
+    )
+
+    def cross_match(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["is_new"] == 1]
+        idx = g[g["is_new"] == 0]
+        if new.empty or idx.empty:
+            return pd.DataFrame(
+                {"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)}
+            )
+        m = idx.merge(new, on=["band", "band_hash"], suffixes=("_a", "_b"))
+        return pd.DataFrame(
+            {
+                "a": m["id_a"].to_numpy(np.int64),
+                "b": m["id_b"].to_numpy(np.int64),
+            }
+        )
+
+    pairs = (
+        old.union(probe)
+        .groupby("bucket")
+        .map_groups(cross_match, batch_format="pandas")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+    return pairs, telemetry

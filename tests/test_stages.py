@@ -727,6 +727,52 @@ def test_rollup_stats(ray_session):
     assert len(rows) == 4 + 2 + 1
 
 
+def test_minhash_index_build_probe(ray_session, tmp_path):
+    """Persisted LSH index: a near-dup probe doc finds its indexed twin,
+    an unrelated probe finds nothing; bytes-scanned telemetry reports the
+    pruned read; a tampered spec refuses to probe."""
+    import json
+    import os
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    old = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": [base, "completely different indexed text body here"],
+            }
+        )
+    )
+    idx = str(tmp_path / "mhidx")
+    dedup.build_minhash_index(old, idx, num_perm=64, bands=16)
+    assert os.path.exists(os.path.join(idx, "_SPEC.json"))
+
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "text": [
+                    " ".join(base.split()[1:]),  # near-dup of doc 0
+                    "zzz qqq totally unrelated fresh words",
+                ],
+            }
+        )
+    )
+    cands, tele = dedup.probe_minhash_index(new, idx)
+    got = {(r["a"], r["b"]) for r in cands.take_all()}
+    assert (0, 100) in got
+    assert all(b != 101 for _, b in got)
+    assert 0 < tele["bytes_scanned"] <= tele["bytes_total"]
+    assert tele["probed_buckets"] <= tele["total_buckets"]
+
+    spec_path = os.path.join(idx, "_SPEC.json")
+    spec = json.load(open(spec_path))
+    spec["hash_spec"] = "other-spec"
+    json.dump(spec, open(spec_path, "w"))
+    with pytest.raises(ValueError, match="hash spec"):
+        dedup.probe_minhash_index(new, idx)
+
+
 def test_pq_topk_separated_clusters(ray_session):
     """Two well-separated clusters, even ids in A / odd ids in B (so the
     lowest-id codebook init starts one centroid in each): a query from A
