@@ -1264,6 +1264,40 @@ def q_pagerank(sf_dir: str):
     return pagerank(nodes, edges, n_iters=5, damping=0.85)
 
 
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (random walk with restart) from the crawl's
+    seed docs {0,1,2} — seed-relative authority for topic-focused
+    frontier prioritization, vs global pagerank's popularity. Same
+    distributed plan (the teleport vector changes, not the shuffles)."""
+    from ..stages.graph import pagerank
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = (2 * ids + 1) % n
+        d2 = (2 * ids + 2) % n
+        d3 = (7 * ids + 3) % n
+        dup3 = (d3 == d1) | (d3 == d2)
+        outdeg = 3.0 - dup3.astype(np.float64)
+        w = 1.0 / outdeg
+        keep3 = ~dup3
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([ids, ids, ids[keep3]]), pa.int64()),
+                "dst": pa.array(np.concatenate([d1, d2, d3[keep3]]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w, w[keep3]]), pa.float64()),
+            }
+        )
+
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank(nodes, edges, n_iters=5, damping=0.85, seeds=[0, 1, 2])
+
+
 def q_host_pagerank(sf_dir: str):
     """Host-level (domain) authority, CC-curation style: the page link
     graph is contracted map-side to host ids, collapsed to weighted
@@ -2791,6 +2825,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "hits_scores": q_hits,
     "host_pagerank": q_host_pagerank,
+    "personalized_pagerank": q_personalized_pagerank,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_pairs": q_pmi_pairs,
     "logreg_quality": q_logreg_quality,
@@ -3074,6 +3109,53 @@ h{k} AS MATERIALIZED (
         + f"""
 SELECT h.node, ROUND(h.s, 8) AS hub, ROUND(a.s, 8) AS auth
 FROM h{n_iters} h JOIN a{n_iters} a USING (node)"""
+    )
+
+
+def _ppr_sql(n_iters: int = 5, seeds: tuple = (0, 1, 2)) -> str:
+    """Unrolled personalized-PageRank oracle: identical chain to
+    _pagerank_sql except teleport mass (init AND per-iteration base) goes
+    only to the seed set, 1/|S| each."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    ns = len(seeds)
+    head = f"""nn AS (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS src_id, (2 * doc_id + 1) % nn.c AS dst_id FROM documents, nn
+  UNION ALL SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+e AS (SELECT DISTINCT src_id AS src, dst_id AS dst FROM child),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS (
+  SELECT doc_id AS node,
+         CASE WHEN doc_id IN ({seed_list})
+              THEN CAST(1.0 AS DOUBLE) / {ns} ELSE CAST(0.0 AS DOUBLE) END AS rank
+  FROM documents
+)"""
+    parts = [head]
+    prev = "r0"
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT d2.doc_id AS node,
+         CASE WHEN d2.doc_id IN ({seed_list})
+              THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / {ns}
+              ELSE CAST(0.0 AS DOUBLE) END
+         + CAST(0.85 AS DOUBLE)
+           * COALESCE(SUM(p.rank * (CAST(1.0 AS DOUBLE) / deg.outdeg)), 0) AS rank
+  FROM documents d2
+  LEFT JOIN e ON e.dst = d2.doc_id
+  LEFT JOIN deg ON deg.src = e.src
+  LEFT JOIN {prev} p ON p.node = e.src
+  GROUP BY d2.doc_id
+)"""
+        )
+        prev = f"r{k}"
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, ROUND(rank, 8) AS rank FROM {prev}"
     )
 
 
@@ -3374,6 +3456,7 @@ FROM d LEFT JOIN hits h USING (doc_id)
     "pagerank": _pagerank_sql(5),
     "hits_scores": _hits_sql(4),
     "host_pagerank": _host_pagerank_sql(4),
+    "personalized_pagerank": _ppr_sql(5, (0, 1, 2)),
     "corpus_rollup": r"""
 SELECT lang, source,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -42,14 +42,27 @@ def pagerank(
     damping: float = 0.85,
     num_partitions: int = 16,
     round_to: int | None = 8,
+    seeds: "list[int] | None" = None,
 ) -> "ray.data.Dataset":
     """PageRank over (node:int64) / (src:int64, dst:int64, w:float64)
     where w = 1/outdeg(src). Returns (node, rank). ``round_to`` rounds the
     final ranks so float summation order (Ray vs any oracle) can't flip
-    the last bits."""
+    the last bits.
+
+    ``seeds`` switches to PERSONALIZED PageRank (random walk with
+    restart): teleport mass (1−d) goes only to the seed set (1/|S| each)
+    instead of uniformly — authority relative to the crawl's seed list,
+    the score a seed-focused frontier wants (topic-local priority rather
+    than global popularity). Init = the teleport vector. Seeds are a
+    driver-side list (the seed list is budget-bounded by construction)
+    broadcast into the finish map."""
     n = nodes.count()
-    base = (1.0 - damping) / n
     P = num_partitions
+    seed_arr = None
+    if seeds is not None:
+        seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
+        n_seeds = len(seed_arr)
+    base = (1.0 - damping) / n  # uniform-teleport path
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -75,15 +88,17 @@ def pagerank(
         batch_format="pyarrow",
     ).materialize()
 
-    ranks = nodes.map_batches(
-        lambda b: pa.table(
-            {
-                "node": b.column("node"),
-                "rank": pa.array(np.full(b.num_rows, 1.0 / n), pa.float64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    def init_ranks(b: pa.Table) -> pa.Table:
+        if seed_arr is None:
+            r0 = np.full(b.num_rows, 1.0 / n)
+        else:  # init = the teleport distribution: 1/|S| on seeds, else 0
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            r0 = np.where(np.isin(node, seed_arr), 1.0 / n_seeds, 0.0)
+        return pa.table(
+            {"node": b.column("node"), "rank": pa.array(r0, pa.float64())}
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
     def tag_ranks(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy(zero_copy_only=False)
@@ -139,10 +154,17 @@ def pagerank(
 
         def finish(batch: pa.Table) -> pa.Table:
             s = np.asarray(batch.column("sum(val)"), dtype=np.float64)
+            if seed_arr is None:
+                b_vec = base
+            else:  # teleport mass only to the seed set
+                node = batch.column("dst").to_numpy(zero_copy_only=False)
+                b_vec = np.where(
+                    np.isin(node, seed_arr), (1.0 - damping) / n_seeds, 0.0
+                )
             return pa.table(
                 {
                     "node": batch.column("dst"),
-                    "rank": pa.array(base + damping * s, pa.float64()),
+                    "rank": pa.array(b_vec + damping * s, pa.float64()),
                 }
             )
 

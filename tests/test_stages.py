@@ -902,6 +902,40 @@ def test_hits_matches_numpy(ray_session):
         assert abs(got[i]["auth"] - a[i]) < 1e-7, (i, got[i], a[i])
 
 
+def test_personalized_pagerank_matches_numpy(ray_session):
+    """Seeded teleport vs a scalar reference; non-seed sinks get 0 base."""
+    from crawl4ai_ray.stages.graph import pagerank
+
+    e = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    outdeg = {0: 2, 1: 1, 2: 1, 3: 1}
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3], pa.int64())}))
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in e], pa.int64()),
+                "dst": pa.array([d for _, d in e], pa.int64()),
+                "w": pa.array([1.0 / outdeg[s] for s, _ in e], pa.float64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            nodes, edges, n_iters=5, num_partitions=2, seeds=[0]
+        ).take_all()
+    }
+    r = np.array([1.0, 0.0, 0.0, 0.0])
+    for _ in range(5):
+        nxt = np.array([0.15, 0.0, 0.0, 0.0])
+        for s, d in e:
+            nxt[d] += 0.85 * r[s] / outdeg[s]
+        r = nxt
+    for i in range(4):
+        assert abs(got[i] - r[i]) < 1e-7, (i, got[i], r[i])
+    # node 3 has no in-links and is not a seed → exactly 0
+    assert got[3] == 0.0
+
+
 def test_connected_components(ray_session):
     from crawl4ai_ray.stages.graph import connected_components
 
