@@ -10,11 +10,17 @@ fingerprints (0 = empty sentinel). An item with 64-bit key hash ``h`` has
 
 - fingerprint  ``f  = low16(splitmix64(h))``, remapped 0→1,
 - bucket 1     ``i1 = h & (num_buckets-1)``,
-- bucket 2     ``i2 = i1 XOR (splitmix64(f) & (num_buckets-1))``,
+- bucket 2     ``i2 = i1 XOR ((splitmix64(f) | 1) & (num_buckets-1))``,
 
 so either bucket is recoverable from the other plus the fingerprint —
 that partial-key property is what makes displacement (and deletion)
-possible without storing keys. False-positive rate ≈ 2·4/2^16 ≈ 1.2e-4 at
+possible without storing keys. The ``| 1`` forces the XOR step odd so
+``i2 != i1`` whenever the table has more than one bucket: without it,
+a key whose step masks to 0 has effectively ONE bucket, and the kick
+loop can stagnate inside that single full bucket (hypothesis found
+exactly this at 4-bucket test sizes; at production sizes it is a
+1/num_buckets-per-key soft spot). XOR with a fixed odd step is still an
+involution, so partial-key recovery is unchanged. False-positive rate ≈ 2·4/2^16 ≈ 1.2e-4 at
 full load; capacity is sized for a 0.95 target load factor, the paper's
 practical ceiling for (4, 16-bit) tables.
 
@@ -69,7 +75,9 @@ class CuckooFilter:
 
     def _alt_bucket(self, b: np.ndarray, f: np.ndarray) -> np.ndarray:
         mask = np.uint64(self.num_buckets - 1)
-        step = splitmix64(f.astype(np.uint64)) & mask
+        # | 1 before masking: step is odd (nonzero) for any table with >1
+        # bucket, so the alt bucket always differs from the primary
+        step = (splitmix64(f.astype(np.uint64)) | np.uint64(1)) & mask
         return (b.astype(np.uint64) ^ step).astype(np.int64)
 
     def _buckets(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -184,8 +192,12 @@ class CuckooFilter:
         return float(self.count)
 
     def to_bytes(self) -> bytes:
+        # CKF2: CKF1 payloads were written under the unforced (possibly-
+        # zero) XOR step, i.e. a different bucket mapping — loading one
+        # under the v2 mapping would silently miss alt-bucket entries, so
+        # the magic bump makes stale dumps fail loudly instead.
         header = (
-            b"CKF1"
+            b"CKF2"
             + self.capacity.to_bytes(8, "little")
             + self.count.to_bytes(8, "little")
         )
@@ -193,7 +205,13 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
-        if data[:4] != b"CKF1":
+        if data[:4] != b"CKF2":
+            if data[:3] == b"CKF":
+                raise ValueError(
+                    "cuckoo payload version mismatch (pre-CKF2 dumps used a "
+                    "different alt-bucket mapping; rebuild the filter from "
+                    "the exact store)"
+                )
             raise ValueError("not a cuckoo filter payload")
         capacity = int.from_bytes(data[4:12], "little")
         cf = cls(capacity)
