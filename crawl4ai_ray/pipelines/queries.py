@@ -754,6 +754,50 @@ def q_warc_roundtrip(sf_dir: str):
     return read_warc(out).select_columns(["url", "warc_ts", "digest_ok"])
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """Documents → `.jsonl.gz` shards → documents: newline-delimited JSON
+    as sink AND source (sources/jsonl.py) — the Pile/Dolma/RedPajama
+    interchange format next to the WARC sibling. Each record's `_digest`
+    (md5 of its canonical payload JSON, stamped at write) is recomputed
+    on read, so JSON-encoding losslessness (unicode escapes, key order)
+    is checked IN-BAND; the oracle's md5(text) match then proves the
+    text column itself survived the round trip byte-for-byte."""
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    # fresh dir per run: shard names depend on block boundaries (same
+    # contract as warc_roundtrip — a reused dir would accumulate stale
+    # shards from a differently-batched earlier run)
+    out = tempfile.mkdtemp(prefix="c4r_jsonl_", dir="/tmp")
+    write_jsonl(docs, out, key_col="doc_id").materialize()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
+    )
+    back = read_jsonl(out, schema)
+
+    def digest_text(batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        md5s = [
+            _hl.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "text_md5": pa.array(md5s, pa.string()),
+                "digest_ok": batch.column("digest_ok"),
+            }
+        )
+
+    return back.map_batches(digest_text, batch_format="pyarrow")
+
+
 def q_url_canonical_groups(sf_dir: str):
     """Mirror/variant URL consolidation — the crawl-side dedup that
     collapses scheme-case, trailing-slash, tracking-param and fragment
@@ -2822,6 +2866,7 @@ QUERIES = {
     "corpus_rollup": q_corpus_rollup,
     "url_canonical_groups": q_url_canonical_groups,
     "warc_roundtrip": q_warc_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "pagerank": q_pagerank,
     "hits_scores": q_hits,
     "host_pagerank": q_host_pagerank,
@@ -3508,6 +3553,10 @@ SELECT url,
        TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
        TRUE AS digest_ok
 FROM purl
+""",
+    "jsonl_roundtrip": """
+SELECT doc_id, lang, md5(text) AS text_md5, TRUE AS digest_ok
+FROM documents
 """,
     "anchor_text_agg": f"""
 WITH {SQL_PAGES},

@@ -2165,3 +2165,76 @@ def test_bpe_encode_rank_argmin_equals_sequential_and_tokenize(ray_session):
         )
         == want
     )
+
+
+def test_jsonl_roundtrip_values(ray_session, tmp_path):
+    """Sink→source round trip under a pinned schema, including unicode,
+    embedded newlines/quotes, and nulls; digest_ok True everywhere."""
+    from crawl4ai_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    rows = {
+        1: ("en", 'line one\nline "two" \\ backslash'),
+        2: ("zh", "中文文本 é ü"),
+        3: ("de", None),
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "lang": pa.array([v[0] for v in rows.values()], pa.string()),
+                "text": pa.array([v[1] for v in rows.values()], pa.string()),
+            }
+        )
+    )
+    man = write_jsonl(ds, str(tmp_path), key_col="doc_id").take_all()
+    assert sum(r["n_records"] for r in man) == 3
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
+    )
+    back = {r["doc_id"]: r for r in read_jsonl(str(tmp_path), schema).take_all()}
+    assert back.keys() == rows.keys()
+    for i, (lang, text) in rows.items():
+        assert back[i]["lang"] == lang
+        assert back[i]["text"] == text
+        assert bool(back[i]["digest_ok"]) is True
+
+
+def test_jsonl_write_deterministic_and_digest(ray_session, tmp_path):
+    """Same rows → byte-identical shard under the same name; a tampered
+    value flips digest_ok on read (in-band corruption check)."""
+    import gzip
+    import os as _os
+
+    from crawl4ai_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], pa.int64()),
+                "lang": pa.array(["en", "fr"], pa.string()),
+                "text": pa.array(["alpha", "beta"], pa.string()),
+            }
+        )
+    )
+    d1, d2 = str(tmp_path / "j1"), str(tmp_path / "j2")
+    write_jsonl(ds, d1, key_col="doc_id").take_all()
+    write_jsonl(ds, d2, key_col="doc_id").take_all()
+    f1, f2 = sorted(_os.listdir(d1)), sorted(_os.listdir(d2))
+    assert f1 == f2
+    for f in f1:
+        with open(_os.path.join(d1, f), "rb") as a, open(
+            _os.path.join(d2, f), "rb"
+        ) as b:
+            assert a.read() == b.read()
+    # tamper one value (same byte length) inside the shard
+    path = _os.path.join(d1, f1[0])
+    with open(path, "rb") as f:
+        data = gzip.decompress(f.read())
+    with open(path, "wb") as f:
+        f.write(gzip.compress(data.replace(b"alpha", b"aXpha"), mtime=0))
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
+    )
+    back = {r["doc_id"]: r for r in read_jsonl(d1, schema).take_all()}
+    assert bool(back[10]["digest_ok"]) is False
+    assert bool(back[11]["digest_ok"]) is True
