@@ -947,6 +947,71 @@ def q_connected_components(sf_dir: str):
     return connected_components(nodes, edges)
 
 
+def q_seed_distances(sf_dir: str):
+    """Multi-source BFS seed attribution over the synthetic link graph:
+    every reachable doc gets (hop distance from the nearest seed, id of
+    that seed, lowest-seed tiebreak) — the graph-analytics twin of the
+    crawl's bfs_depth, computed by packed-int min-label propagation with
+    convergence detection (stages/graph.py multi_source_bfs). The oracle
+    unrolls the identical (dist·2^32 + seed) min-propagation for 16
+    sweeps — ≥ the graph's seed eccentricity at every test sf, so both
+    engines sit at the same fixpoint."""
+    from ..stages.graph import multi_source_bfs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    return multi_source_bfs(nodes, _synthetic_link_edges(sf_dir), seeds=[0, 1, 2])
+
+
+def _seed_distances_sql(n_iters: int = 16) -> str:
+    """Unrolled min-label-propagation oracle for q_seed_distances: the
+    packed lbl = dist*2^32 + seed arithmetic, iterated n_iters times.
+    MATERIALIZED per NOTES gotcha — without it DuckDB inlines each level
+    into both consumers of the next (exponential blowup)."""
+    sent = 1 << 62
+    hop = 1 << 32
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.c AS BIGINT) AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+l0 AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS node,
+         CAST(CASE WHEN doc_id IN (0, 1, 2) THEN doc_id
+                   ELSE {sent} END AS BIGINT) AS lbl
+  FROM documents
+)"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT node, lbl FROM l{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, l{i - 1}.lbl + {hop} AS lbl
+    FROM l{i - 1} JOIN e ON e.src = l{i - 1}.node
+    WHERE l{i - 1}.lbl < {sent}
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT node,
+       CAST(lbl // {hop} AS BIGINT) AS dist,
+       CAST(lbl % {hop} AS BIGINT) AS seed
+FROM l{n_iters} WHERE lbl < {sent}
+"""
+    )
+
+
 def q_tfidf_top_terms(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -2894,6 +2959,7 @@ QUERIES = {
     "funnel": q_funnel,
     "retention": q_retention,
     "connected_components": q_connected_components,
+    "seed_distances": q_seed_distances,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -3591,6 +3657,7 @@ SELECT dst,
        CAST(COUNT(*) AS BIGINT) AS n_anchors
 FROM dd GROUP BY dst
 """,
+    "seed_distances": _seed_distances_sql(),
     "connected_components": """
 WITH p AS (
   SELECT doc_id,

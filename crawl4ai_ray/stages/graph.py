@@ -354,6 +354,182 @@ def connected_components(
     )
 
 
+_BFS_HOP = np.int64(1) << np.int64(32)  # one hop in the packed (dist, seed) key
+_BFS_UNREACHED = np.int64(1) << np.int64(62)  # sentinel: no seed reached yet
+
+
+def multi_source_bfs(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    seeds: "list[int]",
+    num_partitions: int = 16,
+    max_iters: int = 50,
+) -> "ray.data.Dataset":
+    """Multi-source BFS over the DIRECTED graph (node:int64) /
+    (src:int64, dst:int64): every reachable node gets its hop distance
+    from the nearest seed and the id of that seed (ties broken by lowest
+    seed id) — the "which hub owns this page" Voronoi partition of the
+    link graph, and the graph-analytics twin of the crawl's bfs_depth.
+    Returns (node, dist, seed); unreachable nodes are omitted.
+
+    One label per node, PACKED into a single int64:
+    ``lbl = dist·2^32 + seed`` — minimizing the packed key IS the
+    lexicographic (dist, seed) minimum, so the whole algorithm is the
+    min-label-propagation plan of ``connected_components`` (union +
+    ONE groupby(hash(node) % P) per sweep, map-side partial mins, two
+    bounded all-to-alls) with one twist: a candidate pushed across an
+    edge is ``src_lbl + 2^32`` (one more hop, seed preserved in the low
+    bits). Seeds init at ``seed_id`` (dist 0), everything else at a
+    large sentinel that never survives a min against a real label.
+    Convergence = equality of consecutive sum(lbl) sweeps — labels only
+    ever decrease, so the sum is strictly monotone until fixpoint
+    (same exact-quiescence argument as connected_components).
+
+    Seed ids must fit in 32 bits (asserted); node count and diameter
+    are otherwise unbounded. Unreachable nodes keep the sentinel and
+    are filtered at the end, so the output is exactly the reachable
+    set."""
+    P = num_partitions
+    seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
+    if len(seed_arr) == 0:
+        raise ValueError("multi_source_bfs needs at least one seed")
+    if seed_arr.min() < 0 or seed_arr.max() >= (1 << 32):
+        raise ValueError("seed ids must fit in uint32 for the packed label")
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((src % P).astype(np.int64)),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "lbl": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    edges_t = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = np.where(np.isin(node, seed_arr), node, _BFS_UNREACHED)
+        return pa.table(
+            {"node": b.column("node"), "lbl": pa.array(lbl, pa.int64())}
+        )
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        nr = batch.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array((node % P).astype(np.int64)),
+                "src": batch.column("node"),
+                "dst": pa.nulls(nr, pa.int64()),
+                "lbl": batch.column("lbl"),
+            }
+        )
+
+    def bucket_min(g: pd.DataFrame) -> pa.Table:
+        """Per bucket: each edge target's candidate = source label + one
+        hop; plus every node's own label — partial min by node. Sources
+        still at the sentinel push nothing (their +hop candidate would
+        still lose every min, but dropping them keeps the shuffle lean)."""
+        is_lbl = g["dst"].isna()
+        lrows = g[is_lbl]
+        erows = g[~is_lbl]
+        lookup = pd.Series(lrows["lbl"].to_numpy(), index=lrows["src"].to_numpy())
+        cands = [
+            pd.DataFrame(
+                {
+                    "node": lrows["src"].to_numpy().astype(np.int64),
+                    "lbl": lrows["lbl"].to_numpy().astype(np.int64),
+                }
+            )
+        ]
+        if not erows.empty:
+            src_lbl = lookup.reindex(erows["src"].to_numpy()).to_numpy()
+            ok = ~pd.isna(src_lbl)
+            if ok.any():
+                reached = src_lbl[ok].astype(np.int64) < _BFS_UNREACHED
+                if reached.any():
+                    cands.append(
+                        pd.DataFrame(
+                            {
+                                "node": erows["dst"].to_numpy()[ok][reached]
+                                .astype(np.int64),
+                                "lbl": src_lbl[ok].astype(np.int64)[reached]
+                                + _BFS_HOP,
+                            }
+                        )
+                    )
+        part = pd.concat(cands).groupby("node", sort=True)["lbl"].min()
+        return pa.table(
+            {
+                "node": pa.array(part.index.to_numpy(), pa.int64()),
+                "lbl": pa.array(part.to_numpy(), pa.int64()),
+            }
+        )
+
+    def _label_sum(ds):
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b.column("lbl")).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+
+    prev_sum = _label_sum(labels)
+    converged = False
+    for _ in range(max_iters):
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
+        new_labels = (
+            edges_t.union(tagged)
+            .groupby("bucket")
+            .map_groups(bucket_min, batch_format="pandas")
+            .groupby("node")
+            .min("lbl")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b.column("node"),
+                        "lbl": b.column("min(lbl)").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(P)
+            .materialize()
+        )
+        new_sum = _label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+
+    if not converged:
+        raise RuntimeError(
+            f"multi_source_bfs did not converge in {max_iters} sweeps "
+            "(graph diameter exceeds max_iters — raise max_iters)"
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        lbl = batch.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lbl < _BFS_UNREACHED
+        node = batch.column("node").to_numpy(zero_copy_only=False)[keep]
+        lbl = lbl[keep]
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "dist": pa.array(lbl >> np.int64(32), pa.int64()),
+                "seed": pa.array(lbl & np.int64(0xFFFFFFFF), pa.int64()),
+            }
+        )
+
+    return labels.map_batches(unpack, batch_format="pyarrow")
+
+
 def _undirected_canonical(batch: pa.Table, src_col: str, dst_col: str) -> pa.Table:
     """Directed (src, dst) rows → canonical undirected (a < b) rows with
     self-loops dropped — the shared first step of every undirected graph

@@ -2238,3 +2238,35 @@ def test_jsonl_write_deterministic_and_digest(ray_session, tmp_path):
     back = {r["doc_id"]: r for r in read_jsonl(d1, schema).take_all()}
     assert bool(back[10]["digest_ok"]) is False
     assert bool(back[11]["digest_ok"]) is True
+
+
+def test_multi_source_bfs_hand_graph(ray_session):
+    """Distances/attribution on a hand graph: tie at equal distance goes
+    to the LOWEST seed id; propagation follows edge DIRECTION; nodes
+    unreachable from every seed are omitted."""
+    from crawl4ai_ray.stages.graph import multi_source_bfs
+
+    #  10 -> 3 -> 4 -> 5     20 -> 4 (tie at node 4: dist 2 via 10, dist 1 via 20)
+    #  6 -> 10 (wrong direction: 6 is NOT reachable)   7 isolated
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([10, 20, 3, 4, 5, 6, 7], pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([10, 3, 4, 20, 6], pa.int64()),
+                "dst": pa.array([3, 4, 5, 4, 10], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: (r["dist"], r["seed"])
+        for r in multi_source_bfs(nodes, edges, seeds=[10, 20]).take_all()
+    }
+    assert got == {
+        10: (0, 10),
+        20: (0, 20),
+        3: (1, 10),
+        4: (1, 20),  # dist 1 via seed 20 beats dist 2 via seed 10
+        5: (2, 20),
+    }
