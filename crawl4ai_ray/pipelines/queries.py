@@ -2586,6 +2586,113 @@ def q_events_hopping(sf_dir: str):
     return hopping_window_counts(events, size_minutes=60, hop_minutes=30)
 
 
+def q_event_bursts(sf_dir: str):
+    """Burst/anomaly detection per (event_type, hour): flag hours whose
+    event count sits further than 2 population-σ from the type's mean
+    hourly count — the ops-side monitor a production crawl runs over its
+    fetch/error event stream. Plan: ONE (type, hour) partial-count
+    groupby (map-side combined; events themselves never shuffle again),
+    then the per-type moments (n, Σc, Σc²) — ≤|types| rows — collected
+    and BROADCAST back over the count table (broadcast-aggregate-back,
+    no second wide shuffle). Float discipline: z = (c·n − S1) /
+    √(n·S2 − S1²) evaluated from exact int64 moments with one final
+    double division — both engines run the identical expression, and
+    IEEE sqrt/divide are exactly rounded, so doubles match bit-for-bit;
+    zero-variance types are guarded to z = 0."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def type_hour(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("hour"))
+            .group_by(["event_type", "hour"])
+            .len(name="c")
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("hour", pa.timestamp("us")),
+                    ("c", pa.int64()),
+                ]
+            )
+        )
+
+    counts = (
+        events.map_batches(type_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("c")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "hour": b.column("hour"),
+                    "c": b.column("sum(c)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed twice: moments aggregate + z-score map
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "s1": pa.array(c, pa.int64()),
+                "s2": pa.array(c * c, pa.int64()),
+            }
+        )
+
+    agg = (
+        counts.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("s1", alias_name="s1"),
+            ray.data.aggregate.Sum("s2", alias_name="s2"),
+        )
+        .take_all()
+    )  # ≤ |event types| rows — driver-safe, broadcast below
+    stats = {
+        r["event_type"]: (int(r["n"]), int(r["s1"]), int(r["s2"])) for r in agg
+    }
+    stats_ref = ray.put(stats)
+
+    def zscore(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        types = batch.column("event_type").to_pylist()
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.array([st[t][0] for t in types], np.int64)
+        s1 = np.array([st[t][1] for t in types], np.int64)
+        s2 = np.array([st[t][2] for t in types], np.int64)
+        var_num = n * s2 - s1 * s1  # n²·population-variance, exact int64
+        safe = var_num > 0
+        z = np.where(
+            safe,
+            (c * n - s1).astype(np.float64)
+            / np.sqrt(np.where(safe, var_num, 1).astype(np.float64)),
+            0.0,
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": batch.column("hour"),
+                "n_events": pa.array(c, pa.int64()),
+                "zscore": pa.array(z, pa.float64()),
+                "is_burst": pa.array(np.abs(z) > 2.0, pa.bool_()),
+            }
+        )
+
+    return counts.map_batches(zscore, batch_format="pyarrow")
+
+
 def q_chunk_counts(sf_dir: str):
     """SlidingWindowChunking over documents → chunks per doc (the chunking
     strategy family's oracle surface: counts are pure token arithmetic)."""
@@ -3008,6 +3115,7 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
+    "event_bursts": q_event_bursts,
     "chunk_counts": q_chunk_counts,
     "asof_orders": q_asof_orders,
     "range_events": q_range_events,
@@ -3667,6 +3775,31 @@ WITH p AS (
 SELECT doc_id AS node,
        CAST(MIN(doc_id) OVER (PARTITION BY host_id) AS BIGINT) AS component
 FROM p
+""",
+    "event_bursts": """
+WITH counts AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, hour
+),
+m AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM counts GROUP BY event_type
+),
+z AS (
+  SELECT counts.event_type, counts.hour, counts.c AS n_events,
+         CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0
+              THEN CAST(counts.c * m.n - m.s1 AS DOUBLE)
+                   / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
+              ELSE CAST(0 AS DOUBLE) END AS zscore
+  FROM counts JOIN m USING (event_type)
+)
+SELECT event_type, hour, n_events, zscore,
+       abs(zscore) > CAST(2 AS DOUBLE) AS is_burst
+FROM z
 """,
     "retention": """
 WITH ud AS (
