@@ -1070,6 +1070,38 @@ def q_ann_topk_pq(sf_dir: str):
     )
 
 
+def q_ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (stages/ann.py ivfpq_topk): 4 coarse cells (integer
+    k-means over full vectors), nprobe=2, 2×8 PQ codebooks, codes
+    written partitioned by cell and ONLY probed cells read back (bytes
+    telemetry). faiss IndexIVFPQ semantics with by_residual=False, so
+    the oracle composes THREE unrolled k-means chains (coarse + both
+    subspaces), ranks cells per query by the same integer L2, and
+    restricts the ADC ranking to neighbors in probed cells."""
+    import tempfile
+
+    from ..stages.ann import ivfpq_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = tempfile.mkdtemp(prefix="c4r_ivfpq_", dir="/tmp")
+    res, telemetry = ivfpq_topk(
+        emb,
+        query_ids=range(5),
+        out_dir=out,
+        k=10,
+        n_cells=4,
+        nprobe=2,
+        coarse_iters=2,
+        m_subspaces=2,
+        codebook_k=8,
+        iters=2,
+    )
+    # pruning evidence when the 5 queries' probe union < all cells; the
+    # strict always-pruned case is pinned by the unit test's single query
+    assert 0 < telemetry["bytes_scanned"] <= telemetry["bytes_total"], telemetry
+    return res
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table
     (stages/cluster.py kmeans_fp): integer-exact fixed-point arithmetic
@@ -3052,6 +3084,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "kmeans_embeddings": q_kmeans_embeddings,
     "ann_topk_pq": q_ann_topk_pq,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "minhash_index_dedup": q_minhash_index_dedup,
     "semdedup": q_semdedup,
     "neardup_keep": q_neardup_keep,
@@ -5350,6 +5383,70 @@ dd1 AS MATERIALIZED (
 tot AS (
   SELECT query_id, neighbor_id, dd0.d + dd1.d AS d
   FROM dd0 JOIN dd1 USING (query_id, neighbor_id)
+),
+ranked AS (
+  SELECT query_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+  FROM tot
+)
+SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist_fp,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 10
+"""
+
+# IVF-PQ: the PQ oracle's two subspace chains PLUS a coarse chain over the
+# full vectors; per query the cells are ranked by the same integer L2
+# (ties -> lower cell), and the ADC ranking only sees neighbors whose
+# coarse cell is among the query's nprobe=2 probes.
+ORACLES["ann_topk_ivfpq"] = f"""
+WITH s0 AS MATERIALIZED (
+  SELECT vec_id, embedding[1:32] AS embedding FROM embeddings
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, embedding[33:64] AS embedding FROM embeddings
+),
+{_kmeans_cte_chain(4, 2, emb_src="embeddings", prefix="cc_")},
+{_kmeans_cte_chain(8, 2, emb_src="s0", prefix="p0_")},
+{_kmeans_cte_chain(8, 2, emb_src="s1", prefix="p1_")},
+q AS (SELECT vec_id FROM embeddings WHERE vec_id < 5),
+qcell AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cluster AS cell,
+         SUM((f.e - c.c) * (f.e - c.c)) AS d
+  FROM q
+  JOIN cc_efp f ON f.vec_id = q.vec_id
+  JOIN cc_c2 c ON c.dim = f.dim
+  GROUP BY 1, 2
+),
+probes AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+    FROM qcell) WHERE rn <= 2
+),
+dd0 AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         SUM((f.e - c.c) * (f.e - c.c)) AS d
+  FROM q
+  JOIN p0_afinal a ON a.vec_id <> q.vec_id
+  JOIN p0_efp f ON f.vec_id = q.vec_id
+  JOIN p0_c2 c ON c.cluster = a.cluster AND c.dim = f.dim
+  GROUP BY 1, 2
+),
+dd1 AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         SUM((f.e - c.c) * (f.e - c.c)) AS d
+  FROM q
+  JOIN p1_afinal a ON a.vec_id <> q.vec_id
+  JOIN p1_efp f ON f.vec_id = q.vec_id
+  JOIN p1_c2 c ON c.cluster = a.cluster AND c.dim = f.dim
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT dd0.query_id, dd0.neighbor_id, dd0.d + dd1.d AS d
+  FROM dd0
+  JOIN dd1 USING (query_id, neighbor_id)
+  JOIN cc_afinal ca ON ca.vec_id = dd0.neighbor_id
+  JOIN probes p ON p.query_id = dd0.query_id AND p.cell = ca.cluster
 ),
 ranked AS (
   SELECT query_id, neighbor_id, d,

@@ -359,6 +359,263 @@ def rrf_fuse(
     )
 
 
+def ivfpq_topk(
+    ds: "ray.data.Dataset",
+    query_ids,
+    out_dir: str,
+    k: int = 10,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    coarse_iters: int = 2,
+    m_subspaces: int = 2,
+    codebook_k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    num_buckets: int = 32,
+) -> "tuple[ray.data.Dataset, dict]":
+    """IVF-PQ: the two scale paths of the ANN family COMPOSED — a coarse
+    integer-exact k-means partitions vectors into cells (IVF), PQ codes
+    compress them, and a query scans only the code partitions of its
+    ``nprobe`` nearest cells with ADC lookups. faiss's IndexIVFPQ with
+    ``by_residual=False`` semantics (codes quantize the raw vectors, not
+    cell residuals) — the residual-free variant keeps every step
+    reproducible by the SQL oracle's integer arithmetic.
+
+    Everything is fixed-point int64 (kmeans_fp / quantize discipline):
+
+    1. coarse: ``kmeans_fp(ds, k=n_cells)`` over FULL vectors → cell per
+       vector + (n_cells, d) centroid table (diff² ≤ 2^46 · 64 dims —
+       int64-safe, see cluster._assign).
+    2. PQ codebooks per subspace, codes + cell PIVOTED TOGETHER: the
+       (vec_id, m, cluster) rows of all M subspaces AND the coarse
+       (vec_id, cell) rows union into ONE hash(vec_id) % P groupby —
+       same single bounded shuffle as pq_topk, one extra tiny row per
+       vector.
+    3. layout: the code table (vec_id, code_0.., cell) is written
+       partitioned by cell — at 100 TB each cell directory is the ONLY
+       thing a probing query reads (codes are ~1% of raw vector bytes,
+       so the scan is doubly pruned: by cell AND by compression).
+    4. probe: per query, integer L2 of the query's fixed-point vector
+       against the ≤n_cells coarse centroids (driver-side, tiny), keep
+       the nprobe nearest (ties → lower cell id); the union of probed
+       cells drives the pruned read (bytes telemetry like
+       ivf_topk_bucketed).
+    5. ADC over the pruned code partitions with each query masked to
+       its own probed cells; local top-(k+1) per batch, one per-query
+       reduce — identical tie discipline to pq_topk ((dist,
+       neighbor_id) lexicographic).
+
+    Returns ((query_id, neighbor_id, dist_fp, rank), telemetry)."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    from .cluster import kmeans_fp, quantize_embeddings
+
+    first = ds.take(1)[0]
+    d = len(first["embedding"])
+    assert d % m_subspaces == 0, "dim must divide evenly into subspaces"
+    d_sub = d // m_subspaces
+
+    # ---- 1. coarse cells over full vectors
+    coarse_assign, coarse_cents = kmeans_fp(
+        ds, k=n_cells, iters=coarse_iters, id_col=id_col
+    )
+
+    # ---- 2. subspace codebooks (same slicing as pq_topk)
+    def slicer(m: int):
+        lo, hi = m * d_sub, (m + 1) * d_sub
+
+        def f(batch: pa.Table) -> pa.Table:
+            embs = [e[lo:hi] for e in batch.column("embedding").to_pylist()]
+            return pa.table(
+                {
+                    id_col: batch.column(id_col).cast(pa.int64()),
+                    "embedding": pa.array(
+                        embs, pa.list_(batch.schema.field("embedding").type.value_type)
+                    ),
+                }
+            )
+
+        return f
+
+    assigns, cents = [], []
+    for m in range(m_subspaces):
+        sub = ds.map_batches(slicer(m), batch_format="pyarrow")
+        a, c = kmeans_fp(sub, k=codebook_k, iters=iters, id_col=id_col)
+        assigns.append(a)
+        cents.append(c)
+
+    # ---- codes ∪ cells → one bucketed pivot; m = m_subspaces tags the cell
+    def tag_m(m: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        (ids.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                            np.int64
+                        )
+                    ),
+                    id_col: batch.column(id_col),
+                    "m": pa.array(np.full(len(ids), m), pa.int64()),
+                    "cluster": batch.column("cluster"),
+                }
+            )
+
+        return f
+
+    tagged = assigns[0].map_batches(tag_m(0), batch_format="pyarrow")
+    for m in range(1, m_subspaces):
+        tagged = tagged.union(
+            assigns[m].map_batches(tag_m(m), batch_format="pyarrow")
+        )
+    tagged = tagged.union(
+        coarse_assign.map_batches(tag_m(m_subspaces), batch_format="pyarrow")
+    )
+
+    code_cols = [f"code_{m}" for m in range(m_subspaces)]
+
+    def pivot(g: pd.DataFrame) -> pa.Table:
+        wide = g.pivot_table(
+            index=id_col, columns="m", values="cluster", aggfunc="first"
+        )
+        cols = {id_col: pa.array(wide.index.to_numpy(np.int64), pa.int64())}
+        for m in range(m_subspaces):
+            cols[code_cols[m]] = pa.array(wide[m].to_numpy(np.int64), pa.int64())
+        cols["cell"] = pa.array(wide[m_subspaces].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    codes = tagged.groupby("bucket").map_groups(pivot, batch_format="pandas")
+
+    # ---- 3. cell-partitioned layout (the persisted index)
+    os.makedirs(out_dir, exist_ok=True)
+    codes.sort("cell").write_parquet(out_dir, partition_cols=["cell"])
+
+    # ---- 4. probes + per-query ADC LUTs (driver-side, tiny)
+    import pyarrow.compute as pc
+
+    qset = sorted(int(q) for q in query_ids)
+    qvals = pa.array(qset, pa.int64())
+    qrows = {
+        r[id_col]: r["embedding"]
+        for r in ds.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column(id_col).cast(pa.int64()), value_set=qvals)
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    lut = np.zeros((len(qset), m_subspaces, codebook_k), dtype=np.int64)
+    probes: dict[int, set] = {}
+    for qi, qid in enumerate(qset):
+        q_fp = quantize_embeddings(
+            pa.table({"embedding": pa.array([qrows[qid]])}), "embedding"
+        )[0]
+        cd = coarse_cents - q_fp[None, :]
+        cell_d = np.sum(cd * cd, axis=1)  # int64-safe (see cluster._assign)
+        order = np.lexsort((np.arange(n_cells), cell_d))[:nprobe]
+        probes[qid] = set(int(c) for c in order)
+        for m in range(m_subspaces):
+            q_sub = q_fp[m * d_sub : (m + 1) * d_sub]
+            diff = cents[m] - q_sub[None, :]
+            lut[qi, m] = np.sum(diff * diff, axis=1)
+
+    probed_cells = sorted(set().union(*probes.values()))
+    files = [
+        f
+        for c in probed_cells
+        for f in sorted(_glob.glob(os.path.join(out_dir, f"cell={c}", "*.parquet")))
+    ]
+    all_files = _glob.glob(os.path.join(out_dir, "cell=*", "*.parquet"))
+    telemetry = {
+        "probed_cells": len(probed_cells),
+        "total_cells": len(
+            {os.path.basename(os.path.dirname(f)) for f in all_files}
+        ),
+        "bytes_scanned": sum(os.path.getsize(f) for f in files),
+        "bytes_total": sum(os.path.getsize(f) for f in all_files),
+    }
+    # the hive column `cell` comes back from the partition path
+    pruned = ray.data.read_parquet(files)
+
+    lut_ref = ray.put(lut)
+    qids_ref = ray.put(np.asarray(qset, dtype=np.int64))
+    probes_ref = ray.put(probes)
+    kprime = k + 1  # absorb self-exclusion
+
+    class IvfpqAdc:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+            self.qids = ray.get(qids_ref)
+            self.probes = ray.get(probes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "dist_fp": pa.array([], pa.int64()),
+                    }
+                )
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            cells = (
+                batch.column("cell")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            dist = np.zeros((len(self.qids), len(ids)), dtype=np.int64)
+            for m in range(m_subspaces):
+                cm = batch.column(code_cols[m]).to_numpy(zero_copy_only=False)
+                dist += self.lut[:, m, :][:, cm]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(self.qids)):
+                qid = int(self.qids[qi])
+                mask = np.fromiter(
+                    (int(c) in self.probes[qid] for c in cells), bool, len(cells)
+                )
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                kk = min(kprime, len(idx))
+                order = idx[np.lexsort((ids[idx], dist[qi, idx]))[:kk]]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order].tolist())
+                out_d.extend(dist[qi][order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "dist_fp": pa.array(out_d, pa.int64()),
+                }
+            )
+
+    cand = pruned.map_batches(
+        IvfpqAdc, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+
+    def reduce_q(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nid = np.asarray(group.column("neighbor_id").to_pylist())
+        dd = np.asarray(group.column("dist_fp").to_pylist())
+        keep = nid != qid
+        nid, dd = nid[keep], dd[keep]
+        order = np.lexsort((nid, dd))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "dist_fp": pa.array(dd[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    out = cand.groupby("query_id").map_groups(reduce_q, batch_format="pyarrow")
+    return out, telemetry
+
+
 def pq_topk(
     ds: "ray.data.Dataset",
     query_ids,

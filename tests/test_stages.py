@@ -2270,3 +2270,42 @@ def test_multi_source_bfs_hand_graph(ray_session):
         4: (1, 20),  # dist 1 via seed 20 beats dist 2 via seed 10
         5: (2, 20),
     }
+
+
+def test_ivfpq_prunes_cells_and_ranks(ray_session, tmp_path):
+    """Single query → exactly nprobe of the cells are read
+    (bytes_scanned < bytes_total), every neighbor comes from a probed
+    cell, ranks are 1..k with nondecreasing fixed-point distances."""
+    from crawl4ai_ray.stages.ann import ivfpq_topk
+
+    rng = np.random.default_rng(7)
+    n, d = 64, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            }
+        )
+    )
+    out, tel = ivfpq_topk(
+        ds,
+        query_ids=[3],
+        out_dir=str(tmp_path / "idx"),
+        k=5,
+        n_cells=4,
+        nprobe=2,
+        coarse_iters=2,
+        m_subspaces=2,
+        codebook_k=4,
+        iters=2,
+    )
+    rows = out.take_all()
+    assert tel["probed_cells"] == 2 and tel["total_cells"] == 4
+    assert 0 < tel["bytes_scanned"] < tel["bytes_total"]
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    dists = [r["dist_fp"] for r in rows]
+    assert dists == sorted(dists)
+    assert all(r["neighbor_id"] != 3 for r in rows)
