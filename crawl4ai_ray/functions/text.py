@@ -93,3 +93,28 @@ def sanitize_input_encode(text) -> str:
 
 def escape_json_string(s: str) -> str:
     return json.dumps(s)[1:-1]
+
+
+_CTRL_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+_HSPACE_RE = re.compile(r"[ \t]+")
+_VSPACE_RE = re.compile(r"\n{3,}")
+
+
+def normalize_text(text: str) -> str:
+    """Unicode/whitespace normalization for corpus text — the ftfy-lite
+    cleanup every training-data pipeline runs before tokenization:
+    NFC-compose (e + combining accent → é), strip C0 controls (keeping
+    \\n and \\t), collapse horizontal-whitespace runs to one space, cap
+    blank-line runs at one, trim. Rule ORDER is part of the contract —
+    the SQL oracle (nfc_normalize + regexp_replace chain) mirrors it
+    step for step, so don't reorder without changing both."""
+    import unicodedata
+
+    t = unicodedata.normalize("NFC", text)
+    t = _CTRL_RE.sub("", t)
+    t = _HSPACE_RE.sub(" ", t)
+    t = _VSPACE_RE.sub("\n\n", t)
+    # after the chain the edges can only hold ' ' or '\n'; strip exactly
+    # those (not full unicode whitespace) so DuckDB's trim(x, ' '||chr(10))
+    # is the literal same operation
+    return t.strip(" \n")

@@ -2618,6 +2618,42 @@ def q_events_hopping(sf_dir: str):
     return hopping_window_counts(events, size_minutes=60, hop_minutes=30)
 
 
+def q_text_normalize(sf_dir: str):
+    """Unicode/whitespace normalization (functions/text.normalize_text):
+    NFC compose, C0-control strip, horizontal-space collapse, blank-line
+    cap, edge trim — the ftfy-lite pass before tokenization. The corpus
+    text is clean by construction, so each doc gets a deterministic
+    messy derivation planted first (combining accents, a BEL control, a
+    tab, 4 newlines, trailing spaces — keyed on doc_id, mirrored
+    verbatim by the oracle); map-only, zero shuffles."""
+    from ..functions.text import normalize_text
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def messy_then_norm(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            m = t
+            if i % 3 == 0:
+                m += " mid\x07dle"
+            if i % 5 == 0:
+                m += "\n\n\n\nz"
+            m += " Café\t tail  "
+            out.append(normalize_text(m))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_norm": pa.array(out, pa.string()),
+                "n_chars": pa.array([len(t) for t in out], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(messy_then_norm, batch_format="pyarrow")
+
+
 def q_event_bursts(sf_dir: str):
     """Burst/anomaly detection per (event_type, hour): flag hours whose
     event count sits further than 2 population-σ from the type's mean
@@ -3149,6 +3185,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
     "event_bursts": q_event_bursts,
+    "text_normalize": q_text_normalize,
     "chunk_counts": q_chunk_counts,
     "asof_orders": q_asof_orders,
     "range_events": q_range_events,
@@ -3808,6 +3845,29 @@ WITH p AS (
 SELECT doc_id AS node,
        CAST(MIN(doc_id) OVER (PARTITION BY host_id) AS BIGINT) AS component
 FROM p
+""",
+    "text_normalize": r"""
+WITH messy AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' mid' || chr(7) || 'dle' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || chr(10) || chr(10) || chr(10) || 'z'
+                 ELSE '' END
+         || ' Cafe' || chr(769) || chr(9) || ' tail  ' AS m
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           nfc_normalize(m),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           '[ \t]+', ' ', 'g'),
+           '\n{3,}', chr(10) || chr(10), 'g'), ' ' || chr(10)) AS text_norm
+  FROM messy
+)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars
+FROM norm
 """,
     "event_bursts": """
 WITH counts AS MATERIALIZED (

@@ -210,3 +210,19 @@ def test_trap_filter_in_chain():
     chain = FilterChain([TrapFilter()])
     assert chain.apply("https://a.example.com/ok")
     assert not chain.apply("https://a.example.com/2077/01/01")
+
+
+def test_normalize_text_rules():
+    from crawl4ai_ray.functions.text import normalize_text
+
+    # NFC composes combining sequences
+    assert normalize_text("Cafe\u0301") == "Caf\u00e9"
+    # C0 controls stripped, \n and \t survive (then \t collapses to space)
+    assert normalize_text("a\x07b\x00c") == "abc"
+    assert normalize_text("a\tb") == "a b"
+    assert normalize_text("a \t  b") == "a b"
+    # blank-line runs cap at one blank line; edges trimmed
+    assert normalize_text("a\n\n\n\n\nb") == "a\n\nb"
+    assert normalize_text("  a b \n") == "a b"
+    # interior newlines under the cap are untouched
+    assert normalize_text("a\nb\n\nc") == "a\nb\n\nc"
