@@ -1102,6 +1102,35 @@ def q_ann_topk_ivfpq(sf_dir: str):
     return res
 
 
+def q_ann_recall_ivfpq(sf_dir: str):
+    """Recall@10 of the IVF-PQ index against the EXACT integer-L2
+    ranking (stages/ann.py recall_at_k) — the evaluation operator of
+    the ANN family: ground truth from brute_l2fp_topk (same fixed-point
+    quantization and tie discipline as the index), intersection counted
+    per query in one tagged-union groupby. The oracle recomputes BOTH
+    rankings and the same n_hits/10 division."""
+    import tempfile
+
+    from ..stages.ann import brute_l2fp_topk, ivfpq_topk, recall_at_k
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = tempfile.mkdtemp(prefix="c4r_ivfpq_", dir="/tmp")
+    approx, _ = ivfpq_topk(
+        emb,
+        query_ids=range(5),
+        out_dir=out,
+        k=10,
+        n_cells=4,
+        nprobe=2,
+        coarse_iters=2,
+        m_subspaces=2,
+        codebook_k=8,
+        iters=2,
+    )
+    exact = brute_l2fp_topk(emb, query_ids=range(5), k=10)
+    return recall_at_k(approx, exact, k=10)
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table
     (stages/cluster.py kmeans_fp): integer-exact fixed-point arithmetic
@@ -3121,6 +3150,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "ann_recall_ivfpq": q_ann_recall_ivfpq,
     "minhash_index_dedup": q_minhash_index_dedup,
     "semdedup": q_semdedup,
     "neardup_keep": q_neardup_keep,
@@ -5457,9 +5487,9 @@ FROM ranked WHERE rn <= 10
 # IVF-PQ: the PQ oracle's two subspace chains PLUS a coarse chain over the
 # full vectors; per query the cells are ranked by the same integer L2
 # (ties -> lower cell), and the ADC ranking only sees neighbors whose
-# coarse cell is among the query's nprobe=2 probes.
-ORACLES["ann_topk_ivfpq"] = f"""
-WITH s0 AS MATERIALIZED (
+# coarse cell is among the query's nprobe=2 probes. The body is shared
+# with the recall oracle below.
+_IVFPQ_CTE_BODY = f"""s0 AS MATERIALIZED (
   SELECT vec_id, embedding[1:32] AS embedding FROM embeddings
 ),
 s1 AS MATERIALIZED (
@@ -5512,10 +5542,46 @@ ranked AS (
   SELECT query_id, neighbor_id, d,
          row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
   FROM tot
-)
+)"""
+
+ORACLES["ann_topk_ivfpq"] = f"""
+WITH {_IVFPQ_CTE_BODY}
 SELECT query_id, neighbor_id, CAST(d AS BIGINT) AS dist_fp,
        CAST(rn AS BIGINT) AS rank
 FROM ranked WHERE rn <= 10
+"""
+
+# recall@10 of the IVF-PQ ranking against the EXACT integer-L2 ranking
+# over the same fixed-point vectors (cc_efp doubles as the ground-truth
+# vector table — same quantization, same tie discipline).
+ORACLES["ann_recall_ivfpq"] = f"""
+WITH {_IVFPQ_CTE_BODY},
+exact_d AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, f2.vec_id AS neighbor_id,
+         SUM((f.e - f2.e) * (f.e - f2.e)) AS d
+  FROM q
+  JOIN cc_efp f ON f.vec_id = q.vec_id
+  JOIN cc_efp f2 ON f2.dim = f.dim AND f2.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+exact_ranked AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+  FROM exact_d
+),
+hits AS (
+  SELECT r.query_id, COUNT(*) AS n_hits
+  FROM ranked r
+  JOIN exact_ranked x
+    ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+   AND x.rn <= 10
+  WHERE r.rn <= 10
+  GROUP BY r.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall
+FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
 """
 
 ORACLES["kmeans_embeddings"] = f"""

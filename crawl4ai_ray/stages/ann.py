@@ -616,6 +616,139 @@ def ivfpq_topk(
     return out, telemetry
 
 
+def brute_l2fp_topk(
+    ds: "ray.data.Dataset",
+    query_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """EXACT top-k by integer fixed-point squared L2 over the full
+    vectors — the ground truth the compressed/pruned ANN paths are
+    measured against (same quantize + tie discipline as ivfpq_topk, so
+    recall@k compares like with like). Broadcast fp query matrix, local
+    top-(k+1) per batch, one per-query reduce; self excluded."""
+    from .cluster import quantize_embeddings
+
+    import pyarrow.compute as pc
+
+    qset = sorted(int(q) for q in query_ids)
+    qvals = pa.array(qset, pa.int64())
+    qrows = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column(id_col).cast(pa.int64()), value_set=qvals)
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    by_id = {r[id_col]: r["embedding"] for r in qrows}
+    q_fp = quantize_embeddings(
+        pa.table({"embedding": pa.array([by_id[q] for q in qset])}), "embedding"
+    )  # (Q, d) int64
+    q_ref = ray.put(q_fp)
+    qids_ref = ray.put(np.asarray(qset, dtype=np.int64))
+    kprime = k + 1
+
+    class L2TopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.qids = ray.get(qids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "dist_fp": pa.array([], pa.int64()),
+                    }
+                )
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            x = quantize_embeddings(batch)  # (n, d) int64
+            out_q, out_n, out_d = [], [], []
+            kk = min(kprime, len(ids))
+            for qi in range(len(self.qids)):
+                diff = x - self.q[qi][None, :]
+                dist = np.einsum("nd,nd->n", diff, diff)  # int64-safe ≤ 2^52
+                order = np.lexsort((ids, dist))[:kk]
+                out_q.extend([int(self.qids[qi])] * kk)
+                out_n.extend(ids[order].tolist())
+                out_d.extend(dist[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "dist_fp": pa.array(out_d, pa.int64()),
+                }
+            )
+
+    cand = ds.map_batches(
+        L2TopK, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+
+    def reduce_q(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nid = np.asarray(group.column("neighbor_id").to_pylist())
+        dd = np.asarray(group.column("dist_fp").to_pylist())
+        keep = nid != qid
+        nid, dd = nid[keep], dd[keep]
+        order = np.lexsort((nid, dd))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "dist_fp": pa.array(dd[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return cand.groupby("query_id").map_groups(reduce_q, batch_format="pyarrow")
+
+
+def recall_at_k(
+    approx: "ray.data.Dataset",
+    exact: "ray.data.Dataset",
+    k: int,
+) -> "ray.data.Dataset":
+    """Recall@k of an approximate ANN result against the exact ranking:
+    per query, |approx∩exact| / k over the two (query_id, neighbor_id,
+    rank) tables — the evaluation operator that closes the ANN family's
+    loop (an index you can't score is an index you can't trust). Both
+    inputs are Q·k rows, so ONE groupby(query_id) over the tagged union
+    does it; recall = n_hits/k evaluated identically in both engines."""
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": batch.column("query_id"),
+                    "neighbor_id": batch.column("neighbor_id"),
+                    "is_exact": pa.array(
+                        np.full(batch.num_rows, side, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    both = approx.map_batches(tag(0), batch_format="pyarrow").union(
+        exact.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def count_hits(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        side = group.column("is_exact").to_numpy(zero_copy_only=False)
+        nid = np.asarray(group.column("neighbor_id").to_pylist())
+        hits = len(set(nid[side == 0]) & set(nid[side == 1]))
+        return pa.table(
+            {
+                "query_id": pa.array([qid], pa.int64()),
+                "n_hits": pa.array([hits], pa.int64()),
+                "recall": pa.array([hits / k], pa.float64()),
+            }
+        )
+
+    return both.groupby("query_id").map_groups(count_hits, batch_format="pyarrow")
+
+
 def pq_topk(
     ds: "ray.data.Dataset",
     query_ids,
