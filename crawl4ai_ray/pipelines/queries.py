@@ -1012,6 +1012,80 @@ FROM l{n_iters} WHERE lbl < {sent}
     )
 
 
+def q_label_communities(sf_dir: str):
+    """Seeded label-propagation communities over the synthetic link
+    graph (stages/graph.py label_propagation): docs 0-4 seed five
+    communities, every non-seed node adopts the in-neighbor MAJORITY
+    label each sweep (ties → smallest label), 4 synchronous sweeps.
+    Majority voting is the semantic that neither connected_components
+    (reachability) nor seed_distances (nearest seed) gives. Oracle
+    unrolls the identical vote-count → argmax → clamp → coalesce chain
+    per sweep."""
+    from ..stages.graph import label_propagation
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    return label_propagation(
+        nodes,
+        _synthetic_link_edges(sf_dir),
+        seeds={i: i for i in range(5)},
+        n_sweeps=4,
+    )
+
+
+def _label_prop_sql(n_sweeps: int = 4) -> str:
+    """Unrolled seeded-LPA oracle for q_label_communities: per sweep a
+    vote count per (node, label), the (count DESC, label ASC) argmax,
+    seed clamp, coalesce-to-previous. MATERIALIZED per the DuckDB
+    inlining gotcha."""
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.c AS BIGINT) AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+lab0 AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS node,
+         CASE WHEN doc_id < 5 THEN CAST(doc_id AS BIGINT) ELSE NULL END AS lbl
+  FROM documents
+)"""
+    ]
+    for i in range(1, n_sweeps + 1):
+        parts.append(
+            f"""cand{i} AS MATERIALIZED (
+  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+  FROM e JOIN lab{i - 1} l ON l.node = e.src
+  WHERE l.lbl IS NOT NULL
+  GROUP BY 1, 2
+),
+mode{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM cand{i}) WHERE rn = 1
+),
+lab{i} AS MATERIALIZED (
+  SELECT p.node,
+         CASE WHEN p.node < 5 THEN p.lbl
+              ELSE COALESCE(m.lbl, p.lbl) END AS lbl
+  FROM lab{i - 1} p LEFT JOIN mode{i} m ON m.node = p.node
+)"""
+        )
+    return (
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT node, CAST(lbl AS BIGINT) AS community
+FROM lab{n_sweeps} WHERE lbl IS NOT NULL
+"""
+    )
+
+
 def q_tfidf_top_terms(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -3166,6 +3240,7 @@ QUERIES = {
     "retention": q_retention,
     "connected_components": q_connected_components,
     "seed_distances": q_seed_distances,
+    "label_communities": q_label_communities,
     "lang_dist": q_lang_dist,
     "content_hash": q_content_hash,
     "ann_topk": q_ann_topk,
@@ -3866,6 +3941,7 @@ SELECT dst,
 FROM dd GROUP BY dst
 """,
     "seed_distances": _seed_distances_sql(),
+    "label_communities": _label_prop_sql(),
     "connected_components": """
 WITH p AS (
   SELECT doc_id,

@@ -354,6 +354,208 @@ def connected_components(
     )
 
 
+def label_propagation(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    seeds: "dict[int, int]",
+    n_sweeps: int = 4,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Semi-supervised label propagation (the classic LPA of Raghavan et
+    al. 2007 in its seeded form): ``seeds`` maps node → community label;
+    each synchronous sweep every non-seed node adopts the MODE of its
+    in-neighbors' current labels (ties → smallest label), seeds are
+    clamped, nodes whose neighbors are all unlabeled keep their previous
+    label. Exactly ``n_sweeps`` sweeps — mode-voting has no monotone
+    invariant to detect quiescence cheaply (unlike connected_components'
+    min-label), and a FIXED sweep count is what the unrolled SQL oracle
+    replays. Returns (node, community) for nodes labeled by then.
+
+    The third member of the propagation family, with genuinely different
+    semantics: connected_components = min-label fixpoint (reachability),
+    multi_source_bfs = lexicographic (dist, seed) min (nearest seed),
+    this = per-sweep majority vote (community structure — a node
+    surrounded by B-voters joins B even if an A-seed is nearer).
+
+    Per sweep, the pagerank plan shape (two bounded all-to-alls):
+      1. labels ∪ edges co-located by hash(src) % P — per bucket the
+         labeled-src lookup emits (dst, lbl, partial_count), combined
+         map-side so only distinct (dst, lbl) partials shuffle;
+      2. partials ∪ current-label rows co-located by hash(node) % P —
+         per bucket sum partials, argmax with the (count DESC, lbl ASC)
+         tie rule, clamp seeds, coalesce to the previous label.
+    Labels ride as float64 (NaN = unlabeled) inside the pandas buckets —
+    community ids are small ints, exact well below 2^53."""
+    P = num_partitions
+    seed_map = {int(k): int(v) for k, v in seeds.items()}
+    if not seed_map:
+        raise ValueError("label_propagation needs at least one seed")
+    seeds_ref = ray.put(seed_map)
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((src % P).astype(np.int64)),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "lbl": pa.nulls(batch.num_rows, pa.float64()),
+            }
+        )
+
+    edges_t = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        sm = ray.get(seeds_ref)
+        node = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = np.array([float(sm[n]) if n in sm else np.nan for n in node])
+        return pa.table(
+            {"node": b.column("node"), "lbl": pa.array(lbl, pa.float64())}
+        )
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((node % P).astype(np.int64)),
+                "src": batch.column("node"),
+                "dst": pa.nulls(batch.num_rows, pa.int64()),
+                "lbl": batch.column("lbl"),
+            }
+        )
+
+    def bucket_votes(g: pd.DataFrame) -> pa.Table:
+        """Per src bucket: labeled-src lookup, then a LOCAL (dst, lbl)
+        partial count — only distinct pairs leave the bucket."""
+        is_lbl = g["dst"].isna()
+        lrows = g[is_lbl]
+        erows = g[~is_lbl]
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "lbl": pa.array([], pa.float64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if erows.empty:
+            return empty
+        lookup = pd.Series(lrows["lbl"].to_numpy(), index=lrows["src"].to_numpy())
+        src_lbl = lookup.reindex(erows["src"].to_numpy()).to_numpy()
+        ok = ~pd.isna(src_lbl)
+        if not ok.any():
+            return empty
+        part = (
+            pd.DataFrame(
+                {
+                    "node": erows["dst"].to_numpy()[ok].astype(np.int64),
+                    "lbl": src_lbl[ok],
+                }
+            )
+            .groupby(["node", "lbl"], sort=True)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "node": pa.array(part["node"].to_numpy(np.int64), pa.int64()),
+                "lbl": pa.array(part["lbl"].to_numpy(np.float64), pa.float64()),
+                "c": pa.array(part["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        """Per node bucket: sum vote partials per (node, lbl), argmax
+        with ties to the smallest label, clamp seeds, else keep prev."""
+        sm = ray.get(seeds_ref)
+        prev = g[g["c"].isna()]
+        votes = g[~g["c"].isna()]
+        out = pd.Series(prev["lbl"].to_numpy(), index=prev["node"].to_numpy())
+        if not votes.empty:
+            tot = (
+                votes.groupby(["node", "lbl"], sort=True)["c"]
+                .sum()
+                .reset_index()
+                .sort_values(["node", "c", "lbl"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+            )
+            mode = tot.groupby("node", sort=True).first()["lbl"]
+            adopt = mode.index.difference(
+                pd.Index(list(sm.keys()))
+            )  # seeds clamped
+            out.loc[out.index.intersection(adopt)] = mode.loc[
+                out.index.intersection(adopt)
+            ]
+        return pa.table(
+            {
+                "node": pa.array(out.index.to_numpy(np.int64), pa.int64()),
+                "lbl": pa.array(out.to_numpy(np.float64), pa.float64()),
+            }
+        )
+
+    def tag_prev(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((node % P).astype(np.int64)),
+                "node": batch.column("node"),
+                "lbl": batch.column("lbl"),
+                "c": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    for _ in range(n_sweeps):
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
+        partials = (
+            edges_t.union(tagged)
+            .groupby("bucket")
+            .map_groups(bucket_votes, batch_format="pandas")
+            .map_batches(
+                # same column ORDER as tag_prev — union requires it
+                lambda b: pa.table(
+                    {
+                        "bucket": pa.array(
+                            (
+                                b.column("node").to_numpy(zero_copy_only=False)
+                                % P
+                            ).astype(np.int64)
+                        ),
+                        "node": b.column("node"),
+                        "lbl": b.column("lbl"),
+                        "c": b.column("c"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            partials.union(
+                labels.map_batches(tag_prev, batch_format="pyarrow")
+            )
+            .groupby("bucket")
+            .map_groups(resolve, batch_format="pandas")
+            .repartition(P)
+            .materialize()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lbl = batch.column("lbl").to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(lbl)
+        return pa.table(
+            {
+                "node": pa.array(
+                    batch.column("node").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "community": pa.array(lbl[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
 _BFS_HOP = np.int64(1) << np.int64(32)  # one hop in the packed (dist, seed) key
 _BFS_UNREACHED = np.int64(1) << np.int64(62)  # sentinel: no seed reached yet
 

@@ -2309,3 +2309,29 @@ def test_ivfpq_prunes_cells_and_ranks(ray_session, tmp_path):
     dists = [r["dist_fp"] for r in rows]
     assert dists == sorted(dists)
     assert all(r["neighbor_id"] != 3 for r in rows)
+
+
+def test_label_propagation_majority_ties_clamp(ray_session):
+    """Mode voting: a node with one A-voter and two B-voters joins B;
+    an exact 1-1 tie goes to the smallest label; seeds never flip even
+    with contrary voters; unreached nodes are omitted."""
+    from crawl4ai_ray.stages.graph import label_propagation
+
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([100, 200, 1, 2, 3, 4, 5, 6], pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([100, 200, 200, 1, 2, 3, 1, 2, 2], pa.int64()),
+                "dst": pa.array([1, 2, 3, 4, 4, 4, 5, 5, 100], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            nodes, edges, seeds={100: 100, 200: 200}, n_sweeps=4
+        ).take_all()
+    }
+    assert got == {100: 100, 200: 200, 1: 100, 2: 200, 3: 200, 4: 200, 5: 100}
