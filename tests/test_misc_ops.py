@@ -130,3 +130,49 @@ def test_strategy_class_surface():
     out = g.generate_markdown("<body><h1>T</h1><p>some sufficiently long paragraph of text here</p></body>")
     assert "# T" in out["raw_markdown"]
     assert "fit_markdown" in out and "fit_html" in out
+
+
+def test_quality_deciles_uneven_ntile(ray_session, tmp_path):
+    """n=23 (rem=3): the first 3 deciles get 3 docs, the rest 2 — the
+    uneven-remainder branch of the NTILE formula, checked against
+    DuckDB's NTILE over the same synthetic corpus."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.pipelines.queries import QUERIES
+
+    texts = []
+    for i in range(23):
+        # vary stopword density so scores spread (with collisions)
+        stops = "the and of " * (i % 5)
+        texts.append((stops + "alpha beta gamma delta " * 3).strip())
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(23), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 23, pa.string()),
+            "source": pa.array(["t"] * 23, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["score"], r["decile"])
+        for r in QUERIES["quality_deciles"](str(tmp_path)).take_all()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    from crawl4ai_ray.pipelines.queries import ORACLES
+
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(ORACLES["quality_deciles"]).fetchall()
+    }
+    assert got == want
+    sizes = {}
+    for _, d in got.values():
+        sizes[d] = sizes.get(d, 0) + 1
+    assert sorted(sizes.values(), reverse=True) == [3, 3, 3] + [2] * 7
