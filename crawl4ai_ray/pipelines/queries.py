@@ -932,6 +932,53 @@ def q_url_canonical_groups(sf_dir: str):
     )
 
 
+def q_image_dhash_dups(sf_dir: str):
+    """Image near-dup pairs by perceptual dHash: media payloads →
+    actor-pool dHash (stages/multimodal.DHashImage — the difference
+    hash is the REAL algorithm; only the JPEG→8×9-thumbnail decode in
+    front is the container's stub seam) → the complete-within-radius
+    hamming block bucketing shared with simhash (stages/dedup.
+    hamming_pairs). Payloads are deterministic 8×9 grids derived from
+    doc_id; every doc_id ≡ 1 (mod 50) carries its predecessor's grid
+    with ONE pixel bumped — a planted near-dup at hamming ≤ 1. The
+    oracle rebuilds grids, bits, and two-half packed hashes in SQL and
+    takes all pairs with hamming ≤ 2."""
+    from ..stages.dedup import hamming_pairs
+    from ..stages.multimodal import DHashImage, raw_gray_payload
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.arange(8, dtype=np.int64)[None, :, None]
+        c = np.arange(9, dtype=np.int64)[None, None, :]
+        base = np.where(ids % 50 == 1, ids - 1, ids)[:, None, None]
+        # squared congruential mixing: a LINEAR congruence (any
+        # coefficients) leaves all ids on a one-parameter offset family
+        # whose dHash patterns are mutually close (measured: 36k, then
+        # still 3.3k of 125k pairs within hamming 2); squaring mod the
+        # prime is non-linear in the offset, so grids decorrelate and
+        # only the planted pairs stay near
+        x = (base * 2654435761 + r * 40503 + c * 69427) % 1000003
+        grids = (((x * x) % 1000003) % 251).astype(np.uint8)
+        planted = ids % 50 == 1
+        grids[planted, 0, 0] = (grids[planted, 0, 0].astype(np.int64) + 1) % 251
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [raw_gray_payload(g) for g in grids], pa.binary()
+                ),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    sigs = media.map_batches(
+        DHashImage, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+    return hamming_pairs(sigs, max_hamming=2, id_col="id", sig_col="dhash")
+
+
 def q_corpus_rollup(sf_dir: str):
     """Corpus-composition report (GROUP BY ROLLUP re-expressed): docs and
     chars by language × source, per-language subtotals, grand total —
@@ -3331,6 +3378,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "distinct_users_hll": q_distinct_users_hll,
     "media_decode": q_media_decode,
+    "image_dhash_dups": q_image_dhash_dups,
     "funnel": q_funnel,
     "retention": q_retention,
     "connected_components": q_connected_components,
@@ -4768,6 +4816,37 @@ grams AS (
 df AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
 SELECT c AS doc_freq, CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM df GROUP BY c
+""",
+    "image_dhash_dups": """
+WITH g AS MATERIALIZED (
+  SELECT doc_id, r, c,
+         CASE WHEN doc_id % 50 = 1 AND r = 0 AND c = 0
+              THEN (((x * x) % 1000003) % 251 + 1) % 251
+              ELSE ((x * x) % 1000003) % 251 END AS v
+  FROM (
+    SELECT d.doc_id, t_r.r, t_c.c,
+           (CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1 ELSE d.doc_id END
+              * 2654435761 + t_r.r * 40503 + t_c.c * 69427) % 1000003 AS x
+    FROM documents d, range(8) t_r(r), range(9) t_c(c)
+  )
+),
+bits AS MATERIALIZED (
+  SELECT a.doc_id, CAST(a.r * 8 + a.c AS INTEGER) AS k,
+         CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+h AS MATERIALIZED (
+  SELECT doc_id,
+         bit_or(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << k
+                     ELSE CAST(0 AS BIGINT) END) AS lo,
+         bit_or(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (k - 32)
+                     ELSE CAST(0 AS BIGINT) END) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2
 """,
     "simhash_pairs": """
 WITH nn AS (SELECT COUNT(*) AS c FROM documents),

@@ -1081,9 +1081,26 @@ def simhash_pairs(
     the scheme is COMPLETE for every supported radius, not just r=3 (the
     round-1 code silently lost recall for r>3). r ≤ 12 keeps blocks ≥ 4 bits
     so buckets still discriminate."""
+    sigs = ds.map_batches(
+        SimHashSignatures(id_col, text_col), batch_format="pyarrow", batch_size=256
+    )
+    return hamming_pairs(sigs, max_hamming)
+
+
+def hamming_pairs(
+    sigs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+) -> "ray.data.Dataset":
+    """Pairs with hamming distance ≤ max_hamming over PRECOMPUTED 64-bit
+    signatures (id, sig uint64) — the block-bucket machinery of
+    simhash_pairs factored out so any 64-bit perceptual/locality hash
+    (simhash, image dHash, audio chromaprint-style) gets the same
+    complete-within-radius candidate generation."""
     if max_hamming > 12:
         raise ValueError(
-            f"simhash_pairs block bucketing needs max_hamming+1 blocks of "
+            f"hamming_pairs block bucketing needs max_hamming+1 blocks of "
             f">=4 bits within the 64-bit signature; got {max_hamming}"
         )
     num_blocks = max_hamming + 1
@@ -1094,13 +1111,10 @@ def simhash_pairs(
         width = base + (1 if i < extra else 0)
         block_bounds.append((lo, width))
         lo += width
-    sigs = ds.map_batches(
-        SimHashSignatures(id_col, text_col), batch_format="pyarrow", batch_size=256
-    )
 
     def explode_blocks(batch: pa.Table) -> pa.Table:
-        ids = batch.column("id").to_pylist()
-        sh = batch.column("simhash").to_numpy()
+        ids = batch.column(id_col).to_pylist()
+        sh = batch.column(sig_col).to_numpy()
         out_blk, out_key, out_id, out_sig = [], [], [], []
         for i, s in zip(ids, sh):
             s = np.uint64(s)

@@ -2335,3 +2335,23 @@ def test_label_propagation_majority_ties_clamp(ray_session):
         ).take_all()
     }
     assert got == {100: 100, 200: 200, 1: 100, 2: 200, 3: 200, 4: 200, 5: 100}
+
+
+def test_dhash_bits_and_one_pixel_sensitivity():
+    """dHash packs bit[r][c] = g[r][c] < g[r][c+1] at weight 2^(r*8+c);
+    a one-pixel change flips at most the two bits its comparisons touch
+    ((0,0) touches only bit (0,0))."""
+    from crawl4ai_ray.stages.multimodal import DHashImage
+
+    g = np.zeros((8, 9), np.uint8)
+    g[0, 1] = 5  # bit (0,0): g[0,0]=0 < 5 → set; bit (0,1): 5 < 0 → clear
+    assert DHashImage._dhash(g) == 1
+    g2 = g.copy()
+    g2[3, 4] = 7  # sets bit (3,3): weight 2^(3*8+3)
+    assert DHashImage._dhash(g2) == 1 + (1 << 27)
+    # one-pixel bump at (0,0) flips at most bit (0,0)
+    base = ((np.arange(72, dtype=np.int64) * 37) % 251).reshape(8, 9).astype(np.uint8)
+    bumped = base.copy()
+    bumped[0, 0] = (int(bumped[0, 0]) + 1) % 251
+    x = DHashImage._dhash(base) ^ DHashImage._dhash(bumped)
+    assert bin(x).count("1") <= 1
