@@ -1346,6 +1346,103 @@ def q_ann_recall_ivfpq(sf_dir: str):
     return recall_at_k(approx, exact, k=10)
 
 
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-Marginal-Relevance diversity re-ranking (stages/ann.py
+    mmr_rerank): top-20 candidates by integer fixed-point dot product,
+    then 5 greedy picks maximizing rel − max-sim-to-selected (λ = 1/2
+    up to scale, ties → smaller id). Fully integer, so the oracle
+    unrolls the greedy loop: per step a penalty MAX-join against the
+    selected set, argmax by (score DESC, id ASC)."""
+    from ..stages.ann import mmr_rerank
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_rerank(emb, query_ids=range(5), k_cand=20, k_out=5)
+
+
+def _mmr_sql(k_cand: int = 20, k_out: int = 5) -> str:
+    """Unrolled MMR oracle: fp embeddings, integer rel dots, top-k_cand,
+    candidate-pair sims, then k_out greedy steps (penalty max-join +
+    argmax per step). MATERIALIZED per the DuckDB inlining gotcha."""
+    parts = [
+        """efp AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id FROM embeddings WHERE vec_id < 5),
+relt AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, f2.vec_id AS neighbor_id,
+         CAST(SUM(f.e * f2.e) AS BIGINT) AS rel
+  FROM q
+  JOIN efp f ON f.vec_id = q.vec_id
+  JOIN efp f2 ON f2.dim = f.dim AND f2.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),"""
+        + f"""
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id) AS rn
+    FROM relt) WHERE rn <= {k_cand}
+),
+sims AS MATERIALIZED (
+  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         CAST(SUM(fa.e * fb.e) AS BIGINT) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id
+  JOIN efp fa ON fa.vec_id = c1.neighbor_id
+  JOIN efp fb ON fb.vec_id = c2.neighbor_id AND fb.dim = fa.dim
+  GROUP BY 1, 2, 3
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel AS score FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id) AS rn
+    FROM cand) WHERE rn = 1
+),
+selset1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel1)"""
+    ]
+    for i in range(2, k_out + 1):
+        parts.append(
+            f"""pen{i} AS (
+  SELECT s.query_id, s.a AS neighbor_id, MAX(s.sim) AS pen
+  FROM sims s
+  JOIN selset{i - 1} ss
+    ON ss.query_id = s.query_id AND ss.neighbor_id = s.b
+  GROUP BY 1, 2
+),
+sel{i} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT c.query_id, c.neighbor_id, c.rel - p.pen AS score,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY c.rel - p.pen DESC, c.neighbor_id)
+             AS rn
+    FROM cand c
+    JOIN pen{i} p
+      ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM selset{i - 1} ss
+      WHERE ss.query_id = c.query_id AND ss.neighbor_id = c.neighbor_id
+    )) WHERE rn = 1
+),
+selset{i} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM selset{i - 1}
+  UNION ALL
+  SELECT query_id, neighbor_id FROM sel{i}
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({i} AS BIGINT) AS rank, neighbor_id, "
+        f"score AS mmr_fp FROM sel{i}"
+        for i in range(1, k_out + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table
     (stages/cluster.py kmeans_fp): integer-exact fixed-point arithmetic
@@ -3367,6 +3464,7 @@ QUERIES = {
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_recall_ivfpq": q_ann_recall_ivfpq,
+    "mmr_rerank": q_mmr_rerank,
     "minhash_index_dedup": q_minhash_index_dedup,
     "semdedup": q_semdedup,
     "neardup_keep": q_neardup_keep,
@@ -5846,6 +5944,8 @@ SELECT q.vec_id AS query_id,
        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall
 FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
 """
+
+ORACLES["mmr_rerank"] = _mmr_sql(20, 5)
 
 ORACLES["kmeans_embeddings"] = f"""
 WITH {_kmeans_cte_chain(8, 4)}

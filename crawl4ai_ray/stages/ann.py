@@ -703,6 +703,130 @@ def brute_l2fp_topk(
     return cand.groupby("query_id").map_groups(reduce_q, batch_format="pyarrow")
 
 
+def mmr_rerank(
+    ds: "ray.data.Dataset",
+    query_ids,
+    k_cand: int = 20,
+    k_out: int = 5,
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity step after retrieval: greedily pick k_out of
+    the top-k_cand candidates maximizing ``rel(c) − max_{s∈S} sim(c,s)``
+    (λ = 1/2 up to the common scale), so near-duplicate hits don't crowd
+    the result list.
+
+    INTEGER-exact end to end: rel and sim are fixed-point dot products
+    (Σ e_fp·e_fp ≤ 64·2^40 — int64-safe), ties → smaller id, so the
+    unrolled SQL oracle replays the greedy argmax step for step.
+
+    Plan: one candidate-generation pass (per batch, integer dots against
+    the broadcast query matrix, local top-k_cand with the fp embedding
+    CARRIED on the row — k_cand·d ints per query per batch), then ONE
+    groupby(query_id) closes global top-k_cand and runs the greedy loop
+    on ≤ k_cand vectors locally. Candidate sets are small by contract;
+    the corpus is touched once. Returns (query_id, rank, neighbor_id,
+    mmr_fp) where mmr_fp is the selection-time score (rank 1 = pure
+    relevance)."""
+    from .cluster import quantize_embeddings
+
+    import pyarrow.compute as pc
+
+    qset = sorted(int(q) for q in query_ids)
+    qvals = pa.array(qset, pa.int64())
+    qrows = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column(id_col).cast(pa.int64()), value_set=qvals)
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    by_id = {r[id_col]: r["embedding"] for r in qrows}
+    q_fp = quantize_embeddings(
+        pa.table({"embedding": pa.array([by_id[q] for q in qset])}), "embedding"
+    )
+    q_ref = ray.put(q_fp)
+    qids_ref = ray.put(np.asarray(qset, dtype=np.int64))
+
+    class CandGen:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.qids = ray.get(qids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "rel": pa.array([], pa.int64()),
+                        "efp": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            x = quantize_embeddings(batch)  # (n, d)
+            out_q, out_n, out_r, out_e = [], [], [], []
+            for qi in range(len(self.qids)):
+                qid = int(self.qids[qi])
+                rel = x @ self.q[qi]  # int64 dots
+                mask = ids != qid
+                idx = np.nonzero(mask)[0]
+                kk = min(k_cand, len(idx))
+                top = idx[np.lexsort((ids[idx], -rel[idx]))[:kk]]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_r.extend(rel[top].tolist())
+                out_e.extend(x[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "rel": pa.array(out_r, pa.int64()),
+                    "efp": pa.array(out_e, pa.list_(pa.int64())),
+                }
+            )
+
+    cand = ds.map_batches(
+        CandGen, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+
+    def greedy(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nid = np.asarray(group.column("neighbor_id").to_pylist(), np.int64)
+        rel = np.asarray(group.column("rel").to_pylist(), np.int64)
+        efp = np.asarray(group.column("efp").to_pylist(), np.int64)  # (m, d)
+        # close the GLOBAL top-k_cand from the per-batch partials
+        order = np.lexsort((nid, -rel))[:k_cand]
+        nid, rel, efp = nid[order], rel[order], efp[order]
+        sims = efp @ efp.T  # (m, m) int64 — m ≤ k_cand
+        chosen: list[int] = []
+        scores: list[int] = []
+        remaining = list(range(len(nid)))
+        for _ in range(min(k_out, len(nid))):
+            best, best_score = None, None
+            for i in remaining:
+                penalty = max(int(sims[i, j]) for j in chosen) if chosen else 0
+                s = int(rel[i]) - penalty
+                if (
+                    best is None
+                    or s > best_score
+                    or (s == best_score and nid[i] < nid[best])
+                ):
+                    best, best_score = i, s
+            chosen.append(best)
+            scores.append(best_score)
+            remaining.remove(best)
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(chosen), pa.int64()),
+                "rank": pa.array(np.arange(1, len(chosen) + 1), pa.int64()),
+                "neighbor_id": pa.array(nid[chosen], pa.int64()),
+                "mmr_fp": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return cand.groupby("query_id").map_groups(greedy, batch_format="pyarrow")
+
+
 def recall_at_k(
     approx: "ray.data.Dataset",
     exact: "ray.data.Dataset",

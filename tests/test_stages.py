@@ -2355,3 +2355,35 @@ def test_dhash_bits_and_one_pixel_sensitivity():
     bumped[0, 0] = (int(bumped[0, 0]) + 1) % 251
     x = DHashImage._dhash(base) ^ DHashImage._dhash(bumped)
     assert bin(x).count("1") <= 1
+
+
+def test_mmr_prefers_diverse_over_redundant(ray_session):
+    """Vector 2 is nearly identical to top hit 1; vector 3 is less
+    relevant but orthogonal-ish — MMR's second pick must be 3, while
+    pure relevance would pick 2."""
+    from crawl4ai_ray.stages.ann import mmr_rerank
+
+    # norms > 1 on the duplicate pair so sim(2,1) exceeds rel(2) and the
+    # penalty term actually bites (the scores are unnormalized dots)
+    emb = {
+        0: [1.0, 0.0, 0.0, 0.0],    # query
+        1: [1.0, 0.2, 0.0, 0.0],    # top hit
+        2: [1.0, 0.19, 0.0, 0.0],   # near-dup of 1: rel 1.0, sim(2,1) ≈ 1.04
+        3: [0.5, 0.0, 0.8, 0.0],    # diverse, lower rel
+        4: [0.1, 0.0, 0.0, 0.9],    # mostly irrelevant
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(emb), pa.int64()),
+                "embedding": pa.array(
+                    list(emb.values()), pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    rows = sorted(
+        mmr_rerank(ds, query_ids=[0], k_cand=4, k_out=3).take_all(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["neighbor_id"] for r in rows] == [1, 3, 4]
