@@ -979,6 +979,48 @@ def q_image_dhash_dups(sf_dir: str):
     return hamming_pairs(sigs, max_hamming=2, id_col="id", sig_col="dhash")
 
 
+def q_audio_fp_dups(sf_dir: str):
+    """Audio near-dup pairs by 64-bit band-energy fingerprint
+    (stages/multimodal.AudioFingerprint — simplified Haitsma–Kalker;
+    the sign/packing math is real, the decode in front is the declared
+    stub seam) through the same hamming block bucketing as simhash and
+    image dHash. PCM payloads are squared-congruential int16 streams;
+    doc_id ≡ 2 (mod 50) carries its predecessor's samples with one
+    sample nudged — a planted near-dup whose energy signs move ≤ 2
+    bits. The oracle rebuilds samples → band energies → sign bits →
+    lo/hi packed halves in SQL, pairs at hamming ≤ 4."""
+    from ..stages.dedup import hamming_pairs
+    from ..stages.multimodal import AudioFingerprint
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = np.arange(1024, dtype=np.int64)[None, :]
+        base = np.where(ids % 50 == 2, ids - 1, ids)[:, None]
+        x = (base * 2654435761 + t * 97003) % 1000003
+        mag = ((x * x) % 1000003) % 4096  # int64 domain until the cast
+        planted = ids % 50 == 2
+        # one-sample nudge with wrap INSIDE the 0..4095 magnitude domain
+        # (a bare +1 could push 2047 -> 2048 past int16 after the offset)
+        mag[planted, 7] = (mag[planted, 7] + 1) % 4096
+        samples = (mag - 2048).astype(np.int16)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(
+                    [s.tobytes() for s in samples], pa.binary()
+                ),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    sigs = media.map_batches(
+        AudioFingerprint, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+    )
+    return hamming_pairs(sigs, max_hamming=4, id_col="id", sig_col="afp")
+
+
 def q_corpus_rollup(sf_dir: str):
     """Corpus-composition report (GROUP BY ROLLUP re-expressed): docs and
     chars by language × source, per-language subtotals, grand total —
@@ -3477,6 +3519,7 @@ QUERIES = {
     "distinct_users_hll": q_distinct_users_hll,
     "media_decode": q_media_decode,
     "image_dhash_dups": q_image_dhash_dups,
+    "audio_fp_dups": q_audio_fp_dups,
     "funnel": q_funnel,
     "retention": q_retention,
     "connected_components": q_connected_components,
@@ -4914,6 +4957,49 @@ grams AS (
 df AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
 SELECT c AS doc_freq, CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM df GROUP BY c
+""",
+    "audio_fp_dups": """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 2 THEN doc_id - 1 ELSE doc_id END AS b
+  FROM documents
+),
+s AS MATERIALIZED (
+  SELECT doc_id, t,
+         CASE WHEN doc_id % 50 = 2 AND t = 7
+              THEN ((m + 1) % 4096) - 2048
+              ELSE m - 2048 END AS v
+  FROM (
+    SELECT base.doc_id, t.t AS t,
+           (((base.b * 2654435761 + t.t * 97003) % 1000003)
+            * ((base.b * 2654435761 + t.t * 97003) % 1000003))
+             % 1000003 % 4096 AS m
+    FROM base, range(1024) t(t)
+  )
+),
+e AS MATERIALIZED (
+  SELECT doc_id, t // 512 AS n, (t % 512) // 15 AS m,
+         CAST(SUM(v * v) AS BIGINT) AS en
+  FROM s WHERE t % 512 < 495
+  GROUP BY 1, 2, 3
+),
+bits AS MATERIALIZED (
+  SELECT a.doc_id, CAST(a.n * 32 + a.m AS INTEGER) AS k,
+         CASE WHEN a.en > b.en THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.n = a.n AND b.m = a.m + 1
+  WHERE a.m < 32
+),
+h AS MATERIALIZED (
+  SELECT doc_id,
+         bit_or(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << k
+                     ELSE CAST(0 AS BIGINT) END) AS lo,
+         bit_or(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (k - 32)
+                     ELSE CAST(0 AS BIGINT) END) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 4
 """,
     "image_dhash_dups": """
 WITH g AS MATERIALIZED (

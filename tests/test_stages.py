@@ -2387,3 +2387,22 @@ def test_mmr_prefers_diverse_over_redundant(ray_session):
         key=lambda r: r["rank"],
     )
     assert [r["neighbor_id"] for r in rows] == [1, 3, 4]
+
+
+def test_audio_fingerprint_bits_and_nudge():
+    """bit(n,m) = [E(n,m) > E(n,m+1)] at weight 2^(n*32+m); a one-sample
+    change inside band b flips at most bits (n, b-1) and (n, b)."""
+    from crawl4ai_ray.stages.multimodal import AudioFingerprint
+
+    s = np.zeros(1024, np.int16)
+    s[0:15] = 10  # frame 0 band 0 energy high → bit (0,0) set
+    assert AudioFingerprint._fingerprint(s) == 1
+    s2 = np.zeros(1024, np.int16)
+    s2[512 + 15 : 512 + 30] = 3  # frame 1 band 1 → bit (1,1) at 2^(32+1)
+    assert AudioFingerprint._fingerprint(s2) == (1 << 33)
+    base = ((np.arange(1024, dtype=np.int64) * 37 + 11) % 1000) - 500
+    base = base.astype(np.int16)
+    bumped = base.copy()
+    bumped[7] = bumped[7] + 1  # band 0 of frame 0
+    x = AudioFingerprint._fingerprint(base) ^ AudioFingerprint._fingerprint(bumped)
+    assert bin(x).count("1") <= 2
