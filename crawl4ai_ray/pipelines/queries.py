@@ -3300,10 +3300,24 @@ def q_orders_per_nation(sf_dir: str):
         customer, join_type="inner", num_partitions=8, on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    ocn = oc.join(
-        nation, join_type="inner", num_partitions=4, on=("c_nationkey",),
-        right_on=("n_nationkey",),
-    )
+    # nation is 25 rows: broadcast it instead of a second JoinOperator —
+    # Ray 2.49's join costs ~4 s of actor-pool spin-up PER CALL (NOTES
+    # r3), and chaining joins is exactly the shape that breaks on empty
+    # shuffle partitions. One native join stays as the API demonstrator;
+    # the small side goes map-side like every other broadcast lookup.
+    nmap = {
+        int(r["n_nationkey"]): r["n_name"] for r in nation.take_all()
+    }
+    nmap_ref = ray.put(nmap)
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nmap_ref)
+        keys = batch.column("c_nationkey").to_pylist()
+        return pa.table(
+            {"n_name": pa.array([nm[int(k)] for k in keys], pa.string())}
+        )
+
+    ocn = oc.map_batches(attach_nation, batch_format="pyarrow")
     out = ocn.groupby("n_name").count().rename_columns({"count()": "n_orders"})
     return out.map_batches(
         lambda b: b.set_column(
