@@ -1021,6 +1021,27 @@ def q_audio_fp_dups(sf_dir: str):
     return hamming_pairs(sigs, max_hamming=4, id_col="id", sig_col="afp")
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact phrase search over the term-partitioned POSITIONAL index
+    (stages/index.py build_positional_index + phrase_lookup): the
+    lookup reads only the phrase terms' partitions (asserted via bytes
+    telemetry), then intersects per-doc position lists — token k must
+    sit at first_pos + k. The oracle scans with the equivalent
+    adjacent-token predicate over the same whitespace tokenization."""
+    import tempfile
+
+    from ..stages.index import build_positional_index, phrase_lookup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tempfile.mkdtemp(prefix="c4r_posidx_", dir="/tmp")
+    build_positional_index(docs, out)
+    res, tel = phrase_lookup(out, "order line")
+    assert 0 < tel["bytes_scanned"] < tel["bytes_total"], tel
+    return res
+
+
 def q_corpus_rollup(sf_dir: str):
     """Corpus-composition report (GROUP BY ROLLUP re-expressed): docs and
     chars by language × source, per-language subtotals, grand total —
@@ -3534,6 +3555,7 @@ QUERIES = {
     "media_decode": q_media_decode,
     "image_dhash_dups": q_image_dhash_dups,
     "audio_fp_dups": q_audio_fp_dups,
+    "phrase_search": q_phrase_search,
     "funnel": q_funnel,
     "retention": q_retention,
     "connected_components": q_connected_components,
@@ -4971,6 +4993,19 @@ grams AS (
 df AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
 SELECT c AS doc_freq, CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM df GROUP BY c
+""",
+    "phrase_search": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS lst FROM documents
+),
+m AS (
+  SELECT d.doc_id, i
+  FROM d, UNNEST(range(1, len(lst))) AS t(i)
+  WHERE lst[i] = 'order' AND lst[i + 1] = 'line'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
 """,
     "audio_fp_dups": """
 WITH base AS (

@@ -109,3 +109,150 @@ def term_lookup(
         )
 
     return ds.map_batches(strip, batch_format="pyarrow"), telemetry
+
+
+def build_positional_index(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    num_partitions: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Positional variant of the term layout: (term_hash, doc_id,
+    positions list<int32>) partitioned by ``hash(term) % P`` — what
+    phrase/proximity queries need. Positions are 0-based token offsets
+    under the same whitespace tokenization as build_term_index."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        h_out, d_out, p_out = [], [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            by_term: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                by_term.setdefault(t, []).append(i)
+            terms = sorted(by_term)
+            h_out.append(hash64(terms))
+            d_out.extend([did] * len(terms))
+            p_out.extend(by_term[t] for t in terms)
+        h = np.concatenate(h_out) if h_out else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int64), pa.int64()
+                ),
+                "term_hash": pa.array(h, pa.uint64()),
+                id_col: pa.array(d_out, pa.int64()),
+                "positions": pa.array(p_out, pa.list_(pa.int32())),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        docs.select_columns([id_col, text_col])
+        .map_batches(postings, batch_format="pyarrow")
+        .sort("part")
+        .write_parquet(out_dir, partition_cols=["part"])
+    )
+    with open(os.path.join(out_dir, "_META"), "w") as f:
+        f.write(f"num_partitions={num_partitions}\n")
+    return out_dir
+
+
+def phrase_lookup(
+    index_dir: str,
+    phrase: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> "tuple[ray.data.Dataset, dict]":
+    """Exact phrase search over the positional layout: reads ONLY the
+    phrase terms' partitions (parquet row filter on their hashes, bytes
+    telemetry), then intersects position lists per doc — token k of the
+    phrase must sit at first_pos + k. One bounded shuffle of the
+    phrase-term postings (tiny vs the corpus); returns
+    (doc_id, n_matches, first_pos) for docs containing the phrase,
+    first_pos = 0-based offset of the first occurrence."""
+    import pyarrow.dataset as pds
+
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "_META")) as f:
+        num_partitions = int(f.read().strip().split("=")[1])
+    words = phrase.lower().split()
+    if not words:
+        raise ValueError("empty phrase")
+    hashes = [int(h) for h in hash64(words)]
+    parts = sorted({h % num_partitions for h in hashes})
+    files = [
+        f
+        for p in parts
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"part={p}", "*.parquet")))
+    ]
+    all_files = _glob.glob(os.path.join(index_dir, "part=*", "*.parquet"))
+    telemetry = {
+        "partitions_read": len(parts),
+        "partitions_total": num_partitions,
+        "bytes_scanned": sum(os.path.getsize(f) for f in files),
+        "bytes_total": sum(os.path.getsize(f) for f in all_files),
+    }
+    hset = pa.array(np.array(hashes, np.uint64), pa.uint64())
+    ds = ray.data.read_parquet(
+        files, filter=pds.field("term_hash").isin(hset)
+    )
+    # k-th phrase slot per hash (a repeated word occupies several slots)
+    slots: dict[int, list[int]] = {}
+    for k, h in enumerate(hashes):
+        slots.setdefault(h, []).append(k)
+    slots_ref = ray.put(slots)
+    n_words = len(words)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                        np.int64
+                    )
+                ),
+                id_col: batch.column(id_col),
+                "term_hash": batch.column("term_hash"),
+                "positions": batch.column("positions"),
+            }
+        )
+
+    def intersect(g: "pd.DataFrame") -> pa.Table:
+        sl = ray.get(slots_ref)
+        out_d, out_n, out_f = [], [], []
+        for did, rows in g.groupby(id_col):
+            # anchor candidates: positions where slot-k's term sits at
+            # pos - k, intersected across all slots
+            anchor: "set[int] | None" = None
+            seen_slots = 0
+            for th, pos_list in zip(rows["term_hash"], rows["positions"]):
+                for k in sl[int(th)]:
+                    cand = {int(p) - k for p in pos_list}
+                    anchor = cand if anchor is None else (anchor & cand)
+                    seen_slots += 1
+            if seen_slots < n_words or not anchor:
+                continue
+            out_d.append(int(did))
+            out_n.append(len(anchor))
+            out_f.append(min(anchor))
+        return pa.table(
+            {
+                id_col: pa.array(out_d, pa.int64()),
+                "n_matches": pa.array(out_n, pa.int64()),
+                "first_pos": pa.array(out_f, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(intersect, batch_format="pandas")
+    )
+    return out, telemetry

@@ -176,3 +176,37 @@ def test_quality_deciles_uneven_ntile(ray_session, tmp_path):
     for _, d in got.values():
         sizes[d] = sizes.get(d, 0) + 1
     assert sorted(sizes.values(), reverse=True) == [3, 3, 3] + [2] * 7
+
+
+def test_phrase_lookup_positions_and_pruning(ray_session, tmp_path):
+    """Adjacency is enforced via position intersection (not just term
+    co-occurrence); repeated-word phrases work; only the phrase terms'
+    partitions are read."""
+    from crawl4ai_ray.stages.index import build_positional_index, phrase_lookup
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma",          # phrase at 0
+                        "beta alpha zzz alpha beta", # phrase at 3
+                        "alpha zzz beta",            # terms present, NOT adjacent
+                        "alpha alpha beta",          # repeated-word doc
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    idx = str(tmp_path / "pidx")
+    build_positional_index(docs, idx, num_partitions=8)
+    res, tel = phrase_lookup(idx, "alpha beta")
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in res.take_all()}
+    assert got == {1: (1, 0), 2: (1, 3), 4: (1, 1)}
+    assert tel["partitions_read"] <= 2 < tel["partitions_total"]
+    # repeated-word phrase: needs alpha at p and p+1
+    res2, _ = phrase_lookup(idx, "alpha alpha")
+    got2 = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in res2.take_all()}
+    assert got2 == {4: (1, 0)}
