@@ -1042,6 +1042,32 @@ def q_phrase_search(sf_dir: str):
     return res
 
 
+def q_regex_search_trigram(sf_dir: str):
+    """Regex search with trigram-index pruning (the pg_trgm trick,
+    stages/index.py build_trigram_index + regex_search_trigram):
+    candidates = docs whose postings hold ALL trigrams of the pattern's
+    literal runs (a superset of matches), the real regex runs only on
+    candidates point-read by id. Exact by construction; the oracle is
+    the full-scan regex itself."""
+    import tempfile
+
+    from ..stages.index import build_trigram_index, regex_search_trigram
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tempfile.mkdtemp(prefix="c4r_tridx_", dir="/tmp")
+    build_trigram_index(docs, out)
+    res, tel = regex_search_trigram(
+        out,
+        f"{sf_dir}/documents.parquet",
+        pattern=r"batch [a-z]+ window",
+        literals=["batch ", " window"],
+    )
+    assert 0 < tel["bytes_scanned"] < tel["bytes_total"], tel
+    return res
+
+
 def q_corpus_rollup(sf_dir: str):
     """Corpus-composition report (GROUP BY ROLLUP re-expressed): docs and
     chars by language × source, per-language subtotals, grand total —
@@ -3556,6 +3582,7 @@ QUERIES = {
     "image_dhash_dups": q_image_dhash_dups,
     "audio_fp_dups": q_audio_fp_dups,
     "phrase_search": q_phrase_search,
+    "regex_search_trigram": q_regex_search_trigram,
     "funnel": q_funnel,
     "retention": q_retention,
     "connected_components": q_connected_components,
@@ -4993,6 +5020,15 @@ grams AS (
 df AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
 SELECT c AS doc_freq, CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM df GROUP BY c
+""",
+    "regex_search_trigram": r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), 'batch [a-z]+ window'))
+              AS BIGINT) AS n_matches
+  FROM documents
+)
+SELECT doc_id, n_matches FROM m WHERE n_matches > 0
 """,
     "phrase_search": r"""
 WITH d AS (

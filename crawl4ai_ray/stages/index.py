@@ -256,3 +256,167 @@ def phrase_lookup(
         .map_groups(intersect, batch_format="pandas")
     )
     return out, telemetry
+
+
+def trigrams_of(literal: str) -> "list[str]":
+    """Distinct character trigrams of a literal string (pg_trgm-style,
+    no padding), sorted for determinism."""
+    s = literal.lower()
+    return sorted({s[i : i + 3] for i in range(len(s) - 2)})
+
+
+def build_trigram_index(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    num_partitions: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Trigram layout for regex/substring search at scale (the pg_trgm
+    trick): (tri_hash, doc_id) postings over each doc's DISTINCT
+    lowercase character trigrams, partitioned by hash % P. The index is
+    large relative to text (that's inherent to trigram indexes); what
+    it buys is that a regex with any literal run ≥ 3 chars prunes to
+    the docs containing ALL the literal's trigrams before a single
+    regex executes."""
+
+    def postings(batch: pa.Table) -> pa.Table:
+        h_out, d_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            tris = trigrams_of(text or "")
+            if not tris:
+                continue
+            h_out.append(hash64(tris))
+            d_out.extend([did] * len(tris))
+        h = np.concatenate(h_out) if h_out else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int64), pa.int64()
+                ),
+                "tri_hash": pa.array(h, pa.uint64()),
+                id_col: pa.array(d_out, pa.int64()),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        docs.select_columns([id_col, text_col])
+        .map_batches(postings, batch_format="pyarrow")
+        .sort("part")
+        .write_parquet(out_dir, partition_cols=["part"])
+    )
+    with open(os.path.join(out_dir, "_META"), "w") as f:
+        f.write(f"num_partitions={num_partitions}\n")
+    return out_dir
+
+
+def regex_search_trigram(
+    index_dir: str,
+    sf_docs_path: str,
+    pattern: str,
+    literals: "list[str]",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> "tuple[ray.data.Dataset, dict]":
+    """Regex search with trigram pruning: candidate docs = those whose
+    trigram postings contain ALL trigrams of every literal run the
+    caller names (a SUPERSET of true matches — any text matching the
+    regex contains its literal runs verbatim), then the real regex runs
+    ONLY on candidates, point-read from the doc store with a parquet
+    row filter on id. Exact: prune is superset, verify is the regex
+    itself. Returns ((doc_id, n_matches) for matching docs, telemetry
+    with index bytes read and candidate counts)."""
+    import re as _re
+
+    import pyarrow.dataset as pds
+
+    with open(os.path.join(index_dir, "_META")) as f:
+        num_partitions = int(f.read().strip().split("=")[1])
+    tris = sorted({t for lit in literals for t in trigrams_of(lit)})
+    if not tris:
+        raise ValueError("literals must yield at least one trigram")
+    hashes = [int(h) for h in hash64(tris)]
+    parts = sorted({h % num_partitions for h in hashes})
+    files = [
+        f
+        for p in parts
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"part={p}", "*.parquet")))
+    ]
+    all_files = _glob.glob(os.path.join(index_dir, "part=*", "*.parquet"))
+    telemetry = {
+        "trigrams": len(tris),
+        "partitions_read": len(parts),
+        "partitions_total": num_partitions,
+        "bytes_scanned": sum(os.path.getsize(f) for f in files),
+        "bytes_total": sum(os.path.getsize(f) for f in all_files),
+    }
+    hset = pa.array(np.array(hashes, np.uint64), pa.uint64())
+    post = ray.data.read_parquet(files, filter=pds.field("tri_hash").isin(hset))
+    n_tris = len(tris)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                        np.int64
+                    )
+                ),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    def all_present(g):
+        import pandas as pd
+
+        counts = g.groupby(id_col).size()
+        keep = counts[counts == n_tris].index.to_numpy(np.int64)
+        return pa.table({id_col: pa.array(keep, pa.int64())})
+
+    cand = (
+        post.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(all_present, batch_format="pandas")
+        .take_all()
+    )
+    cand_ids = sorted(int(r[id_col]) for r in cand)
+    telemetry["candidates"] = len(cand_ids)
+    if not cand_ids:
+        return (
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "n_matches": pa.array([], pa.int64()),
+                    }
+                )
+            ),
+            telemetry,
+        )
+    docs = ray.data.read_parquet(
+        sf_docs_path,
+        filter=pds.field(id_col).isin(pa.array(cand_ids, pa.int64())),
+    )
+    rx = _re.compile(pattern)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_out, n_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column("text").to_pylist()
+        ):
+            n = len(rx.findall((text or "").lower()))
+            if n:
+                ids_out.append(did)
+                n_out.append(n)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "n_matches": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(verify, batch_format="pyarrow"), telemetry

@@ -210,3 +210,44 @@ def test_phrase_lookup_positions_and_pruning(ray_session, tmp_path):
     res2, _ = phrase_lookup(idx, "alpha alpha")
     got2 = {r["doc_id"]: (r["n_matches"], r["first_pos"]) for r in res2.take_all()}
     assert got2 == {4: (1, 0)}
+
+
+def test_trigram_regex_prunes_and_verifies(ray_session, tmp_path):
+    """Candidates need ALL literal trigrams (doc 3 has 'batch' but not
+    'window' → pruned before any regex); a candidate that fails the
+    regex (doc 2: words present, pattern shape absent) is dropped by
+    verify; telemetry shows the prune."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.stages.index import (
+        build_trigram_index,
+        regex_search_trigram,
+    )
+
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a batch big window z",      # matches
+                    "window then batch",          # trigrams present, regex no
+                    "batch batch batch",          # missing ' window'
+                    "batch x window batch y window",  # two matches
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs_tbl, str(tmp_path / "documents.parquet"))
+    ds = ray.data.from_arrow(docs_tbl)
+    idx = str(tmp_path / "tridx")
+    build_trigram_index(ds, idx, num_partitions=8)
+    res, tel = regex_search_trigram(
+        idx,
+        str(tmp_path / "documents.parquet"),
+        pattern=r"batch [a-z]+ window",
+        literals=["batch ", " window"],
+    )
+    got = {r["doc_id"]: r["n_matches"] for r in res.take_all()}
+    assert got == {1: 1, 4: 2}
+    assert tel["candidates"] <= 3  # doc 3 pruned without running a regex
