@@ -73,6 +73,11 @@ def main(argv=None):
         "training shuffle under <out>/5_export/shard=NN/",
     )
     pw.add_argument("--export-seed", type=int, default=0)
+    pw.add_argument(
+        "--curriculum", type=int, default=0,
+        help="also write NTILE(K) curriculum deciles of the kept docs "
+        "under <out>/6_curriculum/decile=N/",
+    )
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -129,6 +134,7 @@ def main(argv=None):
                 vocab_k=args.vocab_k,
                 export_shards_n=args.export_shards or None,
                 export_seed=args.export_seed,
+                curriculum_tiles=args.curriculum or None,
             )
             print(json.dumps(man["stages"], indent=1))
         elif args.cmd == "queries":

@@ -580,95 +580,18 @@ def q_quality_filter(sf_dir: str):
 def q_quality_deciles(sf_dir: str):
     """Curriculum binning: every doc gets its NTILE(10) decile in the
     corpus-wide (quality score, doc_id) order — the assembly step that
-    feeds easy-to-hard training curricula. The global rank is computed
-    WITHOUT a global sort: score = stopwords·1000 // tokens lives in
-    [0, 1000·max_density], so a counting-sort does it — ONE
-    groupby(score).count (≤1001 rows) collected and broadcast as
-    cumulative start ranks, then per hash(score) % P bucket an intra-
-    score enumeration by doc_id closes the exact rank; the decile is
-    DuckDB NTILE's first-rem-tiles-get-one-extra formula applied to
-    (rank, n). Corpus rows shuffle once, by score bucket."""
-    from ..stages import textstats
+    feeds easy-to-hard training curricula (stages/sampling.py
+    quality_decile_assign, shared with the webtext pipeline's
+    curriculum stage): counting-sort global rank (broadcast score
+    histogram + intra-score enumeration in one hash(score) bucket
+    shuffle), deciles by SQL NTILE's first-rem-tiles-get-one-extra
+    rule. Oracle = DuckDB's own NTILE(10)."""
+    from ..stages.sampling import quality_decile_assign
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-
-    def score_batch(batch: pa.Table) -> pa.Table:
-        t = textstats.quality_counts_batch(batch)
-        stop = t.column("n_stop").to_numpy().astype(np.int64)
-        tok = t.column("n_tokens").to_numpy().astype(np.int64)
-        score = (stop * 1000) // np.maximum(tok, 1)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "score": pa.array(score, pa.int64()),
-            }
-        )
-
-    scored = docs.map_batches(score_batch, batch_format="pyarrow").materialize()
-
-    hist = scored.groupby("score").count().take_all()  # ≤ 1001 rows
-    hist.sort(key=lambda r: r["score"])
-    starts, acc = {}, 0
-    for r in hist:
-        starts[int(r["score"])] = acc
-        acc += int(r["count()"])
-    n_total = acc
-    starts_ref = ray.put(starts)
-    P = 32
-
-    def tag(batch: pa.Table) -> pa.Table:
-        s = batch.column("score").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bucket": pa.array((s % P).astype(np.int64)),
-                "doc_id": batch.column("doc_id"),
-                "score": batch.column("score"),
-            }
-        )
-
-    q, rem = divmod(n_total, 10)
-
-    def rank_and_tile(g: "pd.DataFrame") -> pa.Table:
-        if g.empty:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.int64()),
-                    "decile": pa.array([], pa.int64()),
-                }
-            )
-        st = ray.get(starts_ref)
-        g = g.sort_values(["score", "doc_id"], kind="mergesort")
-        s = g["score"].to_numpy(np.int64)
-        # intra-score offset: position within this score's run (the whole
-        # run is in this bucket — bucket key IS the score hash)
-        runs = np.r_[True, s[1:] != s[:-1]]
-        run_start = np.maximum.accumulate(np.where(runs, np.arange(len(s)), 0))
-        intra = np.arange(len(s)) - run_start
-        rank = np.array([st[x] for x in s], np.int64) + intra
-        if rem:
-            tile = np.where(
-                rank < rem * (q + 1),
-                rank // (q + 1),
-                rem + (rank - rem * (q + 1)) // max(q, 1),
-            )
-        else:
-            tile = rank // max(q, 1)
-        return pa.table(
-            {
-                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
-                "score": pa.array(s, pa.int64()),
-                "decile": pa.array(tile + 1, pa.int64()),
-            }
-        )
-
-    return (
-        scored.map_batches(tag, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(rank_and_tile, batch_format="pandas")
-    )
+    return quality_decile_assign(docs)
 
 
 def q_lang_dist(sf_dir: str):

@@ -122,6 +122,7 @@ def run_webtext(
     concurrency=(1, 16),
     export_shards_n: int | None = None,
     export_seed: int = 0,
+    curriculum_tiles: int | None = None,
 ) -> dict:
     """Checkpointed webtext run: every stage writes partitioned parquet
     under ``out_dir/<N>_<name>/`` and a ``_DONE`` marker carrying the
@@ -150,6 +151,9 @@ def run_webtext(
         "schema_v": 2,
         "export_shards_n": export_shards_n,
         "export_seed": export_seed,
+        # None keeps the config hash identical to pre-curriculum runs,
+        # so existing checkpoints still resume
+        **({"curriculum_tiles": curriculum_tiles} if curriculum_tiles else {}),
     }
     cfg_hash = _config_hash(params)
     _os.makedirs(out_dir, exist_ok=True)
@@ -300,6 +304,58 @@ def run_webtext(
                 "input": "4_lm_filter",
                 "rows": sum(exp["rows_per_shard"].values()),
                 "rows_per_shard": {str(k): v for k, v in sorted(exp["rows_per_shard"].items())},
+                "sec": round(_time.time() - t0, 2),
+                "resumed": False,
+            }
+            with open(done, "w") as f:
+                f.write(cfg_hash)
+            _save()
+
+    if curriculum_tiles:
+        # Stage 6: curriculum deciles — NTILE(curriculum_tiles) over the
+        # final table's (quality score, doc_id) order via the shared
+        # counting-sort ranker (stages/sampling.quality_decile_assign,
+        # the clean_text riding the single shuffle), written partitioned
+        # by decile so a trainer streams decile=1/ .. decile=K/ in
+        # curriculum order without re-reading anything else.
+        from ..stages.sampling import quality_decile_assign
+
+        name = "6_curriculum"
+        d = _os.path.join(out_dir, name)
+        done = _os.path.join(d, "_DONE")
+        if _os.path.exists(done):
+            with open(done) as f:
+                if f.read().strip() != cfg_hash:
+                    raise ValueError(
+                        f"stage {name} _DONE hash mismatch at {d}; refusing to resume"
+                    )
+            entry = manifest["stages"].setdefault(
+                name, {"path": d, "input": "4_lm_filter"}
+            )
+            entry["resumed"] = True
+            _save()
+        else:
+            t0 = _time.time()
+            _shutil.rmtree(d, ignore_errors=True)
+            dec = quality_decile_assign(
+                final,
+                id_col="doc_id",
+                text_col="clean_text",
+                tiles=curriculum_tiles,
+                carry_cols=("clean_text",),
+            )
+            dec.sort("decile").write_parquet(d, partition_cols=["decile"])
+            per = (
+                ray.data.read_parquet(d).groupby("decile").count().take_all()
+            )
+            manifest["stages"][name] = {
+                "path": d,
+                "input": "4_lm_filter",
+                "rows": sum(int(r["count()"]) for r in per),
+                "rows_per_decile": {
+                    str(r["decile"]): int(r["count()"])
+                    for r in sorted(per, key=lambda r: int(r["decile"]))
+                },
                 "sec": round(_time.time() - t0, 2),
                 "resumed": False,
             }

@@ -336,3 +336,113 @@ def temperature_mix(
         return batch.filter(pa.array(buckets < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_decile_assign(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tiles: int = 10,
+    num_buckets: int = 32,
+    carry_cols: tuple = (),
+) -> "ray.data.Dataset":
+    """Corpus-wide NTILE(tiles) over (integer quality score, id) WITHOUT
+    a global sort: score = stopwords·1000 // tokens is bounded in
+    [0, 1000·max_density], so a counting-sort does the ranking — one
+    groupby(score).count (≤ ~1001 rows) collected and broadcast as
+    cumulative start ranks, then an intra-score enumeration by id
+    inside ONE hash(score) % P shuffle closes the exact global rank.
+    Deciles follow SQL NTILE's first-rem-tiles-get-one-extra rule.
+    Returns (id_col, score, decile, *carry_cols); the corpus rows
+    shuffle once — ``carry_cols`` (e.g. the text for a curriculum
+    export) ride that single shuffle instead of a join-back.
+
+    Shared by the quality_deciles query and the webtext pipeline's
+    curriculum stage — one implementation, one oracle."""
+    import pandas as pd
+
+    from . import textstats
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        t = textstats.quality_counts_batch(
+            pa.table(
+                {
+                    "doc_id": batch.column(id_col),
+                    "text": batch.column(text_col),
+                }
+            )
+        )
+        stop = t.column("n_stop").to_numpy().astype(np.int64)
+        tok = t.column("n_tokens").to_numpy().astype(np.int64)
+        score = (stop * 1000) // np.maximum(tok, 1)
+        cols = {
+            id_col: batch.column(id_col),
+            "score": pa.array(score, pa.int64()),
+        }
+        for c in carry_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow").materialize()
+
+    hist = scored.groupby("score").count().take_all()
+    hist.sort(key=lambda r: r["score"])
+    starts, acc = {}, 0
+    for r in hist:
+        starts[int(r["score"])] = acc
+        acc += int(r["count()"])
+    n_total = acc
+    starts_ref = ray.put(starts)
+    P = num_buckets
+    q, rem = divmod(n_total, tiles)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        cols = {
+            "bucket": pa.array((s % P).astype(np.int64)),
+            id_col: batch.column(id_col),
+            "score": batch.column("score"),
+        }
+        for c in carry_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    def rank_and_tile(g: "pd.DataFrame") -> pa.Table:
+        if g.empty:
+            cols = {
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "decile": pa.array([], pa.int64()),
+            }
+            for c in carry_cols:
+                cols[c] = pa.array([], pa.string())
+            return pa.table(cols)
+        st = ray.get(starts_ref)
+        g = g.sort_values(["score", id_col], kind="mergesort")
+        s = g["score"].to_numpy(np.int64)
+        runs = np.r_[True, s[1:] != s[:-1]]
+        run_start = np.maximum.accumulate(np.where(runs, np.arange(len(s)), 0))
+        intra = np.arange(len(s)) - run_start
+        rank = np.array([st[x] for x in s], np.int64) + intra
+        if rem:
+            tile = np.where(
+                rank < rem * (q + 1),
+                rank // (q + 1),
+                rem + (rank - rem * (q + 1)) // max(q, 1),
+            )
+        else:
+            tile = rank // max(q, 1)
+        cols = {
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "score": pa.array(s, pa.int64()),
+            "decile": pa.array(tile + 1, pa.int64()),
+        }
+        for c in carry_cols:
+            cols[c] = pa.array(g[c].tolist(), pa.string())
+        return pa.table(cols)
+
+    return (
+        scored.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_and_tile, batch_format="pandas")
+    )

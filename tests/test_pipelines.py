@@ -197,3 +197,45 @@ def test_webtext_export_stage(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="refusing to resume"):
         run_webtext(docs, out, export_shards_n=8, export_seed=3)
+
+
+def test_webtext_curriculum_stage(ray_session, tmp_path):
+    """Optional stage 6: curriculum deciles — decile dirs written with
+    NTILE sizes, scores nondecreasing across deciles, resume skips,
+    tile-count change refuses, and omitting the flag keeps the old
+    config hash (pre-curriculum checkpoints still resume)."""
+    import glob
+
+    import pytest as _pytest
+
+    from crawl4ai_ray.pipelines.webtext import run_webtext
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = str(tmp_path / "wt")
+    man = run_webtext(docs, out, curriculum_tiles=10)
+    cur = man["stages"]["6_curriculum"]
+    kept = man["stages"]["4_lm_filter"]["rows"]
+    assert cur["rows"] == kept
+    sizes = [cur["rows_per_decile"][str(i)] for i in range(1, 11)]
+    q, rem = divmod(kept, 10)
+    assert sizes == [q + 1] * rem + [q] * (10 - rem)
+    assert glob.glob(f"{out}/6_curriculum/decile=1/*.parquet")
+    d1 = ray.data.read_parquet(f"{out}/6_curriculum/decile=1/").to_pandas()
+    d10 = ray.data.read_parquet(f"{out}/6_curriculum/decile=10/").to_pandas()
+    assert {"doc_id", "score", "clean_text"} <= set(d1.columns)
+    assert d1["score"].max() <= d10["score"].min()
+
+    man2 = run_webtext(docs, out, curriculum_tiles=10)
+    assert man2["stages"]["6_curriculum"]["resumed"]
+    with _pytest.raises(ValueError, match="refusing to resume"):
+        run_webtext(docs, out, curriculum_tiles=5)
+
+    # no-curriculum run in a fresh dir has the pre-curriculum hash →
+    # old checkpoints resume under the new code
+    out2 = str(tmp_path / "wt2")
+    m_plain = run_webtext(docs, out2)
+    assert "curriculum_tiles" not in m_plain["params"]
+    m_resume = run_webtext(docs, out2)
+    assert m_resume["stages"]["4_lm_filter"]["resumed"]
