@@ -965,6 +965,76 @@ def q_phrase_search(sf_dir: str):
     return res
 
 
+def q_mirror_hosts(sf_dir: str):
+    """Mirror-site detection — the crawl-side application of content
+    dedup: host pairs sharing ≥ 3 identical content items are mirror
+    candidates (the Common-Crawl problem of the same site served under
+    many domains). Content identity is a deterministic derivation
+    (content_id = doc_id % 77, host = doc_id % 50 — docs with one
+    content_id on different hosts ARE the planted mirrors). Plan: ONE
+    groupby(content_id) emits host pairs per content (hot-content cap
+    at 64 hosts, min-host anchor — same discipline as the dedup
+    buckets), then ONE pair groupby counts; only (content, host) pairs
+    ever shuffle."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "content_id": pa.array(ids % 77, pa.int64()),
+                "host": pa.array(ids % 50, pa.int64()),
+            }
+        )
+
+    pairs_src = (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby(["content_id", "host"])
+        .count()  # distinct (content, host)
+    )
+
+    def host_pairs(group: pa.Table) -> pa.Table:
+        hosts = np.unique(
+            np.asarray(group.column("host").to_pylist(), np.int64)
+        )
+        if len(hosts) < 2:
+            return pa.table(
+                {"host_a": pa.array([], pa.int64()), "host_b": pa.array([], pa.int64())}
+            )
+        if len(hosts) > 64:
+            # hot-content cap: anchor to the min host (documented recall
+            # loss for pairs both far from the anchor, as in simhash)
+            a = np.full(len(hosts) - 1, hosts[0])
+            b = hosts[1:]
+        else:
+            ii, jj = np.triu_indices(len(hosts), k=1)
+            a, b = hosts[ii], hosts[jj]
+        return pa.table(
+            {"host_a": pa.array(a, pa.int64()), "host_b": pa.array(b, pa.int64())}
+        )
+
+    counted = (
+        pairs_src.groupby("content_id")
+        .map_groups(host_pairs, batch_format="pyarrow")
+        .groupby(["host_a", "host_b"])
+        .count()
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()").cast(pa.int64())
+        keep = pa.compute.greater_equal(n, pa.scalar(3))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "host_a": t.column("host_a"),
+                "host_b": t.column("host_b"),
+                "n_shared": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return counted.map_batches(threshold, batch_format="pyarrow")
+
+
 def q_regex_search_trigram(sf_dir: str):
     """Regex search with trigram-index pruning (the pg_trgm trick,
     stages/index.py build_trigram_index + regex_search_trigram):
@@ -3506,6 +3576,7 @@ QUERIES = {
     "audio_fp_dups": q_audio_fp_dups,
     "phrase_search": q_phrase_search,
     "regex_search_trigram": q_regex_search_trigram,
+    "mirror_hosts": q_mirror_hosts,
     "funnel": q_funnel,
     "retention": q_retention,
     "connected_components": q_connected_components,
@@ -4943,6 +5014,20 @@ grams AS (
 df AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
 SELECT c AS doc_freq, CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM df GROUP BY c
+""",
+    "mirror_hosts": """
+WITH ch AS (
+  SELECT DISTINCT doc_id % 77 AS content_id, doc_id % 50 AS host
+  FROM documents
+),
+p AS (
+  SELECT a.host AS host_a, b.host AS host_b
+  FROM ch a JOIN ch b
+    ON a.content_id = b.content_id AND a.host < b.host
+)
+SELECT host_a, host_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p GROUP BY host_a, host_b
+HAVING COUNT(*) >= 3
 """,
     "regex_search_trigram": r"""
 WITH m AS (
