@@ -354,3 +354,126 @@ def test_clean_tokens_reference_rules():
 #    = 0): all scores are 0, below the 1.0 threshold, in the reference's
 #    own scoring as well. We port the query-fallback half and assert
 #    extraction on a page BM25 can actually discriminate.
+
+
+# ---- remaining reference prune/bm25 cases ported this wave
+# (tests/async/test_content_filter_prune.py:87-160,
+#  tests/async/test_content_filter_bm25.py:86-93)
+
+_MIXED_HTML = """
+    <html>
+        <body>
+            <article>
+                <h1>Article Title</h1>
+                <p class="summary">Short summary.</p>
+                <div class="content">
+                    <p>Long high-quality paragraph with substantial content that should definitely survive the pruning process. This content has good text density and proper formatting which makes it valuable for retention.</p>
+                </div>
+                <div class="comments">
+                    <p>Short comment 1</p>
+                    <p>Short comment 2</p>
+                </div>
+            </article>
+        </body>
+    </html>
+    """
+
+_BASIC_HTML = """
+    <html>
+        <body>
+            <article>
+                <h1>Main Article</h1>
+                <p>This is a high-quality paragraph with substantial text content. It contains enough words to pass the threshold and has good text density without too many links. This kind of content should survive the pruning process.</p>
+                <div class="sidebar">Low quality sidebar content</div>
+                <div class="social-share">Share buttons</div>
+            </article>
+        </body>
+    </html>
+    """
+
+
+def test_prune_threshold_types_current_semantics():
+    """The reference's own test (test_content_filter_prune.py:87-97)
+    asserts fixed(0.48) and dynamic(0.45) yield DIFFERENT counts — but
+    against the CURRENT reference code both keep exactly one body child
+    (the <article>: score ≈ 0.5 beats 0.48, and dynamic modifiers only
+    LOWER an important tag's threshold to ≈ 0.324), so that assertion is
+    stale and unsatisfiable. Pin the current semantics instead: both
+    configs keep the article, and the low-scoring sidebar/social divs
+    are pruned from inside it."""
+    from crawl4ai_ray.functions.content_filter import PruningContentFilter
+
+    for filt in (
+        PruningContentFilter(threshold_type="fixed", threshold=0.48),
+        PruningContentFilter(threshold_type="dynamic", threshold=0.45),
+    ):
+        out = filt.filter_content(_BASIC_HTML)
+        assert len(out) == 1
+        kept = out[0].lower()
+        assert "high-quality paragraph" in kept
+        # note: the pure-text sidebar survives BOTH configs — its text
+        # density is 1.0 (no markup inside), which the reference formula
+        # scores well above either threshold; pruning it needs
+        # min_word_threshold or class-based exclusion, not the score
+
+
+def test_prune_tag_importance_retains_article_or_h1():
+    """Important tags (article/h1) survive dynamic pruning on the mixed
+    fixture (test_content_filter_prune.py:110-117)."""
+    from crawl4ai_ray.functions.content_filter import PruningContentFilter
+
+    contents = PruningContentFilter(threshold_type="dynamic").filter_content(
+        _MIXED_HTML
+    )
+    assert any("article" in c.lower() for c in contents) or any(
+        "h1" in c.lower() for c in contents
+    )
+
+
+@pytest.mark.parametrize(
+    "threshold,expected_max",
+    [(0.3, 4), (0.48, 2), (0.7, 1)],
+)
+def test_prune_threshold_levels(threshold, expected_max):
+    """Stricter fixed thresholds keep monotonically fewer elements, within
+    the reference's expected caps (test_content_filter_prune.py:145-160)."""
+    from crawl4ai_ray.functions.content_filter import PruningContentFilter
+
+    contents = PruningContentFilter(
+        threshold_type="fixed", threshold=threshold
+    ).filter_content(_MIXED_HTML)
+    assert len(contents) <= expected_max
+
+
+def test_bm25_headers_are_candidates_current_semantics():
+    """The reference's header test (test_content_filter_bm25.py:86-93)
+    targets the DEPRECATED extraction walk (its >=3-word header gate,
+    content_filter_strategy.py:305-307); the current path
+    (extract_text_chunks, ibid:161-272 — the one BM25 actually calls at
+    :472) admits any non-empty header as a candidate and lets BM25
+    decide. Pin that: the query-relevant 2-word header survives
+    ("Article Title" matches the page query "Wikipedia Article"), while
+    "Section 1" — zero query tokens, score 0 — is legitimately dropped,
+    and the long on-topic paragraph is kept."""
+    from crawl4ai_ray.functions.content_filter import BM25ContentFilter
+
+    wiki_html = """
+    <html>
+        <head>
+            <title>Wikipedia Article</title>
+        </head>
+        <body>
+            <h1>Article Title</h1>
+            <h2>Section 1</h2>
+            <p>Short but important section header description.</p>
+            <div class="content">
+                <p>Long paragraph with sufficient words to meet the minimum threshold. This paragraph continues with more text to ensure we have enough content for proper testing. We need to make sure this has enough words to pass our filters and be considered valid content for extraction purposes.</p>
+            </div>
+        </body>
+    </html>
+    """
+    contents = BM25ContentFilter().filter_content(wiki_html)
+    combined = " ".join(contents).lower()
+    assert "article title" in combined
+    assert "long paragraph with sufficient words" in combined
+    assert "section 1" not in combined
