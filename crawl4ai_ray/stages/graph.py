@@ -30,7 +30,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 
@@ -299,12 +298,25 @@ def connected_components(
         )
 
     def _label_sum(ds):
-        return ds.map_batches(
-            lambda b: pa.table(
-                {"s": pa.array([pc.sum(b.column("lbl")).as_py() or 0], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).sum("s")
+        # exact sum as an (upper-31-bits, lower-31-bits) PAIR: summing raw
+        # labels overflows int64 (BFS sentinel 2^62 × nodes — observed as
+        # Ray's pickled-object fallback in the r3 sweep; CC node-id labels
+        # get there at ~1e9 nodes too). Each half-sum stays < 2^62 for any
+        # n < 2^31, and the pair determines the true sum
+        # (sum = hi·2^31 + lo), so pair equality IS sum equality.
+        def halves(b: pa.Table) -> pa.Table:
+            lbl = b.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "hi": pa.array([int((lbl >> np.int64(31)).sum())], pa.int64()),
+                    "lo": pa.array(
+                        [int((lbl & np.int64((1 << 31) - 1)).sum())], pa.int64()
+                    ),
+                }
+            )
+
+        agg = ds.map_batches(halves, batch_format="pyarrow")
+        return (agg.sum("hi"), agg.sum("lo"))
 
     # convergence: labels only ever DECREASE, so sum(lbl) is strictly
     # monotone until the fixpoint — equality of consecutive sweep sums is
@@ -674,12 +686,25 @@ def multi_source_bfs(
         )
 
     def _label_sum(ds):
-        return ds.map_batches(
-            lambda b: pa.table(
-                {"s": pa.array([pc.sum(b.column("lbl")).as_py() or 0], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).sum("s")
+        # exact sum as an (upper-31-bits, lower-31-bits) PAIR: summing raw
+        # labels overflows int64 (BFS sentinel 2^62 × nodes — observed as
+        # Ray's pickled-object fallback in the r3 sweep; CC node-id labels
+        # get there at ~1e9 nodes too). Each half-sum stays < 2^62 for any
+        # n < 2^31, and the pair determines the true sum
+        # (sum = hi·2^31 + lo), so pair equality IS sum equality.
+        def halves(b: pa.Table) -> pa.Table:
+            lbl = b.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "hi": pa.array([int((lbl >> np.int64(31)).sum())], pa.int64()),
+                    "lo": pa.array(
+                        [int((lbl & np.int64((1 << 31) - 1)).sum())], pa.int64()
+                    ),
+                }
+            )
+
+        agg = ds.map_batches(halves, batch_format="pyarrow")
+        return (agg.sum("hi"), agg.sum("lo"))
 
     prev_sum = _label_sum(labels)
     converged = False
