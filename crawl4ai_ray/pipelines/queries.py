@@ -1697,6 +1697,20 @@ def q_logreg_quality(sf_dir: str):
     return logreg_quality_scores(docs, iters=12, lr=2.0, pos_weight=6.0)
 
 
+def q_logreg_calibration(sf_dir: str):
+    """Reliability table for the trained quality classifier
+    (stages/logreg.py logreg_calibration): per probability decile,
+    (n, n_pos, Σp fixed-point) — predicted mass vs observed positives,
+    the eval operator that closes the classifier loop. Exact-int
+    aggregates on the same round-8 doubles both engines emit."""
+    from ..stages.logreg import logreg_calibration
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return logreg_calibration(docs, iters=12, lr=2.0, pos_weight=6.0)
+
+
 def q_pmi_pairs(sf_dir: str):
     """Windowed PMI collocations (stages/textstats.py pmi_pairs): forward
     window 3, min_count 5. All-integer counts with one float expression at
@@ -3615,6 +3629,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_pairs": q_pmi_pairs,
     "logreg_quality": q_logreg_quality,
+    "logreg_calibration": q_logreg_calibration,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
     "token_budget_select": q_token_budget_select,
@@ -3740,7 +3755,12 @@ def _nonsense_sql_cond(path: str, ul: str) -> str:
         AND {path} NOT IN ('/', '/en', '/de', '/fr', '/es', '/it')) )"""
 
 
-def _logreg_sql(iters: int = 12, lr: str = "2.0", pos_weight: str = "6.0") -> str:
+def _logreg_sql(
+    iters: int = 12,
+    lr: str = "2.0",
+    pos_weight: str = "6.0",
+    final: str = "scores",
+) -> str:
     """Unrolled-iteration logistic-GD oracle (stages/logreg.py). Gradient
     sums are fixed-point BIGINTs (order-free, bit-exact); the per-doc
     sigmoid and the per-iteration weight update are the IDENTICAL float
@@ -3803,16 +3823,35 @@ w{k} AS MATERIALIZED (
   FROM w{k - 1} w, g{k} g, nn
 )"""
         )
-    parts.append(
-        f"""
-SELECT doc_id, pr AS p, (pr >= CAST(0.5 AS DOUBLE)) AS pred
-FROM (
-  SELECT x.doc_id,
+    scored = f"""(
+  SELECT x.doc_id, x.y,
          ROUND(CAST(1.0 AS DOUBLE)
                / (CAST(1.0 AS DOUBLE) + exp(-{z})), 8) AS pr
   FROM x, w{iters} w
 )"""
-    )
+    if final == "scores":
+        parts.append(
+            f"""
+SELECT doc_id, pr AS p, (pr >= CAST(0.5 AS DOUBLE)) AS pred
+FROM {scored}"""
+        )
+    else:  # calibration reliability table (stages/logreg.py
+        # logreg_calibration): identical doubles → identical bins, exact
+        # integer aggregates
+        parts.append(
+            f"""
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN y = CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pos,
+       CAST(SUM(CAST(round(pr * 1e8) AS BIGINT)) AS BIGINT) AS sum_p_fp
+FROM (
+  SELECT y, pr,
+         LEAST(CAST(floor(pr * 10) AS BIGINT), 9) AS bin
+  FROM {scored}
+)
+GROUP BY bin"""
+        )
     return "WITH " + "".join(parts)
 
 
@@ -4506,6 +4545,7 @@ SELECT doc_id, tok AS term, CAST(rnk AS BIGINT) AS rank, ROUND(score, 8) AS scor
 FROM ranked WHERE rnk <= 3
 """,
     "logreg_quality": _logreg_sql(12),
+    "logreg_calibration": _logreg_sql(12, final="calibration"),
     "dsir_weights": r"""
 WITH d AS (
   SELECT doc_id, (lang = 'en') AS is_target,

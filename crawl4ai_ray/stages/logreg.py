@@ -176,3 +176,76 @@ def logreg_quality_scores(
         )
 
     return feats.map_batches(score, batch_format="pyarrow")
+
+
+def logreg_calibration(
+    docs: "ray.data.Dataset",
+    iters: int = 12,
+    lr: float = 2.0,
+    pos_weight: float = 6.0,
+    text_col: str = "text",
+    bins: int = 10,
+) -> "ray.data.Dataset":
+    """Reliability table for the fitted classifier: per fixed-width
+    probability bin, (n, n_pos, Σp as fixed-point int) — the calibration
+    readout (predicted mass vs observed positives per bin) that closes
+    the quality-model loop the way recall_at_k closes the ANN loop.
+
+    Integer discipline: bin = min(floor(p·bins), bins−1) on the SAME
+    round-8 double p the scores query emits, Σp carried as
+    round(p·1e8) int64 partials — both engines aggregate exact ints, so
+    value hashes match bit-for-bit. One partial map + one tiny groupby;
+    the corpus is touched once."""
+    w, feats = fit_logreg_quality(
+        docs, iters=iters, lr=lr, pos_weight=pos_weight, text_col=text_col
+    )
+    w_ref = ray.put(list(w))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        x, y = _xy(batch)
+        out: dict[int, list[int]] = {}
+        for i in range(batch.num_rows):
+            z = (
+                wv[0] * x[0][i]
+                + wv[1] * x[1][i]
+                + wv[2] * x[2][i]
+                + wv[3] * x[3][i]
+                + wv[4] * x[4][i]
+            )
+            p = round(_sigmoid_scalar(z), 8)
+            b = min(int(p * bins), bins - 1)
+            acc = out.setdefault(b, [0, 0, 0])
+            acc[0] += 1
+            acc[1] += int(y[i] == 1.0)
+            acc[2] += int(round(p * 1e8))
+        ks = sorted(out)
+        return pa.table(
+            {
+                "bin": pa.array(ks, pa.int64()),
+                "n": pa.array([out[k][0] for k in ks], pa.int64()),
+                "n_pos": pa.array([out[k][1] for k in ks], pa.int64()),
+                "sum_p_fp": pa.array([out[k][2] for k in ks], pa.int64()),
+            }
+        )
+
+    agg = (
+        feats.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("n_pos", alias_name="n_pos"),
+            ray.data.aggregate.Sum("sum_p_fp", alias_name="sum_p_fp"),
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "bin": b.column("bin"),
+                "n": b.column("n").cast(pa.int64()),
+                "n_pos": b.column("n_pos").cast(pa.int64()),
+                "sum_p_fp": b.column("sum_p_fp").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
