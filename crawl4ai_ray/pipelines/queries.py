@@ -1588,6 +1588,69 @@ selset{i} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + finals
 
 
+def q_embedding_norm_outliers(sf_dir: str):
+    """Embedding sanity monitor: vectors whose squared fixed-point L2
+    norm sits further than 2 population-σ from the corpus mean — the QA
+    gate that catches collapsed (near-zero) or exploded rows before
+    they poison ANN/dedup stages. Same discipline as event_bursts —
+    z = (v·n − S1)/√(n·S2 − S1²) from exact integer moments — with one
+    twist: raw norm² ≤ 2^46 would push Σv² past int64, so all moments
+    are computed on v CENTERED BY THE CORPUS MIN (z is shift-invariant),
+    keeping every integer inside int64 at this scale. One exactly-
+    rounded divide+sqrt at the end, mirrored by the oracle."""
+    from ..stages.cluster import quantize_embeddings
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def norms(batch: pa.Table) -> pa.Table:
+        x = quantize_embeddings(batch)
+        v = np.einsum("nd,nd->n", x, x)  # ≤ 64·2^40 — int64-safe
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "norm2_fp": pa.array(v, pa.int64()),
+            }
+        )
+
+    scored = emb.map_batches(norms, batch_format="pyarrow").materialize()
+    # center by the corpus min so the squared-sum moment fits int64:
+    # (v−m) ≤ spread ~2^24 here, (v−m)² ≤ 2^48, ×n ≤ 2^57 — exact
+    m = scored.min("norm2_fp")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch.column("norm2_fp").to_numpy(zero_copy_only=False) - m
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "s1": pa.array([int(v.sum())], pa.int64()),
+                "s2": pa.array([int((v * v).sum())], pa.int64()),
+            }
+        )
+
+    agg = scored.map_batches(moments, batch_format="pyarrow")
+    n = agg.sum("n")
+    s1 = agg.sum("s1")
+    s2 = agg.sum("s2")
+
+    def zscore(batch: pa.Table) -> pa.Table:
+        v = batch.column("norm2_fp").to_numpy(zero_copy_only=False) - m
+        var_num = n * s2 - s1 * s1
+        if var_num > 0:
+            z = (v * n - s1).astype(np.float64) / np.sqrt(float(var_num))
+        else:
+            z = np.zeros(len(v), np.float64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "norm2_fp": batch.column("norm2_fp"),
+                "zscore": pa.array(z, pa.float64()),
+                "is_outlier": pa.array(np.abs(z) > 2.0, pa.bool_()),
+            }
+        )
+
+    return scored.map_batches(zscore, batch_format="pyarrow")
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table
     (stages/cluster.py kmeans_fp): integer-exact fixed-point arithmetic
@@ -3635,6 +3698,7 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "dsir_weights": q_dsir_weights,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "embedding_norm_outliers": q_embedding_norm_outliers,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_recall_ivfpq": q_ann_recall_ivfpq,
@@ -6245,6 +6309,36 @@ FROM q LEFT JOIN hits h ON h.query_id = q.vec_id
 """
 
 ORACLES["mmr_rerank"] = _mmr_sql(20, 5)
+
+ORACLES["embedding_norm_outliers"] = """
+WITH efp AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS e
+  FROM embeddings
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id, CAST(SUM(e * e) AS BIGINT) AS v FROM efp GROUP BY vec_id
+),
+mm AS (SELECT MIN(v) AS m FROM nrm),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v - mm.m) AS BIGINT) AS s1,
+         CAST(SUM((v - mm.m) * (v - mm.m)) AS BIGINT) AS s2
+  FROM nrm, mm
+),
+z AS (
+  SELECT nrm.vec_id, nrm.v AS norm2_fp,
+         CASE WHEN mo.n * mo.s2 - mo.s1 * mo.s1 > 0
+              THEN CAST((nrm.v - mm.m) * mo.n - mo.s1 AS DOUBLE)
+                   / sqrt(CAST(mo.n * mo.s2 - mo.s1 * mo.s1 AS DOUBLE))
+              ELSE CAST(0 AS DOUBLE) END AS zscore
+  FROM nrm, mm, mo
+)
+SELECT vec_id, norm2_fp, zscore,
+       abs(zscore) > CAST(2 AS DOUBLE) AS is_outlier
+FROM z
+"""
 
 ORACLES["kmeans_embeddings"] = f"""
 WITH {_kmeans_cte_chain(8, 4)}
