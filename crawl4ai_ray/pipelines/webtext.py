@@ -39,6 +39,7 @@ def webtext_pipeline(
     tail_t: int = 343_500_000,
     dedup_buckets: int = 64,
     concurrency=(1, 4),
+    boiler_cap: int = 1_000_000,
 ) -> "ray.data.Dataset":
     def qual_keep(batch: pa.Table) -> pa.Table:
         q = textstats.quality_score_batch(batch).column("quality")
@@ -50,7 +51,8 @@ def webtext_pipeline(
     # consumer (measured 35 s → ~7 s warm at sf0.1)
     survivors = docs.map_batches(qual_keep, batch_format="pyarrow").materialize()
     cleaned = line_dedup(
-        survivors, width=width, max_docs=max_docs, concurrency=concurrency
+        survivors, width=width, max_docs=max_docs, concurrency=concurrency,
+        boiler_cap=boiler_cap,
     ).map_batches(
         lambda b: b.filter(pa.compute.greater(b.column("n_kept"), pa.scalar(0))),
         batch_format="pyarrow",
@@ -223,7 +225,8 @@ def run_webtext(
         "2_line_dedup",
         "1_quality",
         lambda: line_dedup(
-            survivors, width=width, max_docs=max_docs, concurrency=concurrency
+            survivors, width=width, max_docs=max_docs,
+            concurrency=concurrency,
         ).map_batches(
             lambda b: b.filter(
                 pa.compute.greater(b.column("n_kept"), pa.scalar(0))

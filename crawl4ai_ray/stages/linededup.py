@@ -175,12 +175,19 @@ def line_dedup(
     width: int | None = None,
     max_docs: int = 2,
     concurrency=(1, 4),
+    boiler_cap: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Remove corpus-frequent segments from every document.
 
+    ``max_docs`` is a document-frequency threshold and therefore NOT
+    scale-invariant — a value tuned at 500k docs flags far more
+    segments at 10M; callers scaling the corpus should scale it (and
+    ``boiler_cap``, which bounds the broadcast key set) with n.
+
     Output schema: (doc_id, n_seg, n_kept, clean_text)."""
     ref, _ = boilerplate_keys(
-        docs, text_col=text_col, width=width, max_docs=max_docs
+        docs, text_col=text_col, width=width, max_docs=max_docs,
+        cap=boiler_cap,
     )
     return docs.map_batches(
         SegmentFilter,

@@ -74,6 +74,11 @@ def main(sizes: list[int]):
     for n in sizes:
         docs = make_docs(n).materialize()
         t0 = time.time()
+        # df threshold and broadcast cap scale with n (a threshold tuned
+        # at 500k docs flags far more segments at 2M+ — the fixed
+        # max_docs=2 tripped the 1M-key broadcast cap there); sizes
+        # <= 1M keep max_docs=2 for comparability with recorded points
+        max_docs = 2 if n <= 1_000_000 else max(2, n // 500_000)
         out = webtext_pipeline(
             docs,
             # thresholds retuned for this corpus's nll range: the point of
@@ -81,6 +86,8 @@ def main(sizes: list[int]):
             head_t=10**18,
             tail_t=2 * 10**18,
             concurrency=(1, 16),
+            max_docs=max_docs,
+            boiler_cap=4_000_000,
         ).materialize()
         dt = time.time() - t0
         kept = out.count()
