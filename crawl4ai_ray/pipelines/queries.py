@@ -3093,6 +3093,28 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
+def q_bm25_topk_indexed(sf_dir: str):
+    """BM25 top-10 over the PERSISTED term index (stages/index.py
+    bm25_lookup): only the three query terms' partitions are read
+    (asserted via bytes telemetry), df comes from the pruned postings,
+    dl rides each posting (keep_dl layout), avgdl/N from the build-time
+    _META. The score is the identical float expression as the full-scan
+    bm25_topk — absent terms contribute exactly 0.0 — so this query
+    shares bm25_topk's oracle verbatim: index path ≡ scan path."""
+    import tempfile
+
+    from ..stages.index import bm25_lookup, build_term_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tempfile.mkdtemp(prefix="c4r_bm25idx_", dir="/tmp")
+    build_term_index(docs, out, keep_dl=True)
+    res, tel = bm25_lookup(out, ["table", "scan", "merge"], k=10)
+    assert 0 < tel["bytes_scanned"] < tel["bytes_total"], tel
+    return res
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     top-20 and the exact-cosine semantic top-20 (query = embedding 0,
@@ -3769,6 +3791,7 @@ QUERIES = {
     "cosine_sections": q_cosine_sections,
     "top_k_relevant": q_top_k_relevant,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_indexed": q_bm25_topk_indexed,
     "triangles": q_triangles,
     "clustering_coeff": q_clustering_coeff,
     "events_window": q_events_window,
@@ -6577,3 +6600,7 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN cuts USING (lang)
 WHERE ((d.doc_id * 2654435761 + 12345) % 1000000007) % 10000 < cuts.cut
 """
+
+
+# the indexed BM25 path is defined to equal the scan path — same oracle
+ORACLES["bm25_topk_indexed"] = ORACLES["bm25_topk"]

@@ -35,13 +35,19 @@ def build_term_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_terms: bool = False,
+    keep_dl: bool = False,
 ) -> str:
     """One-time layout: (term_hash, doc_id, tf) postings partitioned by
     ``part = term_hash % num_partitions``. Sorted by partition before the
-    write so each partition lands in O(1) files."""
+    write so each partition lands in O(1) files.
+
+    ``keep_dl=True`` denormalizes each doc's token length onto its
+    postings (the classic search-index layout: BM25's length norm then
+    needs NO doc-table join at query time) and records the collection
+    stats (n_docs, sum_dl) in ``_META`` for avgdl."""
 
     def postings(batch: pa.Table) -> pa.Table:
-        h_out, d_out, tf_out, t_out = [], [], [], []
+        h_out, d_out, tf_out, t_out, dl_out = [], [], [], [], []
         for did, text in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
@@ -54,6 +60,8 @@ def build_term_index(
             tf_out.extend(counts.tolist())
             if keep_terms:
                 t_out.extend([str(t) for t in uniq])
+            if keep_dl:
+                dl_out.extend([len(toks)] * len(uniq))
         h = np.concatenate(h_out) if h_out else np.zeros(0, np.uint64)
         cols = {
             "part": pa.array(
@@ -65,9 +73,31 @@ def build_term_index(
         }
         if keep_terms:
             cols["term"] = pa.array(t_out, pa.string())
+        if keep_dl:
+            cols["dl"] = pa.array(dl_out, pa.int64())
         return pa.table(cols)
 
     os.makedirs(out_dir, exist_ok=True)
+    stats = {"n_docs": 0, "sum_dl": 0}
+    if keep_dl:
+        # one extra counting aggregate for the collection stats (exact
+        # ints; avgdl derives at read time)
+        def count_stats(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            dls = [len((t or "").lower().split()) for t in texts]
+            return pa.table(
+                {
+                    "n": pa.array([len(dls)], pa.int64()),
+                    "s": pa.array([int(sum(dls))], pa.int64()),
+                }
+            )
+
+        agg = docs.select_columns([id_col, text_col]).map_batches(
+            count_stats, batch_format="pyarrow"
+        )
+        stats["n_docs"] = agg.sum("n")
+        stats["sum_dl"] = agg.sum("s")
+
     (
         docs.select_columns([id_col, text_col])
         .map_batches(postings, batch_format="pyarrow")
@@ -76,6 +106,9 @@ def build_term_index(
     )
     with open(os.path.join(out_dir, "_META"), "w") as f:
         f.write(f"num_partitions={num_partitions}\n")
+        if keep_dl:
+            f.write(f"n_docs={stats['n_docs']}\n")
+            f.write(f"sum_dl={stats['sum_dl']}\n")
     return out_dir
 
 
@@ -420,3 +453,149 @@ def regex_search_trigram(
         )
 
     return docs.map_batches(verify, batch_format="pyarrow"), telemetry
+
+
+def bm25_lookup(
+    index_dir: str,
+    terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> "tuple[ray.data.Dataset, dict]":
+    """BM25 top-k over the persisted term index — the search-engine
+    query path: reads ONLY the query terms' partitions (bytes
+    telemetry), df per term = that term's postings count, dl rides the
+    postings (keep_dl layout), avgdl/N from ``_META``. The per-doc
+    score is the IDENTICAL float expression the full-scan
+    `_bm25_scored` evaluates, term contributions accumulated in query
+    order with absent terms contributing exactly 0.0 — so the indexed
+    top-k equals the scan top-k whenever ≥k docs score positive (docs
+    containing no query term never enter the index path; they score
+    0.0 in the scan and lose anyway). Robertson idf (+1 inside the
+    log) keeps every present-term contribution positive."""
+    import math
+
+    import pandas as pd
+    import pyarrow.dataset as pds
+
+    meta: dict[str, int] = {}
+    with open(os.path.join(index_dir, "_META")) as f:
+        for line in f:
+            kk, _, v = line.strip().partition("=")
+            meta[kk] = int(v)
+    if "n_docs" not in meta:
+        raise ValueError("bm25_lookup needs a keep_dl index (stats in _META)")
+    num_partitions = meta["num_partitions"]
+    n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
+    avgdl = float(sum_dl) / float(n_docs)
+
+    qterms = [t.lower() for t in terms]
+    hashes = [int(h) for h in hash64(qterms)]
+    parts = sorted({h % num_partitions for h in hashes})
+    files = [
+        f
+        for p in parts
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"part={p}", "*.parquet")))
+    ]
+    all_files = _glob.glob(os.path.join(index_dir, "part=*", "*.parquet"))
+    telemetry = {
+        "partitions_read": len(parts),
+        "partitions_total": num_partitions,
+        "bytes_scanned": sum(os.path.getsize(f) for f in files),
+        "bytes_total": sum(os.path.getsize(f) for f in all_files),
+    }
+    hset = pa.array(np.array(hashes, np.uint64), pa.uint64())
+    post = ray.data.read_parquet(
+        files, filter=pds.field("term_hash").isin(hset)
+    ).materialize()  # consumed by the df aggregate AND the scoring pass
+
+    # df per term from the pruned postings (exact: one row per (term, doc))
+    def df_part(batch: pa.Table) -> pa.Table:
+        th = batch.column("term_hash").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                f"df{i}": pa.array(
+                    [int((th == np.uint64(h)).sum())], pa.int64()
+                )
+                for i, h in enumerate(hashes)
+            }
+        )
+
+    df_row = post.map_batches(df_part, batch_format="pyarrow").aggregate(
+        *[
+            ray.data.aggregate.Sum(f"df{i}", alias_name=f"df{i}")
+            for i in range(len(hashes))
+        ]
+    )
+    dfs = [int(df_row[f"df{i}"]) for i in range(len(hashes))]
+    # libm log — same last-ulp discipline as the scan path
+    idfs = [math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+    slot_of = {h: i for i, h in enumerate(hashes)}
+    slots_ref = ray.put(slot_of)
+    idfs_ref = ray.put(idfs)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sl = ray.get(slots_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        th = batch.column("term_hash").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (ids.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                        np.int64
+                    )
+                ),
+                id_col: batch.column(id_col),
+                "slot": pa.array(
+                    np.fromiter((sl[int(x)] for x in th), np.int64, len(th)),
+                    pa.int64(),
+                ),
+                "tf": batch.column("tf"),
+                "dl": batch.column("dl"),
+            }
+        )
+
+    n_terms = len(qterms)
+
+    def score_bucket(g: "pd.DataFrame") -> pa.Table:
+        idf = ray.get(idfs_ref)
+        if g.empty:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        piv = (
+            g.pivot_table(index=id_col, columns="slot", values="tf",
+                          aggfunc="first")
+            .reindex(columns=range(n_terms))
+            .fillna(0)
+        )
+        dl = (
+            g.groupby(id_col)["dl"].first().reindex(piv.index).to_numpy(
+                np.float64
+            )
+        )
+        s = np.zeros(len(piv), np.float64)
+        for i in range(n_terms):
+            tf = piv[i].to_numpy(np.float64)
+            s += idf[i] * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+        return pa.table(
+            {
+                id_col: pa.array(piv.index.to_numpy(np.int64), pa.int64()),
+                "score": pa.array(np.round(s, 8), pa.float64()),
+            }
+        )
+
+    scored = (
+        post.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+    )
+    out = scored.sort(["score", id_col], descending=[True, False]).limit(k)
+    return out, telemetry

@@ -270,3 +270,36 @@ def test_leakage_safe_split_keeps_clusters_whole(ray_session):
     assert by_id[3]["component"] == by_id[3 + n]["component"] == 3
     assert by_id[3]["split"] == by_id[3 + n]["split"]
     assert {r["split"] for r in rows} == {"train", "eval"}
+
+
+def test_bm25_lookup_prunes_and_matches_scan_semantics(ray_session, tmp_path):
+    """Only the query terms' partitions are read; scores equal the scan
+    formula; docs without any query term never surface."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.stages.index import bm25_lookup, build_term_index
+
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "table scan table merge filler words here",
+                    "scan only appears once in this document",
+                    "nothing relevant in here at all",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs_tbl, str(tmp_path / "documents.parquet"))
+    ds = ray.data.from_arrow(docs_tbl)
+    idx = str(tmp_path / "bidx")
+    build_term_index(ds, idx, num_partitions=16, keep_dl=True)
+    res, tel = bm25_lookup(idx, ["table", "scan", "merge"], k=10)
+    rows = res.take_all()
+    got_ids = [r["doc_id"] for r in rows]
+    assert got_ids == [1, 2]  # doc 3 has no query term → absent
+    assert rows[0]["score"] > rows[1]["score"] > 0
+    assert tel["partitions_read"] <= 3 < tel["partitions_total"]
+    assert 0 < tel["bytes_scanned"] < tel["bytes_total"]
