@@ -3115,6 +3115,37 @@ def q_bm25_topk_indexed(sf_dir: str):
     return res
 
 
+def q_bm25_topk_merged(sf_dir: str):
+    """Index lifecycle: the corpus is indexed as TWO crawl segments
+    (doc_id < N/2 and the rest), compacted with merge_term_indexes
+    applying tombstone deletes (doc_id ≡ 0 mod 31 — recrawled docs),
+    then queried with bm25_lookup. The defining property under test:
+    BM25 over the compacted index ≡ BM25 over a fresh index of the
+    surviving corpus — the oracle is the scan formula over documents
+    WHERE doc_id % 31 <> 0."""
+    import tempfile
+
+    from ..stages.index import bm25_lookup, build_term_index, merge_term_indexes
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = docs.count()
+    half = n // 2
+    seg_a = docs.filter(expr=f"doc_id < {half}")
+    seg_b = docs.filter(expr=f"doc_id >= {half}")
+    d_a = tempfile.mkdtemp(prefix="c4r_bm25seg_a_", dir="/tmp")
+    d_b = tempfile.mkdtemp(prefix="c4r_bm25seg_b_", dir="/tmp")
+    merged = tempfile.mkdtemp(prefix="c4r_bm25merged_", dir="/tmp")
+    build_term_index(seg_a, d_a, keep_dl=True)
+    build_term_index(seg_b, d_b, keep_dl=True)
+    deletes = {i for i in range(0, n, 31)}
+    merge_term_indexes([d_a, d_b], merged, delete_ids=deletes)
+    res, tel = bm25_lookup(merged, ["table", "scan", "merge"], k=10)
+    assert 0 < tel["bytes_scanned"] < tel["bytes_total"], tel
+    return res
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     top-20 and the exact-cosine semantic top-20 (query = embedding 0,
@@ -3792,6 +3823,7 @@ QUERIES = {
     "top_k_relevant": q_top_k_relevant,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_indexed": q_bm25_topk_indexed,
+    "bm25_topk_merged": q_bm25_topk_merged,
     "triangles": q_triangles,
     "clustering_coeff": q_clustering_coeff,
     "events_window": q_events_window,
@@ -6604,3 +6636,11 @@ WHERE ((d.doc_id * 2654435761 + 12345) % 1000000007) % 10000 < cuts.cut
 
 # the indexed BM25 path is defined to equal the scan path — same oracle
 ORACLES["bm25_topk_indexed"] = ORACLES["bm25_topk"]
+
+# compacted-index BM25 ≡ scan over the surviving docs (tombstones applied)
+ORACLES["bm25_topk_merged"] = ORACLES["bm25_topk"].replace(
+    "  FROM documents\n)",
+    "  FROM documents WHERE doc_id % 31 <> 0\n)",
+    1,
+)
+assert "doc_id % 31" in ORACLES["bm25_topk_merged"]

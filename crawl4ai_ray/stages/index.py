@@ -599,3 +599,112 @@ def bm25_lookup(
     )
     out = scored.sort(["score", id_col], descending=[True, False]).limit(k)
     return out, telemetry
+
+
+def merge_term_indexes(
+    index_dirs: "list[str]",
+    out_dir: str,
+    delete_ids: "set[int] | None" = None,
+    id_col: str = "doc_id",
+) -> str:
+    """Index compaction — the incremental-indexing lifecycle step: a
+    crawl produces per-segment indexes; compaction unions their
+    postings, applies tombstone DELETES (recrawled/retracted docs), and
+    rewrites one partitioned layout with merged collection stats.
+    Inputs must share num_partitions (the partition function is the
+    identity being preserved; asserted). Stats: Σ input (n_docs,
+    sum_dl) minus the (1, dl) of each deleted doc as evidenced by its
+    postings — a doc with NO postings (empty text) cannot be deleted
+    through the index (documented contract; its n_docs contribution
+    would be unobservable here).
+
+    The defining property (test- and oracle-pinned): BM25 over the
+    compacted index ≡ BM25 over a fresh index of the surviving docs."""
+    import pyarrow.dataset as pds  # noqa: F401  (parity with siblings)
+
+    metas = []
+    for d in index_dirs:
+        meta: dict[str, int] = {}
+        with open(os.path.join(d, "_META")) as f:
+            for line in f:
+                k, _, v = line.strip().partition("=")
+                meta[k] = int(v)
+        if "n_docs" not in meta:
+            raise ValueError(f"{d}: merge needs keep_dl indexes (stats in _META)")
+        metas.append(meta)
+    P = metas[0]["num_partitions"]
+    if any(m["num_partitions"] != P for m in metas):
+        raise ValueError("all inputs must share num_partitions")
+    n_docs = sum(m["n_docs"] for m in metas)
+    sum_dl = sum(m["sum_dl"] for m in metas)
+
+    dele = frozenset(int(x) for x in (delete_ids or ()))
+    del_ref = ray.put(dele)
+
+    all_files = [
+        f
+        for d in index_dirs
+        for f in _glob.glob(os.path.join(d, "part=*", "*.parquet"))
+    ]
+    post = ray.data.read_parquet(all_files)
+
+    # deleted docs' (1, dl) contributions, observed from their postings:
+    # each deleted doc contributes its dl ONCE (any of its postings rows
+    # carries it) — emit per-batch partial (doc, dl) distinct, then one
+    # tiny distinct aggregate
+    if dele:
+        def del_rows(batch: pa.Table) -> pa.Table:
+            ds_ = ray.get(del_ref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(i) in ds_ for i in ids), bool, len(ids))
+            t = batch.filter(pa.array(mask))
+            import polars as pl
+
+            u = (
+                pl.from_arrow(t.select([id_col, "dl"]))
+                .unique(subset=[id_col])
+                .to_arrow()
+            )
+            return u.cast(
+                pa.schema([(id_col, pa.int64()), ("dl", pa.int64())])
+            )
+
+        removed = (
+            post.map_batches(del_rows, batch_format="pyarrow")
+            .groupby(id_col)
+            .min("dl")
+            .take_all()
+        )
+        n_docs -= len(removed)
+        sum_dl -= sum(int(r["min(dl)"]) for r in removed)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ds_ = ray.get(del_ref)
+        if not ds_:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) not in ds_ for i in ids), bool, len(ids))
+        return batch.filter(pa.array(mask))
+
+    os.makedirs(out_dir, exist_ok=True)
+    # hive partition column comes back from the path on read; re-derive
+    # part from term_hash so the writer has it as a real column
+    def repart(batch: pa.Table) -> pa.Table:
+        h = batch.column("term_hash").to_numpy(zero_copy_only=False)
+        cols = {c: batch.column(c) for c in batch.column_names if c != "part"}
+        cols["part"] = pa.array(
+            (h % np.uint64(P)).astype(np.int64), pa.int64()
+        )
+        return pa.table(cols)
+
+    (
+        post.map_batches(keep, batch_format="pyarrow")
+        .map_batches(repart, batch_format="pyarrow")
+        .sort("part")
+        .write_parquet(out_dir, partition_cols=["part"])
+    )
+    with open(os.path.join(out_dir, "_META"), "w") as f:
+        f.write(f"num_partitions={P}\n")
+        f.write(f"n_docs={n_docs}\n")
+        f.write(f"sum_dl={sum_dl}\n")
+    return out_dir

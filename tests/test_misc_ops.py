@@ -303,3 +303,57 @@ def test_bm25_lookup_prunes_and_matches_scan_semantics(ray_session, tmp_path):
     assert rows[0]["score"] > rows[1]["score"] > 0
     assert tel["partitions_read"] <= 3 < tel["partitions_total"]
     assert 0 < tel["bytes_scanned"] < tel["bytes_total"]
+
+
+def test_merge_term_indexes_equals_fresh_build(ray_session, tmp_path):
+    """Compacting two segment indexes with tombstone deletes yields the
+    same bm25_lookup output AND the same collection stats as a fresh
+    index of the surviving docs; mismatched partition counts refuse."""
+    import pytest as _pytest
+
+    from crawl4ai_ray.stages.index import (
+        bm25_lookup,
+        build_term_index,
+        merge_term_indexes,
+    )
+
+    texts = {
+        1: "table scan merge alpha",
+        2: "table table beta gamma",
+        3: "scan delta epsilon zeta",
+        4: "merge merge merge table",
+        5: "unrelated words only here",
+    }
+
+    def ds_of(ids):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(ids), pa.int64()),
+                    "text": pa.array([texts[i] for i in ids], pa.string()),
+                }
+            )
+        )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_term_index(ds_of([1, 2]), a, num_partitions=8, keep_dl=True)
+    build_term_index(ds_of([3, 4, 5]), b, num_partitions=8, keep_dl=True)
+    merged = str(tmp_path / "m")
+    merge_term_indexes([a, b], merged, delete_ids={2})
+    fresh = str(tmp_path / "f")
+    build_term_index(ds_of([1, 3, 4, 5]), fresh, num_partitions=8, keep_dl=True)
+
+    q = ["table", "scan", "merge"]
+    got = bm25_lookup(merged, q, k=10)[0].take_all()
+    want = bm25_lookup(fresh, q, k=10)[0].take_all()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    m_meta = open(f"{merged}/_META").read()
+    f_meta = open(f"{fresh}/_META").read()
+    assert m_meta == f_meta
+
+    bad = str(tmp_path / "bad")
+    build_term_index(ds_of([1]), bad, num_partitions=4, keep_dl=True)
+    with _pytest.raises(ValueError, match="num_partitions"):
+        merge_term_indexes([a, bad], str(tmp_path / "x"))
