@@ -3146,6 +3146,58 @@ def q_bm25_topk_merged(sf_dir: str):
     return res
 
 
+def q_search_snippets(sf_dir: str):
+    """Result snippets for the BM25 top-10: per hit, the 10-token window
+    containing the most query-term tokens (ties → leftmost), the last
+    piece of the search stack after ranking. The top-10 reuses the
+    oracle-proven scan ranking; snippet extraction touches ONLY those 10
+    docs (point-read by id). Output (doc_id, n_hits, snippet)."""
+    import pyarrow.dataset as pds
+
+    W = 10
+    qset = {"table", "scan", "merge"}
+    top = (
+        _bm25_scored(sf_dir)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(10)
+        .take_all()
+    )
+    ids = sorted(int(r["doc_id"]) for r in top)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pds.field("doc_id").isin(pa.array(ids, pa.int64())),
+    )
+
+    def snip(batch: pa.Table) -> pa.Table:
+        out_d, out_h, out_s = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = (text or "").lower().split()
+            n_win = max(1, len(toks) - W + 1)
+            hits = np.array(
+                [
+                    sum(1 for t in toks[i : i + W] if t in qset)
+                    for i in range(n_win)
+                ],
+                np.int64,
+            )
+            best = int(hits.argmax())  # argmax takes the FIRST max — leftmost
+            out_d.append(did)
+            out_h.append(int(hits[best]))
+            out_s.append(" ".join(toks[best : best + W]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n_hits": pa.array(out_h, pa.int64()),
+                "snippet": pa.array(out_s, pa.string()),
+            }
+        )
+
+    return docs.map_batches(snip, batch_format="pyarrow")
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     top-20 and the exact-cosine semantic top-20 (query = embedding 0,
@@ -3824,6 +3876,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_indexed": q_bm25_topk_indexed,
     "bm25_topk_merged": q_bm25_topk_merged,
+    "search_snippets": q_search_snippets,
     "triangles": q_triangles,
     "clustering_coeff": q_clustering_coeff,
     "events_window": q_events_window,
@@ -6644,3 +6697,27 @@ ORACLES["bm25_topk_merged"] = ORACLES["bm25_topk"].replace(
     1,
 )
 assert "doc_id % 31" in ORACLES["bm25_topk_merged"]
+
+# snippets compose on top of the bm25 ranking: the full bm25 oracle nests
+# as a CTE (DuckDB allows WITH inside a CTE body), then per top doc the
+# 10-token window with the most query-term tokens, ties -> leftmost
+ORACLES["search_snippets"] = f"""
+WITH topd AS ({ORACLES["bm25_topk"]}),
+tt AS (
+  SELECT d.doc_id,
+         list_filter(regexp_split_to_array(lower(doc.text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM topd d JOIN documents doc ON doc.doc_id = d.doc_id
+),
+wins AS (
+  SELECT doc_id, i,
+         len(list_filter(t[i : i + 9],
+                         x -> x IN ('table', 'scan', 'merge'))) AS hits,
+         array_to_string(t[i : i + 9], ' ') AS snip
+  FROM tt, UNNEST(range(1, greatest(len(t) - 10, 0) + 2)) AS u(i)
+)
+SELECT doc_id, CAST(hits AS BIGINT) AS n_hits, snip AS snippet FROM (
+  SELECT doc_id, hits, snip,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, i) AS rn
+  FROM wins) WHERE rn = 1
+"""
