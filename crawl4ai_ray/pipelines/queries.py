@@ -3429,6 +3429,79 @@ def q_event_bursts(sf_dir: str):
     return counts.map_batches(zscore, batch_format="pyarrow")
 
 
+def q_event_transitions(sf_dir: str):
+    """Behavior transition matrix: corpus-wide counts of (event_type →
+    next event_type) within each user's time-ordered stream — the
+    Markov-chain summary funnels/retention build on. One hash(user) % P
+    shuffle co-locates each user's history; per bucket a vectorized
+    sort + shift pairs each event with its successor (ties broken by
+    event_id, mirrored by the oracle's LEAD ordering) and partial-
+    counts the pairs map-side; ONE tiny pair groupby closes it."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "event_id"]
+    )
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((u % P).astype(np.int64)),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def pairs(g) -> pa.Table:
+        import pandas as pd
+
+        if g.empty:
+            return pa.table(
+                {
+                    "src_type": pa.array([], pa.string()),
+                    "dst_type": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        src = g["event_type"].to_numpy()[:-1][same_user]
+        dst = g["event_type"].to_numpy()[1:][same_user]
+        part = (
+            pd.DataFrame({"src_type": src, "dst_type": dst})
+            .groupby(["src_type", "dst_type"], sort=True)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "src_type": pa.array(part["src_type"], pa.string()),
+                "dst_type": pa.array(part["dst_type"], pa.string()),
+                "c": pa.array(part["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["src_type", "dst_type"])
+        .sum("c")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src_type": b.column("src_type"),
+                    "dst_type": b.column("dst_type"),
+                    "n": b.column("sum(c)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_chunk_counts(sf_dir: str):
     """SlidingWindowChunking over documents → chunks per doc (the chunking
     strategy family's oracle surface: counts are pure token arithmetic)."""
@@ -3882,6 +3955,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_hopping": q_events_hopping,
     "event_bursts": q_event_bursts,
+    "event_transitions": q_event_transitions,
     "text_normalize": q_text_normalize,
     "chunk_counts": q_chunk_counts,
     "asof_orders": q_asof_orders,
@@ -4603,6 +4677,18 @@ norm AS (
 )
 SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars
 FROM norm
+""",
+    "event_transitions": """
+WITH nxt AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst_type
+  FROM events
+)
+SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM nxt WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type
 """,
     "event_bursts": """
 WITH counts AS MATERIALIZED (
