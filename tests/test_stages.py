@@ -2406,3 +2406,44 @@ def test_audio_fingerprint_bits_and_nudge():
     bumped[7] = bumped[7] + 1  # band 0 of frame 0
     x = AudioFingerprint._fingerprint(base) ^ AudioFingerprint._fingerprint(bumped)
     assert bin(x).count("1") <= 2
+
+
+def test_hamming_pairs_complete_vs_bruteforce(ray_session):
+    """The block-bucket candidate generation is COMPLETE within the
+    radius: on random signatures with planted near pairs at every
+    distance 0..r, hamming_pairs equals the O(n²) brute-force pair set
+    (radii 2 and 4 — the ones the image/audio paths use)."""
+    from crawl4ai_ray.stages.dedup import hamming_pairs
+
+    rng = np.random.default_rng(11)
+    sigs = rng.integers(0, 2**63, size=150, dtype=np.int64).astype(np.uint64)
+    # plant near pairs: flip d bits of sig[i] into slot i+100 for d=0..4
+    for d in range(5):
+        s = np.uint64(sigs[d])
+        for bit in rng.choice(64, size=d, replace=False):
+            s ^= np.uint64(1) << np.uint64(bit)
+        sigs[100 + d] = s
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(range(len(sigs)), pa.int64()),
+                "sig": pa.array(sigs, pa.uint64()),
+            }
+        )
+    )
+    for radius in (2, 4):
+        got = {
+            (r["a"], r["b"])
+            for r in hamming_pairs(
+                ds, max_hamming=radius, id_col="id", sig_col="sig"
+            ).take_all()
+        }
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                if bin(int(sigs[i]) ^ int(sigs[j])).count("1") <= radius:
+                    want.add((i, j))
+        assert got == want, (radius, got ^ want)
+        # the planted pairs at distance <= radius are all present
+        for d in range(radius + 1):
+            assert (d, 100 + d) in got
