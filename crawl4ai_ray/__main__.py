@@ -74,6 +74,11 @@ def main(argv=None):
     )
     pw.add_argument("--export-seed", type=int, default=0)
     pw.add_argument(
+        "--boiler-cap", type=int, default=1_000_000,
+        help="cap on the broadcast boilerplate key set (scale with corpus "
+        "size past ~1M docs, like --max-docs)",
+    )
+    pw.add_argument(
         "--curriculum", type=int, default=0,
         help="also write NTILE(K) curriculum deciles of the kept docs "
         "under <out>/6_curriculum/decile=N/",
@@ -135,6 +140,7 @@ def main(argv=None):
                 export_shards_n=args.export_shards or None,
                 export_seed=args.export_seed,
                 curriculum_tiles=args.curriculum or None,
+                boiler_cap=args.boiler_cap,
             )
             print(json.dumps(man["stages"], indent=1))
         elif args.cmd == "queries":

@@ -1627,10 +1627,14 @@ def q_embedding_norm_outliers(sf_dir: str):
             }
         )
 
-    agg = scored.map_batches(moments, batch_format="pyarrow")
-    n = agg.sum("n")
-    s1 = agg.sum("s1")
-    s2 = agg.sum("s2")
+    # ONE combined aggregate pass (review finding: three .sum() calls
+    # re-ran the moments map three times; event_bursts had it right)
+    row = scored.map_batches(moments, batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Sum("n", alias_name="n"),
+        ray.data.aggregate.Sum("s1", alias_name="s1"),
+        ray.data.aggregate.Sum("s2", alias_name="s2"),
+    )
+    n, s1, s2 = int(row["n"]), int(row["s1"]), int(row["s2"])
 
     def zscore(batch: pa.Table) -> pa.Table:
         v = batch.column("norm2_fp").to_numpy(zero_copy_only=False) - m

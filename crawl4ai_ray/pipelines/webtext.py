@@ -125,6 +125,7 @@ def run_webtext(
     export_shards_n: int | None = None,
     export_seed: int = 0,
     curriculum_tiles: int | None = None,
+    boiler_cap: int = 1_000_000,
 ) -> dict:
     """Checkpointed webtext run: every stage writes partitioned parquet
     under ``out_dir/<N>_<name>/`` and a ``_DONE`` marker carrying the
@@ -156,6 +157,8 @@ def run_webtext(
         # None keeps the config hash identical to pre-curriculum runs,
         # so existing checkpoints still resume
         **({"curriculum_tiles": curriculum_tiles} if curriculum_tiles else {}),
+        # non-default only: keeps old checkpoints' config hash valid
+        **({"boiler_cap": boiler_cap} if boiler_cap != 1_000_000 else {}),
     }
     cfg_hash = _config_hash(params)
     _os.makedirs(out_dir, exist_ok=True)
@@ -226,7 +229,7 @@ def run_webtext(
         "1_quality",
         lambda: line_dedup(
             survivors, width=width, max_docs=max_docs,
-            concurrency=concurrency,
+            concurrency=concurrency, boiler_cap=boiler_cap,
         ).map_batches(
             lambda b: b.filter(
                 pa.compute.greater(b.column("n_kept"), pa.scalar(0))

@@ -359,6 +359,55 @@ def rrf_fuse(
     )
 
 
+def _fetch_query_fp(ds, query_ids, id_col: str):
+    """Driver-side query preamble shared by the fixed-point ANN paths:
+    filter the query rows out of ``ds``, quantize, return (sorted ids,
+    (Q, d) int64 matrix). Was triplicated across ivfpq/brute-L2/MMR
+    (review finding)."""
+    import pyarrow.compute as pc
+
+    from .cluster import quantize_embeddings
+
+    qset = sorted(int(q) for q in query_ids)
+    qvals = pa.array(qset, pa.int64())
+    qrows = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column(id_col).cast(pa.int64()), value_set=qvals)
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    by_id = {r[id_col]: r["embedding"] for r in qrows}
+    q_fp = quantize_embeddings(
+        pa.table({"embedding": pa.array([by_id[q] for q in qset])}), "embedding"
+    )
+    return qset, q_fp
+
+
+def _make_fp_reduce_q(k: int):
+    """Per-query top-k closer shared by the fixed-point ANN paths: drop
+    self, (dist, id)-lexicographic cut, 1-based ranks. The tie discipline
+    the recall evaluation depends on lives HERE, once (review finding:
+    byte-identical copies had started to accumulate)."""
+
+    def reduce_q(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id")[0].as_py()
+        nid = np.asarray(group.column("neighbor_id").to_pylist())
+        dd = np.asarray(group.column("dist_fp").to_pylist())
+        keep = nid != qid
+        nid, dd = nid[keep], dd[keep]
+        order = np.lexsort((nid, dd))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(nid[order], pa.int64()),
+                "dist_fp": pa.array(dd[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return reduce_q
+
+
 def ivfpq_topk(
     ds: "ray.data.Dataset",
     query_ids,
@@ -494,25 +543,11 @@ def ivfpq_topk(
     codes.sort("cell").write_parquet(out_dir, partition_cols=["cell"])
 
     # ---- 4. probes + per-query ADC LUTs (driver-side, tiny)
-    import pyarrow.compute as pc
-
-    qset = sorted(int(q) for q in query_ids)
-    qvals = pa.array(qset, pa.int64())
-    qrows = {
-        r[id_col]: r["embedding"]
-        for r in ds.map_batches(
-            lambda b: b.filter(
-                pc.is_in(b.column(id_col).cast(pa.int64()), value_set=qvals)
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-    }
+    qset, q_fp_all = _fetch_query_fp(ds, query_ids, id_col)
     lut = np.zeros((len(qset), m_subspaces, codebook_k), dtype=np.int64)
     probes: dict[int, set] = {}
     for qi, qid in enumerate(qset):
-        q_fp = quantize_embeddings(
-            pa.table({"embedding": pa.array([qrows[qid]])}), "embedding"
-        )[0]
+        q_fp = q_fp_all[qi]
         cd = coarse_cents - q_fp[None, :]
         cell_d = np.sum(cd * cd, axis=1)  # int64-safe (see cluster._assign)
         order = np.lexsort((np.arange(n_cells), cell_d))[:nprobe]
@@ -596,23 +631,9 @@ def ivfpq_topk(
         IvfpqAdc, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
 
-    def reduce_q(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        nid = np.asarray(group.column("neighbor_id").to_pylist())
-        dd = np.asarray(group.column("dist_fp").to_pylist())
-        keep = nid != qid
-        nid, dd = nid[keep], dd[keep]
-        order = np.lexsort((nid, dd))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(order), pa.int64()),
-                "neighbor_id": pa.array(nid[order], pa.int64()),
-                "dist_fp": pa.array(dd[order], pa.int64()),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-            }
-        )
-
-    out = cand.groupby("query_id").map_groups(reduce_q, batch_format="pyarrow")
+    out = cand.groupby("query_id").map_groups(
+        _make_fp_reduce_q(k), batch_format="pyarrow"
+    )
     return out, telemetry
 
 
@@ -629,20 +650,7 @@ def brute_l2fp_topk(
     top-(k+1) per batch, one per-query reduce; self excluded."""
     from .cluster import quantize_embeddings
 
-    import pyarrow.compute as pc
-
-    qset = sorted(int(q) for q in query_ids)
-    qvals = pa.array(qset, pa.int64())
-    qrows = ds.map_batches(
-        lambda b: b.filter(
-            pc.is_in(b.column(id_col).cast(pa.int64()), value_set=qvals)
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-    by_id = {r[id_col]: r["embedding"] for r in qrows}
-    q_fp = quantize_embeddings(
-        pa.table({"embedding": pa.array([by_id[q] for q in qset])}), "embedding"
-    )  # (Q, d) int64
+    qset, q_fp = _fetch_query_fp(ds, query_ids, id_col)  # (Q, d) int64
     q_ref = ray.put(q_fp)
     qids_ref = ray.put(np.asarray(qset, dtype=np.int64))
     kprime = k + 1
@@ -684,23 +692,9 @@ def brute_l2fp_topk(
         L2TopK, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
 
-    def reduce_q(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        nid = np.asarray(group.column("neighbor_id").to_pylist())
-        dd = np.asarray(group.column("dist_fp").to_pylist())
-        keep = nid != qid
-        nid, dd = nid[keep], dd[keep]
-        order = np.lexsort((nid, dd))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(order), pa.int64()),
-                "neighbor_id": pa.array(nid[order], pa.int64()),
-                "dist_fp": pa.array(dd[order], pa.int64()),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-            }
-        )
-
-    return cand.groupby("query_id").map_groups(reduce_q, batch_format="pyarrow")
+    return cand.groupby("query_id").map_groups(
+        _make_fp_reduce_q(k), batch_format="pyarrow"
+    )
 
 
 def mmr_rerank(
@@ -728,22 +722,9 @@ def mmr_rerank(
     the corpus is touched once. Returns (query_id, rank, neighbor_id,
     mmr_fp) where mmr_fp is the selection-time score (rank 1 = pure
     relevance)."""
-    from .cluster import quantize_embeddings
+    from .cluster import quantize_embeddings  # used inside CandGen
 
-    import pyarrow.compute as pc
-
-    qset = sorted(int(q) for q in query_ids)
-    qvals = pa.array(qset, pa.int64())
-    qrows = ds.map_batches(
-        lambda b: b.filter(
-            pc.is_in(b.column(id_col).cast(pa.int64()), value_set=qvals)
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-    by_id = {r[id_col]: r["embedding"] for r in qrows}
-    q_fp = quantize_embeddings(
-        pa.table({"embedding": pa.array([by_id[q] for q in qset])}), "embedding"
-    )
+    qset, q_fp = _fetch_query_fp(ds, query_ids, id_col)
     q_ref = ray.put(q_fp)
     qids_ref = ray.put(np.asarray(qset, dtype=np.int64))
 

@@ -34,6 +34,30 @@ import pyarrow as pa
 import ray
 
 
+def _label_sum(ds):
+    """Exact label sum as an (upper-31-bits, lower-31-bits) PAIR — the
+    convergence scalar for both min-label propagation loops. Summing raw
+    labels overflows int64 (BFS sentinel 2^62 × nodes — observed as Ray's
+    pickled-object fallback in the r3 sweep; CC node-id labels get there
+    at ~1e9 nodes too). Each half-sum stays < 2^62 for any n < 2^31, and
+    the pair determines the true sum (sum = hi·2^31 + lo), so pair
+    equality IS sum equality."""
+
+    def halves(b: pa.Table) -> pa.Table:
+        lbl = b.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "hi": pa.array([int((lbl >> np.int64(31)).sum())], pa.int64()),
+                "lo": pa.array(
+                    [int((lbl & np.int64((1 << 31) - 1)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = ds.map_batches(halves, batch_format="pyarrow")
+    return (agg.sum("hi"), agg.sum("lo"))
+
+
 def pagerank(
     nodes: "ray.data.Dataset",
     edges: "ray.data.Dataset",
@@ -297,26 +321,6 @@ def connected_components(
             }
         )
 
-    def _label_sum(ds):
-        # exact sum as an (upper-31-bits, lower-31-bits) PAIR: summing raw
-        # labels overflows int64 (BFS sentinel 2^62 × nodes — observed as
-        # Ray's pickled-object fallback in the r3 sweep; CC node-id labels
-        # get there at ~1e9 nodes too). Each half-sum stays < 2^62 for any
-        # n < 2^31, and the pair determines the true sum
-        # (sum = hi·2^31 + lo), so pair equality IS sum equality.
-        def halves(b: pa.Table) -> pa.Table:
-            lbl = b.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {
-                    "hi": pa.array([int((lbl >> np.int64(31)).sum())], pa.int64()),
-                    "lo": pa.array(
-                        [int((lbl & np.int64((1 << 31) - 1)).sum())], pa.int64()
-                    ),
-                }
-            )
-
-        agg = ds.map_batches(halves, batch_format="pyarrow")
-        return (agg.sum("hi"), agg.sum("lo"))
 
     # convergence: labels only ever DECREASE, so sum(lbl) is strictly
     # monotone until the fixpoint — equality of consecutive sweep sums is
@@ -685,26 +689,6 @@ def multi_source_bfs(
             }
         )
 
-    def _label_sum(ds):
-        # exact sum as an (upper-31-bits, lower-31-bits) PAIR: summing raw
-        # labels overflows int64 (BFS sentinel 2^62 × nodes — observed as
-        # Ray's pickled-object fallback in the r3 sweep; CC node-id labels
-        # get there at ~1e9 nodes too). Each half-sum stays < 2^62 for any
-        # n < 2^31, and the pair determines the true sum
-        # (sum = hi·2^31 + lo), so pair equality IS sum equality.
-        def halves(b: pa.Table) -> pa.Table:
-            lbl = b.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {
-                    "hi": pa.array([int((lbl >> np.int64(31)).sum())], pa.int64()),
-                    "lo": pa.array(
-                        [int((lbl & np.int64((1 << 31) - 1)).sum())], pa.int64()
-                    ),
-                }
-            )
-
-        agg = ds.map_batches(halves, batch_format="pyarrow")
-        return (agg.sum("hi"), agg.sum("lo"))
 
     prev_sum = _label_sum(labels)
     converged = False

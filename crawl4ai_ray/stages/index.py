@@ -75,32 +75,57 @@ def build_term_index(
             cols["term"] = pa.array(t_out, pa.string())
         if keep_dl:
             cols["dl"] = pa.array(dl_out, pa.int64())
-        return pa.table(cols)
+        t = pa.table(cols)
+        if keep_dl:
+            # one SENTINEL stat row per batch (part = -1, never a real
+            # partition): (n_docs, sum_dl) ride the same tokenize pass —
+            # the old separate counting aggregate re-read and re-tokenized
+            # the whole corpus (review finding), doubling build cost
+            texts = batch.column(text_col).to_pylist()
+            dls = [len((x or "").lower().split()) for x in texts]
+            stat_cols = {
+                "part": pa.array([-1], pa.int64()),
+                "term_hash": pa.array([0], pa.uint64()),
+                id_col: pa.array([len(dls)], pa.int64()),
+                "tf": pa.array([int(sum(dls))], pa.int64()),
+            }
+            if keep_terms:
+                stat_cols["term"] = pa.array([""], pa.string())
+            stat_cols["dl"] = pa.array([0], pa.int64())
+            t = pa.concat_tables([t, pa.table(stat_cols)])
+        return t
 
     os.makedirs(out_dir, exist_ok=True)
     stats = {"n_docs": 0, "sum_dl": 0}
+    combined = docs.select_columns([id_col, text_col]).map_batches(
+        postings, batch_format="pyarrow"
+    )
     if keep_dl:
-        # one extra counting aggregate for the collection stats (exact
-        # ints; avgdl derives at read time)
-        def count_stats(batch: pa.Table) -> pa.Table:
-            texts = batch.column(text_col).to_pylist()
-            dls = [len((t or "").lower().split()) for t in texts]
+        # materialize ONE tokenize pass; the stat and write consumers then
+        # read the postings, not the corpus
+        combined = combined.materialize()
+
+        def stat_rows(batch: pa.Table) -> pa.Table:
+            m = pa.compute.equal(batch.column("part"), pa.scalar(-1))
+            t = batch.filter(m)
             return pa.table(
                 {
-                    "n": pa.array([len(dls)], pa.int64()),
-                    "s": pa.array([int(sum(dls))], pa.int64()),
+                    "n": t.column(id_col),
+                    "s": t.column("tf"),
                 }
             )
 
-        agg = docs.select_columns([id_col, text_col]).map_batches(
-            count_stats, batch_format="pyarrow"
-        )
+        agg = combined.map_batches(stat_rows, batch_format="pyarrow")
         stats["n_docs"] = agg.sum("n")
         stats["sum_dl"] = agg.sum("s")
 
+    def real_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.greater_equal(batch.column("part"), pa.scalar(0))
+        )
+
     (
-        docs.select_columns([id_col, text_col])
-        .map_batches(postings, batch_format="pyarrow")
+        combined.map_batches(real_rows, batch_format="pyarrow")
         .sort("part")
         .write_parquet(out_dir, partition_cols=["part"])
     )
@@ -491,7 +516,12 @@ def bm25_lookup(
     n_docs, sum_dl = meta["n_docs"], meta["sum_dl"]
     avgdl = float(sum_dl) / float(n_docs)
 
-    qterms = [t.lower() for t in terms]
+    raw_terms = [t.lower() for t in terms]
+    # unique terms with multiplicity: a repeated query term contributes its
+    # slot expression once PER OCCURRENCE in the scan path, accumulated in
+    # original slot order below (review finding: the old hash->slot dict
+    # silently collapsed duplicates to one contribution)
+    qterms = sorted(set(raw_terms), key=raw_terms.index)
     hashes = [int(h) for h in hash64(qterms)]
     parts = sorted({h % num_partitions for h in hashes})
     files = [
@@ -510,6 +540,20 @@ def bm25_lookup(
     post = ray.data.read_parquet(
         files, filter=pds.field("term_hash").isin(hset)
     ).materialize()  # consumed by the df aggregate AND the scoring pass
+
+    if post.count() == 0:
+        # none of the query terms exist in the index: the scan path scores
+        # every doc 0.0, so the top-k is empty (review finding: the df
+        # aggregate over an empty dataset returned None and crashed)
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+        return empty, telemetry
 
     # df per term from the pruned postings (exact: one row per (term, doc))
     def df_part(batch: pa.Table) -> pa.Table:
@@ -558,6 +602,8 @@ def bm25_lookup(
         )
 
     n_terms = len(qterms)
+    uniq_index = {t: i for i, t in enumerate(qterms)}
+    term_order = [uniq_index[t] for t in raw_terms]
 
     def score_bucket(g: "pd.DataFrame") -> pa.Table:
         idf = ray.get(idfs_ref)
@@ -580,9 +626,9 @@ def bm25_lookup(
             )
         )
         s = np.zeros(len(piv), np.float64)
-        for i in range(n_terms):
-            tf = piv[i].to_numpy(np.float64)
-            s += idf[i] * (tf * (k1 + 1.0)) / (
+        for ui in term_order:  # original slot order incl. duplicates
+            tf = piv[ui].to_numpy(np.float64)
+            s += idf[ui] * (tf * (k1 + 1.0)) / (
                 tf + k1 * (1.0 - b + b * dl / avgdl)
             )
         return pa.table(
@@ -647,6 +693,32 @@ def merge_term_indexes(
         for f in _glob.glob(os.path.join(d, "part=*", "*.parquet"))
     ]
     post = ray.data.read_parquet(all_files)
+
+    # PRECONDITION (review finding): segments must be doc-disjoint — a
+    # recrawled doc indexed in two segments would double-count in n_docs,
+    # duplicate its postings, and skew avgdl/idf, silently breaking the
+    # merged ≡ fresh-build property. Validated on the observable part:
+    # the union's distinct doc count must equal the sum of per-segment
+    # distinct counts (one tiny aggregate per segment over data the
+    # compaction reads anyway). Recrawl updates must tombstone the old
+    # doc in its own segment FIRST.
+    def _distinct_docs(files):
+        ds_ = ray.data.read_parquet(files)
+        if ds_.count() == 0:
+            return 0
+        return ds_.groupby(id_col).count().count()
+
+    per_seg = [
+        _distinct_docs(_glob.glob(os.path.join(d, "part=*", "*.parquet")))
+        for d in index_dirs
+    ]
+    union_distinct = _distinct_docs(all_files)
+    if union_distinct != sum(per_seg):
+        raise ValueError(
+            f"segments overlap on {sum(per_seg) - union_distinct} doc_id(s); "
+            "merge_term_indexes requires doc-disjoint segments — tombstone "
+            "the superseded doc in its own segment before compacting"
+        )
 
     # deleted docs' (1, dl) contributions, observed from their postings:
     # each deleted doc contributes its dl ONCE (any of its postings rows

@@ -357,3 +357,59 @@ def test_merge_term_indexes_equals_fresh_build(ray_session, tmp_path):
     build_term_index(ds_of([1]), bad, num_partitions=4, keep_dl=True)
     with _pytest.raises(ValueError, match="num_partitions"):
         merge_term_indexes([a, bad], str(tmp_path / "x"))
+
+
+def test_bm25_lookup_absent_and_duplicate_terms(ray_session, tmp_path):
+    """Review-finding regressions: absent-term queries return empty (not
+    crash); a repeated query term contributes once PER OCCURRENCE,
+    exactly as the scan path's duplicate slots do."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_ray.stages.index import bm25_lookup, build_term_index
+
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["table scan words here", "other words entirely now"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(docs_tbl, str(tmp_path / "documents.parquet"))
+    ds = ray.data.from_arrow(docs_tbl)
+    idx = str(tmp_path / "idx")
+    build_term_index(ds, idx, num_partitions=8, keep_dl=True)
+
+    empty, _ = bm25_lookup(idx, ["zzznotfound", "qqqmissing"], k=10)
+    assert empty.count() == 0
+
+    single, _ = bm25_lookup(idx, ["table"], k=10)
+    doubled, _ = bm25_lookup(idx, ["table", "table"], k=10)
+    s1 = {r["doc_id"]: r["score"] for r in single.take_all()}
+    s2 = {r["doc_id"]: r["score"] for r in doubled.take_all()}
+    # x + x == 2*x exactly in IEEE; round-8 applied after the sum
+    assert s2[1] == round(s1[1] * 2, 8) and s2[1] > s1[1]
+
+
+def test_merge_term_indexes_refuses_overlap(ray_session, tmp_path):
+    """Review-finding regression: overlapping segments (the recrawl
+    double-index case) refuse instead of silently corrupting stats."""
+    import pytest as _pytest
+
+    from crawl4ai_ray.stages.index import build_term_index, merge_term_indexes
+
+    def ds_of(ids):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(ids), pa.int64()),
+                    "text": pa.array(["alpha beta"] * len(ids), pa.string()),
+                }
+            )
+        )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_term_index(ds_of([1, 2]), a, num_partitions=8, keep_dl=True)
+    build_term_index(ds_of([2, 3]), b, num_partitions=8, keep_dl=True)
+    with _pytest.raises(ValueError, match="overlap"):
+        merge_term_indexes([a, b], str(tmp_path / "m"))
