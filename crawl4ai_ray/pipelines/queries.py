@@ -6811,3 +6811,12 @@ SELECT doc_id, CAST(hits AS BIGINT) AS n_hits, snip AS snippet FROM (
          row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, i) AS rn
   FROM wins) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# eighth-wave operators live in queries_wave8.py; registered here so the
+# driver contract (__ray_entry__) keeps reading ONE registry pair.
+# ---------------------------------------------------------------------------
+from .queries_wave8 import register as _register_wave8  # noqa: E402
+
+_register_wave8(QUERIES, ORACLES, SQL_PAGES)
