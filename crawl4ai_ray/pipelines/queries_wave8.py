@@ -89,6 +89,109 @@ FROM ex JOIN est ON est.host = ex.host
 
 
 # ---------------------------------------------------------------------------
+# cdc_chunks — content-defined chunking dedup (global chunk store)
+# ---------------------------------------------------------------------------
+
+def _docs_with_shifted_copies(sf_dir: str):
+    """documents ∪ planted PREFIX-SHIFTED copies of every 11th doc
+    (doc_id + 1_000_000). The prefix moves every byte of the copy — the
+    case fixed-size chunking fails on and CDC re-synchronises after."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def shifted(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 11 == 0
+        texts = [
+            "PREFIX-SHIFT " + t
+            for t, k in zip(batch.column("text").to_pylist(), keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep] + 1_000_000, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return docs.union(docs.map_batches(shifted, batch_format="pyarrow"))
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup (stages/cdc.py): rolling-hash cut
+    points → per-(doc, chunk) map-side partials → ONE groupby(chunk_hash)
+    = the global chunk store (hash, n_occurrences, n_docs, chars). Run
+    over documents plus planted prefix-shifted copies: the shifted copy
+    shares almost all chunks with its original (n_docs = 2 rows), which
+    is exactly the dedup win fixed-size chunking cannot deliver."""
+    from ..stages.cdc import chunk_store
+
+    return chunk_store(_docs_with_shifted_copies(sf_dir))
+
+
+# DuckDB mirror of stages/cdc.py's frozen spec: W=8, B=1000003, M=2^31-1,
+# D=64; powers B^(7-j) mod M inlined as literals (same values as
+# cdc._POWERS). substr/length are code-point based in DuckDB, matching
+# Python string indexing.
+SQL_CDC_CHUNKS = """
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'PREFIX-SHIFT ' || text AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+doc AS (SELECT doc_id, text, length(text) AS n FROM alldocs WHERE length(text) > 0),
+pos AS (
+  SELECT doc_id, text, n, CAST(i AS BIGINT) AS i
+  FROM doc, UNNEST(range(1, greatest(n - 8 + 1, 0) + 1)) AS u(i)
+),
+hh AS (
+  SELECT doc_id, i + 7 AS cut,
+         (  CAST(unicode(substr(text, CAST(i + 0 AS INT), 1)) AS BIGINT) % 2147483647 * 57298384
+          + CAST(unicode(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) % 2147483647 * 2061642598
+          + CAST(unicode(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT) % 2147483647 * 1953433226
+          + CAST(unicode(substr(text, CAST(i + 3 AS INT), 1)) AS BIGINT) % 2147483647 * 1604566856
+          + CAST(unicode(substr(text, CAST(i + 4 AS INT), 1)) AS BIGINT) % 2147483647 * 1049561761
+          + CAST(unicode(substr(text, CAST(i + 5 AS INT), 1)) AS BIGINT) % 2147483647 * 1426104154
+          + CAST(unicode(substr(text, CAST(i + 6 AS INT), 1)) AS BIGINT) % 2147483647 * 1000003
+          + CAST(unicode(substr(text, CAST(i + 7 AS INT), 1)) AS BIGINT) % 2147483647 * 1
+         ) % 2147483647 AS h
+  FROM pos
+),
+cuts AS (
+  SELECT DISTINCT doc_id, cut FROM hh WHERE h % 64 = 0
+  UNION
+  SELECT doc_id, CAST(n AS BIGINT) AS cut FROM doc
+),
+bounds AS (
+  SELECT doc_id, cut,
+         lag(cut, 1, CAST(0 AS BIGINT)) OVER (
+           PARTITION BY doc_id ORDER BY cut
+         ) AS prev
+  FROM cuts
+),
+chunks AS (
+  SELECT b.doc_id,
+         md5(substr(d.text, CAST(b.prev + 1 AS INT),
+                    CAST(b.cut - b.prev AS INT))) AS chunk_hash,
+         b.cut - b.prev AS chunk_chars
+  FROM bounds b JOIN doc d USING (doc_id)
+  WHERE b.cut > b.prev
+),
+perdoc AS (
+  SELECT doc_id, chunk_hash, chunk_chars, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chunks GROUP BY ALL
+)
+SELECT chunk_hash,
+       CAST(SUM(c) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(chunk_chars) AS BIGINT) AS chunk_chars
+FROM perdoc GROUP BY chunk_hash
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -97,3 +200,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["host_counts_cms"] = SQL_HOST_COUNTS_CMS.format(
         pages=sql_pages.strip().removeprefix("\n")
     )
+    queries["cdc_chunks"] = q_cdc_chunks
+    oracles["cdc_chunks"] = SQL_CDC_CHUNKS
