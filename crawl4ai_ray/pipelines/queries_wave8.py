@@ -192,6 +192,103 @@ FROM perdoc GROUP BY chunk_hash
 
 
 # ---------------------------------------------------------------------------
+# url_change_rate — Cho–Garcia-Molina recrawl-rate estimation
+# ---------------------------------------------------------------------------
+
+_CR_SNAPS = 6
+
+
+def _snapshot_history(sf_dir: str):
+    """Deterministic 6-snapshot observation log over documents:
+    - doc observed at snapshot k unless (doc_id + k) % 13 == 0 (fetch
+      gaps, so some changes are MASKED — the case the bias-corrected
+      estimator exists for);
+    - the underlying page changes at snapshot k >= 1 whenever
+      (doc_id*3 + k*k) % 7 == 0 (whether observed or not; quadratic in k so per-doc change counts vary 0..2 instead of sweeping every residue);
+    - content_hash = md5(text || '#v' || version-so-far)."""
+    import hashlib
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids_out, ks_out, hs_out = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            v = 0
+            for k in range(_CR_SNAPS):
+                if k >= 1 and (doc_id * 3 + k * k) % 7 == 0:
+                    v += 1
+                if (doc_id + k) % 13 == 0:
+                    continue
+                ids_out.append(doc_id)
+                ks_out.append(k)
+                hs_out.append(
+                    hashlib.md5(f"{text}#v{v}".encode("utf-8")).hexdigest()
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "snap": pa.array(ks_out, pa.int64()),
+                "content_hash": pa.array(hs_out, pa.string()),
+            }
+        )
+
+    return docs.map_batches(emit, batch_format="pyarrow")
+
+
+def q_url_change_rate(sf_dir: str):
+    """Recrawl-rate estimation (stages/freshness.py): per-url detected
+    change counts over a 6-snapshot observation log + the Cho–Garcia-
+    Molina bias-corrected Poisson rate — the number that drives
+    recrawl_priority at a real crawler. One hash(id)%P shuffle; only
+    (id, snap, hash) rows move."""
+    from ..stages.freshness import change_rate
+
+    return change_rate(_snapshot_history(sf_dir))
+
+
+SQL_URL_CHANGE_RATE = """
+WITH ks AS (SELECT UNNEST(range(6)) AS k),
+vers AS (
+  SELECT doc_id, text, k,
+         SUM(CASE WHEN k >= 1 AND (doc_id * 3 + k * k) % 7 = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY k) AS v
+  FROM documents CROSS JOIN ks
+),
+obs AS (
+  SELECT doc_id, k,
+         md5(text || '#v' || CAST(v AS VARCHAR)) AS content_hash
+  FROM vers WHERE (doc_id + k) % 13 <> 0
+),
+pairs AS (
+  SELECT doc_id, content_hash,
+         LAG(content_hash) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+  FROM obs
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> content_hash
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM pairs GROUP BY doc_id
+)
+SELECT doc_id, n_obs, n_changes,
+       CASE WHEN n_obs >= 2
+            THEN CAST(n_changes AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE)
+            END AS change_ratio,
+       CASE WHEN n_obs >= 2
+            THEN -ln((CAST(n_obs - 1 - n_changes AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     / (CAST(n_obs - 1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+            END AS est_rate
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -202,3 +299,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     )
     queries["cdc_chunks"] = q_cdc_chunks
     oracles["cdc_chunks"] = SQL_CDC_CHUNKS
+    queries["url_change_rate"] = q_url_change_rate
+    oracles["url_change_rate"] = SQL_URL_CHANGE_RATE
