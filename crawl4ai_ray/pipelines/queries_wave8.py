@@ -289,6 +289,82 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# redirect_resolve — 301-chain resolution by pointer doubling
+# ---------------------------------------------------------------------------
+
+def _redirect_table(sf_dir: str):
+    """Deterministic redirect log over documents (rule ORDER matters and
+    is mirrored by the oracle's CASE):
+      1. doc_id > 0 and doc_id % 97 == 0  → doc_id + 1   (cycle half A)
+      2. doc_id > 1 and doc_id % 97 == 1  → doc_id - 1   (cycle half B)
+      3. doc_id % 5 in {1,2,3}            → doc_id - 1   (chains len 1-3,
+         and some — e.g. 196 → 195 — DRAIN INTO a cycle)
+      else terminal (NULL target)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def redir(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = np.full(ids.size, -1, dtype=np.int64)
+        r1 = (ids > 0) & (ids % 97 == 0)
+        r2 = ~r1 & (ids > 1) & (ids % 97 == 1)
+        r3 = ~r1 & ~r2 & np.isin(ids % 5, (1, 2, 3))
+        tgt[r1] = ids[r1] + 1
+        tgt[r2] = ids[r2] - 1
+        tgt[r3] = ids[r3] - 1
+        has = r1 | r2 | r3
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "target": pa.array(
+                    [int(t) if h else None for t, h in zip(tgt, has)], pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(redir, batch_format="pyarrow")
+
+
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution (stages/redirects.py): every URL's final
+    canonical target, hop count, and loop flag via distributed pointer
+    doubling — O(log chain) bucketed shuffles, no driver-side walking.
+    Oracle = bounded recursive CTE picking each start's deepest row."""
+    from ..stages.redirects import resolve_redirects
+
+    return resolve_redirects(_redirect_table(sf_dir))
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE redir AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id > 0 AND doc_id % 97 = 0 THEN doc_id + 1
+              WHEN doc_id > 1 AND doc_id % 97 = 1 THEN doc_id - 1
+              WHEN doc_id % 5 IN (1, 2, 3) THEN doc_id - 1
+         END AS dst
+  FROM documents
+),
+walk AS (
+  SELECT src AS start, src AS cur, CAST(0 AS BIGINT) AS hops FROM redir
+  UNION ALL
+  SELECT w.start, r.dst, w.hops + 1
+  FROM walk w JOIN redir r ON r.src = w.cur
+  WHERE r.dst IS NOT NULL AND w.hops < 40
+),
+last AS (
+  SELECT start, cur, hops,
+         row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT l.start AS node,
+       CASE WHEN r.dst IS NULL THEN l.cur END AS final_id,
+       CASE WHEN r.dst IS NULL THEN l.hops END AS hops,
+       (r.dst IS NOT NULL) AS is_cycle
+FROM last l JOIN redir r ON r.src = l.cur
+WHERE l.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -301,3 +377,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["cdc_chunks"] = SQL_CDC_CHUNKS
     queries["url_change_rate"] = q_url_change_rate
     oracles["url_change_rate"] = SQL_URL_CHANGE_RATE
+    queries["redirect_resolve"] = q_redirect_resolve
+    oracles["redirect_resolve"] = SQL_REDIRECT_RESOLVE
