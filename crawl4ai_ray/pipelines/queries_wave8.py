@@ -365,6 +365,77 @@ WHERE l.rn = 1
 
 
 # ---------------------------------------------------------------------------
+# kcore — k-core decomposition by distributed peeling
+# ---------------------------------------------------------------------------
+
+def q_kcore(sf_dir: str):
+    """k-core (k=3) of a skewed synthetic doc graph via the distributed
+    peeling loop in stages/graph.py:kcore — per-round degree groupby +
+    broadcast (or bucketed anti-join) edge drop. The edge set here is
+    deliberately skewed (binary-tree parent links + a quadratic scatter)
+    so peeling takes ~5 real rounds at test scale, unlike the
+    near-regular pagerank graph where every node survives round 0.
+    Oracle = the same peel unrolled 10 rounds (>= the 5 needed at both
+    test sfs; extra rounds are fixpoint no-ops) with AS MATERIALIZED
+    chaining (NOTES_r3: unmaterialized iterative CTE chains inline
+    exponentially in DuckDB)."""
+    from ..stages.graph import kcore
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def skew_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nz = ids[ids >= 1]
+        src = np.concatenate([nz, ids])
+        dst = np.concatenate([nz // 2, (ids * ids + 1) % n_docs])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(skew_edges, batch_format="pyarrow")
+    return kcore(edges, k=3)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled peeling oracle: e{i+1} = e{i} restricted to endpoints
+    whose degree in e{i} is >= k; answer = degrees over the final edge
+    set. Built programmatically so the round count is one constant."""
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        "raw AS (",
+        "  SELECT doc_id AS s, doc_id // 2 AS d FROM documents WHERE doc_id >= 1",
+        "  UNION ALL",
+        "  SELECT doc_id, (doc_id * doc_id + 1) % nn.c FROM documents, nn",
+        "),",
+        "e0 AS MATERIALIZED (",
+        "  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM raw WHERE s <> d",
+        "),",
+    ]
+    for i in range(rounds):
+        parts += [
+            f"d{i} AS MATERIALIZED (",
+            f"  SELECT node, COUNT(*) AS deg FROM",
+            f"  (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY node",
+            f"),",
+            f"e{i + 1} AS MATERIALIZED (",
+            f"  SELECT a, b FROM e{i}",
+            f"  WHERE a IN (SELECT node FROM d{i} WHERE deg >= {k})",
+            f"    AND b IN (SELECT node FROM d{i} WHERE deg >= {k})",
+            f"),",
+        ]
+    parts += [
+        f"dfin AS (",
+        f"  SELECT node, COUNT(*) AS deg FROM",
+        f"  (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})",
+        f"  GROUP BY node",
+        f")",
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg FROM dfin",
+    ]
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -379,3 +450,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["url_change_rate"] = SQL_URL_CHANGE_RATE
     queries["redirect_resolve"] = q_redirect_resolve
     oracles["redirect_resolve"] = SQL_REDIRECT_RESOLVE
+    queries["kcore"] = q_kcore
+    oracles["kcore"] = _kcore_sql(k=3, rounds=10)

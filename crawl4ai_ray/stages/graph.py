@@ -1354,3 +1354,164 @@ def contract_to_host_graph(
             batch_format="pyarrow",
         )
     )
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+    max_rounds: int = 64,
+    broadcast_cap: int = 1_000_000,
+    edges_canonical: bool = False,
+) -> "ray.data.Dataset":
+    """k-core of the undirected simple graph induced by ``edges``: the
+    maximal subgraph in which every node has degree >= k, found by the
+    classic distributed peeling loop (Matula & Beck's algorithm run
+    level-synchronously). Output is one row per surviving node:
+    ``(node, deg)`` with deg = its degree inside the core.
+
+    Crawl relevance: the k-core of the host/link graph is the standard
+    spam-farm / link-ring locator and a cheap "is this page inside the
+    well-connected web" signal (reference exposes link scoring only;
+    this is the graph-level generalization).
+
+    Round structure — bounded shuffles, no Dataset.join:
+
+    1. degrees: endpoint explode with a map-side ``np.unique`` partial
+       count → ONE groupby(hash(node) % P) sum. Only (node, partial)
+       pairs shuffle, never edges.
+    2. peel set = nodes with deg < k (a Dataset; counted, not collected).
+       Empty → fixpoint; emit the final (node, deg) table.
+    3. drop edges touching the peel set. Two regimes:
+       - |peel| <= broadcast_cap: the sorted id array travels ONCE via
+         ``ray.put`` and a zero-shuffle ``map_batches`` mask
+         (np.isin against the sorted array) filters edges in place —
+         the common case after round 1, when peel sets are small.
+       - above the cap: two bucketed anti-joins (peel rows ∪ edge rows
+         keyed on endpoint a, ONE groupby(hash % P) with an in-bucket
+         set filter; then the same keyed on b) — every shuffle is
+         proportional to |peel| + |surviving edges|.
+    4. the loop-carried edge set is repartitioned to a fixed block
+       count each round (Ray's shuffles grow output block counts with
+       input block counts; unbounded growth makes later rounds
+       superlinearly slower — measured on pagerank, NOTES_r3).
+
+    Converges in <= max_rounds or raises (peeling strictly shrinks the
+    edge set, so max_rounds only guards degenerate misuse).
+
+    Partitioning assumptions: one node bucket's degree partials and one
+    bucket's peel-id set fit in a worker's heap; the edge set itself
+    only streams. Reference: crawl4ai has no graph ops; semantics follow
+    Batagelj & Zaversnik (2003) / Suri-Vassilvitskii-style MapReduce
+    peeling.
+    """
+    import pandas as pd
+
+    e = (
+        edges
+        if edges_canonical
+        else undirected_dedup(edges, src_col, dst_col)
+    )
+    e = e.repartition(num_buckets).materialize()
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        n, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {
+                "nbucket": pa.array(n % num_buckets, pa.int64()),
+                "node": pa.array(n, pa.int64()),
+                "d": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def deg_combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("node")["d"].sum()
+        return pa.table(
+            {
+                "node": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+                "deg": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def drop_bucketed(ed, peel, col):
+        other = "b" if col == "a" else "a"
+
+        def edge_rows(batch: pa.Table) -> pa.Table:
+            key = batch.column(col).to_numpy(zero_copy_only=False)
+            oth = batch.column(other).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "kb": pa.array(key % num_buckets, pa.int64()),
+                    "key": pa.array(key, pa.int64()),
+                    "oth": pa.array(oth, pa.int64()),
+                    # explicit side flag, not an in-band sentinel
+                    "is_peel": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                }
+            )
+
+        def peel_rows(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "kb": pa.array(n % num_buckets, pa.int64()),
+                    "key": pa.array(n, pa.int64()),
+                    "oth": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+                    "is_peel": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                }
+            )
+
+        def anti(g: pd.DataFrame) -> pa.Table:
+            dead = set(g.loc[g["is_peel"] == 1, "key"].tolist())
+            rows = g[g["is_peel"] == 0]
+            if dead:
+                rows = rows[~rows["key"].isin(dead)]
+            key = rows["key"].to_numpy(dtype=np.int64)
+            oth = rows["oth"].to_numpy(dtype=np.int64)
+            a = key if col == "a" else oth
+            b = oth if col == "a" else key
+            return pa.table(
+                {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+            )
+
+        both = ed.map_batches(edge_rows, batch_format="pyarrow").union(
+            peel.map_batches(peel_rows, batch_format="pyarrow")
+        )
+        return both.groupby("kb").map_groups(anti, batch_format="pandas")
+
+    for _ in range(max_rounds):
+        degs = (
+            e.map_batches(deg_partials, batch_format="pyarrow")
+            .groupby("nbucket")
+            .map_groups(deg_combine, batch_format="pandas")
+            .materialize()
+        )
+        peel = degs.filter(expr=f"deg < {k}").materialize()
+        n_peel = peel.count()
+        if n_peel == 0:
+            return degs.select_columns(["node", "deg"])
+        if n_peel <= broadcast_cap:
+            ids = np.sort(
+                np.fromiter(
+                    (r["node"] for r in peel.take_all()),
+                    dtype=np.int64,
+                    count=n_peel,
+                )
+            )
+            ids_ref = ray.put(ids)
+
+            def mask(batch: pa.Table) -> pa.Table:
+                dead = ray.get(ids_ref)
+                a = batch.column("a").to_numpy(zero_copy_only=False)
+                b = batch.column("b").to_numpy(zero_copy_only=False)
+                keep = ~(np.isin(a, dead) | np.isin(b, dead))
+                return batch.filter(pa.array(keep))
+
+            e = e.map_batches(mask, batch_format="pyarrow")
+        else:
+            e = drop_bucketed(drop_bucketed(e, peel, "a"), peel, "b")
+        e = e.repartition(num_buckets).materialize()
+    raise RuntimeError(f"kcore did not converge within {max_rounds} rounds")

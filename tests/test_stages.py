@@ -2447,3 +2447,45 @@ def test_hamming_pairs_complete_vs_bruteforce(ray_session):
         # the planted pairs at distance <= radius are all present
         for d in range(radius + 1):
             assert (d, 100 + d) in got
+
+
+def test_kcore_hand_graph_and_bucketed_path_parity(ray_session):
+    """Peeling on a hand graph: triangle {1,2,3} survives k=2; the tail
+    4-5 needs TWO rounds to peel (5 first, then 4), the isolated pair
+    6-7 one — exercising the multi-round loop. Then the same query on a
+    200-node skew graph with broadcast_cap=0 (forcing the bucketed
+    anti-join path) must equal the broadcast path row for row."""
+    import numpy as np
+
+    from crawl4ai_ray.stages.graph import kcore
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2, 3, 3, 4, 6], pa.int64()),
+                "dst": pa.array([2, 3, 1, 4, 5, 7], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["deg"] for r in kcore(edges, k=2).take_all()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    nz = ids[ids >= 1]
+    skew = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([nz, ids]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([nz // 2, (ids * ids + 1) % n]), pa.int64()
+                ),
+            }
+        )
+    )
+    broad = {(r["node"], r["deg"]) for r in kcore(skew, k=3).take_all()}
+    bucketed = {
+        (r["node"], r["deg"])
+        for r in kcore(skew, k=3, broadcast_cap=0).take_all()
+    }
+    assert broad == bucketed and len(broad) > 0
