@@ -436,6 +436,57 @@ def _kcore_sql(k: int = 3, rounds: int = 10) -> str:
 
 
 # ---------------------------------------------------------------------------
+# weighted_sample — Efraimidis–Spirakis weighted sampling w/o replacement
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (k=50, weight = byte length of the
+    doc text + 1) via stages/sampling.py:weighted_sample_es — per-batch
+    local top-k prune, then ONE global sort+limit over <= k rows per
+    block. The md5-slice uniform and the -ln(u)/w key are recomputed
+    operand-for-operand in the oracle."""
+    from ..stages.sampling import weighted_sample_es
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "w": pc.add(
+                    pc.binary_length(batch.column("text")).cast(pa.int64()), 1
+                ),
+            }
+        )
+
+    return weighted_sample_es(
+        docs.map_batches(add_w, batch_format="pyarrow"), k=50
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id,
+         CAST(strlen(text) + 1 AS BIGINT) AS w,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, w,
+         -ln((CAST(h AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE))
+           / CAST(w AS DOUBLE) AS es_key
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, w, es_key
+FROM keyed ORDER BY es_key, doc_id LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -452,3 +503,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["redirect_resolve"] = SQL_REDIRECT_RESOLVE
     queries["kcore"] = q_kcore
     oracles["kcore"] = _kcore_sql(k=3, rounds=10)
+    queries["weighted_sample"] = q_weighted_sample
+    oracles["weighted_sample"] = SQL_WEIGHTED_SAMPLE

@@ -446,3 +446,60 @@ def quality_decile_assign(
         .groupby("bucket")
         .map_groups(rank_and_tile, batch_format="pandas")
     )
+
+
+def weighted_sample_es(
+    ds: "ray.data.Dataset",
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "w",
+) -> "ray.data.Dataset":
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement: draw k
+    rows where row i wins with probability proportional to its weight,
+    deterministically — the standard one-pass distributed scheme (E-S
+    2006: assign key_i = u_i^(1/w_i), keep the k largest; equivalently,
+    as here, key_i = -ln(u_i)/w_i, keep the k smallest).
+
+    u_i is a pure function of the row id — a 32-bit md5 slice mapped to
+    (0, 1] — so the sample is reproducible across runs/engines and the
+    whole operator is oracle-checkable (DuckDB recomputes md5/ln/division
+    operand-for-operand; ln goes through scalar ``math.log`` here because
+    numpy's SIMD log is not bit-equal to libm, NOTES_r3).
+
+    Plan: one map_batches computes keys and prunes each batch to its
+    local k smallest (argpartition) — so at most k rows per block ever
+    shuffle — then a global sort(es_key)+limit(k). Weights never move; a
+    10^10-row corpus ships O(k · n_blocks) rows total.
+
+    Scale note: the md5-per-id loop is the SQL-mirror choice (~1 µs/row);
+    for non-oracled production use swap in the vectorized splitmix64 from
+    functions/hashing.py — the plumbing is identical.
+    """
+    import hashlib
+    import math
+
+    def keyed_local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.empty(len(ids), np.float64)
+        for i, d in enumerate(ids):
+            h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            # mirror of the SQL: -ln((h+1.0)/2^32) / w  — scalar libm log
+            keys[i] = -math.log((h + 1.0) / 4294967296.0) / float(w[i])
+        if len(keys) > k:
+            sel = np.argpartition(keys, k)[:k]
+        else:
+            sel = np.arange(len(keys))
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.asarray(ids, dtype=np.int64)[sel], pa.int64()
+                ),
+                weight_col: pa.array(w[sel], pa.int64()),
+                "es_key": pa.array(keys[sel], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(keyed_local_topk, batch_format="pyarrow").sort(
+        "es_key"
+    ).limit(k)

@@ -2489,3 +2489,38 @@ def test_kcore_hand_graph_and_bucketed_path_parity(ray_session):
         for r in kcore(skew, k=3, broadcast_cap=0).take_all()
     }
     assert broad == bucketed and len(broad) > 0
+
+
+def test_weighted_sample_es_matches_bruteforce_and_layout_independent(ray_session):
+    """The distributed top-k (per-batch argpartition prune + sort/limit)
+    must equal a single-process recompute of the E-S keys exactly, and be
+    invariant to block layout (the prune is per batch, so this guards the
+    'local k per block' logic)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from crawl4ai_ray.stages.sampling import weighted_sample_es
+
+    n, k = 300, 20
+    ids = np.arange(n, dtype=np.int64)
+    w = (ids % 13 + 1).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+
+    def brute():
+        keys = []
+        for d, wi in zip(ids.tolist(), w.tolist()):
+            h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            keys.append((-math.log((h + 1.0) / 4294967296.0) / float(wi), d, wi))
+        keys.sort()
+        return [(d, wi, key) for key, d, wi in keys[:k]]
+
+    expect = brute()
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        got = [
+            (r["doc_id"], r["w"], r["es_key"])
+            for r in weighted_sample_es(ds, k=k).take_all()
+        ]
+        assert got == expect
