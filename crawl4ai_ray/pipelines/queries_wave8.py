@@ -487,6 +487,65 @@ FROM keyed ORDER BY es_key, doc_id LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# crawl_budget_alloc — Hamilton apportionment of fetch slots across hosts
+# ---------------------------------------------------------------------------
+
+def q_crawl_budget_alloc(sf_dir: str):
+    """Per-wave fetch-slot allocation: a budget of 2/5 of the frontier is
+    split across hosts proportionally to their pending-page counts by
+    largest-remainder apportionment (stages/agg.py:budget_allocate —
+    two tiny aggregates + a two-level remainder rank; the demand table
+    never lands on the driver). Integer-exact, so the oracle mirrors the
+    // and % arithmetic directly and ROW_NUMBER reproduces the remainder
+    rank."""
+    from ..stages.agg import budget_allocate
+
+    pages = read_pages(sf_dir, columns=["url"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        return pa.table({"host": hosts_array(batch.column("url"))})
+
+    demands = (
+        pages.map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("host"),
+                    "demand": b.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return budget_allocate(demands, lambda t: (2 * t) // 5)
+
+
+SQL_CRAWL_BUDGET_ALLOC = """
+WITH {pages},
+c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS demand FROM purl GROUP BY host),
+t AS (SELECT CAST(SUM(demand) AS BIGINT) AS total FROM c),
+b AS (SELECT (2 * total) // 5 AS bud FROM t),
+br AS (
+  SELECT host, demand,
+         (b.bud * demand) // t.total AS base,
+         (b.bud * demand) % t.total AS rem
+  FROM c, t, b
+),
+lo AS (SELECT CAST((SELECT bud FROM b) - SUM(base) AS BIGINT) AS leftover FROM br),
+rk AS (
+  SELECT host, demand, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) - 1 AS rnk
+  FROM br
+)
+SELECT rk.host, rk.demand,
+       CAST(rk.base + CASE WHEN rk.rnk < lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk, lo
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -505,3 +564,7 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["kcore"] = _kcore_sql(k=3, rounds=10)
     queries["weighted_sample"] = q_weighted_sample
     oracles["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+    queries["crawl_budget_alloc"] = q_crawl_budget_alloc
+    oracles["crawl_budget_alloc"] = SQL_CRAWL_BUDGET_ALLOC.format(
+        pages=sql_pages.strip().removeprefix("\n")
+    )

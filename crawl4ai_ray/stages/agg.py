@@ -13,6 +13,7 @@ partials.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray
@@ -516,3 +517,106 @@ def rollup_stats(
     out["n_rows"] = out["n_rows"].astype("int64")
     out[sum_col] = out[sum_col].astype("int64")
     return ray.data.from_pandas(out)
+
+
+def budget_allocate(
+    demands: "ray.data.Dataset",
+    budget_expr,
+    key_col: str = "host",
+    demand_col: str = "demand",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    across keys, proportional to integer demands — the per-wave crawl
+    scheduler's "how many fetch slots does each host get" step (the
+    reference schedules per-domain via its semaphore/delay pair,
+    async_dispatcher-style, but has no cross-host budget split; this is
+    the corpus-scale generalization every polite distributed crawler
+    needs).
+
+    alloc_i = floor(B*d_i/T) + 1 for the `leftover` keys with the
+    largest remainders (rem DESC, key ASC tie-break), where T = sum(d),
+    leftover = B - sum(floor terms). Integer-exact throughout (int64:
+    B*d_i must fit — B and T are row counts in practice), satisfies
+    lower AND upper quota, so alloc_i <= d_i whenever B <= T.
+
+    ``budget_expr``: either an int or a callable total -> int so the
+    budget can scale with the corpus (the oracle mirrors the same
+    arithmetic).
+
+    Fully distributed — the demand table never lands on the driver:
+    1. T and n via one tiny aggregate.
+    2. base/rem map-side (no shuffle); sum(base) via a second tiny
+       aggregate gives leftover.
+    3. global remainder rank without a global sort: range-bucket by
+       descending rem (bucket = ((T-1-rem)*P)//T, monotone), per-bucket
+       counts -> driver prefix fold over <= P scalars -> broadcast
+       bases, then per-bucket local sort + arange (the pack_sequences
+       two-level-scan pattern, stages/packing.py:72).
+
+    Partitioning assumption: one remainder-range bucket of keys fits in
+    a worker's heap (keys are hosts — bounded; salt the bucket count up
+    for pathological remainder skew).
+    """
+    import pandas as pd
+
+    tot = demands.aggregate(
+        ray.data.aggregate.Sum(demand_col, alias_name="t")
+    )
+    T = int(tot["t"])
+    if T <= 0:
+        raise ValueError("budget_allocate: total demand must be positive")
+    B = int(budget_expr(T)) if callable(budget_expr) else int(budget_expr)
+    if B < 0:
+        raise ValueError("budget_allocate: budget must be >= 0")
+
+    def base_rem(batch: pa.Table) -> pa.Table:
+        d = batch.column(demand_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (B * d) // T
+        rem = (B * d) % T
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                demand_col: pa.array(d, pa.int64()),
+                "base": pa.array(base, pa.int64()),
+                "rem": pa.array(rem, pa.int64()),
+                "rbucket": pa.array(
+                    ((T - 1 - rem) * num_buckets) // T, pa.int64()
+                ),
+            }
+        )
+
+    br = demands.map_batches(base_rem, batch_format="pyarrow").materialize()
+    sum_base = int(
+        br.aggregate(ray.data.aggregate.Sum("base", alias_name="s"))["s"]
+    )
+    leftover = B - sum_base
+
+    counts = br.groupby("rbucket").count().take_all()
+    counts.sort(key=lambda r: r["rbucket"])
+    bases: dict[int, int] = {}
+    acc = 0
+    for row in counts:
+        bases[row["rbucket"]] = acc
+        acc += row["count()"]
+    bases_ref = ray.put(bases)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        base_map = ray.get(bases_ref)
+        start = base_map[int(g["rbucket"].iloc[0])]
+        g = g.sort_values(
+            ["rem", key_col], ascending=[False, True], kind="mergesort"
+        )
+        rnk = start + np.arange(len(g), dtype=np.int64)
+        alloc = g["base"].to_numpy(dtype=np.int64) + (rnk < leftover)
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].tolist()),
+                demand_col: pa.array(
+                    g[demand_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "alloc": pa.array(alloc, pa.int64()),
+            }
+        )
+
+    return br.groupby("rbucket").map_groups(per_bucket, batch_format="pandas")

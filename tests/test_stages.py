@@ -2524,3 +2524,42 @@ def test_weighted_sample_es_matches_bruteforce_and_layout_independent(ray_sessio
             for r in weighted_sample_es(ds, k=k).take_all()
         ]
         assert got == expect
+
+
+def test_budget_allocate_quota_and_bruteforce_parity(ray_session):
+    """Hamilton apportionment invariants on an adversarial demand vector
+    (heavy head + many ties): sum(alloc) == B exactly, every alloc within
+    [floor, ceil] of its exact share (lower/upper quota), and bit-equal
+    to a single-process reference incl. the (rem DESC, key ASC)
+    tie-break — across block layouts."""
+    import numpy as np
+
+    from crawl4ai_ray.stages.agg import budget_allocate
+
+    d = np.array([97, 1, 1, 1, 5, 5, 5, 40, 13, 2], dtype=np.int64)
+    keys = [f"h{i:02d}" for i in range(len(d))]
+    T = int(d.sum())
+    B = 61
+
+    def brute():
+        base = (B * d) // T
+        rem = (B * d) % T
+        order = sorted(range(len(d)), key=lambda i: (-rem[i], keys[i]))
+        leftover = B - int(base.sum())
+        alloc = base.copy()
+        for i in order[:leftover]:
+            alloc[i] += 1
+        return {keys[i]: (int(d[i]), int(alloc[i])) for i in range(len(d))}
+
+    expect = brute()
+    tbl = pa.table({"host": pa.array(keys), "demand": pa.array(d)})
+    for nblocks in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        rows = budget_allocate(ds, B).take_all()
+        got = {r["host"]: (r["demand"], r["alloc"]) for r in rows}
+        assert got == expect
+        assert sum(a for _, a in got.values()) == B
+        for i, k in enumerate(keys):
+            lo = (B * d[i]) // T
+            hi = lo + (1 if (B * d[i]) % T else 0)
+            assert lo <= got[k][1] <= hi
