@@ -546,6 +546,52 @@ FROM rk, lo
 
 
 # ---------------------------------------------------------------------------
+# link_prediction — common-neighbor / Jaccard candidates for missing links
+# ---------------------------------------------------------------------------
+
+def q_link_prediction(sf_dir: str):
+    """Related-page candidates on the synthetic doc link graph: every
+    non-adjacent pair with >= 1 common neighbor, scored by
+    common-neighbor count and neighborhood Jaccard
+    (stages/graph.py:common_neighbor_scores — per-pivot wedge groupby
+    with a hot-node cap, in-bucket existing-edge drop, two bucketed
+    degree attaches). Integer counts + ONE division → bit-identical
+    doubles in both engines."""
+    from ..stages.graph import common_neighbor_scores
+    from .queries import _synthetic_link_edges
+
+    return common_neighbor_scores(_synthetic_link_edges(sf_dir))
+
+
+SQL_LINK_PREDICTION = """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS s, (2*doc_id+1) % nn.c AS d FROM documents, nn
+  UNION ALL SELECT doc_id, (2*doc_id+2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7*doc_id+3) % nn.c FROM documents, nn
+),
+e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM child WHERE s <> d),
+adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT z AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+w AS (
+  SELECT a1.n AS u, a2.n AS v
+  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+),
+cn AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn FROM w GROUP BY u, v),
+ne AS (
+  SELECT cn.u, cn.v, cn.cn
+  FROM cn LEFT JOIN e ON e.a = cn.u AND e.b = cn.v
+  WHERE e.a IS NULL
+)
+SELECT CAST(ne.u AS BIGINT) AS u, CAST(ne.v AS BIGINT) AS v, ne.cn,
+       CAST(ne.cn AS DOUBLE) / CAST(du.deg + dv.deg - ne.cn AS DOUBLE) AS jaccard
+FROM ne
+JOIN deg du ON du.node = ne.u
+JOIN deg dv ON dv.node = ne.v
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -568,3 +614,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["crawl_budget_alloc"] = SQL_CRAWL_BUDGET_ALLOC.format(
         pages=sql_pages.strip().removeprefix("\n")
     )
+    queries["link_prediction"] = q_link_prediction
+    oracles["link_prediction"] = SQL_LINK_PREDICTION

@@ -1515,3 +1515,216 @@ def kcore(
             e = drop_bucketed(drop_bucketed(e, peel, "a"), peel, "b")
         e = e.repartition(num_buckets).materialize()
     raise RuntimeError(f"kcore did not converge within {max_rounds} rounds")
+
+
+def common_neighbor_scores(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+    max_pivot_degree: int = 10_000,
+    edges_canonical: bool = False,
+) -> "ray.data.Dataset":
+    """Link prediction over the undirected simple graph: for every
+    NON-adjacent pair (u, v) with at least one common neighbor, the
+    common-neighbor count and the neighborhood Jaccard
+    ``cn / (deg(u) + deg(v) - cn)`` — the classic related-pages /
+    suggested-links candidate generator (Liben-Nowell & Kleinberg 2003).
+    Scores are integers plus ONE final division, so both engines produce
+    bit-identical doubles (no transcendental sums to order).
+
+    Bounded union+groupby shuffles, no Dataset.join:
+    1. dedup to canonical (a < b) edges; explode to symmetric adjacency.
+    2. wedges per pivot z (ONE groupby(hash(z) % P)): all u < v pairs of
+       N(z). Pivots with deg > max_pivot_degree are SKIPPED (hot-node
+       cap: a 10^6-degree hub would emit 10^12 wedges; the cap bounds
+       wedge volume at P·cap² per bucket and costs only pairs whose
+       ONLY common neighbors are mega-hubs — the standard recall
+       trade, mirrored by simhash/minhash hot-bucket caps).
+    3. cn per pair ∪ edge rows (ONE groupby(pair-hash % P)): adjacent
+       pairs are dropped in-bucket via an explicit is_edge flag.
+    4. two bucketed attach passes add deg(u), deg(v) (same union+
+       groupby form as triangle orientation); the Jaccard division
+       happens map-side.
+
+    Partitioning assumptions: one pivot's neighbor list (<= cap) and one
+    bucket's pair partials fit in a worker's heap."""
+    import pandas as pd
+
+    e = (
+        edges
+        if edges_canonical
+        else undirected_dedup(edges, src_col, dst_col)
+    ).materialize()
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        z = np.concatenate([a, b])
+        n = np.concatenate([b, a])
+        return pa.table(
+            {
+                "zb": pa.array(z % num_buckets, pa.int64()),
+                "z": pa.array(z, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        us, vs = [], []
+        for _, grp in g.groupby("z"):
+            nb = np.sort(grp["n"].to_numpy(dtype=np.int64))
+            d = len(nb)
+            if d < 2 or d > max_pivot_degree:
+                continue
+            iu, iv = np.triu_indices(d, k=1)
+            us.append(nb[iu])
+            vs.append(nb[iv])
+        if not us:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int64()),
+                }
+            )
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "is_edge": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    adj = e.map_batches(adjacency, batch_format="pyarrow")
+    wedge_rows = adj.groupby("zb").map_groups(wedges, batch_format="pandas")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column("a"),
+                "v": batch.column("b"),
+                "is_edge": pa.array(
+                    np.ones(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    both = wedge_rows.union(e.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        pb = (u * np.int64(1_000_003) + v) % num_buckets
+        return batch.append_column("pb", pa.array(pb, pa.int64()))
+
+    def count_pairs(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["u", "v"])["is_edge"].agg(["sum", "count"])
+        keep = agg["sum"] == 0  # drop pairs that are existing edges
+        cn = (agg["count"][keep]).to_numpy(dtype=np.int64)
+        idx = agg.index[keep]
+        return pa.table(
+            {
+                "u": pa.array(idx.get_level_values(0).to_numpy(np.int64)),
+                "v": pa.array(idx.get_level_values(1).to_numpy(np.int64)),
+                "cn": pa.array(cn, pa.int64()),
+            }
+        )
+
+    pairs = (
+        both.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(count_pairs, batch_format="pandas")
+    )
+
+    # degrees once; attached to pairs in two bucketed passes
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        n, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "deg": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    degs = (
+        e.map_batches(deg_rows, batch_format="pyarrow")
+        .groupby("node")
+        .sum("deg")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "deg": b.column("sum(deg)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def attach(pair_ds, key_col, out_col, schema_cols):
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            key = batch.column(key_col).to_numpy(zero_copy_only=False)
+            cols = {c: batch.column(c) for c in schema_cols}
+            cols["kb"] = pa.array(key % num_buckets, pa.int64())
+            cols["kkey"] = pa.array(key, pa.int64())
+            cols["dval"] = pa.array(np.full(len(key), -1, np.int64), pa.int64())
+            cols["is_deg"] = pa.array(np.zeros(len(key), np.int64), pa.int64())
+            return pa.table(cols)
+
+        def tag_degs(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            d = batch.column("deg").to_numpy(zero_copy_only=False)
+            z = np.zeros(len(n), np.int64)
+            cols = {c: pa.array(z, pa.int64()) for c in schema_cols}
+            cols["kb"] = pa.array(n % num_buckets, pa.int64())
+            cols["kkey"] = pa.array(n, pa.int64())
+            cols["dval"] = pa.array(d.astype(np.int64), pa.int64())
+            cols["is_deg"] = pa.array(np.ones(len(n), np.int64), pa.int64())
+            return pa.table(cols)
+
+        def join_bucket(g: pd.DataFrame) -> pa.Table:
+            dmap = dict(
+                zip(
+                    g.loc[g["is_deg"] == 1, "kkey"],
+                    g.loc[g["is_deg"] == 1, "dval"],
+                )
+            )
+            rows = g[g["is_deg"] == 0]
+            out = {
+                c: pa.array(rows[c].to_numpy(dtype=np.int64), pa.int64())
+                for c in schema_cols
+            }
+            out[out_col] = pa.array(
+                rows["kkey"].map(dmap).to_numpy(dtype=np.int64), pa.int64()
+            )
+            return pa.table(out)
+
+        both_k = pair_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+            degs.map_batches(tag_degs, batch_format="pyarrow")
+        )
+        return both_k.groupby("kb").map_groups(join_bucket, batch_format="pandas")
+
+    with_du = attach(pairs, "u", "deg_u", ["u", "v", "cn"])
+    with_both = attach(with_du, "v", "deg_v", ["u", "v", "cn", "deg_u"])
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        cn = batch.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
+        du = batch.column("deg_u").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch.column("deg_v").to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = cn.astype(np.float64) / (du + dv - cn).astype(np.float64)
+        return pa.table(
+            {
+                "u": batch.column("u"),
+                "v": batch.column("v"),
+                "cn": pa.array(cn, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return with_both.map_batches(jaccard, batch_format="pyarrow")

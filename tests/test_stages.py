@@ -2563,3 +2563,28 @@ def test_budget_allocate_quota_and_bruteforce_parity(ray_session):
             lo = (B * d[i]) // T
             hi = lo + (1 if (B * d[i]) % T else 0)
             assert lo <= got[k][1] <= hi
+
+
+def test_common_neighbor_scores_hand_graph_and_pivot_cap(ray_session):
+    """Square 1-2-3-4-1: the only candidates are the two diagonals
+    (1,3) and (2,4), each with cn=2 and jaccard=2/(2+2-2)=1.0; the four
+    existing edges must NOT appear. A pivot cap of 1 suppresses every
+    wedge (all pivots have deg 2) -> empty result."""
+    from crawl4ai_ray.stages.graph import common_neighbor_scores
+
+    square = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2, 3, 4], pa.int64()),
+                "dst": pa.array([2, 3, 4, 1], pa.int64()),
+            }
+        )
+    )
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["jaccard"])
+        for r in common_neighbor_scores(square).take_all()
+    }
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+    capped = common_neighbor_scores(square, max_pivot_degree=1).take_all()
+    assert capped == []
