@@ -592,6 +592,45 @@ JOIN deg dv ON dv.node = ne.v
 
 
 # ---------------------------------------------------------------------------
+# lexical_diversity — type-token / hapax ratios (quality features)
+# ---------------------------------------------------------------------------
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-doc lexical diversity (stages/textstats.py:
+    lexical_diversity_batch): n_tokens, n_distinct, n_hapax + the two
+    ratios. Pure map — no shuffle; integers + single divisions."""
+    from ..stages import textstats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        textstats.lexical_diversity_batch, batch_format="pyarrow"
+    )
+
+
+SQL_LEXICAL_DIVERSITY = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS tok FROM documents
+),
+per AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, n_hapax,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_ratio
+FROM agg WHERE n_tokens > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -616,3 +655,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     )
     queries["link_prediction"] = q_link_prediction
     oracles["link_prediction"] = SQL_LINK_PREDICTION
+    queries["lexical_diversity"] = q_lexical_diversity
+    oracles["lexical_diversity"] = SQL_LEXICAL_DIVERSITY

@@ -583,3 +583,49 @@ def gopher_rules_batch(
             "keep": pa.array(keep, pa.bool_()),
         }
     )
+
+
+def lexical_diversity_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-doc lexical-diversity signals: token count,
+    distinct-token count, hapax count (tokens occurring exactly once in
+    the doc), type-token ratio and hapax ratio — the classic "is this
+    templated / keyword-stuffed or natural prose" quality features
+    (low TTR = repetitive boilerplate; Gopher's repetition rules are the
+    coarse cousin, stages/textstats.py repetition family the n-gram
+    one). Integer counts + single divisions → bit-identical doubles in
+    the DuckDB oracle. Zero-token docs are omitted (no ratio exists;
+    the oracle's WHERE mirrors it).
+
+    Tokens are TOKEN_RE (\\S+) runs, case-sensitive — the shared
+    convention with token_stats. The per-doc Counter loop is the honest
+    cost (distinct-within-doc has no batch-level pyarrow kernel); the
+    doc loop is O(total tokens) with no quadratic blowup."""
+    import re
+    from collections import Counter
+
+    rx = re.compile(TOKEN_RE)
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, n_tok, n_dis, n_hap = [], [], [], []
+    for d, t in zip(ids, texts):
+        toks = rx.findall(t or "")
+        if not toks:
+            continue
+        counts = Counter(toks)
+        out_id.append(d)
+        n_tok.append(len(toks))
+        n_dis.append(len(counts))
+        n_hap.append(sum(1 for c in counts.values() if c == 1))
+    nt = np.asarray(n_tok, dtype=np.int64)
+    nd = np.asarray(n_dis, dtype=np.int64)
+    nh = np.asarray(n_hap, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "n_hapax": pa.array(nh, pa.int64()),
+            "ttr": pa.array(nd.astype(np.float64) / nt.astype(np.float64)),
+            "hapax_ratio": pa.array(nh.astype(np.float64) / nt.astype(np.float64)),
+        }
+    )

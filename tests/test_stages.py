@@ -2588,3 +2588,31 @@ def test_common_neighbor_scores_hand_graph_and_pivot_cap(ray_session):
 
     capped = common_neighbor_scores(square, max_pivot_degree=1).take_all()
     assert capped == []
+
+
+def test_lexical_diversity_hand_cases(ray_session):
+    """Counts on hand-built docs: all-distinct, all-same, mixed, empty
+    (omitted), whitespace-only (omitted)."""
+    from crawl4ai_ray.stages.textstats import lexical_diversity_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c",          # 3 tokens, 3 distinct, 3 hapax
+                    "x x x x",        # 4 tokens, 1 distinct, 0 hapax
+                    "a b a c c d",    # 6 tokens, 4 distinct, 2 hapax (b, d)
+                    "",
+                    "   \t  ",
+                ]
+            ),
+        }
+    )
+    out = lexical_diversity_batch(batch).to_pydict()
+    assert out["doc_id"] == [1, 2, 3]
+    assert out["n_tokens"] == [3, 4, 6]
+    assert out["n_distinct"] == [3, 1, 4]
+    assert out["n_hapax"] == [3, 0, 2]
+    assert out["ttr"] == [1.0, 0.25, 4 / 6]
+    assert out["hapax_ratio"] == [1.0, 0.0, 2 / 6]
