@@ -631,6 +631,51 @@ FROM agg WHERE n_tokens > 0
 
 
 # ---------------------------------------------------------------------------
+# degree_assortativity — Newman's degree-mixing coefficient
+# ---------------------------------------------------------------------------
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the synthetic doc link graph
+    (stages/graph.py:degree_assortativity) — integer moments over both
+    orientations of every edge, so the sqrt in Pearson's r cancels and
+    the single division is bit-exact. One output row with the moments
+    and r."""
+    from ..stages.graph import degree_assortativity
+    from .queries import _synthetic_link_edges
+
+    return degree_assortativity(_synthetic_link_edges(sf_dir))
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS s, (2*doc_id+1) % nn.c AS d FROM documents, nn
+  UNION ALL SELECT doc_id, (2*doc_id+2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7*doc_id+3) % nn.c FROM documents, nn
+),
+e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM child WHERE s <> d),
+adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT z AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+pairs AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM e JOIN deg du ON du.node = e.a JOIN deg dv ON dv.node = e.b
+),
+bothdir AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM bothdir
+)
+SELECT m2, sx, sxx, sxy,
+       CAST(m2 * sxy - sx * sx AS DOUBLE)
+         / CAST(m2 * sxx - sx * sx AS DOUBLE) AS assortativity
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -657,3 +702,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["link_prediction"] = SQL_LINK_PREDICTION
     queries["lexical_diversity"] = q_lexical_diversity
     oracles["lexical_diversity"] = SQL_LEXICAL_DIVERSITY
+    queries["degree_assortativity"] = q_degree_assortativity
+    oracles["degree_assortativity"] = SQL_DEGREE_ASSORTATIVITY

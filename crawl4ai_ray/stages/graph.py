@@ -1640,78 +1640,13 @@ def common_neighbor_scores(
     )
 
     # degrees once; attached to pairs in two bucketed passes
-    def deg_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        n, c = np.unique(np.concatenate([a, b]), return_counts=True)
-        return pa.table(
-            {
-                "node": pa.array(n, pa.int64()),
-                "deg": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
-    degs = (
-        e.map_batches(deg_rows, batch_format="pyarrow")
-        .groupby("node")
-        .sum("deg")
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b.column("node"),
-                    "deg": b.column("sum(deg)").cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
+    degs = node_degrees(e).materialize()
+    with_du = attach_node_value(
+        pairs, degs, "u", "deg_u", ["u", "v", "cn"], num_buckets
     )
-
-    def attach(pair_ds, key_col, out_col, schema_cols):
-        def tag_pairs(batch: pa.Table) -> pa.Table:
-            key = batch.column(key_col).to_numpy(zero_copy_only=False)
-            cols = {c: batch.column(c) for c in schema_cols}
-            cols["kb"] = pa.array(key % num_buckets, pa.int64())
-            cols["kkey"] = pa.array(key, pa.int64())
-            cols["dval"] = pa.array(np.full(len(key), -1, np.int64), pa.int64())
-            cols["is_deg"] = pa.array(np.zeros(len(key), np.int64), pa.int64())
-            return pa.table(cols)
-
-        def tag_degs(batch: pa.Table) -> pa.Table:
-            n = batch.column("node").to_numpy(zero_copy_only=False)
-            d = batch.column("deg").to_numpy(zero_copy_only=False)
-            z = np.zeros(len(n), np.int64)
-            cols = {c: pa.array(z, pa.int64()) for c in schema_cols}
-            cols["kb"] = pa.array(n % num_buckets, pa.int64())
-            cols["kkey"] = pa.array(n, pa.int64())
-            cols["dval"] = pa.array(d.astype(np.int64), pa.int64())
-            cols["is_deg"] = pa.array(np.ones(len(n), np.int64), pa.int64())
-            return pa.table(cols)
-
-        def join_bucket(g: pd.DataFrame) -> pa.Table:
-            dmap = dict(
-                zip(
-                    g.loc[g["is_deg"] == 1, "kkey"],
-                    g.loc[g["is_deg"] == 1, "dval"],
-                )
-            )
-            rows = g[g["is_deg"] == 0]
-            out = {
-                c: pa.array(rows[c].to_numpy(dtype=np.int64), pa.int64())
-                for c in schema_cols
-            }
-            out[out_col] = pa.array(
-                rows["kkey"].map(dmap).to_numpy(dtype=np.int64), pa.int64()
-            )
-            return pa.table(out)
-
-        both_k = pair_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
-            degs.map_batches(tag_degs, batch_format="pyarrow")
-        )
-        return both_k.groupby("kb").map_groups(join_bucket, batch_format="pandas")
-
-    with_du = attach(pairs, "u", "deg_u", ["u", "v", "cn"])
-    with_both = attach(with_du, "v", "deg_v", ["u", "v", "cn", "deg_u"])
+    with_both = attach_node_value(
+        with_du, degs, "v", "deg_v", ["u", "v", "cn", "deg_u"], num_buckets
+    )
 
     def jaccard(batch: pa.Table) -> pa.Table:
         cn = batch.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1728,3 +1663,177 @@ def common_neighbor_scores(
         )
 
     return with_both.map_batches(jaccard, batch_format="pyarrow")
+
+
+def node_degrees(
+    e_canonical: "ray.data.Dataset", num_buckets: int = 32
+) -> "ray.data.Dataset":
+    """(node, deg) over a canonical (a < b) undirected edge list — one
+    map-side np.unique partial per block + ONE groupby sum. Shared by
+    common_neighbor_scores / degree_assortativity (and the same kernel
+    kcore re-runs per peel round)."""
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        n, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "deg": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        e_canonical.map_batches(deg_rows, batch_format="pyarrow")
+        .groupby("node")
+        .sum("deg")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "deg": b.column("sum(deg)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def attach_node_value(
+    rows_ds: "ray.data.Dataset",
+    values_ds: "ray.data.Dataset",
+    key_col: str,
+    out_col: str,
+    schema_cols: list,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Bucketed attach of an int64 per-node value (``values_ds``:
+    (node, deg)-shaped) onto ``rows_ds[key_col]`` — the union+groupby
+    join form (Ray 2.49's JoinOperator costs ~4 s of actor-pool spin-up
+    per call, NOTES_r3). All ``schema_cols`` must be int64. Every
+    shuffle is proportional to |rows| + |values|; one bucket's value
+    rows must fit in a worker's heap."""
+    import pandas as pd
+
+    value_key, value_val = values_ds.schema().names[:2]
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False)
+        cols = {c: batch.column(c) for c in schema_cols}
+        cols["kb"] = pa.array(key % num_buckets, pa.int64())
+        cols["kkey"] = pa.array(key, pa.int64())
+        cols["dval"] = pa.array(np.full(len(key), -1, np.int64), pa.int64())
+        cols["is_val"] = pa.array(np.zeros(len(key), np.int64), pa.int64())
+        return pa.table(cols)
+
+    def tag_values(batch: pa.Table) -> pa.Table:
+        n = batch.column(value_key).to_numpy(zero_copy_only=False)
+        d = batch.column(value_val).to_numpy(zero_copy_only=False)
+        z = np.zeros(len(n), np.int64)
+        cols = {c: pa.array(z, pa.int64()) for c in schema_cols}
+        cols["kb"] = pa.array(n % num_buckets, pa.int64())
+        cols["kkey"] = pa.array(n, pa.int64())
+        cols["dval"] = pa.array(d.astype(np.int64), pa.int64())
+        cols["is_val"] = pa.array(np.ones(len(n), np.int64), pa.int64())
+        return pa.table(cols)
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        dmap = dict(
+            zip(
+                g.loc[g["is_val"] == 1, "kkey"],
+                g.loc[g["is_val"] == 1, "dval"],
+            )
+        )
+        rows = g[g["is_val"] == 0]
+        out = {
+            c: pa.array(rows[c].to_numpy(dtype=np.int64), pa.int64())
+            for c in schema_cols
+        }
+        out[out_col] = pa.array(
+            rows["kkey"].map(dmap).to_numpy(dtype=np.int64), pa.int64()
+        )
+        return pa.table(out)
+
+    both_k = rows_ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        values_ds.map_batches(tag_values, batch_format="pyarrow")
+    )
+    return both_k.groupby("kb").map_groups(join_bucket, batch_format="pandas")
+
+
+def degree_assortativity(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+    edges_canonical: bool = False,
+) -> "ray.data.Dataset":
+    """Newman's degree assortativity coefficient of the undirected
+    simple graph — ONE row: (m2, sx, sxx, sxy, assortativity). The
+    Pearson correlation of endpoint degrees over both orientations of
+    every edge; because the orientation-doubled x and y marginals are
+    identical, the usual sqrt(Vx·Vy) collapses to Vx and the whole
+    statistic is INTEGER moments + one final double division — bit-
+    identical across engines, no transcendentals at all.
+
+    r < 0 (disassortative) is the classic web signature: hubs link to
+    leaves. Plan: degrees via node_degrees, two bucketed attaches onto
+    the edge list (attach_node_value), then map-side int64 partial
+    moments folded by one tiny aggregate. Overflow bound: sxy <=
+    2m·D², so int64 holds through m·D² < 4.6e18 (m edges, D max
+    degree) — at web scale feed it the host graph, not the page graph.
+    """
+    e = (
+        edges
+        if edges_canonical
+        else undirected_dedup(edges, src_col, dst_col)
+    ).materialize()
+    degs = node_degrees(e, num_buckets).materialize()
+    ab = attach_node_value(e, degs, "a", "deg_a", ["a", "b"], num_buckets)
+    ab2 = attach_node_value(
+        ab, degs, "b", "deg_b", ["a", "b", "deg_a"], num_buckets
+    )
+
+    def partial_moments(batch: pa.Table) -> pa.Table:
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "m2": pa.array([2 * len(da)], pa.int64()),
+                "sx": pa.array([int((da + db).sum())], pa.int64()),
+                "sxx": pa.array([int((da * da + db * db).sum())], pa.int64()),
+                "sxy": pa.array([int(2 * (da * db).sum())], pa.int64()),
+            }
+        )
+
+    parts = ab2.map_batches(partial_moments, batch_format="pyarrow")
+    agg = parts.aggregate(
+        ray.data.aggregate.Sum("m2", alias_name="m2"),
+        ray.data.aggregate.Sum("sx", alias_name="sx"),
+        ray.data.aggregate.Sum("sxx", alias_name="sxx"),
+        ray.data.aggregate.Sum("sxy", alias_name="sxy"),
+    )
+    m2, sx, sxx, sxy = (
+        int(agg["m2"]),
+        int(agg["sx"]),
+        int(agg["sxx"]),
+        int(agg["sxy"]),
+    )
+    denom = m2 * sxx - sx * sx
+    if denom == 0:
+        raise ValueError(
+            "degree_assortativity: degenerate (regular) graph — "
+            "assortativity undefined"
+        )
+    r = float(m2 * sxy - sx * sx) / float(denom)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "m2": pa.array([m2], pa.int64()),
+                "sx": pa.array([sx], pa.int64()),
+                "sxx": pa.array([sxx], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+                "assortativity": pa.array([r], pa.float64()),
+            }
+        )
+    )

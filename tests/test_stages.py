@@ -2616,3 +2616,34 @@ def test_lexical_diversity_hand_cases(ray_session):
     assert out["n_hapax"] == [3, 0, 2]
     assert out["ttr"] == [1.0, 0.25, 4 / 6]
     assert out["hapax_ratio"] == [1.0, 0.0, 2 / 6]
+
+
+def test_degree_assortativity_star_and_regular(ray_session):
+    """A star graph is maximally disassortative (r = -1); a regular
+    graph (cycle) has zero degree variance and must raise rather than
+    emit 0/0."""
+    import pytest as _pytest
+
+    from crawl4ai_ray.stages.graph import degree_assortativity
+
+    star = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 0, 0, 0], pa.int64()),
+                "dst": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    row = degree_assortativity(star).take_all()[0]
+    assert row["assortativity"] == -1.0
+
+    cycle = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2, 3], pa.int64()),
+                "dst": pa.array([1, 2, 3, 0], pa.int64()),
+            }
+        )
+    )
+    with _pytest.raises(ValueError, match="degenerate"):
+        degree_assortativity(cycle)
