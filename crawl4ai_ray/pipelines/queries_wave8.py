@@ -676,6 +676,100 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# fuzzy_url_pairs — one-edit URL pairs within a host (typo/mirror URLs)
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_url_pairs(sf_dir: str):
+    """Near-identical URL pairs (Levenshtein distance exactly 1) within
+    each host — the URL-level typo / parameter-variant detector that
+    feeds canonical-URL grouping. Blocking = host (the natural crawl
+    partition) + a length band (|Δlen| <= 1, lossless since lev >= Δlen);
+    the in-block check is a specialized two-pointer one-edit test —
+    exact for d <= 1, O(len) per pair, no DP matrix. At web scale the
+    in-block pair loop needs a second key (path prefix / positional
+    q-gram) for mega-hosts — same caveat class as the simhash hot-bucket
+    cap. Oracle = DuckDB levenshtein() over the same blocked pairs."""
+    import pandas as pd
+
+    pages = read_pages(sf_dir, columns=["url"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": hosts_array(batch.column("url")), "url": batch.column("url")}
+        )
+
+    ds = pages.map_batches(add_host, batch_format="pyarrow")
+
+    def one_sub(a: str, b: str) -> bool:
+        mism = 0
+        for x, y in zip(a, b):
+            if x != y:
+                mism += 1
+                if mism > 1:
+                    return False
+        return mism == 1
+
+    def one_del(a: str, b: str) -> bool:
+        # len(b) == len(a) + 1: dist 1 iff deleting one char of b gives a
+        i = j = 0
+        skipped = False
+        while i < len(a) and j < len(b):
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            elif skipped:
+                return False
+            else:
+                skipped = True
+                j += 1
+        return True
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        from collections import defaultdict
+
+        host = g["host"].iloc[0]
+        bylen = defaultdict(list)
+        for u in sorted(g["url"].tolist()):
+            bylen[len(u)].append(u)
+        u1s, u2s = [], []
+        for length, us in bylen.items():
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    if one_sub(us[i], us[j]):
+                        u1s.append(us[i])
+                        u2s.append(us[j])
+            for b in bylen.get(length + 1, []):
+                for a in us:
+                    if one_del(a, b):
+                        lo, hi = (a, b) if a < b else (b, a)
+                        u1s.append(lo)
+                        u2s.append(hi)
+        return pa.table(
+            {
+                "host": pa.array([host] * len(u1s), pa.string()),
+                "u1": pa.array(u1s, pa.string()),
+                "u2": pa.array(u2s, pa.string()),
+                "dist": pa.array(np.ones(len(u1s), np.int64), pa.int64()),
+            }
+        )
+
+    return ds.groupby("host").map_groups(pairs, batch_format="pandas")
+
+
+SQL_FUZZY_URL_PAIRS = """
+WITH {pages},
+u AS (SELECT host, url FROM purl),
+cand AS (
+  SELECT a.host AS host, a.url AS u1, b.url AS u2
+  FROM u a JOIN u b ON a.host = b.host AND a.url < b.url
+  WHERE abs(length(a.url) - length(b.url)) <= 1
+)
+SELECT host, u1, u2, CAST(1 AS BIGINT) AS dist
+FROM cand WHERE levenshtein(u1, u2) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -704,3 +798,7 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["lexical_diversity"] = SQL_LEXICAL_DIVERSITY
     queries["degree_assortativity"] = q_degree_assortativity
     oracles["degree_assortativity"] = SQL_DEGREE_ASSORTATIVITY
+    queries["fuzzy_url_pairs"] = q_fuzzy_url_pairs
+    oracles["fuzzy_url_pairs"] = SQL_FUZZY_URL_PAIRS.format(
+        pages=sql_pages.strip().removeprefix("\n")
+    )

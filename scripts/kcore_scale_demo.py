@@ -2,9 +2,9 @@
 orders of magnitude past the oracle scale.
 
 Graph: N nodes; every node i >= 1 gets a binary-tree parent edge
-(i -> i // 2) and two splitmix64-scattered edges (NOT the SQL-mirrorable
+(i -> i // 2) and one splitmix64-scattered edge (NOT the SQL-mirrorable
 congruential family — linear-family structure survives squaring at scale,
-NOTES_r3 synthetic-data gotcha #2). Average undirected degree ~6 with a
+NOTES_r3 synthetic-data gotcha #2). Average undirected degree ~4 with a
 heavy hub at the tree root and long peel chains down the leaves — the
 regime where per-round fixed shuffle cost and peel-set size both matter.
 
@@ -50,11 +50,8 @@ def build_edges(n: int) -> "ray.data.Dataset":
         i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
         nz = i[i >= 1]
         h1 = (_splitmix64(i.astype(np.uint64)) % np.uint64(n)).astype(np.int64)
-        h2 = (
-            _splitmix64((i + np.int64(n)).astype(np.uint64)) % np.uint64(n)
-        ).astype(np.int64)
-        src = np.concatenate([nz, i, i])
-        dst = np.concatenate([nz // 2, h1, h2])
+        src = np.concatenate([nz, i])
+        dst = np.concatenate([nz // 2, h1])
         return pa.table(
             {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
         )
@@ -77,7 +74,7 @@ def main(sizes):
         n_core = core.count()
         print(
             f"n={n:,}  kcore(k=3): {secs:.1f}s  core_nodes={n_core:,} "
-            f"({100.0 * n_core / n:.1f}% of nodes)  directed_edges~{3 * n:,}"
+            f"({100.0 * n_core / n:.1f}% of nodes)  directed_edges~{2 * n:,}"
         )
     ray.shutdown()
 

@@ -2647,3 +2647,58 @@ def test_degree_assortativity_star_and_regular(ray_session):
     )
     with _pytest.raises(ValueError, match="degenerate"):
         degree_assortativity(cycle)
+
+
+def test_fuzzy_one_edit_checks():
+    """The specialized one-edit predicates must agree with a reference
+    DP Levenshtein on exhaustive short strings (alphabet ab, len <= 4)."""
+    import itertools
+
+    from crawl4ai_ray.pipelines.queries_wave8 import q_fuzzy_url_pairs  # noqa: F401
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    # re-implement the predicates locally (they are closures inside the
+    # query); this test pins the ALGORITHM the query relies on
+    def one_sub(a, b):
+        mism = 0
+        for x, y in zip(a, b):
+            if x != y:
+                mism += 1
+                if mism > 1:
+                    return False
+        return mism == 1
+
+    def one_del(a, b):
+        i = j = 0
+        skipped = False
+        while i < len(a) and j < len(b):
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            elif skipped:
+                return False
+            else:
+                skipped = True
+                j += 1
+        return True
+
+    words = [
+        "".join(w)
+        for n in range(5)
+        for w in itertools.product("ab", repeat=n)
+    ]
+    for a in words:
+        for b in words:
+            if len(a) == len(b) and a != b:
+                assert one_sub(a, b) == (lev(a, b) == 1), (a, b)
+            if len(b) == len(a) + 1:
+                assert one_del(a, b) == (lev(a, b) == 1), (a, b)
