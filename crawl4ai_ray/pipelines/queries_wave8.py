@@ -770,6 +770,162 @@ FROM cand WHERE levenshtein(u1, u2) = 1
 
 
 # ---------------------------------------------------------------------------
+# opic_order — On-line Page Importance (OPIC) crawl ordering
+# ---------------------------------------------------------------------------
+
+_OPIC_WAVES = 4
+_OPIC_BUDGET = 8
+_OPIC_CASH = 1_000_000
+
+
+def q_opic_order(sf_dir: str):
+    """OPIC crawl ordering (Abiteboul-Preda-Cobena 2003), crawl-once
+    variant with INTEGER cash so every step is exact: seeds start with
+    10^6 cash; each wave admits the top-8 pending nodes by
+    (cash DESC, id ASC), every admitted node pays cash // outdeg to
+    each distinct non-self child, contributions to already-crawled
+    nodes are discarded, pending nodes accumulate across waves
+    (the // remainder is burned — documented divergence from the
+    fractional original, which cannot be order-independent in floats).
+
+    Completes the ordering family (BFS / DFS / best-first / aging /
+    politeness): OPIC is the classic importance-driven scheduler the
+    reference lacks. The pending set stays a Dataset (sort+limit pop,
+    mask-out admitted, union contributions, ONE groupby-sum per wave —
+    the frontier_store pattern); only the <= budget admitted slice ever
+    lands on the driver. Oracle = the wave loop unrolled with AS
+    MATERIALIZED CTEs, operand-for-operand integer arithmetic."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    seeds = [0, 1, 2]
+    pending = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(seeds, pa.int64()),
+                "cash": pa.array([_OPIC_CASH] * len(seeds), pa.int64()),
+            }
+        )
+    )
+    crawled: set[int] = set()
+    out_id, out_wave, out_cash = [], [], []
+
+    for wave in range(_OPIC_WAVES):
+        admitted = pending.sort(
+            ["cash", "doc_id"], descending=[True, False]
+        ).limit(_OPIC_BUDGET).take_all()
+        if not admitted:
+            break
+        adm_ids = np.array([r["doc_id"] for r in admitted], dtype=np.int64)
+        adm_cash = np.array([r["cash"] for r in admitted], dtype=np.int64)
+        out_id.extend(adm_ids.tolist())
+        out_wave.extend([wave] * len(adm_ids))
+        out_cash.extend(adm_cash.tolist())
+        crawled.update(adm_ids.tolist())
+
+        # children by the shared corpus edge rule; distinct, non-self
+        contrib_ids, contrib_cash = [], []
+        for s, c in zip(adm_ids.tolist(), adm_cash.tolist()):
+            kids = {(2 * s + 1) % n, (2 * s + 2) % n, (7 * s + 3) % n} - {s}
+            if not kids:
+                continue
+            share = c // len(kids)
+            for k in sorted(kids):
+                if k not in crawled:
+                    contrib_ids.append(k)
+                    contrib_cash.append(share)
+
+        adm_ref = ray.put(set(adm_ids.tolist()))
+
+        def drop_admitted(batch: pa.Table) -> pa.Table:
+            dead = ray.get(adm_ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = np.fromiter(
+                (int(i) not in dead for i in ids), dtype=bool, count=len(ids)
+            )
+            return batch.filter(pa.array(keep))
+
+        rest = pending.map_batches(drop_admitted, batch_format="pyarrow")
+        contribs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(contrib_ids, pa.int64()),
+                    "cash": pa.array(contrib_cash, pa.int64()),
+                }
+            )
+        )
+        pending = (
+            rest.union(contribs)
+            .groupby("doc_id")
+            .sum("cash")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b.column("doc_id"),
+                        "cash": b.column("sum(cash)").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "wave": pa.array(out_wave, pa.int64()),
+            "cash": pa.array(out_cash, pa.int64()),
+        }
+    )
+
+
+def _opic_sql(waves: int = _OPIC_WAVES, budget: int = _OPIC_BUDGET) -> str:
+    """Wave loop unrolled: pK = pending before wave K; aK = admitted."""
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        f"p0 AS (SELECT UNNEST([0, 1, 2]) AS doc_id, {_OPIC_CASH} AS cash),",
+        "crawled0 AS (SELECT doc_id FROM p0 WHERE 1 = 0),",
+    ]
+    for k in range(waves):
+        parts += [
+            f"a{k} AS MATERIALIZED (",
+            f"  SELECT doc_id, cash, {k} AS wave FROM p{k}",
+            f"  ORDER BY cash DESC, doc_id ASC LIMIT {budget}",
+            f"),",
+            f"crawled{k + 1} AS (SELECT doc_id FROM crawled{k}",
+            f"  UNION SELECT doc_id FROM a{k}),",
+            f"kids{k} AS MATERIALIZED (",
+            f"  SELECT s, d FROM (",
+            f"    SELECT a.doc_id AS s, (2 * a.doc_id + 1) % nn.c AS d FROM a{k} a, nn",
+            f"    UNION",
+            f"    SELECT a.doc_id, (2 * a.doc_id + 2) % nn.c FROM a{k} a, nn",
+            f"    UNION",
+            f"    SELECT a.doc_id, (7 * a.doc_id + 3) % nn.c FROM a{k} a, nn",
+            f"  ) WHERE s <> d",
+            f"),",
+            f"contrib{k} AS MATERIALIZED (",
+            f"  SELECT kids{k}.d AS doc_id,",
+            f"         a.cash // (SELECT COUNT(*) FROM kids{k} k2 WHERE k2.s = kids{k}.s) AS cash",
+            f"  FROM kids{k} JOIN a{k} a ON a.doc_id = kids{k}.s",
+            f"  WHERE kids{k}.d NOT IN (SELECT doc_id FROM crawled{k + 1})",
+            f"),",
+            f"p{k + 1} AS MATERIALIZED (",
+            f"  SELECT doc_id, CAST(SUM(cash) AS BIGINT) AS cash FROM (",
+            f"    SELECT doc_id, cash FROM p{k}",
+            f"    WHERE doc_id NOT IN (SELECT doc_id FROM a{k})",
+            f"    UNION ALL SELECT doc_id, cash FROM contrib{k}",
+            f"  ) GROUP BY doc_id",
+            f"),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")  # last CTE: no trailing comma
+    sel = " UNION ALL ".join(
+        f"SELECT doc_id, wave, cash FROM a{k}" for k in range(waves)
+    )
+    parts.append(sel)
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -802,3 +958,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["fuzzy_url_pairs"] = SQL_FUZZY_URL_PAIRS.format(
         pages=sql_pages.strip().removeprefix("\n")
     )
+    queries["opic_order"] = q_opic_order
+    oracles["opic_order"] = _opic_sql()

@@ -413,3 +413,22 @@ def test_merge_term_indexes_refuses_overlap(ray_session, tmp_path):
     build_term_index(ds_of([2, 3]), b, num_partitions=8, keep_dl=True)
     with _pytest.raises(ValueError, match="overlap"):
         merge_term_indexes([a, b], str(tmp_path / "m"))
+
+
+def test_opic_order_crawl_once_and_seed_wave(ray_session):
+    """OPIC invariants at sf0.001: wave 0 admits exactly the three
+    seeds at full cash; no doc is ever admitted twice (crawl-once);
+    every admitted cash is non-negative; double-run determinism."""
+    from crawl4ai_ray.pipelines.queries_wave8 import q_opic_order, _OPIC_CASH
+
+    t1 = q_opic_order("/root/testdata/sf0.001").to_pydict()
+    t2 = q_opic_order("/root/testdata/sf0.001").to_pydict()
+    assert t1 == t2
+    wave0 = {
+        d: c
+        for d, w, c in zip(t1["doc_id"], t1["wave"], t1["cash"])
+        if w == 0
+    }
+    assert wave0 == {0: _OPIC_CASH, 1: _OPIC_CASH, 2: _OPIC_CASH}
+    assert len(t1["doc_id"]) == len(set(t1["doc_id"]))
+    assert all(c >= 0 for c in t1["cash"])
