@@ -1510,10 +1510,17 @@ def kcore(
                 keep = ~(np.isin(a, dead) | np.isin(b, dead))
                 return batch.filter(pa.array(keep))
 
-            e = e.map_batches(mask, batch_format="pyarrow")
+            # 1:1 mask preserves block count — no repartition needed, so
+            # the common (small-peel) round costs ONE shuffle (degrees),
+            # not two. Only the bucketed path's groupby output needs its
+            # block count pinned back down.
+            e = e.map_batches(mask, batch_format="pyarrow").materialize()
         else:
-            e = drop_bucketed(drop_bucketed(e, peel, "a"), peel, "b")
-        e = e.repartition(num_buckets).materialize()
+            e = (
+                drop_bucketed(drop_bucketed(e, peel, "a"), peel, "b")
+                .repartition(num_buckets)
+                .materialize()
+            )
     raise RuntimeError(f"kcore did not converge within {max_rounds} rounds")
 
 
