@@ -926,6 +926,105 @@ def _opic_sql(waves: int = _OPIC_WAVES, budget: int = _OPIC_BUDGET) -> str:
 
 
 # ---------------------------------------------------------------------------
+# host_reciprocity — fraction of reciprocated inter-host links
+# ---------------------------------------------------------------------------
+
+def q_host_reciprocity(sf_dir: str):
+    """Link reciprocity of the directed host graph (the classic
+    web-graph health metric: spam rings reciprocate far above the
+    organic baseline). Page edges contract map-side to host pairs,
+    ONE groupby dedups to the simple directed graph, ONE canonical-pair
+    groupby counts directions (1 = one-way, 2 = reciprocated), map-side
+    partials fold to a single row: (n_edges, n_recip, reciprocity).
+    Integer counts + one division — bit-exact."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def host_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([(2 * ids + 1) % n, (2 * ids + 2) % n, (7 * ids + 3) % n])
+        hs = np.where(src % 7 == 0, 0, src % 50)
+        hd = np.where(dst % 7 == 0, 0, dst % 50)
+        keep = hs != hd
+        return pa.table(
+            {
+                "u": pa.array(hs[keep], pa.int64()),
+                "v": pa.array(hd[keep], pa.int64()),
+            }
+        )
+
+    he = (
+        docs.map_batches(host_pairs, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(u, v), pa.int64()),
+                "b": pa.array(np.maximum(u, v), pa.int64()),
+            }
+        )
+
+    pairs = he.map_batches(canon, batch_format="pyarrow").groupby(["a", "b"]).count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_edges": pa.array([int(c.sum())], pa.int64()),
+                "n_recip": pa.array([int(2 * (c == 2).sum())], pa.int64()),
+            }
+        )
+
+    agg = pairs.map_batches(partials, batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Sum("n_edges", alias_name="n_edges"),
+        ray.data.aggregate.Sum("n_recip", alias_name="n_recip"),
+    )
+    n_edges, n_recip = int(agg["n_edges"]), int(agg["n_recip"])
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_recip": pa.array([n_recip], pa.int64()),
+            "reciprocity": pa.array(
+                [float(n_recip) / float(n_edges)], pa.float64()
+            ),
+        }
+    )
+
+
+SQL_HOST_RECIPROCITY = """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+child AS (
+  SELECT doc_id AS s, (2*doc_id+1) % nn.c AS d FROM documents, nn
+  UNION ALL SELECT doc_id, (2*doc_id+2) % nn.c FROM documents, nn
+  UNION ALL SELECT doc_id, (7*doc_id+3) % nn.c FROM documents, nn
+),
+he AS (
+  SELECT DISTINCT
+         CASE WHEN s % 7 = 0 THEN 0 ELSE s % 50 END AS u,
+         CASE WHEN d % 7 = 0 THEN 0 ELSE d % 50 END AS v
+  FROM child
+  WHERE (CASE WHEN s % 7 = 0 THEN 0 ELSE s % 50 END)
+     <> (CASE WHEN d % 7 = 0 THEN 0 ELSE d % 50 END)
+),
+r AS (
+  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b, COUNT(*) AS c
+  FROM he GROUP BY 1, 2
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN c = 2 THEN 2 ELSE 0 END) AS BIGINT) AS n_recip,
+       CAST(SUM(CASE WHEN c = 2 THEN 2 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS reciprocity
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -960,3 +1059,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     )
     queries["opic_order"] = q_opic_order
     oracles["opic_order"] = _opic_sql()
+    queries["host_reciprocity"] = q_host_reciprocity
+    oracles["host_reciprocity"] = SQL_HOST_RECIPROCITY
