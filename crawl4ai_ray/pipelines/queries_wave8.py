@@ -1025,6 +1025,116 @@ FROM r
 
 
 # ---------------------------------------------------------------------------
+# graph_diameter — double-sweep BFS diameter lower bound
+# ---------------------------------------------------------------------------
+
+def q_graph_diameter(sf_dir: str):
+    """Diameter lower bound of the symmetrized doc link graph by the
+    classic double sweep (Magnien-Latapy-Habib): BFS from node 0 →
+    farthest node (ties → lowest id), BFS again from it; its
+    eccentricity is the bound (exact on trees, near-tight on web
+    graphs in practice). Both sweeps are multi_source_bfs
+    (packed-min-label propagation, 2 bounded shuffles per sweep); only
+    two scalar rows ever land on the driver. One output row:
+    (far1, ecc1, far2, diameter_lb)."""
+    from ..stages.graph import multi_source_bfs
+    from .queries import _synthetic_link_edges
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    fwd = _synthetic_link_edges(sf_dir)
+    sym = fwd.union(
+        fwd.map_batches(
+            lambda b: pa.table({"src": b.column("dst"), "dst": b.column("src")}),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def far_of(bfs):
+        row = (
+            bfs.sort(["dist", "node"], descending=[True, False])
+            .limit(1)
+            .take_all()[0]
+        )
+        return int(row["node"]), int(row["dist"])
+
+    far1, ecc1 = far_of(multi_source_bfs(nodes, sym, seeds=[0]))
+    far2, diameter_lb = far_of(multi_source_bfs(nodes, sym, seeds=[far1]))
+    return pa.table(
+        {
+            "far1": pa.array([far1], pa.int64()),
+            "ecc1": pa.array([ecc1], pa.int64()),
+            "far2": pa.array([far2], pa.int64()),
+            "diameter_lb": pa.array([diameter_lb], pa.int64()),
+        }
+    )
+
+
+def _graph_diameter_sql(n_iters: int = 16) -> str:
+    """Two unrolled dist-only min-propagation sweeps over the
+    symmetrized edge set; sweep 2's seed is sweep 1's argmax row
+    (dist DESC, node ASC). MATERIALIZED per the NOTES gotcha."""
+    sent = 1 << 62
+
+    def sweep(tag: str, seed_expr: str) -> str:
+        parts = [
+            f"""{tag}0 AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS node,
+         CAST(CASE WHEN doc_id = ({seed_expr}) THEN 0
+                   ELSE {sent} END AS BIGINT) AS lbl
+  FROM documents
+)"""
+        ]
+        for i in range(1, n_iters + 1):
+            parts.append(
+                f"""{tag}{i} AS MATERIALIZED (
+  SELECT node, MIN(lbl) AS lbl FROM (
+    SELECT node, lbl FROM {tag}{i - 1}
+    UNION ALL
+    SELECT es.dst AS node, {tag}{i - 1}.lbl + 1 AS lbl
+    FROM {tag}{i - 1} JOIN es ON es.src = {tag}{i - 1}.node
+    WHERE {tag}{i - 1}.lbl < {sent}
+  ) GROUP BY node
+)"""
+            )
+        return ",\n".join(parts)
+
+    far1 = (
+        f"SELECT node FROM s{n_iters} WHERE lbl < {sent} "
+        f"ORDER BY lbl DESC, node ASC LIMIT 1"
+    )
+    return (
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),\n"
+        + """e AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.c AS BIGINT) AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+es AS MATERIALIZED (
+  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+),
+"""
+        + sweep("s", "0")
+        + ",\n"
+        + sweep("t", far1)
+        + f""",
+f1 AS (SELECT node AS far1, lbl AS ecc1 FROM s{n_iters} WHERE lbl < {sent}
+       ORDER BY lbl DESC, node ASC LIMIT 1),
+f2 AS (SELECT node AS far2, lbl AS diameter_lb FROM t{n_iters} WHERE lbl < {sent}
+       ORDER BY lbl DESC, node ASC LIMIT 1)
+SELECT CAST(far1 AS BIGINT) AS far1, CAST(ecc1 AS BIGINT) AS ecc1,
+       CAST(far2 AS BIGINT) AS far2, CAST(diameter_lb AS BIGINT) AS diameter_lb
+FROM f1, f2
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1061,3 +1171,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["opic_order"] = _opic_sql()
     queries["host_reciprocity"] = q_host_reciprocity
     oracles["host_reciprocity"] = SQL_HOST_RECIPROCITY
+    queries["graph_diameter"] = q_graph_diameter
+    oracles["graph_diameter"] = _graph_diameter_sql()

@@ -432,3 +432,32 @@ def test_opic_order_crawl_once_and_seed_wave(ray_session):
     assert wave0 == {0: _OPIC_CASH, 1: _OPIC_CASH, 2: _OPIC_CASH}
     assert len(t1["doc_id"]) == len(set(t1["doc_id"]))
     assert all(c >= 0 for c in t1["cash"])
+
+
+def test_graph_diameter_double_sweep_on_path(ray_session):
+    """On a path graph 0-1-2-3-4 the double sweep is EXACT: BFS from 0
+    reaches 4 at dist 4 (ecc1=4), BFS from 4 reaches 0 at dist 4 —
+    diameter_lb == true diameter == 4. Validates seed choice, the
+    (dist DESC, node ASC) tie-break and the symmetrization contract
+    (the query symmetrizes; the stage itself is directed)."""
+    from crawl4ai_ray.stages.graph import multi_source_bfs
+
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    )
+    fwd = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 3], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    sym = ray.data.from_arrow(fwd).union(
+        ray.data.from_arrow(
+            pa.table({"src": fwd.column("dst"), "dst": fwd.column("src")})
+        )
+    )
+    b1 = multi_source_bfs(nodes, sym, seeds=[0]).take_all()
+    far1 = max(b1, key=lambda r: (r["dist"], -r["node"]))
+    assert (far1["node"], far1["dist"]) == (4, 4)
+    b2 = multi_source_bfs(nodes, sym, seeds=[4]).take_all()
+    assert max(r["dist"] for r in b2) == 4
