@@ -1135,6 +1135,160 @@ FROM f1, f2
 
 
 # ---------------------------------------------------------------------------
+# events_moving_avg — trailing frame-window mean per user stream
+# ---------------------------------------------------------------------------
+
+def q_events_moving_avg(sf_dir: str):
+    """Trailing 3-row moving average of event value per user (ordered
+    by ts, event_id) — the frame-window member of the windowing family
+    (tumbling/hopping/session/as-of already covered). Values go through
+    integer cents (ROUND(value*100); the inputs are 2-decimal doubles,
+    so every rounding mode agrees) → window sums are int64-exact and
+    the mean is ONE division. Plan: hash(user) % 32 bucket shuffle,
+    one vectorized pass per bucket (global-cumsum difference with
+    per-user window clamp — no per-user groups, the sessionize
+    pattern)."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(u % 32, pa.int64()),
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "user_id": batch.column("user_id"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def window(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        starts = idx[new_user]
+        start_of = starts[np.cumsum(new_user) - 1]
+        pos = idx - start_of
+        k = np.minimum(pos + 1, 3)
+        cs = np.cumsum(cents)
+        prev = idx - k
+        base = np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+        win_sum = cs - base
+        ma = win_sum.astype(np.float64) / (k * 100).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(np.int64), pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "sum_cents": pa.array(win_sum, pa.int64()),
+                "n_win": pa.array(k, pa.int64()),
+                "ma": pa.array(ma, pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_MOVING_AVG = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS k
+  FROM c
+)
+SELECT event_id, user_id,
+       CAST(s AS BIGINT) AS sum_cents,
+       CAST(k AS BIGINT) AS n_win,
+       CAST(s AS DOUBLE) / CAST(k * 100 AS DOUBLE) AS ma
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot_events — per-user event-type count pivot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Classic pivot: one row per user, one int64 count column per
+    event type plus the total — map-side partial crosstabs (each block
+    collapses to <= |users-in-block| rows) then ONE groupby-sum over
+    the 5 + 1 count columns. The type set is the table's closed enum,
+    mirrored as FILTER columns in SQL."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("event_type").to_pylist()
+        order = np.argsort(u, kind="mergesort")
+        u = u[order]
+        uniq, inv = np.unique(u, return_inverse=True)
+        tcode = np.fromiter(
+            (_EVENT_TYPES.index(x) for x in t), dtype=np.int64, count=len(t)
+        )[order]
+        counts = np.zeros((len(uniq), len(_EVENT_TYPES)), np.int64)
+        np.add.at(counts, (inv, tcode), 1)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for j, name in enumerate(_EVENT_TYPES):
+            cols[f"n_{name}"] = pa.array(counts[:, j], pa.int64())
+        cols["n_total"] = pa.array(counts.sum(axis=1), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum([f"n_{t}" for t in _EVENT_TYPES] + ["n_total"])
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch.column("user_id")}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = batch.column(f"sum(n_{t})").cast(pa.int64())
+        cols["n_total"] = batch.column("sum(n_total)").cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1173,3 +1327,7 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["host_reciprocity"] = SQL_HOST_RECIPROCITY
     queries["graph_diameter"] = q_graph_diameter
     oracles["graph_diameter"] = _graph_diameter_sql()
+    queries["events_moving_avg"] = q_events_moving_avg
+    oracles["events_moving_avg"] = SQL_EVENTS_MOVING_AVG
+    queries["pivot_events"] = q_pivot_events
+    oracles["pivot_events"] = SQL_PIVOT_EVENTS

