@@ -1289,6 +1289,69 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# url_templates — URL pattern mining (digit-collapsed path templates)
+# ---------------------------------------------------------------------------
+
+def q_url_templates(sf_dir: str):
+    """URL template mining: collapse every digit run in the path to '#'
+    and count pages per (host, template) — the canonical URL-space
+    clustering crawlers use for trap detection and per-template crawl
+    budgets (a template with 10^7 instances and near-identical content
+    is a parameter trap; url_traps is the per-URL cousin). Pure map +
+    ONE partial-count groupby; the regex is compiled once per actor
+    batch closure."""
+    import re
+
+    pages = read_pages(sf_dir, columns=["url"])
+    digit_run = re.compile(r"[0-9]+")
+
+    def template(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = hosts_array(batch.column("url")).to_pylist()
+        tpls = []
+        for u, h in zip(urls, hosts):
+            path = u.split(h, 1)[1] if h in u else u
+            tpls.append(digit_run.sub("#", path))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "template": pa.array(tpls, pa.string()),
+            }
+        )
+
+    return (
+        pages.map_batches(template, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("host"),
+                    "template": b.column("template"),
+                    "n_pages": b.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_URL_TEMPLATES = """
+WITH {pages},
+t AS (
+  SELECT host,
+         regexp_replace(
+           substr(url, strpos(url, host) + length(host)),
+           '[0-9]+', '#', 'g'
+         ) AS template
+  FROM purl
+)
+SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM t GROUP BY host, template
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1331,3 +1394,7 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["events_moving_avg"] = SQL_EVENTS_MOVING_AVG
     queries["pivot_events"] = q_pivot_events
     oracles["pivot_events"] = SQL_PIVOT_EVENTS
+    queries["url_templates"] = q_url_templates
+    oracles["url_templates"] = SQL_URL_TEMPLATES.format(
+        pages=sql_pages.strip().removeprefix("\n")
+    )
