@@ -1352,6 +1352,173 @@ FROM t GROUP BY host, template
 
 
 # ---------------------------------------------------------------------------
+# quality_correlations — pairwise Pearson between quality counters
+# ---------------------------------------------------------------------------
+
+_QC_FEATURES = ("n_tokens", "n_distinct", "n_hapax", "n_chars", "n_stop")
+
+
+def q_quality_correlations(sf_dir: str):
+    """Feature-redundancy readout for the quality-filter family: Pearson
+    r between every pair of five integer text features with real
+    variance on this corpus (token / distinct / hapax counts from the
+    lexical-diversity kernel, byte length, stopword hits — the
+    uppercase/digit/punct counters are constant-zero on the synthetic
+    text and would contribute nothing). All moments are int64 sums
+    collected map-side (ONE tiny aggregate; the doc table never
+    shuffles); r = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²)·sqrt(n·Syy −
+    Sy²)) evaluated with the identical operand tree in both engines —
+    sqrt is IEEE-correctly-rounded, so doubles are bit-equal. Pairs
+    with zero variance on either side are omitted; zero-token docs are
+    excluded (the lexical kernel's contract, mirrored in the join)."""
+    import math
+
+    import polars as pl
+
+    from ..stages import textstats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def feats_batch(batch: pa.Table) -> pa.Table:
+        lex = textstats.lexical_diversity_batch(batch)
+        extra = (
+            pl.from_arrow(batch.select(["doc_id", "text"]))
+            .select(
+                pl.col("doc_id"),
+                pl.col("text").str.len_bytes().cast(pl.Int64).alias("n_chars"),
+                pl.col("text")
+                .str.to_lowercase()
+                .str.count_matches(textstats.STOPWORD_RE)
+                .cast(pl.Int64)
+                .alias("n_stop"),
+            )
+            .to_arrow()
+        )
+        lexp = pl.from_arrow(
+            lex.select(["doc_id", "n_tokens", "n_distinct", "n_hapax"])
+        )
+        return (
+            lexp.join(pl.from_arrow(extra), on="doc_id", how="inner")
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("n_tokens", pa.int64()),
+                        ("n_distinct", pa.int64()),
+                        ("n_hapax", pa.int64()),
+                        ("n_chars", pa.int64()),
+                        ("n_stop", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    counts = docs.map_batches(feats_batch, batch_format="pyarrow")
+
+    feats = _QC_FEATURES
+
+    def partials(batch: pa.Table) -> pa.Table:
+        arrs = {
+            f: batch.column(f).to_numpy(zero_copy_only=False).astype(np.int64)
+            for f in feats
+        }
+        cols = {"n": pa.array([batch.num_rows], pa.int64())}
+        for i, f in enumerate(feats):
+            cols[f"s_{f}"] = pa.array([int(arrs[f].sum())], pa.int64())
+            for g in feats[i:]:
+                cols[f"s_{f}_{g}"] = pa.array(
+                    [int((arrs[f] * arrs[g]).sum())], pa.int64()
+                )
+        return pa.table(cols)
+
+    part_ds = counts.map_batches(partials, batch_format="pyarrow")
+    agg_keys = ["n"]
+    for i, f in enumerate(feats):
+        agg_keys.append(f"s_{f}")
+        for g in feats[i:]:
+            agg_keys.append(f"s_{f}_{g}")
+    agg = part_ds.aggregate(
+        *[ray.data.aggregate.Sum(k, alias_name=k) for k in agg_keys]
+    )
+    n = int(agg["n"])
+    s = {k: int(agg[k]) for k in agg_keys}
+
+    fx_out, fy_out, r_out = [], [], []
+    for i, f in enumerate(feats):
+        for g in feats[i + 1 :]:
+            sxy = s[f"s_{f}_{g}"]
+            vx = n * s[f"s_{f}_{f}"] - s[f"s_{f}"] * s[f"s_{f}"]
+            vy = n * s[f"s_{g}_{g}"] - s[f"s_{g}"] * s[f"s_{g}"]
+            if vx <= 0 or vy <= 0:
+                continue
+            num = n * sxy - s[f"s_{f}"] * s[f"s_{g}"]
+            r = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+            fx_out.append(f)
+            fy_out.append(g)
+            r_out.append(r)
+    return pa.table(
+        {
+            "fx": pa.array(fx_out, pa.string()),
+            "fy": pa.array(fy_out, pa.string()),
+            "r": pa.array(r_out, pa.float64()),
+        }
+    )
+
+
+def _quality_correlations_sql(stop_re: str) -> str:
+    feats = _QC_FEATURES
+    lex = r"""toksq AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\S+')) AS tok FROM documents
+),
+perq AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toksq GROUP BY doc_id, tok
+),
+lexq AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax
+  FROM perq GROUP BY doc_id
+),
+baseq AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(lower(text), '""" + stop_re + r"""')) AS BIGINT) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT lexq.n_tokens, lexq.n_distinct, lexq.n_hapax,
+         baseq.n_chars, baseq.n_stop
+  FROM lexq JOIN baseq USING (doc_id)
+  WHERE lexq.n_tokens > 0
+)"""
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i, f in enumerate(feats):
+        aggs.append(f"CAST(SUM({f}) AS BIGINT) AS s_{f}")
+        for g in feats[i:]:
+            aggs.append(f"CAST(SUM({f} * {g}) AS BIGINT) AS s_{f}_{g}")
+    branches = []
+    for i, f in enumerate(feats):
+        for g in feats[i + 1 :]:
+            branches.append(
+                f"SELECT '{f}' AS fx, '{g}' AS fy,\n"
+                f"  CAST(n * s_{f}_{g} - s_{f} * s_{g} AS DOUBLE)\n"
+                f"  / (sqrt(CAST(n * s_{f}_{f} - s_{f} * s_{f} AS DOUBLE))\n"
+                f"     * sqrt(CAST(n * s_{g}_{g} - s_{g} * s_{g} AS DOUBLE))) AS r\n"
+                f"FROM m WHERE n * s_{f}_{f} - s_{f} * s_{f} > 0\n"
+                f"  AND n * s_{g}_{g} - s_{g} * s_{g} > 0"
+            )
+    return (
+        "WITH " + lex + ",\n"
+        "m AS MATERIALIZED (\n  SELECT " + ",\n         ".join(aggs) + "\n  FROM q\n)\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1398,3 +1565,8 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["url_templates"] = SQL_URL_TEMPLATES.format(
         pages=sql_pages.strip().removeprefix("\n")
     )
+    from .queries import _STOP_RE  # shared stopword regex (import at call
+    # time: queries.py imports this module first, then calls register)
+
+    queries["quality_correlations"] = q_quality_correlations
+    oracles["quality_correlations"] = _quality_correlations_sql(_STOP_RE)
