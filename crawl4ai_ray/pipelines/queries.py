@@ -6820,3 +6820,7 @@ SELECT doc_id, CAST(hits AS BIGINT) AS n_hits, snip AS snippet FROM (
 from .queries_wave8 import register as _register_wave8  # noqa: E402
 
 _register_wave8(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave9 import register as _register_wave9  # noqa: E402
+
+_register_wave9(QUERIES, ORACLES, SQL_PAGES)
