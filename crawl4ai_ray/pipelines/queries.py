@@ -1321,11 +1321,11 @@ def q_label_communities(sf_dir: str):
     )
 
 
-def _label_prop_sql(n_sweeps: int = 4) -> str:
-    """Unrolled seeded-LPA oracle for q_label_communities: per sweep a
-    vote count per (node, label), the (count DESC, label ASC) argmax,
-    seed clamp, coalesce-to-previous. MATERIALIZED per the DuckDB
-    inlining gotcha."""
+def _label_prop_ctes(n_sweeps: int = 4) -> str:
+    """The unrolled seeded-LPA CTE chain (nn, e, lab0 … lab{n}) WITHOUT
+    the WITH keyword or final SELECT — shared by the label_communities
+    oracle and the community_modularity oracle (wave 9), which computes
+    modularity on top of the same lab{n} labels."""
     parts = [
         """e AS MATERIALIZED (
   SELECT CAST(doc_id AS BIGINT) AS src,
@@ -1362,9 +1362,19 @@ lab{i} AS MATERIALIZED (
   FROM lab{i - 1} p LEFT JOIN mode{i} m ON m.node = p.node
 )"""
         )
+    return "nn AS (SELECT COUNT(*) AS c FROM documents),\n" + ",\n".join(
+        parts
+    )
+
+
+def _label_prop_sql(n_sweeps: int = 4) -> str:
+    """Unrolled seeded-LPA oracle for q_label_communities: per sweep a
+    vote count per (node, label), the (count DESC, label ASC) argmax,
+    seed clamp, coalesce-to-previous. MATERIALIZED per the DuckDB
+    inlining gotcha."""
     return (
-        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),\n"
-        + ",\n".join(parts)
+        "WITH "
+        + _label_prop_ctes(n_sweeps)
         + f"""
 SELECT node, CAST(lbl AS BIGINT) AS community
 FROM lab{n_sweeps} WHERE lbl IS NOT NULL

@@ -376,6 +376,280 @@ GROUP BY a, b
 
 
 # ---------------------------------------------------------------------------
+# community_modularity — Newman modularity of the LPA communities
+# ---------------------------------------------------------------------------
+
+def q_community_modularity(sf_dir: str):
+    """Newman modularity readout for the label_communities partition —
+    the quality gate a real pipeline runs after any community step.
+    Per community c over the undirected simple graph restricted to
+    labeled nodes: intra-edge count l_c, total endpoint degree d_c, and
+    the exact integer numerator q_num = 4·m·l_c − d_c² of the
+    modularity term (q_term = q_num / 4m², ONE division → bit-equal
+    doubles; global Q = Σ q_term is left to the reader so no float sum
+    crosses rows). Labels ride onto the edge list via two bucketed
+    attach_node_value passes (union+groupby, no Dataset.join); the
+    per-community stats are map-side np partials into one tiny
+    groupby-sum."""
+    from ..stages.graph import (
+        attach_node_value,
+        label_propagation,
+        undirected_dedup,
+    )
+    from .queries import _synthetic_link_edges
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    edges = _synthetic_link_edges(sf_dir)
+    labels = label_propagation(
+        nodes, edges, seeds={i: i for i in range(5)}, n_sweeps=4
+    ).materialize()  # consumed by two attaches + the n_nodes aggregate
+
+    ue = undirected_dedup(_synthetic_link_edges(sf_dir))
+    e1 = attach_node_value(ue, labels, "a", "ca", ["a", "b"])
+    e2 = attach_node_value(e1, labels, "b", "cb", ["a", "b", "ca"])
+
+    def keep_labeled(batch: pa.Table) -> pa.Table:
+        ca = batch.column("ca").to_numpy(zero_copy_only=False)
+        cb = batch.column("cb").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ca >= 0) & (cb >= 0)))
+
+    re = e2.map_batches(keep_labeled, batch_format="pyarrow").materialize()
+    m = re.count()
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        ca = batch.column("ca").to_numpy(zero_copy_only=False)
+        cb = batch.column("cb").to_numpy(zero_copy_only=False)
+        # d_c: every endpoint; l_c: intra edges once (on ca == cb)
+        comms, d = np.unique(np.concatenate([ca, cb]), return_counts=True)
+        intra_c, intra_n = np.unique(ca[ca == cb], return_counts=True)
+        lmap = dict(zip(intra_c, intra_n))
+        return pa.table(
+            {
+                "community": pa.array(comms, pa.int64()),
+                "l_c": pa.array(
+                    [int(lmap.get(c, 0)) for c in comms], pa.int64()
+                ),
+                "d_c": pa.array(d.astype(np.int64), pa.int64()),
+                "n_nodes": pa.array(np.zeros(len(comms), np.int64), pa.int64()),
+            }
+        )
+
+    def node_partials(batch: pa.Table) -> pa.Table:
+        c, n = np.unique(
+            batch.column("community").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        z = np.zeros(len(c), np.int64)
+        return pa.table(
+            {
+                "community": pa.array(c, pa.int64()),
+                "l_c": pa.array(z, pa.int64()),
+                "d_c": pa.array(z, pa.int64()),
+                "n_nodes": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    combined = (
+        re.map_batches(edge_partials, batch_format="pyarrow")
+        .union(labels.map_batches(node_partials, batch_format="pyarrow"))
+        .groupby("community")
+        .aggregate(
+            ray.data.aggregate.Sum("l_c", alias_name="l_c"),
+            ray.data.aggregate.Sum("d_c", alias_name="d_c"),
+            ray.data.aggregate.Sum("n_nodes", alias_name="n_nodes"),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        l_c = batch.column("l_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        d_c = batch.column("d_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        q_num = 4 * m * l_c - d_c * d_c
+        q_term = q_num.astype(np.float64) / np.float64(4 * m * m)
+        return pa.table(
+            {
+                "community": batch.column("community").cast(pa.int64()),
+                "n_nodes": batch.column("n_nodes").cast(pa.int64()),
+                "l_c": pa.array(l_c, pa.int64()),
+                "d_c": pa.array(d_c, pa.int64()),
+                "q_num": pa.array(q_num, pa.int64()),
+                "q_term": pa.array(q_term, pa.float64()),
+            }
+        )
+
+    return combined.map_batches(score, batch_format="pyarrow")
+
+
+def _community_modularity_sql(n_sweeps: int = 4) -> str:
+    from .queries import _label_prop_ctes
+
+    return (
+        "WITH "
+        + _label_prop_ctes(n_sweeps)
+        + f""",
+lab AS MATERIALIZED (
+  SELECT node, CAST(lbl AS BIGINT) AS community
+  FROM lab{n_sweeps} WHERE lbl IS NOT NULL
+),
+ue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+re AS MATERIALIZED (
+  SELECT ue.a, ue.b, la.community AS ca, lb.community AS cb
+  FROM ue JOIN lab la ON la.node = ue.a JOIN lab lb ON lb.node = ue.b
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM re),
+lc AS (
+  SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS l_c
+  FROM re WHERE ca = cb GROUP BY 1
+),
+dc AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+    SELECT ca AS community FROM re UNION ALL SELECT cb FROM re
+  ) GROUP BY 1
+),
+nc AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1
+)
+SELECT nc.community, nc.n_nodes,
+       CAST(COALESCE(lc.l_c, 0) AS BIGINT) AS l_c,
+       CAST(COALESCE(dc.d_c, 0) AS BIGINT) AS d_c,
+       CAST(4 * mm.m * COALESCE(lc.l_c, 0)
+            - COALESCE(dc.d_c, 0) * COALESCE(dc.d_c, 0) AS BIGINT) AS q_num,
+       CAST(4 * mm.m * COALESCE(lc.l_c, 0)
+            - COALESCE(dc.d_c, 0) * COALESCE(dc.d_c, 0) AS DOUBLE)
+         / CAST(4 * mm.m * mm.m AS DOUBLE) AS q_term
+FROM nc
+LEFT JOIN lc USING (community)
+LEFT JOIN dc USING (community)
+CROSS JOIN mm
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives — nearest different-label neighbor per query embedding
+# ---------------------------------------------------------------------------
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive-training hard-negative mining: for each query vector
+    (vec_id % 50 == 0) the single nearest neighbor carrying a DIFFERENT
+    label — exact integer fixed-point squared L2 (the brute_l2fp
+    quantize + tie discipline: ties → lowest neighbor id), so the
+    oracle recomputes it operand-for-operand. Broadcast (Q, d) query
+    matrix + labels, per-batch masked argmin, one tiny per-query
+    reduce. The embeddings table streams once; nothing but (query,
+    candidate) rows shuffle."""
+    from ..stages.cluster import quantize_embeddings
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pick_queries(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    qrows = emb.map_batches(pick_queries, batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qtab = pa.Table.from_pylist(qrows)
+    q_fp = quantize_embeddings(qtab)
+    q_ids = np.array([r["vec_id"] for r in qrows], np.int64)
+    q_labels = np.array([r["label"] for r in qrows], np.int64)
+    q_ref = ray.put((q_ids, q_labels, q_fp))
+
+    class HardNeg:
+        def __init__(self):
+            self.q_ids, self.q_labels, self.q_fp = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {
+                "query_id": [],
+                "query_label": [],
+                "neg_id": [],
+                "neg_label": [],
+                "dist_fp": [],
+            }
+            if batch.num_rows:
+                ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+                labels = batch.column("label").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                x = quantize_embeddings(batch)
+                for qi in range(len(self.q_ids)):
+                    mask = labels != self.q_labels[qi]
+                    if not mask.any():
+                        continue
+                    diff = x[mask] - self.q_fp[qi][None, :]
+                    dist = np.einsum("nd,nd->n", diff, diff)
+                    cand_ids = ids[mask]
+                    best = np.lexsort((cand_ids, dist))[0]
+                    out["query_id"].append(int(self.q_ids[qi]))
+                    out["query_label"].append(int(self.q_labels[qi]))
+                    out["neg_id"].append(int(cand_ids[best]))
+                    out["neg_label"].append(int(labels[mask][best]))
+                    out["dist_fp"].append(int(dist[best]))
+            return pa.table(
+                {k: pa.array(v, pa.int64()) for k, v in out.items()}
+            )
+
+    cand = emb.map_batches(
+        HardNeg, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+
+    def reduce_q(group: pa.Table) -> pa.Table:
+        dist = group.column("dist_fp").to_numpy(zero_copy_only=False)
+        nid = group.column("neg_id").to_numpy(zero_copy_only=False)
+        best = np.lexsort((nid, dist))[0]
+        return group.take([best])
+
+    return cand.groupby("query_id").map_groups(reduce_q, batch_format="pyarrow")
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlab, embedding AS e
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+qf AS (
+  SELECT qid, generate_subscripts(e, 1) AS dim,
+         CAST(floor(CAST(unnest(e) AS DOUBLE) * 1048576.0
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+  FROM q
+),
+xf AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+  FROM embeddings
+),
+d AS (
+  SELECT qf.qid, xf.vec_id,
+         CAST(SUM((qf.v - xf.v) * (qf.v - xf.v)) AS BIGINT) AS dist_fp
+  FROM qf JOIN xf USING (dim)
+  GROUP BY qf.qid, xf.vec_id
+),
+r AS (
+  SELECT d.qid AS query_id,
+         CAST(ql.label AS BIGINT) AS query_label,
+         d.vec_id AS neg_id,
+         CAST(xl.label AS BIGINT) AS neg_label,
+         d.dist_fp,
+         row_number() OVER (
+           PARTITION BY d.qid ORDER BY d.dist_fp, d.vec_id
+         ) AS rn
+  FROM d
+  JOIN embeddings ql ON ql.vec_id = d.qid
+  JOIN embeddings xl ON xl.vec_id = d.vec_id
+  WHERE xl.label <> ql.label
+)
+SELECT query_id, query_label, neg_id, neg_label, dist_fp
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -386,3 +660,7 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["assoc_rules"] = SQL_ASSOC_RULES
     queries["cocitation_pairs"] = q_cocitation_pairs
     oracles["cocitation_pairs"] = SQL_COCITATION_PAIRS
+    queries["community_modularity"] = q_community_modularity
+    oracles["community_modularity"] = _community_modularity_sql()
+    queries["hard_negatives"] = q_hard_negatives
+    oracles["hard_negatives"] = SQL_HARD_NEGATIVES

@@ -1757,8 +1757,11 @@ def attach_node_value(
             c: pa.array(rows[c].to_numpy(dtype=np.int64), pa.int64())
             for c in schema_cols
         }
+        # keys absent from values_ds get -1 (the documented sentinel the
+        # row side is pre-filled with) instead of a NaN→int64 crash
         out[out_col] = pa.array(
-            rows["kkey"].map(dmap).to_numpy(dtype=np.int64), pa.int64()
+            rows["kkey"].map(dmap).fillna(-1.0).to_numpy(dtype=np.int64),
+            pa.int64(),
         )
         return pa.table(out)
 

@@ -123,3 +123,94 @@ def test_cocitation_pairs_bruteforce_parity(ray_session, tmp_path):
             for j in range(i + 1, len(nb)):
                 want[(nb[i], nb[j])][1] += 1
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def _brute_lpa_modularity(n):
+    """Independent python recomputation: seeded LPA (4 sweeps, majority
+    vote over in-neighbors, ties -> smallest label, seeds clamped) then
+    per-community modularity terms over the undirected simple graph."""
+    from collections import Counter, defaultdict
+
+    edges = set()
+    for s in range(n):
+        for d in ((2 * s + 1) % n, (2 * s + 2) % n, (7 * s + 3) % n):
+            edges.add((s, d))
+    lab = {i: (i if i < 5 else None) for i in range(n)}
+    for _ in range(4):
+        votes = defaultdict(Counter)
+        for s, d in edges:
+            if lab[s] is not None:
+                votes[d][lab[s]] += 1
+        new = dict(lab)
+        for node, cnt in votes.items():
+            if node < 5:
+                continue
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[node] = best
+        lab = new
+    labeled = {k: v for k, v in lab.items() if v is not None}
+    ue = {
+        (min(s, d), max(s, d))
+        for s, d in edges
+        if s != d and s in labeled and d in labeled
+    }
+    m = len(ue)
+    l_c, d_c, n_nodes = Counter(), Counter(), Counter(labeled.values())
+    for a, b in ue:
+        d_c[labeled[a]] += 1
+        d_c[labeled[b]] += 1
+        if labeled[a] == labeled[b]:
+            l_c[labeled[a]] += 1
+    out = {}
+    for c in n_nodes:
+        q_num = 4 * m * l_c[c] - d_c[c] * d_c[c]
+        out[c] = (n_nodes[c], l_c[c], d_c[c], q_num, q_num / float(4 * m * m))
+    return out
+
+
+def test_community_modularity_bruteforce_parity(ray_session, tmp_path):
+    from crawl4ai_ray.pipelines.queries_wave9 import q_community_modularity
+
+    n = 60
+    sf = _write_docs(tmp_path, list(range(n)), ["w"] * n)
+    got = {
+        r["community"]: (
+            r["n_nodes"],
+            r["l_c"],
+            r["d_c"],
+            r["q_num"],
+            r["q_term"],
+        )
+        for r in q_community_modularity(sf).take_all()
+    }
+    assert got == _brute_lpa_modularity(n)
+
+
+def test_hard_negatives_nearest_other_label_and_ties(ray_session, tmp_path):
+    from crawl4ai_ray.pipelines.queries_wave9 import q_hard_negatives
+
+    # query = vec 0 (label 0). vec 1 shares its label (excluded even though
+    # nearest); vecs 2 and 3 are equidistant with label 1 -> lowest id wins.
+    vecs = [
+        [0.0, 0.0],   # 0: query, label 0
+        [0.1, 0.0],   # 1: label 0 (nearest but same label)
+        [1.0, 0.0],   # 2: label 1
+        [-1.0, 0.0],  # 3: label 1 (same distance as 2)
+        [5.0, 5.0],   # 4: label 2 (far)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(5), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 1, 1, 2], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = q_hard_negatives(str(tmp_path)).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["query_id"] == 0 and r["query_label"] == 0
+    assert r["neg_id"] == 2 and r["neg_label"] == 1
+    assert r["dist_fp"] == (1 << 20) ** 2
