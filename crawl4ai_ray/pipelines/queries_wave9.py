@@ -650,6 +650,543 @@ FROM r WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# containment_pairs — asymmetric n-gram containment for partial copies
+# ---------------------------------------------------------------------------
+
+def q_containment_pairs(sf_dir: str):
+    """Partial-copy detection: documents ∪ planted TRUNCATIONS (every
+    13th doc's first 15 tokens at doc_id + 2_000_000 — the excerpt case
+    whose Jaccard vs its source is far below any dedup threshold but
+    whose containment is 1.0), then exact all-pairs 3-gram containment
+    ≥ 0.8 via stages/dedup.py:ngram_containment_pairs (postings-based,
+    docs never shuffle, integer cross-multiplied threshold)."""
+    from ..stages.dedup import ngram_containment_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def truncated(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 13 == 0
+        texts = [
+            " ".join(t.split()[:15])
+            for t, k in zip(batch.column("text").to_pylist(), keep)
+            if k
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep] + 2_000_000, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(truncated, batch_format="pyarrow"))
+    return ngram_containment_pairs(corpus, tau=0.8, shingle=3)
+
+
+SQL_CONTAINMENT_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')[1:15],
+           ' ')
+  FROM documents WHERE doc_id % 13 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM base
+),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN generate_series(1, len(t) - 2)]
+      END AS gl
+    FROM toks WHERE len(t) > 0
+  ), UNNEST(gl) AS u(g)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.i AS inter, sa.sz AS sa, sb.sz AS sb,
+       CAST(i.i AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i * 1000 >= 800 * LEAST(sa.sz, sb.sz)
+"""
+
+
+# ---------------------------------------------------------------------------
+# random_walks — deterministic k-step random walks over the link graph
+# ---------------------------------------------------------------------------
+
+def q_random_walks(sf_dir: str):
+    """Deterministic 4-step random walks (the node2vec/DeepWalk sampling
+    primitive) from seed pages doc_id % 97 == 0: at move i from node v,
+    the walk steps to the out-neighbor minimizing
+    md5(f"{walk_id}|{i}|{dst}") — an md5-keyed choice the oracle
+    reproduces verbatim. Each move is ONE bucketed union+groupby join
+    (walk positions shuffle to their node's hash(node)%P bucket where
+    the adjacency rows live — the Pregel random-walk pattern; the edge
+    list never leaves its buckets conceptually, and only (walk, node)
+    int rows move). Output = the full trajectories (walk_id, step,
+    node), step 0..4."""
+    import hashlib
+
+    from .queries import _synthetic_link_edges
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    edges = (
+        _synthetic_link_edges(sf_dir)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                }
+            ).filter(
+                pa.compute.not_equal(b.column("src"), b.column("dst"))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+        .materialize()  # reused every move
+    )
+
+    P = 32
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        n = len(src)
+        return pa.table(
+            {
+                "bucket": pa.array((src % P).astype(np.int64), pa.int64()),
+                "node": pa.array(src, pa.int64()),
+                "walk_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "dst": batch.column("dst").cast(pa.int64()),
+            }
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 97 == 0
+        return pa.table(
+            {
+                "walk_id": pa.array(ids[keep], pa.int64()),
+                "node": pa.array(ids[keep], pa.int64()),
+            }
+        )
+
+    cur = docs.map_batches(seeds, batch_format="pyarrow")
+    trail = [cur]
+
+    def make_step(i: int):
+        def tag_walks(batch: pa.Table) -> pa.Table:
+            node = batch.column("node").to_numpy(zero_copy_only=False)
+            n = len(node)
+            return pa.table(
+                {
+                    "bucket": pa.array((node % P).astype(np.int64), pa.int64()),
+                    "node": pa.array(node, pa.int64()),
+                    "walk_id": batch.column("walk_id").cast(pa.int64()),
+                    "dst": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                }
+            )
+
+        def step_bucket(g: pd.DataFrame) -> pa.Table:
+            adj: dict = {}
+            for node, dst in zip(
+                g.loc[g["walk_id"] < 0, "node"],
+                g.loc[g["walk_id"] < 0, "dst"],
+            ):
+                adj.setdefault(int(node), []).append(int(dst))
+            walks = g[g["walk_id"] >= 0]
+            out_w, out_n = [], []
+            for wid, node in zip(walks["walk_id"], walks["node"]):
+                nbrs = adj.get(int(node))
+                if not nbrs:
+                    continue  # dead end: walk stops
+                best = min(
+                    nbrs,
+                    key=lambda d: (
+                        hashlib.md5(f"{int(wid)}|{i}|{d}".encode()).hexdigest(),
+                        d,
+                    ),
+                )
+                out_w.append(int(wid))
+                out_n.append(best)
+            return pa.table(
+                {
+                    "walk_id": pa.array(out_w, pa.int64()),
+                    "node": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        return tag_walks, step_bucket
+
+    for i in range(4):
+        tag_walks, step_bucket = make_step(i)
+        cur = (
+            cur.map_batches(tag_walks, batch_format="pyarrow")
+            .union(edges_tagged)
+            .groupby("bucket")
+            .map_groups(step_bucket, batch_format="pandas")
+        )
+        trail.append(cur)
+
+    def stamp(step: int):
+        def add(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "walk_id": batch.column("walk_id").cast(pa.int64()),
+                    "step": pa.array(
+                        np.full(batch.num_rows, step, np.int64), pa.int64()
+                    ),
+                    "node": batch.column("node").cast(pa.int64()),
+                }
+            )
+
+        return add
+
+    out = trail[0].map_batches(stamp(0), batch_format="pyarrow")
+    for s, ds in enumerate(trail[1:], start=1):
+        out = out.union(ds.map_batches(stamp(s), batch_format="pyarrow"))
+    return out
+
+
+def _random_walks_sql(n_steps: int = 4) -> str:
+    parts = [
+        """nn AS (SELECT COUNT(*) AS c FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST((2 * doc_id + 1) % nn.c AS BIGINT) AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.c FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (7 * doc_id + 3) % nn.c FROM documents, nn
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+w0 AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS walk_id, CAST(doc_id AS BIGINT) AS node
+  FROM documents WHERE doc_id % 97 = 0
+)"""
+    ]
+    for t in range(1, n_steps + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT walk_id, node FROM (
+    SELECT w.walk_id, e.dst AS node,
+           row_number() OVER (
+             PARTITION BY w.walk_id
+             ORDER BY md5(CAST(w.walk_id AS VARCHAR) || '|' ||
+                          CAST({t - 1} AS VARCHAR) || '|' ||
+                          CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM w{t - 1} w JOIN e ON e.src = w.node
+  ) WHERE rn = 1
+)"""
+        )
+    selects = [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(n_steps + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth — Heaps'-law vocabulary growth over the token stream
+# ---------------------------------------------------------------------------
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law curve: distinct 3-gram vocabulary size at 5 prefix
+    checkpoints (⌈T/16⌉ … T tokens) of the doc_id-ordered concatenated
+    token stream. Global token offsets come from the packing two-level
+    prefix scan (stages/packing.py — only (id, count) ints shuffle);
+    per-gram first-occurrence positions = tok_start + in-doc index,
+    attached to the exploded gram rows by ONE bucketed attach, then
+    groupby(gram).min and a map-side checkpoint histogram into one tiny
+    aggregate. Documents never shuffle — only int gram rows do."""
+    from ..functions.hashing import hash64
+    from ..stages.graph import attach_node_value
+    from ..stages.packing import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    offsets = pack_sequences(docs).select_columns(
+        ["doc_id", "tok_start", "n_tok"]
+    ).materialize()
+    total = int(
+        offsets.aggregate(ray.data.aggregate.Sum("n_tok", alias_name="t"))["t"]
+    )
+    # ceil(T/denom) checkpoints, smallest first
+    marks = sorted({(total + d - 1) // d for d in (16, 8, 4, 2, 1)})
+    marks_ref = ray.put(np.array(marks, np.int64))
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        g_out, i_out, d_out = [], [], []
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            toks = (text or "").split()
+            if len(toks) < 3:
+                continue
+            th = hash64(toks)
+            n = len(th) - 2
+            with np.errstate(over="ignore"):
+                acc = np.zeros(n, dtype=np.uint64)
+                for j in range(3):
+                    acc = acc * np.uint64(1_000_003) + th[j : j + n]
+            g_out.append(acc.view(np.int64))
+            i_out.append(np.arange(n, dtype=np.int64))
+            d_out.append(np.full(n, did, np.int64))
+        if not g_out:
+            z = np.zeros(0, np.int64)
+            return pa.table(
+                {
+                    "gram": pa.array(z, pa.int64()),
+                    "idx": pa.array(z, pa.int64()),
+                    "doc_id": pa.array(z, pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "gram": pa.array(np.concatenate(g_out), pa.int64()),
+                "idx": pa.array(np.concatenate(i_out), pa.int64()),
+                "doc_id": pa.array(np.concatenate(d_out), pa.int64()),
+            }
+        )
+
+    grams = docs.map_batches(gram_rows, batch_format="pyarrow")
+    attached = attach_node_value(
+        grams,
+        offsets.select_columns(["doc_id", "tok_start"]),
+        "doc_id",
+        "tok_start",
+        ["gram", "idx", "doc_id"],
+    )
+
+    def pos(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gram": batch.column("gram"),
+                "fp": pa.compute.add(
+                    batch.column("tok_start"), batch.column("idx")
+                ),
+            }
+        )
+
+    firsts = (
+        attached.map_batches(pos, batch_format="pyarrow")
+        .groupby("gram")
+        .min("fp")
+    )
+
+    def ck_partial(batch: pa.Table) -> pa.Table:
+        mk = ray.get(marks_ref)
+        fp = batch.column("min(fp)").to_numpy(zero_copy_only=False)
+        # counts per checkpoint: fp < mark
+        v = (fp[None, :] < mk[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "n_tokens": pa.array(mk, pa.int64()),
+                "vocab": pa.array(v, pa.int64()),
+            }
+        )
+
+    return (
+        firsts.map_batches(ck_partial, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .sum("vocab")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "n_tokens": b.column("n_tokens"),
+                    "vocab": b.column("sum(vocab)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_VOCAB_GROWTH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+cnt AS (SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0),
+off AS (
+  SELECT doc_id,
+         SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+           AS tok_start
+  FROM cnt
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt),
+wins AS (
+  SELECT doc_id, i - 1 AS idx, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+  WHERE len(t) >= 3
+),
+firsts AS (
+  SELECT g, MIN(o.tok_start + w.idx) AS fp
+  FROM wins w JOIN off o USING (doc_id) GROUP BY g
+),
+marks AS (
+  SELECT DISTINCT (tot.t + d.d - 1) // d.d AS n_tokens
+  FROM tot, (SELECT UNNEST([16, 8, 4, 2, 1]) AS d) d
+)
+SELECT m.n_tokens,
+       CAST(COUNT(*) FILTER (WHERE f.fp < m.n_tokens) AS BIGINT) AS vocab
+FROM marks m CROSS JOIN firsts f
+GROUP BY m.n_tokens
+"""
+
+
+# ---------------------------------------------------------------------------
+# length_bucket_batching — padding-waste accounting for batch packing
+# ---------------------------------------------------------------------------
+
+def q_length_bucket_batching(sf_dir: str):
+    """Padding-waste ledger for fixed-size-32 training batches under two
+    batching schemes: 'length' (docs ranked by (n_tok, doc_id) — the
+    length-bucketed batching every trainer uses to cut pad tokens) vs
+    'arrival' (doc_id order). Waste per batch = n·max_len − Σlen. The
+    length rank is EXACT without a global sort: counting-sort over the
+    bounded token-count histogram (broadcast cumulative start ranks —
+    the quality_deciles discipline) + intra-length enumeration inside
+    one hash(n_tok)%P shuffle. Integer-only output."""
+    from .queries import _token_counts_ds
+
+    B = 32
+    toks = _token_counts_ds(sf_dir).materialize()
+
+    hist = toks.groupby("n_tok").count().take_all()
+    hist.sort(key=lambda r: r["n_tok"])
+    starts, acc = {}, 0
+    for r in hist:
+        starts[int(r["n_tok"])] = acc
+        acc += int(r["count()"])
+    starts_ref = ray.put(starts)
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((n % P).astype(np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tok": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        st = ray.get(starts_ref)
+        g = g.sort_values(["n_tok", "doc_id"], kind="mergesort")
+        n = g["n_tok"].to_numpy(dtype=np.int64)
+        # intra-length enumeration: position within each equal-n run
+        run_start = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+        offs = np.arange(len(n), dtype=np.int64)
+        offs -= np.repeat(run_start, np.diff(np.r_[run_start, len(n)]))
+        rank = np.array([st[int(v)] for v in n], np.int64) + offs
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "n_tok": pa.array(n, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    ranked = (
+        toks.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+    def scheme_rows(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        rk = batch.column("rank").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "scheme": pa.array(
+                    ["length"] * len(n) + ["arrival"] * len(n), pa.string()
+                ),
+                "batch_id": pa.array(
+                    np.concatenate([rk // B, did // B]), pa.int64()
+                ),
+                "n_tok": pa.array(np.concatenate([n, n]), pa.int64()),
+            }
+        )
+
+    agg = (
+        ranked.map_batches(scheme_rows, batch_format="pyarrow")
+        .groupby(["scheme", "batch_id"])
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_docs"),
+            ray.data.aggregate.Max("n_tok", alias_name="max_len"),
+            ray.data.aggregate.Sum("n_tok", alias_name="sum_tok"),
+        )
+    )
+
+    def waste(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = batch.column("max_len").to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = batch.column("sum_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "scheme": batch.column("scheme"),
+                "batch_id": batch.column("batch_id").cast(pa.int64()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "max_len": pa.array(mx, pa.int64()),
+                "sum_tok": pa.array(sm, pa.int64()),
+                "waste": pa.array(nd * mx - sm, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(waste, batch_format="pyarrow")
+
+
+SQL_LENGTH_BUCKET_BATCHING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS rank
+  FROM toks
+),
+rows_ AS (
+  SELECT 'length' AS scheme, rank // 32 AS batch_id, n_tok FROM ranked
+  UNION ALL
+  SELECT 'arrival', doc_id // 32, n_tok FROM ranked
+)
+SELECT scheme, CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tok) AS BIGINT) AS max_len,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS waste
+FROM rows_ GROUP BY scheme, batch_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -664,3 +1201,11 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["community_modularity"] = _community_modularity_sql()
     queries["hard_negatives"] = q_hard_negatives
     oracles["hard_negatives"] = SQL_HARD_NEGATIVES
+    queries["containment_pairs"] = q_containment_pairs
+    oracles["containment_pairs"] = SQL_CONTAINMENT_PAIRS
+    queries["random_walks"] = q_random_walks
+    oracles["random_walks"] = _random_walks_sql()
+    queries["vocab_growth"] = q_vocab_growth
+    oracles["vocab_growth"] = SQL_VOCAB_GROWTH
+    queries["length_bucket_batching"] = q_length_bucket_batching
+    oracles["length_bucket_batching"] = SQL_LENGTH_BUCKET_BATCHING

@@ -834,6 +834,103 @@ def ngram_jaccard_pairs(
     return agg.map_batches(keep, batch_format="pyarrow")
 
 
+def ngram_containment_pairs(
+    ds: "ray.data.Dataset",
+    tau: float = 0.8,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    max_postings: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs n-gram CONTAINMENT (a < b,
+    |A∩B| / min(|A|, |B|) ≥ tau) — the asymmetric sibling of
+    ``ngram_jaccard_pairs`` for partial-copy detection: a truncated or
+    excerpted document contains a subset of its source's gram set, so
+    its Jaccard vs the source is low but its containment is ~1.0 (the
+    reason CCNet/Lee et al. style dedup tracks containment separately
+    from Jaccard). Identical postings → per-gram pair explosion →
+    groupby((a, b)) plan as the Jaccard variant (same partitioning
+    assumption: one gram bucket's postings fit in a worker), but the
+    keep predicate is ``inter ≥ tau · min(sa, sb)`` via integer
+    cross-multiplication with a fixed-point tau (tau quantized to
+    1/1000ths so the comparison is exact in both engines), and the
+    output carries (inter, sa, sb, containment) with containment the
+    single int64 division."""
+    tau_m = int(round(tau * 1000))
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["gram", "id"], kind="mergesort")
+        grams = g["gram"].to_numpy()
+        ids = g["id"].to_numpy()
+        szs = g["sz"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
+        ends = np.r_[starts[1:], len(grams)]
+        A, B, SA, SB = [], [], [], []
+        for s, e in zip(starts, ends):
+            length = e - s
+            if length < 2:
+                continue
+            if max_postings is not None and length > max_postings:
+                continue  # hot gram dropped (documented recall trade)
+            ii, jj = np.triu_indices(length, k=1)
+            A.append(ids[s + ii])
+            B.append(ids[s + jj])
+            SA.append(szs[s + ii])
+            SB.append(szs[s + jj])
+        if not A:
+            z = np.zeros(0, np.int64)
+            return pd.DataFrame({"a": z, "b": z, "sa": z, "sb": z})
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(A),
+                "b": np.concatenate(B),
+                "sa": np.concatenate(SA),
+                "sb": np.concatenate(SB),
+            }
+        )
+
+    posted = ngram_postings(
+        ds, shingle=shingle, id_col=id_col, text_col=text_col,
+        num_buckets=num_buckets,
+    )
+    shared = posted.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    agg = shared.groupby(["a", "b"]).aggregate(
+        ray.data.aggregate.Count(alias_name="inter"),
+        ray.data.aggregate.Max("sa", alias_name="sa"),
+        ray.data.aggregate.Max("sb", alias_name="sb"),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        inter = batch.column("inter").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sa = batch.column("sa").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = batch.column("sb").to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = np.minimum(sa, sb)
+        mask = inter * 1000 >= tau_m * mn
+        return pa.table(
+            {
+                "a": batch.column("a").filter(pa.array(mask)),
+                "b": batch.column("b").filter(pa.array(mask)),
+                "inter": pa.array(inter[mask], pa.int64()),
+                "sa": pa.array(sa[mask], pa.int64()),
+                "sb": pa.array(sb[mask], pa.int64()),
+                "containment": pa.array(
+                    inter[mask].astype(np.float64)
+                    / mn[mask].astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs_prefix(
     ds: "ray.data.Dataset",
     tau: float = 0.9,

@@ -214,3 +214,93 @@ def test_hard_negatives_nearest_other_label_and_ties(ray_session, tmp_path):
     assert r["query_id"] == 0 and r["query_label"] == 0
     assert r["neg_id"] == 2 and r["neg_label"] == 1
     assert r["dist_fp"] == (1 << 20) ** 2
+
+
+def test_containment_stage_catches_truncation_jaccard_misses(ray_session):
+    """A 10-token prefix of a 20-token doc: containment 1.0 (caught),
+    Jaccard = 8/18 (far below 0.8 — the symmetric metric misses it)."""
+    from crawl4ai_ray.stages.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [base, " ".join(base.split()[:10]), "z0 z1 z2 z3 z4"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    got = {(r["a"], r["b"]): r for r in ngram_containment_pairs(docs, tau=0.8).take_all()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["inter"] == 8 and r["sa"] == 18 and r["sb"] == 8
+    assert r["containment"] == 1.0
+    assert ngram_jaccard_pairs(docs, tau=0.8).take_all() == []
+
+
+def test_random_walks_bruteforce_parity(ray_session, tmp_path):
+    import hashlib
+
+    from crawl4ai_ray.pipelines.queries_wave9 import q_random_walks
+
+    n = 120  # seeds 0 and 97
+    sf = _write_docs(tmp_path, list(range(n)), ["w"] * n)
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in q_random_walks(sf).take_all()
+    }
+
+    adj = {}
+    for s in range(n):
+        for d in {(2 * s + 1) % n, (2 * s + 2) % n, (7 * s + 3) % n}:
+            if s != d:
+                adj.setdefault(s, set()).add(d)
+    want = {}
+    for wid in (0, 97):
+        node = wid
+        want[(wid, 0)] = node
+        for i in range(4):
+            node = min(
+                adj[node],
+                key=lambda d: (
+                    hashlib.md5(f"{wid}|{i}|{d}".encode()).hexdigest(),
+                    d,
+                ),
+            )
+            want[(wid, i + 1)] = node
+    assert got == want
+
+
+def test_vocab_growth_hand_positions(ray_session, tmp_path):
+    from crawl4ai_ray.pipelines.queries_wave9 import q_vocab_growth
+
+    # doc0 tokens [a b c d] -> grams abc@0 bcd@1; doc1 [a b c x y] ->
+    # abc@4 (dup) bcx@5 cxy@6. T = 9; marks {1, 2, 3, 5, 9}.
+    sf = _write_docs(tmp_path, [0, 1], ["a b c d", "a b c x y"])
+    got = {r["n_tokens"]: r["vocab"] for r in q_vocab_growth(sf).take_all()}
+    assert got == {1: 1, 2: 2, 3: 2, 5: 2, 9: 4}
+
+
+def test_length_bucket_batching_waste(ray_session, tmp_path, monkeypatch):
+    from crawl4ai_ray.pipelines import queries_wave9 as w9
+
+    # 64 docs, half length 2, half length 50, interleaved by doc_id:
+    # arrival batches mix lengths (waste = 16*(50-2) per batch); length
+    # batches are homogeneous (waste 0).
+    texts = [("a b" if i % 2 == 0 else " ".join(["w"] * 50)) for i in range(64)]
+    sf = _write_docs(tmp_path, list(range(64)), texts)
+    rows = w9.q_length_bucket_batching(sf).take_all()
+    by = {(r["scheme"], r["batch_id"]): r for r in rows}
+    for b in (0, 1):
+        r = by[("length", b)]
+        assert r["n_docs"] == 32 and r["waste"] == 0
+    for b in (0, 1):
+        r = by[("arrival", b)]
+        assert r["n_docs"] == 32
+        assert r["max_len"] == 50 and r["waste"] == 32 * 50 - (16 * 2 + 16 * 50)
