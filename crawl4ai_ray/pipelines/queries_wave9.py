@@ -1187,6 +1187,308 @@ FROM rows_ GROUP BY scheme, batch_id
 
 
 # ---------------------------------------------------------------------------
+# interarrival_stats — per-user event gap statistics
+# ---------------------------------------------------------------------------
+
+def q_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival statistics (the cadence features behind
+    bot/burst detection and recrawl modeling): gaps in microseconds
+    between consecutive events, min/max/sum as exact int64 and the mean
+    as ONE division. Same bucketed discipline as sessionize: one
+    hash(user)%P shuffle, a single vectorized sort→diff pass per bucket
+    — never a group per user. Ties in ts contribute a 0 gap regardless
+    of order, so the (user, ts) sort is deterministic where it
+    matters."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((u % P).astype(np.int64), pa.int64()),
+                "user_id": pa.array(u.astype(np.int64), pa.int64()),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        t = g["ts_us"].to_numpy(dtype=np.int64)
+        same = np.r_[False, u[1:] == u[:-1]]
+        gaps = np.diff(t, prepend=t[:1])[same] if len(t) else np.zeros(0, np.int64)
+        gu = u[same]
+        users, idx = np.unique(gu, return_inverse=True)
+        n_gaps = np.bincount(idx, minlength=len(users)).astype(np.int64)
+        sums = np.bincount(idx, weights=gaps, minlength=len(users)).astype(
+            np.int64
+        )
+        mins = np.full(len(users), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, idx, gaps)
+        maxs = np.zeros(len(users), np.int64)
+        np.maximum.at(maxs, idx, gaps)
+        # users with a single event in this bucket have no gaps and are
+        # dropped here; they re-enter via the n_events partial below
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_gaps": pa.array(n_gaps, pa.int64()),
+                "sum_gap_us": pa.array(sums, pa.int64()),
+                "min_gap_us": pa.array(mins, pa.int64()),
+                "max_gap_us": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    gaps = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    counts = events.groupby("user_id").count()
+
+    def finish_counts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        z = np.zeros(n, np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "n_events": batch.column("count()").cast(pa.int64()),
+                "n_gaps": pa.array(z, pa.int64()),
+                "sum_gap_us": pa.array(z, pa.int64()),
+                "min_gap_us": pa.array(
+                    np.full(n, np.iinfo(np.int64).max, np.int64), pa.int64()
+                ),
+                "max_gap_us": pa.array(z, pa.int64()),
+            }
+        )
+
+    def finish_gaps(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_events", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+        )
+
+    merged = (
+        counts.map_batches(finish_counts, batch_format="pyarrow")
+        .union(gaps.map_batches(finish_gaps, batch_format="pyarrow"))
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+            ray.data.aggregate.Sum("n_gaps", alias_name="n_gaps"),
+            ray.data.aggregate.Sum("sum_gap_us", alias_name="sum_gap_us"),
+            ray.data.aggregate.Min("min_gap_us", alias_name="min_gap_us"),
+            ray.data.aggregate.Max("max_gap_us", alias_name="max_gap_us"),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_gaps").to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = batch.column("sum_gap_us").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        has = ng > 0
+        mean = np.where(
+            has, sm.astype(np.float64) / np.maximum(ng, 1).astype(np.float64), 0.0
+        )
+        mn = batch.column("min_gap_us").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "n_gaps": pa.array(ng, pa.int64()),
+                "min_gap_us": pa.array(np.where(has, mn, 0), pa.int64()),
+                "max_gap_us": batch.column("max_gap_us").cast(pa.int64()),
+                "mean_gap_us": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(score, batch_format="pyarrow")
+
+
+SQL_INTERARRIVAL_STATS = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                   ts) AS gap
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us,
+         CAST(COALESCE(MIN(gap), 0) AS BIGINT) AS min_gap_us,
+         CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_events, n_gaps, min_gap_us, max_gap_us,
+       CASE WHEN n_gaps > 0
+            THEN CAST(sum_gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS mean_gap_us
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob — add-one-smoothed bigram LM scoring (perplexity filter)
+# ---------------------------------------------------------------------------
+
+def q_bigram_logprob(sf_dir: str):
+    """CCNet-style perplexity filtering, one order up from lm_bucket's
+    unigram model: every doc scored by its average add-one-smoothed
+    bigram log-probability under the corpus's own bigram LM —
+    ln((c(w1 w2)+1) / (c(w1)+V)) summed over the doc's bigram stream.
+    Counts are distributed groupbys (map-side Counter partials); each
+    doc's bigram occurrences get their c(w1w2) and c(w1) attached by
+    TWO bucketed attaches (no Dataset.join, only int rows move); each
+    term is fixed-point-quantized (floor(ln(p)·1e9 + 0.5)) so the
+    per-doc sum is an order-independent int64 — the token_entropy
+    discipline. V = distinct unigram count (scalar). Output mean =
+    dequantize + ONE division."""
+    from ..functions.hashing import hash64
+    from ..stages.graph import attach_node_value
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def bigram_occurrences(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d_out, b_out, u_out = [], [], []
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            toks = (text or "").split()
+            if len(toks) < 2:
+                continue
+            th = hash64(toks)
+            n = len(th) - 1
+            with np.errstate(over="ignore"):
+                bg = th[:-1] * np.uint64(1_000_003) + th[1:]
+            d_out.append(np.full(n, did, np.int64))
+            b_out.append(bg.view(np.int64))
+            u_out.append(th[:-1].view(np.int64))
+        if not d_out:
+            z = np.zeros(0, np.int64)
+            return pa.table(
+                {"doc_id": pa.array(z, pa.int64()),
+                 "bg": pa.array(z, pa.int64()),
+                 "w1": pa.array(z, pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(d_out), pa.int64()),
+                "bg": pa.array(np.concatenate(b_out), pa.int64()),
+                "w1": pa.array(np.concatenate(u_out), pa.int64()),
+            }
+        )
+
+    occ = docs.map_batches(
+        bigram_occurrences, batch_format="pyarrow"
+    ).materialize()  # consumed by both count aggregates AND the attach
+
+    bg_counts = occ.groupby("bg").count().map_batches(
+        lambda b: pa.table(
+            {"bg": b.column("bg"), "cb": b.column("count()").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    # unigram counts over w1 positions == token counts minus each doc's
+    # last token; the LM conditions on w1 so this IS the right marginal
+    # (c(w1) = number of bigrams starting with w1)
+    w1_counts = occ.groupby("w1").count().map_batches(
+        lambda b: pa.table(
+            {"w1": b.column("w1"), "cu": b.column("count()").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    v_distinct = w1_counts.count()
+
+    att1 = attach_node_value(occ, bg_counts, "bg", "cb", ["doc_id", "bg", "w1"])
+    att2 = attach_node_value(
+        att1, w1_counts, "w1", "cu", ["doc_id", "bg", "w1", "cb"]
+    )
+
+    def term_fp(batch: pa.Table) -> pa.Table:
+        cb = batch.column("cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        cu = batch.column("cu").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (cb + 1.0) / (cu + float(v_distinct))
+        fp = np.floor(np.array([math.log(x) for x in p]) * 1e9 + 0.5).astype(
+            np.int64
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(fp, pa.int64()),
+                "one": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        att2.map_batches(term_fp, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("fp", alias_name="sum_fp"),
+            ray.data.aggregate.Sum("one", alias_name="n_bigrams"),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_fp").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n_bigrams").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_bigrams": pa.array(n, pa.int64()),
+                "avg_logprob": pa.array(
+                    s.astype(np.float64) / 1e9 / n.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM occ GROUP BY bg),
+w1c AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM occ GROUP BY w1),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM w1c),
+terms AS (
+  SELECT o.doc_id,
+         CAST(floor(ln((CAST(b.cb AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       / (CAST(u.cu AS DOUBLE) + CAST(vv.v AS DOUBLE)))
+                    * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS fp
+  FROM occ o JOIN bgc b USING (bg) JOIN w1c u USING (w1) CROSS JOIN vv
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(fp) AS BIGINT) AS sum_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(sum_fp AS DOUBLE) / 1e9 / CAST(n_bigrams AS DOUBLE) AS avg_logprob
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1209,3 +1511,7 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["vocab_growth"] = SQL_VOCAB_GROWTH
     queries["length_bucket_batching"] = q_length_bucket_batching
     oracles["length_bucket_batching"] = SQL_LENGTH_BUCKET_BATCHING
+    queries["interarrival_stats"] = q_interarrival_stats
+    oracles["interarrival_stats"] = SQL_INTERARRIVAL_STATS
+    queries["bigram_logprob"] = q_bigram_logprob
+    oracles["bigram_logprob"] = SQL_BIGRAM_LOGPROB

@@ -304,3 +304,66 @@ def test_length_bucket_batching_waste(ray_session, tmp_path, monkeypatch):
         r = by[("arrival", b)]
         assert r["n_docs"] == 32
         assert r["max_len"] == 50 and r["waste"] == 32 * 50 - (16 * 2 + 16 * 50)
+
+
+def _write_events(tmp_path, user_ids, ts_us):
+    n = len(user_ids)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+                "user_id": pa.array(user_ids, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_interarrival_stats_hand_gaps(ray_session, tmp_path):
+    """user 1: ts {0, 10, 25} -> gaps {10, 15}; user 2: one event -> no
+    gaps, zeroed min/max/mean; user 3: duplicate ts -> one 0 gap."""
+    from crawl4ai_ray.pipelines.queries_wave9 import q_interarrival_stats
+
+    sf = _write_events(
+        tmp_path,
+        [1, 1, 1, 2, 3, 3],
+        [10, 0, 25, 7, 5, 5],  # deliberately unsorted within user 1
+    )
+    rows = {r["user_id"]: r for r in q_interarrival_stats(sf).take_all()}
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert (r1["n_events"], r1["n_gaps"]) == (3, 2)
+    assert (r1["min_gap_us"], r1["max_gap_us"]) == (10, 15)
+    assert r1["mean_gap_us"] == 25.0 / 2.0
+    r2 = rows[2]
+    assert (r2["n_events"], r2["n_gaps"]) == (1, 0)
+    assert (r2["min_gap_us"], r2["max_gap_us"], r2["mean_gap_us"]) == (0, 0, 0.0)
+    r3 = rows[3]
+    assert (r3["n_events"], r3["n_gaps"]) == (2, 1)
+    assert (r3["min_gap_us"], r3["max_gap_us"], r3["mean_gap_us"]) == (0, 0, 0.0)
+
+
+def test_bigram_logprob_hand_model(ray_session, tmp_path):
+    """Corpus 'a b a b' + 'a b' + 'z': c(ab)=3, c(ba)=1; w1 counts
+    a=3, b=1; V=2. Per-term fp quantization mirrored exactly; the
+    single-token doc emits no bigrams and is absent from the output."""
+    from crawl4ai_ray.pipelines.queries_wave9 import q_bigram_logprob
+
+    sf = _write_docs(tmp_path, [0, 1, 2], ["a b a b", "a b", "z"])
+    rows = {r["doc_id"]: r for r in q_bigram_logprob(sf).take_all()}
+    assert set(rows) == {0, 1}
+
+    def fp(p):
+        return math.floor(math.log(p) * 1e9 + 0.5)
+
+    t_ab = fp((3 + 1) / (3 + 2))  # ln(4/5)
+    t_ba = fp((1 + 1) / (1 + 2))  # ln(2/3)
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["avg_logprob"] == (2 * t_ab + t_ba) / 1e9 / 3.0
+    assert rows[1]["n_bigrams"] == 1
+    assert rows[1]["avg_logprob"] == t_ab / 1e9 / 1.0
