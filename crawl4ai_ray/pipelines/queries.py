@@ -6834,3 +6834,7 @@ _register_wave8(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave9 import register as _register_wave9  # noqa: E402
 
 _register_wave9(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave10 import register as _register_wave10  # noqa: E402
+
+_register_wave10(QUERIES, ORACLES, SQL_PAGES)

@@ -1,0 +1,599 @@
+"""Tenth-wave operators (round-3 continuation session, 2026-08-19).
+
+Registered into the main query/oracle registries via ``register()`` —
+called from the tail of ``queries.py`` (same contract as
+``queries_wave9.register``).
+
+House rules throughout: Arrow batches end to end, map-side partials
+before any groupby, broadcast small sides via ``ray.put``, bucketed
+union+groupby instead of ``Dataset.join``, and an operand-for-operand
+DuckDB oracle for every query (md5-slice uniforms, integer
+fixed-point accumulation, at most one float division per output
+column mirrored operand-for-operand).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+# ---------------------------------------------------------------------------
+# kmv_overlap — KMV (k-minimum-values) sketch overlap of two crawl snapshots
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q_kmv_overlap(sf_dir: str):
+    """Sketch-based snapshot overlap: estimate |A|, |B|, |A∪B| and the
+    Jaccard/intersection of two crawl snapshots' URL-id sets from
+    k-minimum-values sketches (Bar-Yossef et al. / the DataSketches theta
+    family) instead of an exact all-to-all like crawl_delta. Snapshots
+    reuse crawl_delta's membership rules (A drops id%7==3, B drops
+    id%10==6). Each element's uniform hash is the first 60 bits of
+    md5(str(id)) — the repo's md5-slice discipline, recomputed
+    identically in SQL. The scale path: per-batch top-k prune (np.
+    partition) so each of the three distributed sort+limit(k) exchanges
+    sees ≤ 3k rows per block; the driver folds exactly 3k scalars.
+
+    Estimators (mirrored operand-for-operand): with R_k = (h_k + 1) /
+    2^60 the k-th smallest normalized hash, D̂ = (k−1)/R_k (exact count
+    when the set is smaller than k); Ĵ = |K(A∪B) ∩ K(A) ∩ K(B)| / k;
+    intersection = Ĵ · D̂_union. Exact counts ride along for the error
+    readout."""
+    k = _KMV_K
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def hash_flags(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        in_a = ids % 7 != 3
+        in_b = ids % 10 != 6
+        keep = in_a | in_b
+        ids, in_a, in_b = ids[keep], in_a[keep], in_b[keep]
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) for i in ids),
+            np.int64,
+            len(ids),
+        )
+        # per-batch prune: only rows that can reach a k-smallest slot in
+        # SOME sketch (A, B, or union) survive to the sort
+        order = np.argsort(h, kind="stable")
+        h, in_a, in_b = h[order], in_a[order], in_b[order]
+        cand = (
+            (np.cumsum(np.ones(len(h))) <= k)
+            | (np.cumsum(in_a) <= k) & in_a
+            | (np.cumsum(in_b) <= k) & in_b
+        )
+        return pa.table(
+            {
+                "h": pa.array(h[cand], pa.int64()),
+                "in_a": pa.array(in_a[cand], pa.bool_()),
+                "in_b": pa.array(in_b[cand], pa.bool_()),
+                "n_a": pa.array(
+                    np.full(cand.sum(), int(in_a.sum()), np.int64), pa.int64()
+                ),
+                "n_b": pa.array(
+                    np.full(cand.sum(), int(in_b.sum()), np.int64), pa.int64()
+                ),
+                "n_ab": pa.array(
+                    np.full(cand.sum(), int((in_a & in_b).sum()), np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    pruned = docs.map_batches(hash_flags, batch_format="pyarrow")
+    # exact counts: each surviving row carries its batch's totals; summing
+    # per-batch firsts would undercount, so recompute exactly (cheap scan)
+    exact = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "ea": pa.array(
+                    [
+                        int(
+                            (
+                                (
+                                    b.column("doc_id")
+                                    .to_numpy(zero_copy_only=False)
+                                    .astype(np.int64)
+                                    % 7
+                                )
+                                != 3
+                            ).sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+                "eb": pa.array(
+                    [
+                        int(
+                            (
+                                (
+                                    b.column("doc_id")
+                                    .to_numpy(zero_copy_only=False)
+                                    .astype(np.int64)
+                                    % 10
+                                )
+                                != 6
+                            ).sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+                "eab": pa.array(
+                    [
+                        int(
+                            (
+                                (
+                                    (
+                                        b.column("doc_id")
+                                        .to_numpy(zero_copy_only=False)
+                                        .astype(np.int64)
+                                        % 7
+                                    )
+                                    != 3
+                                )
+                                & (
+                                    (
+                                        b.column("doc_id")
+                                        .to_numpy(zero_copy_only=False)
+                                        .astype(np.int64)
+                                        % 10
+                                    )
+                                    != 6
+                                )
+                            ).sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(
+        ray.data.aggregate.Sum("ea", alias_name="ea"),
+        ray.data.aggregate.Sum("eb", alias_name="eb"),
+        ray.data.aggregate.Sum("eab", alias_name="eab"),
+    )
+
+    # the pruned stream is bounded at 3k rows per input block, so a full
+    # take on the sorted stream is O(k · blocks) — no limit(3k) here: the
+    # k-th smallest A-hash may rank beyond 3k overall when B-only rows
+    # dominate the low hashes
+    rows = pruned.sort("h").take_all()
+    hs = [r["h"] for r in rows]
+    a_hs = [r["h"] for r in rows if r["in_a"]][:k]
+    b_hs = [r["h"] for r in rows if r["in_b"]][:k]
+    u_hs = hs[:k]
+
+    def est(sketch: list[int]) -> float:
+        n = len(sketch)
+        if n < k:
+            return float(n)
+        return (
+            (float(k) - 1.0)
+            * 1152921504606846976.0
+            / (float(sketch[-1]) + 1.0)
+        )
+
+    sa, sb = set(a_hs), set(b_hs)
+    m = sum(1 for h in u_hs if h in sa and h in sb)
+    est_u = est(u_hs)
+    jac = float(m) / float(min(k, len(u_hs)))
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "est_a": pa.array([est(a_hs)], pa.float64()),
+            "est_b": pa.array([est(b_hs)], pa.float64()),
+            "est_union": pa.array([est_u], pa.float64()),
+            "jaccard_est": pa.array([jac], pa.float64()),
+            "est_intersection": pa.array([jac * est_u], pa.float64()),
+            "exact_a": pa.array([int(exact["ea"])], pa.int64()),
+            "exact_b": pa.array([int(exact["eb"])], pa.int64()),
+            "exact_intersection": pa.array([int(exact["eab"])], pa.int64()),
+        }
+    )
+
+
+SQL_KMV_OVERLAP = f"""
+WITH elems AS (
+  SELECT doc_id,
+         (doc_id % 7 <> 3) AS in_a,
+         (doc_id % 10 <> 6) AS in_b,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+  WHERE doc_id % 7 <> 3 OR doc_id % 10 <> 6
+),
+ka AS MATERIALIZED (SELECT h FROM elems WHERE in_a ORDER BY h LIMIT {_KMV_K}),
+kb AS MATERIALIZED (SELECT h FROM elems WHERE in_b ORDER BY h LIMIT {_KMV_K}),
+ku AS MATERIALIZED (
+  SELECT h, in_a, in_b FROM elems ORDER BY h LIMIT {_KMV_K}
+),
+sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM ka),
+sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM kb),
+su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM ku),
+mm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ku
+  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+),
+ests AS (
+  SELECT
+    CASE WHEN sa.n < {_KMV_K} THEN CAST(sa.n AS DOUBLE)
+         ELSE (CAST({_KMV_K} AS DOUBLE) - CAST(1.0 AS DOUBLE))
+              * CAST(1152921504606846976 AS DOUBLE)
+              / (CAST(sa.hk AS DOUBLE) + CAST(1.0 AS DOUBLE)) END AS est_a,
+    CASE WHEN sb.n < {_KMV_K} THEN CAST(sb.n AS DOUBLE)
+         ELSE (CAST({_KMV_K} AS DOUBLE) - CAST(1.0 AS DOUBLE))
+              * CAST(1152921504606846976 AS DOUBLE)
+              / (CAST(sb.hk AS DOUBLE) + CAST(1.0 AS DOUBLE)) END AS est_b,
+    CASE WHEN su.n < {_KMV_K} THEN CAST(su.n AS DOUBLE)
+         ELSE (CAST({_KMV_K} AS DOUBLE) - CAST(1.0 AS DOUBLE))
+              * CAST(1152921504606846976 AS DOUBLE)
+              / (CAST(su.hk AS DOUBLE) + CAST(1.0 AS DOUBLE)) END AS est_union,
+    CAST(mm.m AS DOUBLE)
+      / CAST(CASE WHEN su.n < {_KMV_K} THEN su.n ELSE {_KMV_K} END AS DOUBLE)
+      AS jaccard_est
+  FROM sa, sb, su, mm
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       est_a, est_b, est_union, jaccard_est,
+       jaccard_est * est_union AS est_intersection,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 7 <> 3)
+         AS exact_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 10 <> 6)
+         AS exact_b,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id % 7 <> 3 AND doc_id % 10 <> 6) AS exact_intersection
+FROM ests
+"""
+
+
+# ---------------------------------------------------------------------------
+# seed_cover — greedy k-seed 1-hop coverage maximization
+# ---------------------------------------------------------------------------
+
+_COVER_ROUNDS = 4
+
+
+def q_seed_cover(sf_dir: str):
+    """Crawl-planning operator: pick K seeds greedily so each round's
+    seed maximizes the number of NOT-yet-covered out-neighbors (the
+    classic greedy set-cover / influence-maximization step; ties break
+    to the smallest node id). Coverage after a pick = covered ∪ {seed}
+    ∪ N_out(seed). Edges are the shared synthetic link graph, deduped
+    and self-loop-free.
+
+    Distribution: the edge table is materialized once; each round is a
+    map-side mask against the BROADCAST covered set (bounded by
+    K·(1+max_degree)) followed by one groupby(src).count() and a
+    sort+limit(1) — per-round shuffle volume is |uncovered edges|, never
+    the node count, and the driver holds only the covered set."""
+    from .queries import _synthetic_link_edges
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    edges = (
+        _synthetic_link_edges(sf_dir)
+        .map_batches(dedupe, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+
+    covered: set[int] = set()
+    picked: set[int] = set()
+    out_rounds, out_seeds, out_gains, out_cov = [], [], [], []
+    for rnd in range(1, _COVER_ROUNDS + 1):
+        cov_ref = ray.put(
+            (
+                np.fromiter(covered, np.int64, len(covered)),
+                np.fromiter(picked, np.int64, len(picked)),
+            )
+        )
+
+        def mask(batch: pa.Table, _ref=cov_ref) -> pa.Table:
+            cov, pk = ray.get(_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            keep = ~np.isin(src, pk) & ~np.isin(dst, cov)
+            return pa.table(
+                {
+                    "src": pa.array(src[keep], pa.int64()),
+                    "dst": pa.array(dst[keep], pa.int64()),
+                }
+            )
+
+        gains = edges.map_batches(mask, batch_format="pyarrow").groupby("src").count()
+        top = gains.sort(
+            ["count()", "src"], descending=[True, False]
+        ).limit(1).take_all()
+        if not top:
+            break
+        seed, gain = int(top[0]["src"]), int(top[0]["count()"])
+        import pyarrow.compute as pc
+
+        neigh = [
+            int(r["dst"])
+            for r in edges.map_batches(
+                lambda b, _s=seed: b.filter(pc.equal(b.column("src"), _s)),
+                batch_format="pyarrow",
+            ).take_all()
+        ]
+        covered.add(seed)
+        covered.update(neigh)
+        picked.add(seed)
+        out_rounds.append(rnd)
+        out_seeds.append(seed)
+        out_gains.append(gain)
+        out_cov.append(len(covered))
+    return pa.table(
+        {
+            "round": pa.array(out_rounds, pa.int64()),
+            "seed": pa.array(out_seeds, pa.int64()),
+            "gain": pa.array(out_gains, pa.int64()),
+            "covered_after": pa.array(out_cov, pa.int64()),
+        }
+    )
+
+
+SQL_SEED_COVER = """
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (2 * doc_id + 1) % nn.n AS dst FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (2 * doc_id + 2) % nn.n FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (7 * doc_id + 3) % nn.n FROM documents, nn
+  ) WHERE src <> dst
+),
+c1 AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS g FROM edges GROUP BY src
+),
+p1 AS MATERIALIZED (SELECT src, g FROM c1 ORDER BY g DESC, src LIMIT 1),
+cov1 AS MATERIALIZED (
+  SELECT dst AS node FROM edges WHERE src = (SELECT src FROM p1)
+  UNION SELECT src FROM p1
+),
+c2 AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS g FROM edges
+  WHERE dst NOT IN (SELECT node FROM cov1)
+    AND src NOT IN (SELECT src FROM p1)
+  GROUP BY src
+),
+p2 AS MATERIALIZED (SELECT src, g FROM c2 ORDER BY g DESC, src LIMIT 1),
+cov2 AS MATERIALIZED (
+  SELECT node FROM cov1
+  UNION SELECT dst FROM edges WHERE src = (SELECT src FROM p2)
+  UNION SELECT src FROM p2
+),
+c3 AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS g FROM edges
+  WHERE dst NOT IN (SELECT node FROM cov2)
+    AND src NOT IN (SELECT src FROM p1 UNION SELECT src FROM p2)
+  GROUP BY src
+),
+p3 AS MATERIALIZED (SELECT src, g FROM c3 ORDER BY g DESC, src LIMIT 1),
+cov3 AS MATERIALIZED (
+  SELECT node FROM cov2
+  UNION SELECT dst FROM edges WHERE src = (SELECT src FROM p3)
+  UNION SELECT src FROM p3
+),
+c4 AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS g FROM edges
+  WHERE dst NOT IN (SELECT node FROM cov3)
+    AND src NOT IN (
+      SELECT src FROM p1 UNION SELECT src FROM p2 UNION SELECT src FROM p3
+    )
+  GROUP BY src
+),
+p4 AS MATERIALIZED (SELECT src, g FROM c4 ORDER BY g DESC, src LIMIT 1),
+cov4 AS MATERIALIZED (
+  SELECT node FROM cov3
+  UNION SELECT dst FROM edges WHERE src = (SELECT src FROM p4)
+  UNION SELECT src FROM p4
+)
+SELECT CAST(1 AS BIGINT) AS round, CAST(src AS BIGINT) AS seed, g AS gain,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cov1) AS covered_after FROM p1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(src AS BIGINT), g,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cov2) FROM p2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(src AS BIGINT), g,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cov3) FROM p3
+UNION ALL
+SELECT CAST(4 AS BIGINT), CAST(src AS BIGINT), g,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cov4) FROM p4
+"""
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords — RAKE keyword extraction over the corpus
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPWORDS = ("the", "data", "value", "small")
+_RAKE_TOPN = 20
+
+
+def q_rake_keywords(sf_dir: str):
+    """RAKE (Rose et al. 2010) keyword extraction, corpus-level:
+    candidate phrases are maximal stopword-free token runs; for each
+    content word, freq(w) = occurrence count and deg(w) = Σ over its
+    occurrences of the containing phrase's length; word score =
+    deg/freq quantized to fixed point via INTEGER floor division
+    (deg·10⁹ // freq — exact in both engines, no float until the end);
+    a phrase's score is the int64 sum of its words' scores (with
+    multiplicity). Output: top-20 distinct phrases by score (ties →
+    lexicographic).
+
+    Two passes over the docs: pass 1 computes word stats with a
+    map-side Counter partial + one vocabulary-sized groupby; the
+    word-score map (vocabulary-sized — bounded for natural language) is
+    broadcast via ray.put; pass 2 re-derives phrases per batch and
+    emits (phrase, score) occurrence rows into one distinct-phrase
+    groupby + top-N sort. Doc text never shuffles."""
+    stop = set(_RAKE_STOPWORDS)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def doc_phrases(text: str):
+        """Maximal stopword-free runs, as (words_tuple) phrases."""
+        cur: list[str] = []
+        for tok in (text or "").split():
+            if tok in stop:
+                if cur:
+                    yield cur
+                    cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            yield cur
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        freq: dict[str, int] = {}
+        deg: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for phrase in doc_phrases(text):
+                plen = len(phrase)
+                for w in phrase:
+                    freq[w] = freq.get(w, 0) + 1
+                    deg[w] = deg.get(w, 0) + plen
+        words = sorted(freq)
+        return pa.table(
+            {
+                "w": pa.array(words, pa.string()),
+                "freq": pa.array([freq[w] for w in words], pa.int64()),
+                "deg": pa.array([deg[w] for w in words], pa.int64()),
+            }
+        )
+
+    wstats = (
+        docs.map_batches(word_partials, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(
+            ray.data.aggregate.Sum("freq", alias_name="freq"),
+            ray.data.aggregate.Sum("deg", alias_name="deg"),
+        )
+        .take_all()
+    )
+    score_map = {
+        r["w"]: (int(r["deg"]) * 1_000_000_000) // int(r["freq"]) for r in wstats
+    }
+    score_ref = ray.put(score_map)
+
+    def phrase_rows(batch: pa.Table) -> pa.Table:
+        scores = ray.get(score_ref)
+        p_out, s_out = [], []
+        for text in batch.column("text").to_pylist():
+            for phrase in doc_phrases(text):
+                p_out.append(" ".join(phrase))
+                s_out.append(sum(scores[w] for w in phrase))
+        return pa.table(
+            {
+                "phrase": pa.array(p_out, pa.string()),
+                "score": pa.array(s_out, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(phrase_rows, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_occ"),
+            ray.data.aggregate.Min("score", alias_name="score"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "phrase": batch.column("phrase"),
+                "n_occ": batch.column("n_occ").cast(pa.int64()),
+                "score": batch.column("score").cast(pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["score", "phrase"], descending=[True, False])
+        .limit(_RAKE_TOPN)
+    )
+
+
+SQL_RAKE_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS w
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS s(i)
+),
+marked AS (
+  SELECT doc_id, i, w,
+         CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END AS st,
+         SUM(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM pos
+),
+words AS (SELECT doc_id, pid, i, w FROM marked WHERE st = 0),
+plens AS MATERIALIZED (
+  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen,
+         STRING_AGG(w, ' ' ORDER BY i) AS phrase
+  FROM words GROUP BY doc_id, pid
+),
+wocc AS (
+  SELECT wd.w, pl.plen
+  FROM words wd JOIN plens pl ON wd.doc_id = pl.doc_id AND wd.pid = pl.pid
+),
+wscore AS MATERIALIZED (
+  SELECT w,
+         (CAST(SUM(plen) AS BIGINT) * 1000000000)
+           // CAST(COUNT(*) AS BIGINT) AS sfp
+  FROM wocc GROUP BY w
+),
+pscore AS (
+  SELECT pl.doc_id, pl.pid, pl.phrase, CAST(SUM(ws.sfp) AS BIGINT) AS score
+  FROM words wd
+  JOIN wscore ws ON wd.w = ws.w
+  JOIN plens pl ON wd.doc_id = pl.doc_id AND wd.pid = pl.pid
+  GROUP BY pl.doc_id, pl.pid, pl.phrase
+)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(MIN(score) AS BIGINT) AS score
+FROM pscore GROUP BY phrase
+ORDER BY score DESC, phrase LIMIT {topn}
+""".format(
+    stops=", ".join(f"'{w}'" for w in _RAKE_STOPWORDS), topn=_RAKE_TOPN
+)
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+def register(queries: dict, oracles: dict, sql_pages: str) -> None:
+    queries["kmv_overlap"] = q_kmv_overlap
+    oracles["kmv_overlap"] = SQL_KMV_OVERLAP
+    queries["seed_cover"] = q_seed_cover
+    oracles["seed_cover"] = SQL_SEED_COVER
+    queries["rake_keywords"] = q_rake_keywords
+    oracles["rake_keywords"] = SQL_RAKE_KEYWORDS

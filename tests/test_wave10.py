@@ -1,0 +1,92 @@
+"""Tenth-wave operator tests: hand-computed parity on tiny inputs."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+
+def _write_docs(tmp_path, ids, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["src0"] * len(ids), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_kmv_overlap_small_set_exact_branch(ray_session, tmp_path):
+    """With both sets smaller than k the sketches ARE the sets: the
+    estimators must return exact cardinalities and exact Jaccard."""
+    from crawl4ai_ray.pipelines.queries_wave10 import q_kmv_overlap
+
+    sf = _write_docs(tmp_path, list(range(10)), ["w"] * 10)
+    r = q_kmv_overlap(sf).to_pylist()[0]
+    # A drops id%7==3 -> {3} out of 0..9 -> 9 elems; B drops id%10==6 -> 9
+    assert (r["exact_a"], r["exact_b"], r["exact_intersection"]) == (9, 9, 8)
+    assert r["est_a"] == 9.0 and r["est_b"] == 9.0 and r["est_union"] == 10.0
+    assert r["jaccard_est"] == 8.0 / 10.0
+    assert r["est_intersection"] == (8.0 / 10.0) * 10.0
+
+
+def test_seed_cover_bruteforce_parity(ray_session, tmp_path):
+    """Greedy 1-hop set cover must match an independent brute-force
+    replication of the same tie-break and coverage rules."""
+    from crawl4ai_ray.pipelines.queries_wave10 import (
+        _COVER_ROUNDS,
+        q_seed_cover,
+    )
+
+    n = 37
+    sf = _write_docs(tmp_path, list(range(n)), ["w"] * n)
+    got = [
+        (r["round"], r["seed"], r["gain"], r["covered_after"])
+        for r in q_seed_cover(sf).to_pylist()
+    ]
+
+    adj = {}
+    for s in range(n):
+        for d in {(2 * s + 1) % n, (2 * s + 2) % n, (7 * s + 3) % n}:
+            if d != s:
+                adj.setdefault(s, set()).add(d)
+    covered, picked, want = set(), set(), []
+    for rnd in range(1, _COVER_ROUNDS + 1):
+        gains = {
+            s: len(adj[s] - covered)
+            for s in adj
+            if s not in picked and len(adj[s] - covered) > 0
+        }
+        seed = min(gains, key=lambda s: (-gains[s], s))
+        covered |= adj[seed] | {seed}
+        picked.add(seed)
+        want.append((rnd, seed, gains[seed], len(covered)))
+    assert got == want
+
+
+def test_rake_keywords_hand_scores(ray_session, tmp_path):
+    """freq/deg/score arithmetic on a two-doc corpus, including the
+    fixed-point integer division and the desc-score/asc-phrase order."""
+    from crawl4ai_ray.pipelines.queries_wave10 import q_rake_keywords
+
+    sf = _write_docs(
+        tmp_path, [0, 1, 2], ["fast key the fast", "key", "the the"]
+    )
+    rows = [
+        (r["phrase"], r["n_occ"], r["score"])
+        for r in q_rake_keywords(sf).take_all()
+    ]
+    # freq(fast)=2 deg(fast)=2+1=3 -> 1_500_000_000; freq(key)=2
+    # deg(key)=2+1=3 -> 1_500_000_000. Stopword-only doc contributes
+    # nothing.
+    assert rows == [
+        ("fast key", 1, 3_000_000_000),
+        ("fast", 1, 1_500_000_000),
+        ("key", 1, 1_500_000_000),
+    ]
