@@ -587,6 +587,136 @@ ORDER BY score DESC, phrase LIMIT {topn}
 
 
 # ---------------------------------------------------------------------------
+# host_gini — Gini coefficient of the per-host page distribution
+# ---------------------------------------------------------------------------
+
+def q_host_gini(sf_dir: str):
+    """Crawl-skew report: the Gini coefficient of pages-per-host — THE
+    number that says whether the corpus (and therefore every
+    host-partitioned shuffle downstream) is dominated by heavy hitters.
+    Gini = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n over the counts sorted
+    ascending (ties broken by host asc, mirroring ROW_NUMBER).
+
+    Ranks are computed WITHOUT a global sort-and-collect: the host-count
+    table is range-bucketed BY COUNT VALUE (bucket order = global order
+    — crawl_budget_alloc's remainder-rank trick); per-bucket offsets are
+    a driver fold over the tiny distinct-count histogram; each bucket
+    then ranks its own rows and emits three int64 partials. Only
+    (host, count) rows ever shuffle."""
+    from ..functions.urls import hosts_array
+    from ..stages.agg import partial_count
+    from .queries import _pages_ds
+
+    pages = _pages_ds(sf_dir, columns=["url"])
+    hosts = pages.map_batches(
+        lambda b: pa.table({"host": hosts_array(b.column("url"))}),
+        batch_format="pyarrow",
+    )
+    hc = partial_count(hosts, "host", out_col="c")
+
+    sizes = hc.groupby("c").count().take_all()
+    sizes.sort(key=lambda r: r["c"])
+    offs: dict[int, int] = {}
+    acc = 0
+    for r in sizes:
+        offs[int(r["c"])] = acc
+        acc += int(r["count()"])
+    offs_ref = ray.put(offs)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        om = ray.get(offs_ref)
+        g = g.sort_values("host", kind="mergesort")
+        c = g["c"].to_numpy(dtype=np.int64)
+        base = om[int(c[0])]
+        ranks = base + np.arange(1, len(c) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "s1": pa.array([int((ranks * c).sum())], pa.int64()),
+                "s0": pa.array([int(c.sum())], pa.int64()),
+                "n": pa.array([len(c)], pa.int64()),
+            }
+        )
+
+    agg = hc.groupby("c").map_groups(per_bucket, batch_format="pandas").aggregate(
+        ray.data.aggregate.Sum("s1", alias_name="s1"),
+        ray.data.aggregate.Sum("s0", alias_name="s0"),
+        ray.data.aggregate.Sum("n", alias_name="n"),
+    )
+    s1, s0, n = int(agg["s1"]), int(agg["s0"]), int(agg["n"])
+    gini = float(2 * s1) / float(n * s0) - (float(n) + 1.0) / float(n)
+    return pa.table(
+        {
+            "n_hosts": pa.array([n], pa.int64()),
+            "total_pages": pa.array([s0], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+SQL_HOST_GINI = """
+WITH {pages},
+hc AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS c FROM purl GROUP BY host),
+rk AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, host) AS BIGINT) AS r FROM hc
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s0,
+         CAST(SUM(r * c) AS BIGINT) AS s1
+  FROM rk
+)
+SELECT n AS n_hosts, s0 AS total_pages,
+       CAST(2 * s1 AS DOUBLE) / CAST(n * s0 AS DOUBLE)
+         - (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS gini
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio — zlib compressibility as a quality signal
+# ---------------------------------------------------------------------------
+
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compressibility (RefinedWeb / MassiveText use the
+    compression ratio as a boilerplate-and-repetition signal: highly
+    compressible text is templated or repetitive). ratio =
+    len(zlib.compress(utf8, level=6)) / len(utf8) — ONE float division
+    per row; everything else is exact ints. Pure map stage: bodies
+    never shuffle, no state, CPU-bound per batch.
+
+    zlib has no SQL analogue, so the oracle is a pinned sf0.01 golden
+    (VALUES table from scripts/gen_golden_oracles.py, with a scalar
+    driver-side recompute asserted before pinning)."""
+    import zlib
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def comp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = [(t or "").encode("utf-8") for t in texts]
+        rl = np.fromiter((len(b) for b in raw), np.int64, len(raw))
+        cl = np.fromiter(
+            (len(zlib.compress(b, 6)) for b in raw), np.int64, len(raw)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "raw_len": pa.array(rl, pa.int64()),
+                "comp_len": pa.array(cl, pa.int64()),
+                "ratio": pa.array(
+                    cl.astype(np.float64) / np.maximum(rl, 1).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(comp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -597,3 +727,8 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["seed_cover"] = SQL_SEED_COVER
     queries["rake_keywords"] = q_rake_keywords
     oracles["rake_keywords"] = SQL_RAKE_KEYWORDS
+    queries["host_gini"] = q_host_gini
+    oracles["host_gini"] = SQL_HOST_GINI.format(pages=sql_pages.strip())
+    # compression_ratio's oracle is the pinned sf0.01 golden (GOLDEN_SQL
+    # in golden_sf001.py) — zlib has no SQL analogue
+    queries["compression_ratio"] = q_compression_ratio

@@ -47,6 +47,7 @@ GOLDEN_NAMES = [
     "token_quantiles_sketch",
     "bpe_merges",
     "bpe_tokenize",
+    "compression_ratio",
 ]
 
 
@@ -255,7 +256,11 @@ def sql_literal(v, typ: pa.DataType) -> str:
     if pa.types.is_string(typ):
         return "'" + str(v).replace("'", "''") + "'"
     if pa.types.is_floating(typ):
-        return repr(float(v))  # 17 sig digits → bit-exact double round-trip
+        # exponent form: DuckDB types it DOUBLE directly. A plain decimal
+        # literal lands in a DECIMAL column whose scale is unified across
+        # the whole VALUES list, and the wide-decimal→double conversion
+        # can lose the last bit (observed on compression_ratio ratios).
+        return "%.17e" % float(v)
     return str(int(v))
 
 
@@ -385,6 +390,33 @@ def main() -> None:
             assert [
                 (int(a), int(b), int(c), int(d)) for a, b, c, d in got
             ] == want, "bpe_tokenize: actor-pool encode != sequential scalar recompute"
+        if name == "compression_ratio":
+            import zlib
+
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+            want = []
+            for did, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                raw = (text or "").encode("utf-8")
+                cl = len(zlib.compress(raw, 6))
+                rl = len(raw)
+                want.append((int(did), rl, cl, cl / max(rl, 1)))
+            want.sort()
+            got = sorted(
+                zip(
+                    d1["doc_id"].tolist(),
+                    d1["raw_len"].tolist(),
+                    d1["comp_len"].tolist(),
+                    d1["ratio"].tolist(),
+                )
+            )
+            assert [
+                (int(a), int(b), int(c), float(d)) for a, b, c, d in got
+            ] == want, "compression_ratio: batch path != scalar recompute"
+            print(f"   scalar zlib recompute OK ({len(want)} rows)")
             print(f"   pure-python tokenize recompute OK ({len(want)} docs)")
         if name == "token_quantiles_sketch":
             want = sketch_pure_python(SF)

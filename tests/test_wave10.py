@@ -90,3 +90,39 @@ def test_rake_keywords_hand_scores(ray_session, tmp_path):
         ("fast", 1, 1_500_000_000),
         ("key", 1, 1_500_000_000),
     ]
+
+
+def test_host_gini_hand_distribution(ray_session, tmp_path, monkeypatch):
+    """counts {a:1, b:1, c:4}: sorted ranks (a,1),(b,1),(c,4) ->
+    S1 = 1+2+12 = 15, S0 = 6, n = 3; Gini = 30/18 - 4/3 = 1/3."""
+    import crawl4ai_ray.pipelines.queries as q
+    from crawl4ai_ray.pipelines.queries_wave10 import q_host_gini
+
+    urls = (
+        ["https://a.example.com/1"]
+        + ["https://b.example.com/1"]
+        + [f"https://c.example.com/{i}" for i in range(4)]
+    )
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    monkeypatch.setattr(q, "_pages_ds", lambda sf_dir, columns=None: ds)
+    r = q_host_gini("unused").to_pylist()[0]
+    assert (r["n_hosts"], r["total_pages"]) == (3, 6)
+    assert r["gini"] == 30.0 / 18.0 - 4.0 / 3.0
+
+
+def test_compression_ratio_known_text(ray_session, tmp_path):
+    import zlib
+
+    from crawl4ai_ray.pipelines.queries_wave10 import q_compression_ratio
+
+    texts = ["abc " * 100, "xyz", ""]
+    sf = _write_docs(tmp_path, [0, 1, 2], texts)
+    rows = {r["doc_id"]: r for r in q_compression_ratio(sf).take_all()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        cl = len(zlib.compress(raw, 6))
+        assert rows[i]["raw_len"] == len(raw)
+        assert rows[i]["comp_len"] == cl
+        assert rows[i]["ratio"] == cl / max(len(raw), 1)
+    # repetitive text compresses far below 1; the ratio is the signal
+    assert rows[0]["ratio"] < 0.1 < rows[1]["ratio"]
