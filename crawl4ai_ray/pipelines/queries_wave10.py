@@ -717,6 +717,330 @@ def q_compression_ratio(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# rendezvous_assign — HRW (rendezvous) hashing of hosts onto workers
+# ---------------------------------------------------------------------------
+
+_HRW_WORKERS = 8
+
+
+def q_rendezvous_assign(sf_dir: str):
+    """Highest-random-weight (rendezvous) hashing — the shard-assignment
+    discipline behind the crawl engine's host partitioning, as a query:
+    each host goes to argmax over workers w of md5(host || '#' || w)
+    (first 60 bits), so adding/removing a worker only moves 1/W of the
+    hosts (the property mod-W hashing lacks). Output: per-worker host
+    and page counts — the balance report for a W-worker fetch fleet.
+
+    The hash runs on the HOST-AGGREGATE side (|hosts| rows, never the
+    page table); W scores per host are computed map-side and reduced
+    with one tiny groupby(worker)."""
+    from ..functions.urls import hosts_array
+    from ..stages.agg import partial_count
+    from .queries import _pages_ds
+
+    W = _HRW_WORKERS
+    pages = _pages_ds(sf_dir, columns=["url"])
+    hosts = pages.map_batches(
+        lambda b: pa.table({"host": hosts_array(b.column("url"))}),
+        batch_format="pyarrow",
+    )
+    hc = partial_count(hosts, "host", out_col="n_pages")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        hs = batch.column("host").to_pylist()
+        n = batch.column("n_pages").to_numpy(zero_copy_only=False).astype(np.int64)
+        workers = np.empty(len(hs), np.int64)
+        for i, h in enumerate(hs):
+            best_w, best_s = 0, -1
+            for w in range(W):
+                s = int(
+                    hashlib.md5(f"{h}#{w}".encode()).hexdigest()[:15], 16
+                )
+                if s > best_s:
+                    best_w, best_s = w, s
+            workers[i] = best_w
+        return pa.table(
+            {
+                "worker": pa.array(workers, pa.int64()),
+                "n_hosts": pa.array(np.ones(len(hs), np.int64), pa.int64()),
+                "n_pages": pa.array(n, pa.int64()),
+            }
+        )
+
+    return (
+        hc.map_batches(assign, batch_format="pyarrow")
+        .groupby("worker")
+        .aggregate(
+            ray.data.aggregate.Sum("n_hosts", alias_name="n_hosts"),
+            ray.data.aggregate.Sum("n_pages", alias_name="n_pages"),
+        )
+    )
+
+
+SQL_RENDEZVOUS_ASSIGN = (
+    """
+WITH {pages},
+hc AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM purl GROUP BY host
+),
+scored AS (
+  SELECT host, n_pages, w.w,
+         CAST(('0x' || substr(md5(host || '#' || CAST(w.w AS VARCHAR)), 1, 15))
+              AS BIGINT) AS s
+  FROM hc, (SELECT UNNEST(generate_series(0, %d)) AS w) w
+),
+best AS (
+  SELECT host, n_pages, w,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY s DESC, w) AS rk
+  FROM scored
+)
+SELECT CAST(w AS BIGINT) AS worker,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_pages) AS BIGINT) AS n_pages
+FROM best WHERE rk = 1 GROUP BY w
+"""
+    % (_HRW_WORKERS - 1)
+)
+
+
+# ---------------------------------------------------------------------------
+# fair_share_alloc — max-min (water-filling) fetch-slot allocation
+# ---------------------------------------------------------------------------
+
+def _water_level(hist: list[tuple[int, int]], budget: int) -> int:
+    """Max integer L with Σ min(dᵢ, L) ≤ budget, from the tiny distinct-
+    demand histogram [(value, count)] sorted ascending. Piecewise-linear
+    segment walk — shared verbatim between the query and its test."""
+    n = sum(c for _, c in hist)
+    best = 0
+    s_below = 0  # Σ d over demands ≤ previous value
+    n_below = 0
+    prev = 0
+    for v, c in hist:
+        a = n - n_below  # demands > prev, i.e. still unfilled in (prev, v]
+        if a > 0:
+            cand = min(v, (budget - s_below) // a)
+            if cand >= prev + 1:
+                best = max(best, cand)
+        s_below += v * c
+        n_below += c
+        prev = v
+    return best
+
+
+def q_fair_share_alloc(sf_dir: str):
+    """Max-min fair (water-filling) fetch-slot allocation — the
+    fairness-first alternative to crawl_budget_alloc's proportional
+    split: every host gets min(demand, L) where the water level L is
+    the largest integer keeping the total within budget (total//3
+    here), and the leftover slots go one each to the highest-demand
+    uncapped hosts (ties → host asc). Heavy hitters are clipped to L
+    instead of dominating the wave.
+
+    Scale shape: the water level comes from a driver fold over the
+    DISTINCT-DEMAND histogram (tiny); the leftover bonus rank reuses
+    the descending range-bucket two-level rank (bucket order = global
+    order), so no per-host row ever lands on the driver."""
+    from ..functions.urls import hosts_array
+    from ..stages.agg import partial_count
+    from .queries import _pages_ds
+
+    pages = _pages_ds(sf_dir, columns=["url"])
+    hosts = pages.map_batches(
+        lambda b: pa.table({"host": hosts_array(b.column("url"))}),
+        batch_format="pyarrow",
+    )
+    demands = partial_count(hosts, "host", out_col="demand").materialize()
+
+    hist_rows = demands.groupby("demand").count().take_all()
+    hist = sorted((int(r["demand"]), int(r["count()"])) for r in hist_rows)
+    total = sum(v * c for v, c in hist)
+    budget = total // 3
+    lev = _water_level(hist, budget)
+    base_sum = sum(min(v, lev) * c for v, c in hist)
+    leftover = budget - base_sum
+
+    # two-level rank of uncapped hosts by (demand DESC, host ASC):
+    # per-demand-value offsets from the histogram, descending
+    offs: dict[int, int] = {}
+    acc = 0
+    for v, c in sorted(hist, reverse=True):
+        if v >= lev + 1:
+            offs[v] = acc
+            acc += c
+    offs_ref = ray.put((offs, lev, leftover))
+
+    def alloc(g: pd.DataFrame) -> pa.Table:
+        om, L, R = ray.get(offs_ref)
+        g = g.sort_values("host", kind="mergesort")
+        d = g["demand"].to_numpy(dtype=np.int64)
+        base = np.minimum(d, L)
+        v = int(d[0])
+        if v >= L + 1:
+            ranks = om[v] + np.arange(1, len(d) + 1, dtype=np.int64)
+            base = base + (ranks <= R).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(g["host"].tolist(), pa.string()),
+                "demand": pa.array(d, pa.int64()),
+                "alloc": pa.array(base, pa.int64()),
+            }
+        )
+
+    return demands.groupby("demand").map_groups(alloc, batch_format="pandas")
+
+
+SQL_FAIR_SHARE_ALLOC = """
+WITH {pages},
+c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS demand FROM purl GROUP BY host),
+t AS (SELECT CAST(SUM(demand) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n FROM c),
+b AS (SELECT total // 3 AS bud FROM t),
+dv AS (SELECT demand AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY demand),
+seg AS (
+  SELECT v,
+         CAST(COALESCE(SUM(v * cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS s_below,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_below,
+         CAST(COALESCE(LAG(v) OVER (ORDER BY v), 0) AS BIGINT) AS prev
+  FROM dv
+),
+cands AS (
+  SELECT LEAST(v, (b.bud - s_below) // (t.n - n_below)) AS cand, prev
+  FROM seg, b, t
+  WHERE t.n - n_below > 0
+),
+lvl AS (
+  SELECT CAST(COALESCE(MAX(cand), 0) AS BIGINT) AS lev
+  FROM cands WHERE cand >= prev + 1
+),
+based AS (
+  SELECT host, demand, LEAST(demand, lvl.lev) AS base,
+         demand >= lvl.lev + 1 AS unc
+  FROM c, lvl
+),
+lo AS (
+  SELECT CAST((SELECT bud FROM b) - SUM(base) AS BIGINT) AS leftover FROM based
+),
+rk AS (
+  SELECT host, demand, base, unc,
+         CAST(ROW_NUMBER() OVER (ORDER BY demand DESC, host) AS BIGINT) AS r
+  FROM based
+)
+SELECT host, demand,
+       base + CASE WHEN unc AND r <= (SELECT leftover FROM lo)
+                   THEN 1 ELSE 0 END AS alloc
+FROM rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — power-law slope of the token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 30
+
+
+def q_zipf_fit(sf_dir: str):
+    """Corpus-health statistic: OLS fit of ln(freq) against ln(rank)
+    over the top-K token ranks — natural text follows Zipf (slope ≈ −1);
+    a collapsed or templated corpus doesn't. Token frequencies come from
+    a map-side Counter partial + one groupby; the rank curve is a
+    distributed sort+limit(K); the fit runs on K scalars.
+
+    Float discipline: each (ln rank, ln freq) is fixed-point-quantized
+    (floor(ln·1e9 + 0.5), scalar libm log); the five moment sums are
+    EXACT integers (HUGEINT products in SQL — qx·qy overflows int64),
+    and slope/intercept are the only float operations, mirrored
+    operand-for-operand."""
+    import math
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        freq: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in (text or "").split():
+                freq[tok] = freq.get(tok, 0) + 1
+        words = sorted(freq)
+        return pa.table(
+            {
+                "w": pa.array(words, pa.string()),
+                "c": pa.array([freq[w] for w in words], pa.int64()),
+            }
+        )
+
+    top = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .sort(["c", "w"], descending=[True, False])
+        .limit(_ZIPF_K)
+        .take_all()
+    )
+    n = len(top)
+    sx = sy = sxy = sxx = 0
+    for r, row in enumerate(top, start=1):
+        qx = math.floor(math.log(float(r)) * 1e9 + 0.5)
+        qy = math.floor(math.log(float(int(row["c"]))) * 1e9 + 0.5)
+        sx += qx
+        sy += qy
+        sxy += qx * qy
+        sxx += qx * qx
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n) / 1e9
+    return pa.table(
+        {
+            "n_points": pa.array([n], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64()),
+        }
+    )
+
+
+SQL_ZIPF_FIT = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (SELECT t[i] AS w FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS s(i)),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY w),
+ranked AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS r FROM freq
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qx,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qy
+  FROM ranked WHERE r <= {k}
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(qx) AS HUGEINT) AS sx,
+         CAST(SUM(qy) AS HUGEINT) AS sy,
+         SUM(CAST(qx AS HUGEINT) * CAST(qy AS HUGEINT)) AS sxy,
+         SUM(CAST(qx AS HUGEINT) * CAST(qx AS HUGEINT)) AS sxx
+  FROM pts
+),
+fit AS (
+  SELECT CAST(n AS BIGINT) AS n_points,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         sx, sy, n
+  FROM sums
+)
+SELECT n_points, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) / 1e9 AS intercept
+FROM fit
+""".format(k=_ZIPF_K)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -732,3 +1056,13 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     # compression_ratio's oracle is the pinned sf0.01 golden (GOLDEN_SQL
     # in golden_sf001.py) — zlib has no SQL analogue
     queries["compression_ratio"] = q_compression_ratio
+    queries["rendezvous_assign"] = q_rendezvous_assign
+    oracles["rendezvous_assign"] = SQL_RENDEZVOUS_ASSIGN.format(
+        pages=sql_pages.strip()
+    )
+    queries["fair_share_alloc"] = q_fair_share_alloc
+    oracles["fair_share_alloc"] = SQL_FAIR_SHARE_ALLOC.format(
+        pages=sql_pages.strip()
+    )
+    queries["zipf_fit"] = q_zipf_fit
+    oracles["zipf_fit"] = SQL_ZIPF_FIT

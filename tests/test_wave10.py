@@ -126,3 +126,89 @@ def test_compression_ratio_known_text(ray_session, tmp_path):
         assert rows[i]["ratio"] == cl / max(len(raw), 1)
     # repetitive text compresses far below 1; the ratio is the signal
     assert rows[0]["ratio"] < 0.1 < rows[1]["ratio"]
+
+
+def test_rendezvous_assign_bruteforce_parity(ray_session, monkeypatch):
+    import hashlib
+
+    import numpy as np
+
+    import crawl4ai_ray.pipelines.queries as q
+    from crawl4ai_ray.pipelines.queries_wave10 import (
+        _HRW_WORKERS,
+        q_rendezvous_assign,
+    )
+
+    hosts = [f"h{i}.example.com" for i in range(40)]
+    urls = [f"https://{h}/p{j}" for i, h in enumerate(hosts) for j in range(i % 3 + 1)]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    monkeypatch.setattr(q, "_pages_ds", lambda sf_dir, columns=None: ds)
+    got = {r["worker"]: (r["n_hosts"], r["n_pages"]) for r in q_rendezvous_assign("x").take_all()}
+
+    want = {}
+    for i, h in enumerate(hosts):
+        scores = [
+            int(hashlib.md5(f"{h}#{w}".encode()).hexdigest()[:15], 16)
+            for w in range(_HRW_WORKERS)
+        ]
+        w = int(np.argmax(scores))
+        nh, np_ = want.get(w, (0, 0))
+        want[w] = (nh + 1, np_ + i % 3 + 1)
+    assert got == want
+
+
+def test_water_level_properties():
+    from crawl4ai_ray.pipelines.queries_wave10 import _water_level
+
+    cases = [
+        ([(1, 1), (3, 1), (10, 1)], 4, 1),
+        ([(5, 4)], 20, 5),        # budget == total -> full satisfaction
+        ([(5, 4)], 19, 4),
+        ([(2, 3), (100, 1)], 50, 44),  # 2+2+2+44 = 50
+    ]
+    for hist, budget, want in cases:
+        lev = _water_level(hist, budget)
+        assert lev == want
+        # defining property: alloc(L) <= B < alloc(L+1) (when not saturated)
+        def alloc(L):
+            return sum(min(v, L) * c for v, c in hist)
+        assert alloc(lev) <= budget
+        if lev < max(v for v, _ in hist):
+            assert alloc(lev + 1) > budget
+
+
+def test_fair_share_alloc_hand_case(ray_session, monkeypatch):
+    import crawl4ai_ray.pipelines.queries as q
+    from crawl4ai_ray.pipelines.queries_wave10 import q_fair_share_alloc
+
+    # demands a:10 b:3 c:1, total 14, budget 4 -> L=1, leftover 1 goes to
+    # the highest-demand uncapped host (a)
+    urls = (
+        [f"https://a.example.com/{i}" for i in range(10)]
+        + [f"https://b.example.com/{i}" for i in range(3)]
+        + ["https://c.example.com/0"]
+    )
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    monkeypatch.setattr(q, "_pages_ds", lambda sf_dir, columns=None: ds)
+    got = {r["host"]: (r["demand"], r["alloc"]) for r in q_fair_share_alloc("x").take_all()}
+    assert got == {
+        "a.example.com": (10, 2),
+        "b.example.com": (3, 1),
+        "c.example.com": (1, 1),
+    }
+    assert sum(a for _, a in got.values()) == 14 // 3
+
+
+def test_zipf_fit_planted_powerlaw(ray_session, tmp_path):
+    """freqs 30/r for ranks 1..3 -> ln f = ln 30 - ln r: slope -1,
+    intercept ln 30 (up to the 1e-9 quantization)."""
+    import math
+
+    from crawl4ai_ray.pipelines.queries_wave10 import q_zipf_fit
+
+    text = " ".join(["a"] * 30 + ["b"] * 15 + ["c"] * 10)
+    sf = _write_docs(tmp_path, [0], [text])
+    r = q_zipf_fit(sf).to_pylist()[0]
+    assert r["n_points"] == 3
+    assert abs(r["slope"] - (-1.0)) < 1e-6
+    assert abs(r["intercept"] - math.log(30.0)) < 1e-6
