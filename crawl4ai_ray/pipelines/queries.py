@@ -1788,6 +1788,20 @@ def q_logreg_calibration(sf_dir: str):
     return logreg_calibration(docs, iters=12, lr=2.0, pos_weight=6.0)
 
 
+def q_logreg_auc(sf_dir: str):
+    """ROC-AUC of the trained quality classifier via the tie-aware
+    Mann-Whitney rank sum over the distinct round-8 score grid
+    (stages/logreg.py logreg_auc) — the threshold-free eval closing the
+    classifier loop beside logreg_calibration. Exact-int numerator, ONE
+    division; oracle mirrors the doubled-average-rank fold."""
+    from ..stages.logreg import logreg_auc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return logreg_auc(docs, iters=12, lr=2.0, pos_weight=6.0)
+
+
 def q_pmi_pairs(sf_dir: str):
     """Windowed PMI collocations (stages/textstats.py pmi_pairs): forward
     window 3, min_count 5. All-integer counts with one float expression at
@@ -3885,6 +3899,7 @@ QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "logreg_quality": q_logreg_quality,
     "logreg_calibration": q_logreg_calibration,
+    "logreg_auc": q_logreg_auc,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
     "token_budget_select": q_token_budget_select,
@@ -4094,6 +4109,36 @@ w{k} AS MATERIALIZED (
             f"""
 SELECT doc_id, pr AS p, (pr >= CAST(0.5 AS DOUBLE)) AS pred
 FROM {scored}"""
+        )
+    elif final == "auc":
+        # tie-aware Mann-Whitney rank sum over the round-8 score grid
+        # (stages/logreg.py logreg_auc): a tie group of size g after a
+        # lower rows contributes np*(2a+g+1) of doubled average rank —
+        # the numerator stays an exact BIGINT, ONE division at the end
+        parts.append(
+            f""",
+grp AS (
+  SELECT pr, CAST(COUNT(*) AS BIGINT) AS g,
+         CAST(SUM(CASE WHEN y = CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END)
+              AS BIGINT) AS np
+  FROM {scored} GROUP BY pr
+),
+ordg AS (
+  SELECT g, np,
+         CAST(COALESCE(SUM(g) OVER (ORDER BY pr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS a
+  FROM grp
+),
+tot AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS npos, CAST(SUM(g) AS BIGINT) AS ntot
+  FROM grp
+),
+s2 AS (SELECT CAST(SUM(np * (2 * a + g + 1)) AS BIGINT) AS auc2 FROM ordg)
+SELECT tot.npos AS n_pos, tot.ntot - tot.npos AS n_neg,
+       CAST(s2.auc2 - tot.npos * (tot.npos + 1) AS DOUBLE)
+         / CAST(2 * tot.npos * (tot.ntot - tot.npos) AS DOUBLE) AS auc
+FROM s2, tot"""
         )
     else:  # calibration reliability table (stages/logreg.py
         # logreg_calibration): identical doubles → identical bins, exact
@@ -4818,6 +4863,7 @@ FROM ranked WHERE rnk <= 3
 """,
     "logreg_quality": _logreg_sql(12),
     "logreg_calibration": _logreg_sql(12, final="calibration"),
+    "logreg_auc": _logreg_sql(12, final="auc"),
     "dsir_weights": r"""
 WITH d AS (
   SELECT doc_id, (lang = 'en') AS is_target,

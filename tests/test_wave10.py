@@ -212,3 +212,36 @@ def test_zipf_fit_planted_powerlaw(ray_session, tmp_path):
     assert r["n_points"] == 3
     assert abs(r["slope"] - (-1.0)) < 1e-6
     assert abs(r["intercept"] - math.log(30.0)) < 1e-6
+
+
+def test_logreg_auc_pairwise_bruteforce_parity(ray_session, tmp_path):
+    """AUC from the rank-sum fold must equal the O(n_pos*n_neg) pairwise
+    definition (1 per win, 0.5 per tie) on the same fitted scores."""
+    from crawl4ai_ray.stages.logreg import fit_logreg_quality, logreg_auc, _xy
+    import math
+
+    # positives: stopword-dense ("the a of ..."); negatives: content-only
+    texts = []
+    for i in range(30):
+        texts.append("the a of to in " + "word " * (i % 4))          # y=1
+        texts.append("alpha beta gamma delta " + "word " * (i % 5))  # y=0
+    sf = _write_docs(tmp_path, list(range(len(texts))), texts)
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    r = logreg_auc(docs, iters=12, lr=2.0, pos_weight=6.0).to_pylist()[0]
+
+    # independent pairwise recompute from the same fit
+    w, feats = fit_logreg_quality(docs, iters=12, lr=2.0, pos_weight=6.0)
+    ps, ys = [], []
+    for batch in feats.iter_batches(batch_format="pyarrow"):
+        x, y = _xy(batch)
+        for i in range(len(y)):
+            z = sum(w[j] * x[j][i] for j in range(5))
+            ps.append(round(1.0 / (1.0 + math.exp(-z)), 8))
+            ys.append(y[i] == 1.0)
+    pos = [p for p, yy in zip(ps, ys) if yy]
+    neg = [p for p, yy in zip(ps, ys) if not yy]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    wins = sum(1.0 if pp > pn else 0.5 if pp == pn else 0.0 for pp in pos for pn in neg)
+    assert abs(r["auc"] - wins / (len(pos) * len(neg))) < 1e-12
+    assert 0.5 < r["auc"] <= 1.0  # the classifier must actually separate
