@@ -1041,6 +1041,205 @@ FROM fit
 
 
 # ---------------------------------------------------------------------------
+# recrawl_pipeline — change-rate → priority → fair-share budget → admission
+# ---------------------------------------------------------------------------
+
+def q_recrawl_pipeline(sf_dir: str):
+    """The composed snapshot-refresh pipeline a production crawler runs
+    per cycle, end to end over Datasets:
+
+      1. Cho–Garcia-Molina change rates from the 6-snapshot observation
+         log (stages/freshness.change_rate — url_change_rate's stage);
+      2. priority = the estimated rate, fixed-point-quantized so
+         ranking is integer-exact; universe = stale docs (≥1 observed
+         change); host = the planted heavy-hitter layout
+         (doc_id%7==0 → host 0, else doc_id%20);
+      3. per-host fetch budget by max-min water-filling over stale
+         demand (fair_share_alloc's level + leftover-bonus machinery),
+         budget = total_stale // 3;
+      4. admission: within each host keep the top-alloc docs by
+         (priority desc, doc_id asc) — per-host ranks computed
+         VECTORIZED inside hash(host)%P buckets (the sessionize
+         discipline, never one group per host), alloc map broadcast.
+
+    Output: the admitted fetch list (host_id, doc_id, pr_fp, rk)."""
+    import math
+
+    from ..stages.freshness import change_rate
+    from .queries_wave8 import _snapshot_history
+
+    rates = change_rate(_snapshot_history(sf_dir))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch.column("n_changes").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        er = batch.column("est_rate").to_pylist()
+        keep = nch >= 1
+        pr = np.fromiter(
+            (math.floor(e * 1e9 + 0.5) for e, k in zip(er, keep) if k),
+            np.int64,
+            int(keep.sum()),
+        )
+        ids = ids[keep]
+        host = np.where(ids % 7 == 0, 0, ids % 20).astype(np.int64)
+        return pa.table(
+            {
+                "host_id": pa.array(host, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pr_fp": pa.array(pr, pa.int64()),
+            }
+        )
+
+    stale = rates.map_batches(enrich, batch_format="pyarrow").materialize()
+
+    demands = {
+        int(r["host_id"]): int(r["count()"])
+        for r in stale.groupby("host_id").count().take_all()
+    }
+    total = sum(demands.values())
+    budget = total // 3
+    from collections import Counter
+
+    hist = sorted(Counter(demands.values()).items())
+    lev = _water_level(hist, budget)
+    leftover = budget - sum(min(d, lev) for d in demands.values())
+    alloc: dict[int, int] = {h: min(d, lev) for h, d in demands.items()}
+    for h, _d in sorted(
+        ((h, d) for h, d in demands.items() if d >= lev + 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:leftover]:
+        alloc[h] += 1
+    alloc_ref = ray.put(alloc)
+
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = batch.column("host_id").to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array(h % P, pa.int64()))
+
+    def admit(g: pd.DataFrame) -> pa.Table:
+        am = ray.get(alloc_ref)
+        g = g.sort_values(
+            ["host_id", "pr_fp", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        h = g["host_id"].to_numpy(dtype=np.int64)
+        first = np.r_[True, h[1:] != h[:-1]]
+        idx = np.arange(len(h), dtype=np.int64)
+        rank = idx - np.repeat(idx[first], np.diff(np.r_[idx[first], len(h)])) + 1
+        cap = np.fromiter((am.get(int(x), 0) for x in h), np.int64, len(h))
+        keep = rank <= cap
+        return pa.table(
+            {
+                "host_id": pa.array(h[keep], pa.int64()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+                "pr_fp": pa.array(g["pr_fp"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+                "rk": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return (
+        stale.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(admit, batch_format="pandas")
+    )
+
+
+SQL_RECRAWL_PIPELINE = """
+WITH ks AS (SELECT UNNEST(range(6)) AS k),
+vers AS (
+  SELECT doc_id, text, k,
+         SUM(CASE WHEN k >= 1 AND (doc_id * 3 + k * k) % 7 = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY k) AS v
+  FROM documents CROSS JOIN ks
+),
+obs AS (
+  SELECT doc_id, k,
+         md5(text || '#v' || CAST(v AS VARCHAR)) AS content_hash
+  FROM vers WHERE (doc_id + k) % 13 <> 0
+),
+pairs AS (
+  SELECT doc_id, content_hash,
+         LAG(content_hash) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+  FROM obs
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> content_hash
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM pairs GROUP BY doc_id
+),
+stale AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 20 END AS host_id,
+         doc_id,
+         CAST(floor(-ln((CAST(n_obs - 1 - n_changes AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE))
+                        / (CAST(n_obs - 1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                    * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pr_fp
+  FROM agg WHERE n_changes >= 1
+),
+c AS (SELECT host_id, CAST(COUNT(*) AS BIGINT) AS demand FROM stale GROUP BY host_id),
+t AS (SELECT CAST(SUM(demand) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n FROM c),
+b AS (SELECT total // 3 AS bud FROM t),
+dv AS (SELECT demand AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY demand),
+seg AS (
+  SELECT v,
+         CAST(COALESCE(SUM(v * cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS s_below,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_below,
+         CAST(COALESCE(LAG(v) OVER (ORDER BY v), 0) AS BIGINT) AS prev
+  FROM dv
+),
+cands AS (
+  SELECT LEAST(v, (b.bud - s_below) // (t.n - n_below)) AS cand, prev
+  FROM seg, b, t
+  WHERE t.n - n_below > 0
+),
+lvl AS (
+  SELECT CAST(COALESCE(MAX(cand), 0) AS BIGINT) AS lev
+  FROM cands WHERE cand >= prev + 1
+),
+based AS (
+  SELECT host_id, demand, LEAST(demand, lvl.lev) AS base,
+         demand >= lvl.lev + 1 AS unc
+  FROM c, lvl
+),
+lo AS (
+  SELECT CAST((SELECT bud FROM b) - SUM(base) AS BIGINT) AS leftover FROM based
+),
+rkb AS (
+  SELECT host_id, base, unc,
+         CAST(ROW_NUMBER() OVER (ORDER BY demand DESC, host_id) AS BIGINT) AS r
+  FROM based
+),
+alloc AS (
+  SELECT host_id,
+         base + CASE WHEN unc AND r <= (SELECT leftover FROM lo)
+                     THEN 1 ELSE 0 END AS alloc
+  FROM rkb
+),
+adm AS (
+  SELECT host_id, doc_id, pr_fp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host_id
+              ORDER BY pr_fp DESC, doc_id) AS BIGINT) AS rk
+  FROM stale
+)
+SELECT a.host_id, a.doc_id, a.pr_fp, a.rk
+FROM adm a JOIN alloc al ON a.host_id = al.host_id
+WHERE a.rk <= al.alloc
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1066,3 +1265,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     )
     queries["zipf_fit"] = q_zipf_fit
     oracles["zipf_fit"] = SQL_ZIPF_FIT
+    queries["recrawl_pipeline"] = q_recrawl_pipeline
+    oracles["recrawl_pipeline"] = SQL_RECRAWL_PIPELINE

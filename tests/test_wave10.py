@@ -245,3 +245,49 @@ def test_logreg_auc_pairwise_bruteforce_parity(ray_session, tmp_path):
     wins = sum(1.0 if pp > pn else 0.5 if pp == pn else 0.0 for pp in pos for pn in neg)
     assert abs(r["auc"] - wins / (len(pos) * len(neg))) < 1e-12
     assert 0.5 < r["auc"] <= 1.0  # the classifier must actually separate
+
+
+def test_recrawl_pipeline_admission_invariants(ray_session):
+    """On the real sf0.001 corpus: per-host ranks are contiguous 1..n_h,
+    the total admitted equals the water-filled budget (total_stale // 3),
+    and no host exceeds its demand."""
+    from collections import Counter
+
+    from crawl4ai_ray.pipelines.queries_wave10 import (
+        _water_level,
+        q_recrawl_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_recrawl_pipeline(sf).take_all()
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host_id"], []).append(r["rk"])
+    for h, rks in per_host.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), h
+
+    # independent demand recompute: stale = >=1 change over the 6-snap log
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    demands = Counter()
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        v = 0
+        hashes = []
+        for k in range(6):
+            if k >= 1 and (did * 3 + k * k) % 7 == 0:
+                v += 1
+            if (did + k) % 13 != 0:
+                hashes.append(hashlib.md5(f"{text}#v{v}".encode()).hexdigest())
+        changes = sum(1 for a, b in zip(hashes, hashes[1:]) if a != b)
+        if changes >= 1:
+            demands[0 if did % 7 == 0 else did % 20] += 1
+    total = sum(demands.values())
+    budget = total // 3
+    assert len(rows) == budget
+    lev = _water_level(sorted(Counter(demands.values()).items()), budget)
+    for h, rks in per_host.items():
+        assert len(rks) <= demands[h]
+        assert len(rks) >= min(demands[h], lev)  # base share always granted
