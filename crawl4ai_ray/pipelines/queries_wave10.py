@@ -1063,12 +1063,17 @@ def q_recrawl_pipeline(sf_dir: str):
          discipline, never one group per host), alloc map broadcast.
 
     Output: the admitted fetch list (host_id, doc_id, pr_fp, rk)."""
-    import math
-
     from ..stages.freshness import change_rate
     from .queries_wave8 import _snapshot_history
 
-    rates = change_rate(_snapshot_history(sf_dir))
+    return recrawl_admission(change_rate(_snapshot_history(sf_dir)))
+
+
+def recrawl_admission(rates: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Stages 2–4 of the recrawl pipeline over a change-rate Dataset
+    (doc_id, n_obs, n_changes, change_ratio, est_rate) — factored out so
+    the scale demo can feed a synthetic observation log of any size."""
+    import math
 
     def enrich(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
