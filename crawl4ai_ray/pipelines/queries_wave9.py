@@ -730,6 +730,10 @@ WHERE i.i * 1000 >= 800 * LEAST(sa.sz, sb.sz)
 # random_walks — deterministic k-step random walks over the link graph
 # ---------------------------------------------------------------------------
 
+# adjacency-size bound for the walk broadcast path (tests pin both paths)
+_RW_BROADCAST_CAP = 1_000_000
+
+
 def q_random_walks(sf_dir: str):
     """Deterministic 4-step random walks (the node2vec/DeepWalk sampling
     primitive) from seed pages doc_id % 97 == 0: at move i from node v,
@@ -767,6 +771,65 @@ def q_random_walks(sf_dir: str):
 
     P = 32
 
+    def seeds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 97 == 0
+        return pa.table(
+            {
+                "walk_id": pa.array(ids[keep], pa.int64()),
+                "node": pa.array(ids[keep], pa.int64()),
+            }
+        )
+
+    cur = docs.map_batches(seeds, batch_format="pyarrow")
+    trail = [cur]
+
+    # adaptive transport (the kcore discipline): a small adjacency list
+    # travels ONCE via plasma and every move is a shuffle-free
+    # map_batches; above the cap each move is the bucketed union+groupby
+    # below. Identical md5-keyed choice either way (locked by the
+    # brute-force parity test and the oracle).
+    n_edges = edges.count()
+    if n_edges <= _RW_BROADCAST_CAP:
+        adj_all: dict[int, list] = {}
+        for r in edges.take_all():
+            adj_all.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        adj_ref = ray.put(adj_all)
+
+        def make_bcast_step(i: int):
+            def move(batch: pa.Table) -> pa.Table:
+                adj = ray.get(adj_ref)
+                out_w, out_n = [], []
+                for wid, node in zip(
+                    batch.column("walk_id").to_pylist(),
+                    batch.column("node").to_pylist(),
+                ):
+                    nbrs = adj.get(int(node))
+                    if not nbrs:
+                        continue  # dead end: walk stops
+                    best = min(
+                        nbrs,
+                        key=lambda d: (
+                            hashlib.md5(f"{int(wid)}|{i}|{d}".encode()).hexdigest(),
+                            d,
+                        ),
+                    )
+                    out_w.append(int(wid))
+                    out_n.append(best)
+                return pa.table(
+                    {
+                        "walk_id": pa.array(out_w, pa.int64()),
+                        "node": pa.array(out_n, pa.int64()),
+                    }
+                )
+
+            return move
+
+        for i in range(4):
+            cur = cur.map_batches(make_bcast_step(i), batch_format="pyarrow")
+            trail.append(cur)
+        return _stamp_trail(trail)
+
     def tag_edges(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
         n = len(src)
@@ -780,19 +843,6 @@ def q_random_walks(sf_dir: str):
         )
 
     edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
-
-    def seeds(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = ids % 97 == 0
-        return pa.table(
-            {
-                "walk_id": pa.array(ids[keep], pa.int64()),
-                "node": pa.array(ids[keep], pa.int64()),
-            }
-        )
-
-    cur = docs.map_batches(seeds, batch_format="pyarrow")
-    trail = [cur]
 
     def make_step(i: int):
         def tag_walks(batch: pa.Table) -> pa.Table:
@@ -847,6 +897,13 @@ def q_random_walks(sf_dir: str):
             .map_groups(step_bucket, batch_format="pandas")
         )
         trail.append(cur)
+
+    return _stamp_trail(trail)
+
+
+def _stamp_trail(trail: list) -> "ray.data.Dataset":
+    """(walk_id, node) per step → the unioned (walk_id, step, node)
+    trajectory table."""
 
     def stamp(step: int):
         def add(batch: pa.Table) -> pa.Table:

@@ -367,3 +367,22 @@ def test_bigram_logprob_hand_model(ray_session, tmp_path):
     assert rows[0]["avg_logprob"] == (2 * t_ab + t_ba) / 1e9 / 3.0
     assert rows[1]["n_bigrams"] == 1
     assert rows[1]["avg_logprob"] == t_ab / 1e9 / 1.0
+
+
+def test_random_walks_shuffle_path_parity(ray_session, tmp_path, monkeypatch):
+    """Force the bucketed union+groupby path (cap 0) and assert it emits
+    the identical trajectories as the broadcast path."""
+    from crawl4ai_ray.pipelines import queries_wave9 as w9
+
+    n = 120
+    sf = _write_docs(tmp_path, list(range(n)), ["w"] * n)
+    fast = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in w9.q_random_walks(sf).take_all()
+    )
+    monkeypatch.setattr(w9, "_RW_BROADCAST_CAP", 0)
+    slow = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in w9.q_random_walks(sf).take_all()
+    )
+    assert fast == slow and len(fast) == 10
