@@ -1245,6 +1245,124 @@ WHERE a.rk <= al.alloc
 
 
 # ---------------------------------------------------------------------------
+# kmeans_silhouette — simplified (centroid) silhouette per cluster
+# ---------------------------------------------------------------------------
+
+def q_kmeans_silhouette(sf_dir: str):
+    """Clustering quality readout for the k-means chain (the eval that
+    closes the clustering loop the way logreg_auc closes the
+    classifier's): the SIMPLIFIED silhouette — per point, a = distance
+    to its own centroid, b = distance to the nearest OTHER centroid,
+    s = (√b − √a)/√max(a,b) — averaged per cluster. O(n·k) against
+    broadcast centroids instead of the O(n²) full silhouette, the
+    standard large-scale variant.
+
+    Float discipline: a and b are exact int64 fixed-point squared
+    distances; each s is quantized (floor(s·1e9 + 0.5), sqrt IEEE-parity
+    both engines) so the per-cluster mean is an exact-int sum + ONE
+    division. Oracle = the shared unrolled k-means CTE chain + one extra
+    distance block against the final centroids."""
+    from ..stages.cluster import kmeans_fp, quantize_embeddings
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = kmeans_fp(emb, k=8, iters=4)
+    cents_ref = ray.put(cents)
+
+    def sil(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            z = np.zeros(0, np.int64)
+            return pa.table(
+                {"cluster": pa.array(z), "s_fp": pa.array(z), "one": pa.array(z)}
+            )
+        c = ray.get(cents_ref).astype(np.int64)
+        e = quantize_embeddings(batch, "embedding").astype(np.int64)
+        d2 = ((e[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assigned = np.argmin(d2, axis=1)  # ties → lowest cluster id
+        srt = np.sort(d2, axis=1)
+        da, db = srt[:, 0], srt[:, 1]
+        mx = np.maximum(da, db).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(
+                mx > 0,
+                (np.sqrt(db.astype(np.float64)) - np.sqrt(da.astype(np.float64)))
+                / np.sqrt(mx),
+                0.0,
+            )
+        sfp = np.floor(s * 1e9 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(assigned.astype(np.int64), pa.int64()),
+                "s_fp": pa.array(sfp, pa.int64()),
+                "one": pa.array(np.ones(len(sfp), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(sil, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            ray.data.aggregate.Sum("s_fp", alias_name="sum_s_fp"),
+            ray.data.aggregate.Sum("one", alias_name="n"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ss = batch.column("sum_s_fp").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": batch.column("cluster").cast(pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "mean_silhouette": pa.array(
+                    ss.astype(np.float64) / 1e9 / n.astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# registered in register() — needs the kmeans CTE chain from queries.py,
+# which imports THIS module, so the oracle string is built lazily there
+# via the sql_kmeans_chain callback.
+def _silhouette_sql(kmeans_chain: str) -> str:
+    return f"""
+WITH {kmeans_chain},
+d5 AS (
+  SELECT f.vec_id, c.cluster, CAST(SUM((f.e - c.c) * (f.e - c.c)) AS BIGINT) AS d
+  FROM efp f JOIN c4 c USING (dim) GROUP BY f.vec_id, c.cluster
+),
+rk AS (
+  SELECT vec_id, cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM d5
+),
+ab AS (
+  SELECT a.vec_id, a.cluster, a.d AS da, b.d AS db
+  FROM (SELECT vec_id, cluster, d FROM rk WHERE rn = 1) a
+  JOIN (SELECT vec_id, d FROM rk WHERE rn = 2) b USING (vec_id)
+),
+s AS (
+  SELECT cluster,
+         CAST(floor(
+           (CASE WHEN GREATEST(da, db) = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE (sqrt(CAST(db AS DOUBLE)) - sqrt(CAST(da AS DOUBLE)))
+                      / sqrt(CAST(GREATEST(da, db) AS DOUBLE)) END)
+           * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sfp
+  FROM ab
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(sfp) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)
+         AS mean_silhouette
+FROM s GROUP BY cluster
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1272,3 +1390,9 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["zipf_fit"] = SQL_ZIPF_FIT
     queries["recrawl_pipeline"] = q_recrawl_pipeline
     oracles["recrawl_pipeline"] = SQL_RECRAWL_PIPELINE
+    # queries.py is mid-import when register() runs, but _kmeans_cte_chain
+    # is defined well before the register call at its tail
+    from .queries import _kmeans_cte_chain
+
+    queries["kmeans_silhouette"] = q_kmeans_silhouette
+    oracles["kmeans_silhouette"] = _silhouette_sql(_kmeans_cte_chain(8, 4))

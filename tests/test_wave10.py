@@ -291,3 +291,52 @@ def test_recrawl_pipeline_admission_invariants(ray_session):
     for h, rks in per_host.items():
         assert len(rks) <= demands[h]
         assert len(rks) >= min(demands[h], lev)  # base share always granted
+
+
+def test_kmeans_silhouette_scalar_recompute(ray_session, tmp_path):
+    """Per-cluster means must equal a scalar recompute of the simplified
+    silhouette from the same fitted centroids; tight planted clusters
+    must score near 1."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import crawl4ai_ray.pipelines.queries_wave10 as w10
+    from crawl4ai_ray.stages.cluster import kmeans_fp, quantize_embeddings
+
+    # 8 well-separated anchors (the k-means inits) + 5 satellites each
+    rng_pts = []
+    for c in range(8):
+        base = [float(10 * c), float(3 * c * c)]
+        rng_pts.append(base)
+    for c in range(8):
+        for j in range(5):
+            rng_pts.append([10 * c + 0.01 * (j + 1), 3 * c * c + 0.01 * j])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(rng_pts)), pa.int64()),
+            "embedding": pa.array(rng_pts, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = {r["cluster"]: r for r in w10.q_kmeans_silhouette(str(tmp_path)).take_all()}
+
+    emb = ray.data.read_parquet(str(tmp_path / "embeddings.parquet"))
+    _, cents = kmeans_fp(emb, k=8, iters=4)
+    e = quantize_embeddings(tbl, "embedding").astype(np.int64)
+    want_sum, want_n = {}, {}
+    for i in range(e.shape[0]):
+        d2 = [int(((e[i] - cents[c]) ** 2).sum()) for c in range(8)]
+        srt = sorted(range(8), key=lambda c: (d2[c], c))
+        a, b = d2[srt[0]], d2[srt[1]]
+        mx = max(a, b)
+        s = 0.0 if mx == 0 else (math.sqrt(float(b)) - math.sqrt(float(a))) / math.sqrt(float(mx))
+        cl = srt[0]
+        want_sum[cl] = want_sum.get(cl, 0) + math.floor(s * 1e9 + 0.5)
+        want_n[cl] = want_n.get(cl, 0) + 1
+    assert set(got) == set(want_n)
+    for cl in want_n:
+        assert got[cl]["n"] == want_n[cl]
+        assert got[cl]["mean_silhouette"] == want_sum[cl] / 1e9 / want_n[cl]
+        assert got[cl]["mean_silhouette"] > 0.9  # tight planted clusters
