@@ -4136,8 +4136,10 @@ tot AS (
 ),
 s2 AS (SELECT CAST(SUM(np * (2 * a + g + 1)) AS BIGINT) AS auc2 FROM ordg)
 SELECT tot.npos AS n_pos, tot.ntot - tot.npos AS n_neg,
-       CAST(s2.auc2 - tot.npos * (tot.npos + 1) AS DOUBLE)
-         / CAST(2 * tot.npos * (tot.ntot - tot.npos) AS DOUBLE) AS auc
+       CASE WHEN tot.npos = 0 OR tot.ntot = tot.npos THEN NULL
+            ELSE CAST(s2.auc2 - tot.npos * (tot.npos + 1) AS DOUBLE)
+                 / CAST(2 * tot.npos * (tot.ntot - tot.npos) AS DOUBLE)
+       END AS auc
 FROM s2, tot"""
         )
     else:  # calibration reliability table (stages/logreg.py

@@ -19,6 +19,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -75,22 +76,12 @@ def q_kmv_overlap(sf_dir: str):
                 "h": pa.array(h[cand], pa.int64()),
                 "in_a": pa.array(in_a[cand], pa.bool_()),
                 "in_b": pa.array(in_b[cand], pa.bool_()),
-                "n_a": pa.array(
-                    np.full(cand.sum(), int(in_a.sum()), np.int64), pa.int64()
-                ),
-                "n_b": pa.array(
-                    np.full(cand.sum(), int(in_b.sum()), np.int64), pa.int64()
-                ),
-                "n_ab": pa.array(
-                    np.full(cand.sum(), int((in_a & in_b).sum()), np.int64),
-                    pa.int64(),
-                ),
             }
         )
 
     pruned = docs.map_batches(hash_flags, batch_format="pyarrow")
-    # exact counts: each surviving row carries its batch's totals; summing
-    # per-batch firsts would undercount, so recompute exactly (cheap scan)
+    # exact counts ride a separate cheap aggregate scan (the pruned
+    # stream carries only what the sketches need: h + membership flags)
     exact = docs.map_batches(
         lambda b: pa.table(
             {
@@ -326,8 +317,9 @@ def q_seed_cover(sf_dir: str):
         if not top:
             break
         seed, gain = int(top[0]["src"]), int(top[0]["count()"])
-        import pyarrow.compute as pc
-
+        # second map-only O(|E|) pass per round to list the winner's
+        # out-neighbors — shuffle-free and embarrassingly parallel; the
+        # groupby above dominates the round regardless
         neigh = [
             int(r["dst"])
             for r in edges.map_batches(
@@ -595,7 +587,9 @@ def q_host_gini(sf_dir: str):
     number that says whether the corpus (and therefore every
     host-partitioned shuffle downstream) is dominated by heavy hitters.
     Gini = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n over the counts sorted
-    ascending (ties broken by host asc, mirroring ROW_NUMBER).
+    ascending (the SQL ROW_NUMBER tiebreaks ties by host, but Σ rank·c
+    is permutation-invariant within a tie group, so ranks here come in
+    closed form per count-value bucket).
 
     Ranks are computed WITHOUT a global sort-and-collect: the host-count
     table is range-bucketed BY COUNT VALUE (bucket order = global order
@@ -624,16 +618,19 @@ def q_host_gini(sf_dir: str):
     offs_ref = ray.put(offs)
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # every row in a groupby("c") bucket shares the count value, so
+        # Σ rank·c is rank-permutation-invariant: c · Σ(base+1..base+m)
+        # in closed form — no within-bucket sort needed
         om = ray.get(offs_ref)
-        g = g.sort_values("host", kind="mergesort")
-        c = g["c"].to_numpy(dtype=np.int64)
-        base = om[int(c[0])]
-        ranks = base + np.arange(1, len(c) + 1, dtype=np.int64)
+        c = int(g["c"].iloc[0])
+        m = len(g)
+        base = om[c]
+        s1 = c * (m * base + m * (m + 1) // 2)
         return pa.table(
             {
-                "s1": pa.array([int((ranks * c).sum())], pa.int64()),
-                "s0": pa.array([int(c.sum())], pa.int64()),
-                "n": pa.array([len(c)], pa.int64()),
+                "s1": pa.array([s1], pa.int64()),
+                "s0": pa.array([c * m], pa.int64()),
+                "n": pa.array([m], pa.int64()),
             }
         )
 
@@ -1262,7 +1259,7 @@ def q_kmeans_silhouette(sf_dir: str):
     both engines) so the per-cluster mean is an exact-int sum + ONE
     division. Oracle = the shared unrolled k-means CTE chain + one extra
     distance block against the final centroids."""
-    from ..stages.cluster import kmeans_fp, quantize_embeddings
+    from ..stages.cluster import _dist_matrix, kmeans_fp, quantize_embeddings
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     _, cents = kmeans_fp(emb, k=8, iters=4)
@@ -1276,7 +1273,7 @@ def q_kmeans_silhouette(sf_dir: str):
             )
         c = ray.get(cents_ref).astype(np.int64)
         e = quantize_embeddings(batch, "embedding").astype(np.int64)
-        d2 = ((e[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d2 = _dist_matrix(e, c)  # the _assign kernel: einsum, no (n,k,d) temp
         assigned = np.argmin(d2, axis=1)  # ties → lowest cluster id
         srt = np.sort(d2, axis=1)
         da, db = srt[:, 0], srt[:, 1]

@@ -734,6 +734,18 @@ WHERE i.i * 1000 >= 800 * LEAST(sa.sz, sb.sz)
 _RW_BROADCAST_CAP = 1_000_000
 
 
+def _walk_choose(wid: int, step: int, nbrs: list) -> int:
+    """The md5-keyed neighbor choice. ONE definition shared by the
+    broadcast and bucketed paths — their bit-identity is load-bearing
+    (oracle + dual-path parity test)."""
+    import hashlib
+
+    return min(
+        nbrs,
+        key=lambda d: (hashlib.md5(f"{wid}|{step}|{d}".encode()).hexdigest(), d),
+    )
+
+
 def q_random_walks(sf_dir: str):
     """Deterministic 4-step random walks (the node2vec/DeepWalk sampling
     primitive) from seed pages doc_id % 97 == 0: at move i from node v,
@@ -745,8 +757,6 @@ def q_random_walks(sf_dir: str):
     list never leaves its buckets conceptually, and only (walk, node)
     int rows move). Output = the full trajectories (walk_id, step,
     node), step 0..4."""
-    import hashlib
-
     from .queries import _synthetic_link_edges
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -792,8 +802,13 @@ def q_random_walks(sf_dir: str):
     n_edges = edges.count()
     if n_edges <= _RW_BROADCAST_CAP:
         adj_all: dict[int, list] = {}
-        for r in edges.take_all():
-            adj_all.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        # batch-wise fold: no per-row dict materialization on the driver
+        for eb in edges.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(
+                eb.column("src").to_numpy(zero_copy_only=False),
+                eb.column("dst").to_numpy(zero_copy_only=False),
+            ):
+                adj_all.setdefault(int(s), []).append(int(d))
         adj_ref = ray.put(adj_all)
 
         def make_bcast_step(i: int):
@@ -807,15 +822,8 @@ def q_random_walks(sf_dir: str):
                     nbrs = adj.get(int(node))
                     if not nbrs:
                         continue  # dead end: walk stops
-                    best = min(
-                        nbrs,
-                        key=lambda d: (
-                            hashlib.md5(f"{int(wid)}|{i}|{d}".encode()).hexdigest(),
-                            d,
-                        ),
-                    )
                     out_w.append(int(wid))
-                    out_n.append(best)
+                    out_n.append(_walk_choose(int(wid), i, nbrs))
                 return pa.table(
                     {
                         "walk_id": pa.array(out_w, pa.int64()),
@@ -870,15 +878,8 @@ def q_random_walks(sf_dir: str):
                 nbrs = adj.get(int(node))
                 if not nbrs:
                     continue  # dead end: walk stops
-                best = min(
-                    nbrs,
-                    key=lambda d: (
-                        hashlib.md5(f"{int(wid)}|{i}|{d}".encode()).hexdigest(),
-                        d,
-                    ),
-                )
                 out_w.append(int(wid))
-                out_n.append(best)
+                out_n.append(_walk_choose(int(wid), i, nbrs))
             return pa.table(
                 {
                     "walk_id": pa.array(out_w, pa.int64()),

@@ -65,10 +65,17 @@ def quantize_embeddings(batch: pa.Table, emb_col: str = "embedding") -> np.ndarr
 def _assign(e_fp: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(n,) argmin-cluster (ties → lowest id) and (n,) integer distances.
     diff^2 ≤ 2^46, summed over ≤64 dims ≤ 2^52 — int64-safe."""
-    diff = e_fp[:, None, :] - cents[None, :, :]
-    dist = np.einsum("nkd,nkd->nk", diff, diff)
+    dist = _dist_matrix(e_fp, cents)
     a = dist.argmin(axis=1)
     return a, dist[np.arange(len(a)), a]
+
+
+def _dist_matrix(e_fp: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n,k) integer squared distances (the _assign kernel, exposed for
+    consumers that need ALL centroid distances, e.g. the silhouette).
+    Same int64-safety bound as _assign."""
+    diff = e_fp[:, None, :] - cents[None, :, :]
+    return np.einsum("nkd,nkd->nk", diff, diff)
 
 
 def _init_centroids(

@@ -317,7 +317,13 @@ def logreg_auc(
         a += g
         npos += np_
     nneg = a - npos
-    auc = float(auc2 - npos * (npos + 1)) / float(2 * npos * nneg)
+    # single-class corpus → AUC undefined; NULL, not a ZeroDivisionError
+    # (the SQL branch mirrors with the same CASE)
+    auc = (
+        float(auc2 - npos * (npos + 1)) / float(2 * npos * nneg)
+        if npos > 0 and nneg > 0
+        else None
+    )
     return pa.table(
         {
             "n_pos": pa.array([npos], pa.int64()),

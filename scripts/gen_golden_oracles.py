@@ -390,6 +390,7 @@ def main() -> None:
             assert [
                 (int(a), int(b), int(c), int(d)) for a, b, c, d in got
             ] == want, "bpe_tokenize: actor-pool encode != sequential scalar recompute"
+            print(f"   pure-python tokenize recompute OK ({len(want)} docs)")
         if name == "compression_ratio":
             import zlib
 
@@ -417,7 +418,6 @@ def main() -> None:
                 (int(a), int(b), int(c), float(d)) for a, b, c, d in got
             ] == want, "compression_ratio: batch path != scalar recompute"
             print(f"   scalar zlib recompute OK ({len(want)} rows)")
-            print(f"   pure-python tokenize recompute OK ({len(want)} docs)")
         if name == "token_quantiles_sketch":
             want = sketch_pure_python(SF)
             got = sorted(
