@@ -1360,6 +1360,165 @@ FROM s GROUP BY cluster
 
 
 # ---------------------------------------------------------------------------
+# snapshot_novelty — per-doc n-gram novelty of a recrawl vs the prior snap
+# ---------------------------------------------------------------------------
+
+def q_snapshot_novelty(sf_dir: str):
+    """Incremental-corpus quality signal: for every doc in the CURRENT
+    snapshot, the fraction of its distinct token 5-grams that appear
+    NOWHERE in the previous snapshot — near 0 for re-fetched unchanged
+    pages, small for edited pages (only the edit's grams are new),
+    ~1 for genuinely new content. Snapshots reuse crawl_delta's
+    membership/mutation rules (prev drops id%7==3; curr drops id%10==6
+    and appends 'v2' to every 5th doc's text).
+
+    Scale shape: both sides reduce to 64-bit rolling gram hashes
+    (per-doc distinct map-side), the membership test is ONE bucketed
+    attach (attach_node_value: only int rows shuffle, missing keys →
+    sentinel = novel), and the per-doc tally is one groupby. The oracle
+    joins on the literal gram STRING — same equality relation as the
+    hash modulo 64-bit collisions (the bigram_logprob discipline)."""
+    from ..functions.hashing import hash64
+    from ..stages.graph import attach_node_value
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    K = np.uint64(1_000_003)
+
+    def gram_hashes(text: str) -> np.ndarray:
+        toks = (text or "").split()
+        if len(toks) < 5:
+            return np.zeros(0, np.uint64)
+        th = hash64(toks)
+        g = th[:-4].copy()
+        with np.errstate(over="ignore"):
+            for off in range(1, 5):
+                g = g * K + th[off : len(th) - 4 + off]
+        return np.unique(g)
+
+    def curr_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d_out, g_out = [], []
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            if did % 10 == 6:
+                continue
+            if did % 5 == 0:
+                text = (text or "") + "v2"
+            g = gram_hashes(text)
+            d_out.append(np.full(len(g), did, np.int64))
+            g_out.append(g.view(np.int64))
+        if not d_out:
+            z = np.zeros(0, np.int64)
+            return pa.table({"doc_id": pa.array(z), "g": pa.array(z)})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(d_out), pa.int64()),
+                "g": pa.array(np.concatenate(g_out), pa.int64()),
+            }
+        )
+
+    def prev_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        g_out = []
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            if did % 7 == 3:
+                continue
+            g_out.append(gram_hashes(text).view(np.int64))
+        g = np.concatenate(g_out) if g_out else np.zeros(0, np.int64)
+        n = len(g)
+        return pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "one": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    curr = docs.map_batches(curr_grams, batch_format="pyarrow")
+    prev = docs.map_batches(prev_grams, batch_format="pyarrow")
+
+    att = attach_node_value(curr, prev, "g", "seen", ["doc_id", "g"])
+
+    def tally(batch: pa.Table) -> pa.Table:
+        seen = batch.column("seen").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "one": pa.array(np.ones(n, np.int64), pa.int64()),
+                "novel": pa.array((seen < 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        att.map_batches(tally, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("one", alias_name="n_grams"),
+            ray.data.aggregate.Sum("novel", alias_name="n_novel"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = batch.column("n_novel").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_grams": pa.array(ng, pa.int64()),
+                "n_novel": pa.array(nv, pa.int64()),
+                "novelty": pa.array(
+                    nv.astype(np.float64) / ng.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SNAPSHOT_NOVELTY = r"""
+WITH curr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || 'v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 6
+),
+prevs AS (SELECT text FROM documents WHERE doc_id % 7 <> 3),
+ct AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM curr
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+              || t[i+4] AS g
+  FROM ct, LATERAL UNNEST(generate_series(1, len(t) - 4)) AS s(i)
+  WHERE len(t) >= 5
+),
+pt AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM prevs
+),
+pg AS (
+  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4] AS g
+  FROM pt, LATERAL UNNEST(generate_series(1, len(t) - 4)) AS s(i)
+  WHERE len(t) >= 5
+),
+scored AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN p.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM cg c LEFT JOIN pg p USING (g) GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1393,3 +1552,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
 
     queries["kmeans_silhouette"] = q_kmeans_silhouette
     oracles["kmeans_silhouette"] = _silhouette_sql(_kmeans_cte_chain(8, 4))
+    queries["snapshot_novelty"] = q_snapshot_novelty
+    oracles["snapshot_novelty"] = SQL_SNAPSHOT_NOVELTY

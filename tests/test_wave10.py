@@ -340,3 +340,33 @@ def test_kmeans_silhouette_scalar_recompute(ray_session, tmp_path):
         assert got[cl]["n"] == want_n[cl]
         assert got[cl]["mean_silhouette"] == want_sum[cl] / 1e9 / want_n[cl]
         assert got[cl]["mean_silhouette"] > 0.9  # tight planted clusters
+
+
+def test_snapshot_novelty_hand_cases(ray_session, tmp_path):
+    """doc 10 (in both, %5==0 so curr text gets 'v2'): only the grams
+    touching the changed last token are novel; doc 3 (curr-only,
+    %7==3): fully novel; doc 6 (%10==6): absent from curr."""
+    from crawl4ai_ray.pipelines.queries_wave10 import q_snapshot_novelty
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 10 tokens -> 6 grams
+    texts = {i: f"x{i} " * 12 for i in range(12)}
+    texts[10] = base
+    texts[3] = "n0 n1 n2 n3 n4 n5"
+    texts[6] = base
+    sf = _write_docs(
+        tmp_path, sorted(texts), [texts[i].strip() for i in sorted(texts)]
+    )
+    rows = {r["doc_id"]: r for r in q_snapshot_novelty(sf).take_all()}
+    assert 6 not in rows  # dropped from curr
+    # doc 10: curr = "... w9v2": grams 1-5 unchanged? no — last token in
+    # grams (w5..w9v2) changes grams at positions 5..9 start idx 6..6?
+    # 10 tokens -> grams start 0..5; token 9 appears in grams 5 only...
+    # tokens 5-9 form gram idx 5; w9 is in grams with start >= 5: only
+    # gram 5. So 1 of 6 grams novel.
+    r10 = rows[10]
+    assert (r10["n_grams"], r10["n_novel"]) == (6, 1)
+    assert r10["novelty"] == 1.0 / 6.0
+    # doc 3 is new in curr (prev drops %7==3): every gram novel (its
+    # n-tokens are unique to it)
+    r3 = rows[3]
+    assert (r3["n_grams"], r3["n_novel"]) == (2, 2) and r3["novelty"] == 1.0
