@@ -1519,6 +1519,161 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# lang_mixing — windowed language-ID votes (code-switch detection)
+# ---------------------------------------------------------------------------
+
+_MIX_WINDOW = 20
+
+
+def q_lang_mixing(sf_dir: str):
+    """Code-switching / boilerplate-contamination detector: lang_id's
+    stopword profiles voted per 20-token WINDOW instead of per doc.
+    A window is confident when ≥1 profile word matches; its vote is the
+    (count desc, lang asc) argmax. Per doc: window counts, distinct
+    confident votes (n_langs > 1 = mixed-language doc), the majority
+    vote, and how many confident windows disagree with it.
+
+    Entirely map-side — every doc's windows live in its own row, so the
+    operator is ONE map_batches with zero shuffles; the oracle rebuilds
+    the same votes from a (lang, word) VALUES table generated from the
+    SAME profile dict (no drift)."""
+    from ..stages.textstats import _LANG_PROFILES
+
+    word2langs: dict[str, list] = {}
+    for lang, words in _LANG_PROFILES.items():
+        for w in words:
+            word2langs.setdefault(w, []).append(lang)
+    langs_sorted = sorted(_LANG_PROFILES)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def mix(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "doc_id": [], "n_windows": [], "n_confident": [],
+            "n_langs": [], "majority_lang": [], "n_disagree": [],
+        }
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            nw = (len(toks) + _MIX_WINDOW - 1) // _MIX_WINDOW
+            votes: list[str] = []
+            for wi in range(nw):
+                counts = {lang: 0 for lang in langs_sorted}
+                for t in toks[wi * _MIX_WINDOW : (wi + 1) * _MIX_WINDOW]:
+                    for lang in word2langs.get(t, ()):
+                        counts[lang] += 1
+                # argmax with (count desc, lang asc): lowest lang on ties
+                best = min(
+                    lg for lg in langs_sorted if counts[lg] == max(counts.values())
+                )
+                if counts[best] > 0:
+                    votes.append(best)
+            vc = Counter(votes)
+            if vc:
+                majority = min(
+                    (lg for lg in vc if vc[lg] == max(vc.values()))
+                )
+                n_dis = sum(1 for v in votes if v != majority)
+            else:
+                majority, n_dis = "unknown", 0
+            out["doc_id"].append(int(did))
+            out["n_windows"].append(nw)
+            out["n_confident"].append(len(votes))
+            out["n_langs"].append(len(vc))
+            out["majority_lang"].append(majority)
+            out["n_disagree"].append(n_dis)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_windows": pa.array(out["n_windows"], pa.int64()),
+                "n_confident": pa.array(out["n_confident"], pa.int64()),
+                "n_langs": pa.array(out["n_langs"], pa.int64()),
+                "majority_lang": pa.array(out["majority_lang"], pa.string()),
+                "n_disagree": pa.array(out["n_disagree"], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(mix, batch_format="pyarrow")
+
+
+def _lang_mixing_sql() -> str:
+    from ..stages.textstats import _LANG_PROFILES
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_PROFILES)
+        for w in _LANG_PROFILES[lang]
+    )
+    return r"""
+WITH lt AS (SELECT * FROM (VALUES {vals}) AS t(lang, word)),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+           AS t
+  FROM documents
+),
+nw AS (
+  SELECT doc_id, CAST((len(t) + {W} - 1) // {W} AS BIGINT) AS n_windows
+  FROM toks WHERE len(t) > 0
+),
+pos AS (
+  SELECT doc_id, CAST((i - 1) // {W} AS BIGINT) AS wd, t[i] AS w
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS s(i)
+),
+lc AS (
+  SELECT doc_id, wd, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pos JOIN lt ON w = word GROUP BY doc_id, wd, lang
+),
+conf AS (
+  SELECT doc_id, wd, lang FROM (
+    SELECT doc_id, wd, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, wd ORDER BY c DESC, lang)
+             AS rn
+    FROM lc
+  ) WHERE rn = 1
+),
+vc AS (
+  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nvote
+  FROM conf GROUP BY doc_id, lang
+),
+m1 AS (
+  SELECT doc_id, lang AS majority_lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nvote DESC, lang)
+             AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_confident,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM conf GROUP BY doc_id
+),
+dis AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN c.lang <> m.majority_lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_disagree
+  FROM conf c JOIN m1 m USING (doc_id) GROUP BY c.doc_id
+)
+SELECT nw.doc_id, nw.n_windows,
+       COALESCE(stats.n_confident, 0) AS n_confident,
+       COALESCE(stats.n_langs, 0) AS n_langs,
+       COALESCE(m1.majority_lang, 'unknown') AS majority_lang,
+       COALESCE(dis.n_disagree, 0) AS n_disagree
+FROM nw
+LEFT JOIN stats USING (doc_id)
+LEFT JOIN m1 USING (doc_id)
+LEFT JOIN dis USING (doc_id)
+""".replace("{vals}", vals).replace("{W}", str(_MIX_WINDOW))
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1554,3 +1709,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["kmeans_silhouette"] = _silhouette_sql(_kmeans_cte_chain(8, 4))
     queries["snapshot_novelty"] = q_snapshot_novelty
     oracles["snapshot_novelty"] = SQL_SNAPSHOT_NOVELTY
+    queries["lang_mixing"] = q_lang_mixing
+    oracles["lang_mixing"] = _lang_mixing_sql()

@@ -370,3 +370,31 @@ def test_snapshot_novelty_hand_cases(ray_session, tmp_path):
     # n-tokens are unique to it)
     r3 = rows[3]
     assert (r3["n_grams"], r3["n_novel"]) == (2, 2) and r3["novelty"] == 1.0
+
+
+def test_lang_mixing_hand_cases(ray_session, tmp_path):
+    """One French window + one English window -> mixed doc with one
+    disagreement; an all-unknown doc votes nothing; tie votes break to
+    the lexicographically lowest language."""
+    from crawl4ai_ray.pipelines.queries_wave10 import q_lang_mixing
+
+    fr = "le la les et " + "mot " * 16          # 20 tokens, window 0 -> fr
+    en = "the and of to " + "word " * 16        # 20 tokens, window 1 -> en
+    texts = [
+        (fr + en).strip(),          # doc 0: mixed, majority tie en/fr -> en
+        "zz yy xx",                 # doc 1: unconfident everywhere
+        "de la",                    # doc 2: 'de' votes de/es/fr/it, 'la'
+                                    # votes es/fr/it -> es,fr,it have 2;
+                                    # tie -> es
+    ]
+    sf = _write_docs(tmp_path, [0, 1, 2], texts)
+    rows = {r["doc_id"]: r for r in q_lang_mixing(sf).take_all()}
+    r0 = rows[0]
+    assert (r0["n_windows"], r0["n_confident"], r0["n_langs"]) == (2, 2, 2)
+    assert r0["majority_lang"] == "en" and r0["n_disagree"] == 1
+    r1 = rows[1]
+    assert (r1["n_confident"], r1["majority_lang"], r1["n_disagree"]) == (
+        0, "unknown", 0,
+    )
+    r2 = rows[2]
+    assert (r2["n_confident"], r2["majority_lang"]) == (1, "es")
