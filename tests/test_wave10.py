@@ -398,3 +398,33 @@ def test_lang_mixing_hand_cases(ray_session, tmp_path):
     )
     r2 = rows[2]
     assert (r2["n_confident"], r2["majority_lang"]) == (1, "es")
+
+
+def test_water_level_hypothesis_property():
+    """For random demand histograms and budgets: L = _water_level is the
+    unique max integer with alloc(L) <= budget."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl4ai_ray.pipelines.queries_wave10 import _water_level
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40),
+        st.integers(min_value=0, max_value=20_000),
+    )
+    def check(demands, budget):
+        hist = sorted(Counter(demands).items())
+        lev = _water_level(hist, budget)
+
+        def alloc(L):
+            return sum(min(d, L) for d in demands)
+
+        assert alloc(lev) <= budget
+        if lev < max(demands):
+            assert alloc(lev + 1) > budget
+        assert lev >= 0
+
+    check()
