@@ -1674,6 +1674,147 @@ LEFT JOIN dis USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# scene_cuts — shot-boundary detection over decoded video frame grids
+# ---------------------------------------------------------------------------
+
+_SCENE_FRAMES = 12
+_SCENE_CUT_DIST = 16
+
+
+def q_scene_cuts(sf_dir: str):
+    """Video shot-boundary detection on the multimodal seam: each
+    video's payload is a sequence of 12 decoded 8×9 grayscale frame
+    grids (the raw_gray_payload interchange — a real build puts
+    ffmpeg's decode in front, the perceptual math after the seam is
+    REAL); consecutive frames are dHashed (shared dhash_grids kernel)
+    and a cut fires where the hamming distance ≥ 16. Synthetic videos:
+    frame grids depend on (video, shot) with shot boundaries at
+    (id + 17·f) % 5 == 0 — within a shot frames are identical
+    (distance 0), across shots decorrelated (squared-congruence
+    mixing, the image_dhash_dups discipline).
+
+    One actor-pool map stage, fat payloads in / 11 small rows per video
+    out; the oracle rebuilds grids, bits, two-half packed hashes and
+    bit_count distances entirely in SQL."""
+    from ..stages.multimodal import GRID_COLS, GRID_ROWS, dhash_grids
+
+    F = _SCENE_FRAMES
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        f = np.arange(F, dtype=np.int64)[None, :]
+        change = (f >= 1) & ((ids[:, None] + 17 * f) % 5 == 0)
+        shot = np.cumsum(change, axis=1).astype(np.int64)  # (n, F)
+        r = np.arange(GRID_ROWS, dtype=np.int64)[None, None, :, None]
+        c = np.arange(GRID_COLS, dtype=np.int64)[None, None, None, :]
+        x = (
+            ids[:, None, None, None] * 2654435761
+            + shot[:, :, None, None] * 97911
+            + r * 40503
+            + c * 69427
+        ) % 1000003
+        grids = (((x * x) % 1000003) % 251).astype(np.uint8)  # (n, F, 8, 9)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array([g.tobytes() for g in grids], pa.binary()),
+            }
+        )
+
+    class SceneCuts:
+        """Actor-pool stage (codec handles load once per actor in a
+        real build); here the fixed-length payload decodes in one
+        frombuffer per batch."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            payloads = batch.column("payload").to_pylist()
+            ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+            if not payloads:
+                z = np.zeros(0, np.int64)
+                return pa.table(
+                    {
+                        "media_id": pa.array(z),
+                        "frame_idx": pa.array(z),
+                        "dist": pa.array(z),
+                        "is_cut": pa.array(np.zeros(0, bool), pa.bool_()),
+                    }
+                )
+            grids = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(
+                len(payloads), F, GRID_ROWS, GRID_COLS
+            )
+            h = dhash_grids(grids)  # (n, F) uint64
+            x = np.bitwise_xor(h[:, :-1], h[:, 1:])  # (n, F-1)
+            dist = (
+                np.unpackbits(x.view(np.uint8).reshape(len(payloads), F - 1, 8), axis=2)
+                .sum(axis=2)
+                .astype(np.int64)
+            )
+            n = len(payloads)
+            return pa.table(
+                {
+                    "media_id": pa.array(
+                        np.repeat(ids.astype(np.int64), F - 1), pa.int64()
+                    ),
+                    "frame_idx": pa.array(
+                        np.tile(np.arange(1, F, dtype=np.int64), n), pa.int64()
+                    ),
+                    "dist": pa.array(dist.reshape(-1), pa.int64()),
+                    "is_cut": pa.array(
+                        (dist.reshape(-1) >= _SCENE_CUT_DIST), pa.bool_()
+                    ),
+                }
+            )
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    return media.map_batches(
+        SceneCuts, batch_format="pyarrow", batch_size=64, concurrency=(1, 8)
+    )
+
+
+SQL_SCENE_CUTS = """
+WITH frames AS (
+  SELECT d.doc_id, t_f.f,
+         SUM(CASE WHEN t_f.f >= 1 AND (d.doc_id + 17 * t_f.f) % 5 = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY d.doc_id ORDER BY t_f.f) AS shot
+  FROM documents d, range({F}) t_f(f)
+),
+g AS MATERIALIZED (
+  SELECT doc_id, f, r, c,
+         ((x * x) % 1000003) % 251 AS v
+  FROM (
+    SELECT fr.doc_id, fr.f, t_r.r, t_c.c,
+           (fr.doc_id * 2654435761 + fr.shot * 97911
+            + t_r.r * 40503 + t_c.c * 69427) % 1000003 AS x
+    FROM frames fr, range(8) t_r(r), range(9) t_c(c)
+  )
+),
+bits AS MATERIALIZED (
+  SELECT a.doc_id, a.f, CAST(a.r * 8 + a.c AS INTEGER) AS k,
+         CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.f = a.f
+                   AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+h AS MATERIALIZED (
+  SELECT doc_id, f,
+         bit_or(CASE WHEN k < 32 THEN CAST(bit AS BIGINT) << k
+                     ELSE CAST(0 AS BIGINT) END) AS lo,
+         bit_or(CASE WHEN k >= 32 THEN CAST(bit AS BIGINT) << (k - 32)
+                     ELSE CAST(0 AS BIGINT) END) AS hi
+  FROM bits GROUP BY doc_id, f
+)
+SELECT a.doc_id AS media_id, CAST(b.f AS BIGINT) AS frame_idx,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS BIGINT) AS dist,
+       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))) >= {CUT}
+         AS is_cut
+FROM h a JOIN h b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+""".format(F=_SCENE_FRAMES, CUT=_SCENE_CUT_DIST)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1711,3 +1852,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["snapshot_novelty"] = SQL_SNAPSHOT_NOVELTY
     queries["lang_mixing"] = q_lang_mixing
     oracles["lang_mixing"] = _lang_mixing_sql()
+    queries["scene_cuts"] = q_scene_cuts
+    oracles["scene_cuts"] = SQL_SCENE_CUTS

@@ -201,6 +201,17 @@ def raw_gray_payload(grid: "np.ndarray") -> bytes:
     return grid.astype(np.uint8).tobytes()
 
 
+def dhash_grids(grids: "np.ndarray") -> "np.ndarray":
+    """Vectorized Krawetz dHash over (..., 8, 9) uint8 grids → (...,)
+    uint64 (row-major little-endian bit packing, same contract as
+    DHashImage._dhash). Shared by the image-dedup and scene-cut paths."""
+    bits = grids[..., :, :-1] < grids[..., :, 1:]  # (..., 8, 8)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(
+        GRID_ROWS, GRID_COLS - 1
+    )
+    return (weights * bits.astype(np.uint64)).sum(axis=(-1, -2))
+
+
 class DHashImage:
     """Actor-pool stage: (media_id, payload) → 64-bit perceptual dHash.
 
@@ -241,11 +252,7 @@ class DHashImage:
         grids = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(
             len(payloads), GRID_ROWS, GRID_COLS
         )
-        bits = grids[:, :, :-1] < grids[:, :, 1:]  # (n, 8, 8)
-        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(
-            1, GRID_ROWS, GRID_COLS - 1
-        )
-        hashes = (weights * bits.astype(np.uint64)).sum(axis=(1, 2))
+        hashes = dhash_grids(grids)
         return pa.table(
             {
                 "id": batch.column("media_id"),

@@ -428,3 +428,24 @@ def test_water_level_hypothesis_property():
         assert lev >= 0
 
     check()
+
+
+def test_scene_cuts_within_shot_zero_across_shot_cut(ray_session, tmp_path):
+    """Within-shot consecutive frames are identical (dist 0, no cut);
+    every planted shot boundary must be detected; cut positions follow
+    (id + 17*f) % 5 == 0 exactly."""
+    from crawl4ai_ray.pipelines.queries_wave10 import (
+        _SCENE_CUT_DIST,
+        _SCENE_FRAMES,
+        q_scene_cuts,
+    )
+
+    sf = _write_docs(tmp_path, list(range(40)), ["w"] * 40)
+    rows = q_scene_cuts(sf).take_all()
+    assert len(rows) == 40 * (_SCENE_FRAMES - 1)
+    for r in rows:
+        boundary = (r["media_id"] + 17 * r["frame_idx"]) % 5 == 0
+        if boundary:
+            assert r["dist"] >= _SCENE_CUT_DIST and r["is_cut"], r
+        else:
+            assert r["dist"] == 0 and not r["is_cut"], r
