@@ -1815,6 +1815,110 @@ FROM h a JOIN h b ON b.doc_id = a.doc_id AND b.f = a.f + 1
 
 
 # ---------------------------------------------------------------------------
+# mime_sniff — magic-byte content-type detection vs declared headers
+# ---------------------------------------------------------------------------
+
+_MAGIC = (
+    (b"%PDF-", "application/pdf"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF8", "image/gif"),
+    (b"\x1f\x8b", "application/gzip"),
+)
+_MIME_BY_KIND = (
+    "text/html",
+    "application/pdf",
+    "image/jpeg",
+    "image/png",
+    "image/gif",
+    "application/gzip",
+)
+
+
+def sniff_mime(payload: bytes) -> str:
+    """Magic-byte content-type sniffing (the crawl-side reality check on
+    Content-Type headers; WHATWG-sniffing-shaped, binary signatures
+    first, then an HTML tag probe over the first 64 bytes)."""
+    for magic, mime in _MAGIC:
+        if payload.startswith(magic):
+            return mime
+    head = payload[:64].lstrip().lower()
+    if head.startswith((b"<!doctype html", b"<html")):
+        return "text/html"
+    return "application/octet-stream"
+
+
+def q_mime_sniff(sf_dir: str):
+    """Content-type verification over fetched payloads: sniff the real
+    magic bytes of every payload and compare against the DECLARED
+    header — mislabeled responses (every 17th doc here declares
+    text/html regardless of its true type) are how image bytes end up
+    in a text corpus. Synthetic payloads carry genuine signatures
+    (%PDF-, JPEG FFD8FF, PNG, GIF8, gzip 1F8B, or an <html> probe) by
+    doc_id % 6; the sniffer sees only bytes. Pure map stage; the oracle
+    states the planted ground truth from the generation rule (the
+    extract_docs oracle style), so any sniffing regression mismatches."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth_and_sniff(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        declared, sniffed = [], []
+        for did in ids:
+            kind = int(did) % 6
+            if kind == 0:
+                payload = b"<!DOCTYPE html><html><body>" + bytes(
+                    f"doc {did}", "ascii"
+                )
+            elif kind == 1:
+                payload = b"%PDF-1.7\n% " + bytes(f"doc {did}", "ascii")
+            elif kind == 2:
+                payload = b"\xff\xd8\xff\xe0" + bytes(f"doc {did}", "ascii")
+            elif kind == 3:
+                payload = b"\x89PNG\r\n\x1a\n" + bytes(f"doc {did}", "ascii")
+            elif kind == 4:
+                payload = b"GIF89a" + bytes(f"doc {did}", "ascii")
+            else:
+                payload = b"\x1f\x8b\x08" + bytes(f"doc {did}", "ascii")
+            declared.append(
+                "text/html" if did % 17 == 0 else _MIME_BY_KIND[kind]
+            )
+            sniffed.append(sniff_mime(payload))
+        mism = [d != s for d, s in zip(declared, sniffed)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "declared": pa.array(declared, pa.string()),
+                "sniffed": pa.array(sniffed, pa.string()),
+                "mismatch": pa.array(mism, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(synth_and_sniff, batch_format="pyarrow")
+
+
+SQL_MIME_SNIFF = """
+WITH kinds AS (
+  SELECT doc_id, doc_id % 6 AS kind,
+         CASE doc_id % 6
+           WHEN 0 THEN 'text/html'
+           WHEN 1 THEN 'application/pdf'
+           WHEN 2 THEN 'image/jpeg'
+           WHEN 3 THEN 'image/png'
+           WHEN 4 THEN 'image/gif'
+           ELSE 'application/gzip' END AS true_mime
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN 'text/html' ELSE true_mime END
+         AS declared,
+       true_mime AS sniffed,
+       (CASE WHEN doc_id % 17 = 0 THEN 'text/html' ELSE true_mime END)
+         <> true_mime AS mismatch
+FROM kinds
+"""
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1854,3 +1958,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["lang_mixing"] = _lang_mixing_sql()
     queries["scene_cuts"] = q_scene_cuts
     oracles["scene_cuts"] = SQL_SCENE_CUTS
+    queries["mime_sniff"] = q_mime_sniff
+    oracles["mime_sniff"] = SQL_MIME_SNIFF

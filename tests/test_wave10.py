@@ -449,3 +449,33 @@ def test_scene_cuts_within_shot_zero_across_shot_cut(ray_session, tmp_path):
             assert r["dist"] >= _SCENE_CUT_DIST and r["is_cut"], r
         else:
             assert r["dist"] == 0 and not r["is_cut"], r
+
+
+def test_sniff_mime_signatures():
+    """Every signature, the HTML probe (with leading whitespace and
+    case-insensitivity), and the unknown fallback."""
+    from crawl4ai_ray.pipelines.queries_wave10 import sniff_mime
+
+    assert sniff_mime(b"%PDF-1.4 blah") == "application/pdf"
+    assert sniff_mime(b"\xff\xd8\xff\xe1EXIF") == "image/jpeg"
+    assert sniff_mime(b"\x89PNG\r\n\x1a\nIHDR") == "image/png"
+    assert sniff_mime(b"GIF89a....") == "image/gif"
+    assert sniff_mime(b"GIF87a....") == "image/gif"
+    assert sniff_mime(b"\x1f\x8b\x08rest") == "application/gzip"
+    assert sniff_mime(b"  \n<!DOCTYPE HTML><html>") == "text/html"
+    assert sniff_mime(b"<HTML><head>") == "text/html"
+    assert sniff_mime(b"random bytes") == "application/octet-stream"
+    assert sniff_mime(b"") == "application/octet-stream"
+
+
+def test_mime_sniff_planted_mismatches(ray_session, tmp_path):
+    from crawl4ai_ray.pipelines.queries_wave10 import q_mime_sniff
+
+    sf = _write_docs(tmp_path, list(range(40)), ["w"] * 40)
+    rows = {r["doc_id"]: r for r in q_mime_sniff(sf).take_all()}
+    for did, r in rows.items():
+        if did % 17 == 0 and did % 6 != 0:
+            assert r["mismatch"] and r["declared"] == "text/html"
+        else:
+            assert not r["mismatch"]
+    assert rows[17]["sniffed"] == "application/gzip"  # 17 % 6 == 5
