@@ -1919,6 +1919,173 @@ FROM kinds
 
 
 # ---------------------------------------------------------------------------
+# minhash_estimator — signature Jaccard estimate vs exact, per planted pair
+# ---------------------------------------------------------------------------
+
+_MH_EST_PERMS = 16
+_MH_P = (1 << 61) - 1
+
+
+def q_minhash_estimator(sf_dir: str):
+    """Estimator-quality readout for the minhash family (the trilogy
+    companion of ann_recall_ivfpq and kmv_overlap): every doc is paired
+    with a planted near-copy (its text minus the first token), both are
+    minhashed with a 16-permutation Carter-Wegman family whose
+    coefficients come from md5 slices — so the ENTIRE signature
+    derivation is recomputable in SQL via HUGEINT mod-(2^61−1)
+    arithmetic — and the per-pair signature-agreement estimate
+    n_match/16 sits beside the exact shingle Jaccard. Shingle hashes
+    are md5-slice ints on both sides; the mod-p multiply reuses the
+    audited _mulmod_p limb kernel."""
+    from ..stages.dedup import _MERSENNE, _mod_p, _mulmod_p
+
+    n_perm = _MH_EST_PERMS
+    coeffs_a = np.array(
+        [
+            int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16)
+            % (_MH_P - 1)
+            + 1
+            for i in range(n_perm)
+        ],
+        np.uint64,
+    )
+    coeffs_b = np.array(
+        [
+            int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16) % _MH_P
+            for i in range(n_perm)
+        ],
+        np.uint64,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+
+    def shingle_hashes(toks: list) -> np.ndarray:
+        if len(toks) < 3:
+            return np.zeros(0, np.uint64)
+        hs = {
+            int(
+                hashlib.md5(
+                    f"{toks[i]} {toks[i+1]} {toks[i+2]}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        }
+        return np.fromiter(hs, np.uint64, len(hs))
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"a_id": [], "b_id": [], "n_match": [], "jaccard_est": [],
+               "jaccard_exact": []}
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            toks = (text or "").split()
+            xa = shingle_hashes(toks)
+            xb = shingle_hashes(toks[1:])
+            if len(xa) == 0 or len(xb) == 0:
+                continue
+            # signatures: per perm, min over shingles of (a·x + b) mod p
+            def sig(x: np.ndarray) -> np.ndarray:
+                return np.array(
+                    [
+                        _mod_p(_mulmod_p(np.full(len(x), a, np.uint64), x) + b).min()
+                        for a, b in zip(coeffs_a, coeffs_b)
+                    ],
+                    np.uint64,
+                )
+
+            nm = int((sig(xa) == sig(xb)).sum())
+            sa, sb = set(xa.tolist()), set(xb.tolist())
+            inter = len(sa & sb)
+            un = len(sa | sb)
+            out["a_id"].append(int(did))
+            out["b_id"].append(int(did) + n_docs)
+            out["n_match"].append(nm)
+            out["jaccard_est"].append(float(nm) / float(n_perm))
+            out["jaccard_exact"].append(float(inter) / float(un))
+        return pa.table(
+            {
+                "a_id": pa.array(out["a_id"], pa.int64()),
+                "b_id": pa.array(out["b_id"], pa.int64()),
+                "n_match": pa.array(out["n_match"], pa.int64()),
+                "jaccard_est": pa.array(out["jaccard_est"], pa.float64()),
+                "jaccard_exact": pa.array(out["jaccard_exact"], pa.float64()),
+            }
+        )
+
+    return docs.map_batches(pair_rows, batch_format="pyarrow")
+
+
+SQL_MINHASH_ESTIMATOR = r"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+dup AS (
+  SELECT doc_id AS id, t, 1 AS start FROM toks
+  UNION ALL
+  SELECT doc_id + nn.c, t, 2 FROM toks, nn
+),
+shh AS (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                              1, 15)) AS BIGINT) AS x
+  FROM dup, LATERAL UNNEST(generate_series(start, len(t) - 2)) AS s(i)
+  WHERE len(t) - start >= 2
+),
+perms AS (
+  SELECT i,
+         CAST(('0x' || substr(md5('a|' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % ({P} - 1) + 1 AS a,
+         CAST(('0x' || substr(md5('b|' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % {P} AS b
+  FROM range({K}) t(i)
+),
+sigs AS MATERIALIZED (
+  SELECT id, i,
+         MIN((CAST(a AS HUGEINT) * CAST(x AS HUGEINT) + b) % {P}) AS m
+  FROM shh, perms GROUP BY id, i
+),
+pairs AS (
+  SELECT o.doc_id AS a_id, o.doc_id + nn.c AS b_id
+  FROM documents o, nn
+  WHERE EXISTS (SELECT 1 FROM shh WHERE id = o.doc_id)
+    AND EXISTS (SELECT 1 FROM shh WHERE id = o.doc_id + nn.c)
+),
+matches AS (
+  SELECT p.a_id, p.b_id,
+         CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM pairs p
+  JOIN sigs sa ON sa.id = p.a_id
+  JOIN sigs sb ON sb.id = p.b_id AND sb.i = sa.i
+  GROUP BY p.a_id, p.b_id
+),
+ab AS (
+  SELECT p.a_id, p.b_id, s.x,
+         MAX(CASE WHEN s.id = p.a_id THEN 1 ELSE 0 END) AS ia,
+         MAX(CASE WHEN s.id = p.b_id THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN shh s ON s.id IN (p.a_id, p.b_id)
+  GROUP BY p.a_id, p.b_id, s.x
+),
+exact AS (
+  SELECT a_id, b_id,
+         CAST(SUM(ia * ib) AS BIGINT) AS inter,
+         CAST(COUNT(*) AS BIGINT) AS un
+  FROM ab GROUP BY a_id, b_id
+)
+SELECT m.a_id, m.b_id, m.n_match,
+       CAST(m.n_match AS DOUBLE) / CAST({K} AS DOUBLE) AS jaccard_est,
+       CAST(e.inter AS DOUBLE) / CAST(e.un AS DOUBLE) AS jaccard_exact
+FROM matches m JOIN exact e ON e.a_id = m.a_id AND e.b_id = m.b_id
+""".replace("{P}", str(_MH_P)).replace("{K}", str(_MH_EST_PERMS))
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1960,3 +2127,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["scene_cuts"] = SQL_SCENE_CUTS
     queries["mime_sniff"] = q_mime_sniff
     oracles["mime_sniff"] = SQL_MIME_SNIFF
+    queries["minhash_estimator"] = q_minhash_estimator
+    oracles["minhash_estimator"] = SQL_MINHASH_ESTIMATOR

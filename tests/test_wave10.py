@@ -479,3 +479,30 @@ def test_mime_sniff_planted_mismatches(ray_session, tmp_path):
         else:
             assert not r["mismatch"]
     assert rows[17]["sniffed"] == "application/gzip"  # 17 % 6 == 5
+
+
+def test_minhash_estimator_identical_and_disjoint(ray_session, tmp_path):
+    """Identical shingle sets after the drop -> est == exact == 1; a
+    short doc whose drop removes everything is excluded; estimate stays
+    within [0,1] with n_match on the 1/16 grid."""
+    from crawl4ai_ray.pipelines.queries_wave10 import (
+        _MH_EST_PERMS,
+        q_minhash_estimator,
+    )
+
+    texts = [
+        "a a a a a a",       # drop-first leaves identical shingle set {a a a}
+        "x y",               # <3 tokens: no shingles at all -> excluded
+        "p q r s t u v w",   # generic near-copy pair
+    ]
+    sf = _write_docs(tmp_path, [0, 1, 2], texts)
+    rows = {r["a_id"]: r for r in q_minhash_estimator(sf).take_all()}
+    assert set(rows) == {0, 2}
+    r0 = rows[0]
+    assert r0["n_match"] == _MH_EST_PERMS
+    assert r0["jaccard_est"] == 1.0 and r0["jaccard_exact"] == 1.0
+    r2 = rows[2]
+    # copy = drop first token: exact J = 5/6 (6 shingles vs 5, 5 shared)
+    assert r2["jaccard_exact"] == 5.0 / 6.0
+    assert 0.0 <= r2["jaccard_est"] <= 1.0
+    assert r2["n_match"] * 1.0 / _MH_EST_PERMS == r2["jaccard_est"]
