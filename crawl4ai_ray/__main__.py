@@ -83,6 +83,12 @@ def main(argv=None):
         help="also write NTILE(K) curriculum deciles of the kept docs "
         "under <out>/6_curriculum/decile=N/",
     )
+    pw.add_argument(
+        "--min-compression-ratio", type=float, default=None,
+        help="RefinedWeb-style repetition gate: drop docs whose zlib "
+        "ratio falls below this floor (off by default; setting it "
+        "changes the run's config hash)",
+    )
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -141,6 +147,7 @@ def main(argv=None):
                 export_seed=args.export_seed,
                 curriculum_tiles=args.curriculum or None,
                 boiler_cap=args.boiler_cap,
+                min_compression_ratio=args.min_compression_ratio,
             )
             print(json.dumps(man["stages"], indent=1))
         elif args.cmd == "queries":

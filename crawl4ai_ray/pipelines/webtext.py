@@ -126,6 +126,7 @@ def run_webtext(
     export_seed: int = 0,
     curriculum_tiles: int | None = None,
     boiler_cap: int = 1_000_000,
+    min_compression_ratio: float | None = None,
 ) -> dict:
     """Checkpointed webtext run: every stage writes partitioned parquet
     under ``out_dir/<N>_<name>/`` and a ``_DONE`` marker carrying the
@@ -159,6 +160,13 @@ def run_webtext(
         **({"curriculum_tiles": curriculum_tiles} if curriculum_tiles else {}),
         # non-default only: keeps old checkpoints' config hash valid
         **({"boiler_cap": boiler_cap} if boiler_cap != 1_000_000 else {}),
+        # RefinedWeb-style repetition gate (drop docs that zlib-compress
+        # below the floor); None keeps pre-gate checkpoints resumable
+        **(
+            {"min_compression_ratio": min_compression_ratio}
+            if min_compression_ratio is not None
+            else {}
+        ),
     }
     cfg_hash = _config_hash(params)
     _os.makedirs(out_dir, exist_ok=True)
@@ -217,7 +225,24 @@ def run_webtext(
 
     def qual_keep(batch: pa.Table) -> pa.Table:
         q = textstats.quality_score_batch(batch).column("quality")
-        return batch.filter(pa.compute.greater_equal(q, pa.scalar(0.5)))
+        batch = batch.filter(pa.compute.greater_equal(q, pa.scalar(0.5)))
+        if min_compression_ratio is not None:
+            import zlib
+
+            import numpy as np
+
+            ratios = np.array(
+                [
+                    len(zlib.compress(raw, 6)) / max(len(raw), 1)
+                    for raw in (
+                        (t or "").encode("utf-8")
+                        for t in batch.column("text").to_pylist()
+                    )
+                ],
+                np.float64,
+            )
+            batch = batch.filter(pa.array(ratios >= min_compression_ratio))
+        return batch
 
     survivors = stage(
         "1_quality",

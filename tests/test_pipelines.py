@@ -239,3 +239,45 @@ def test_webtext_curriculum_stage(ray_session, tmp_path):
     assert "curriculum_tiles" not in m_plain["params"]
     m_resume = run_webtext(docs, out2)
     assert m_resume["stages"]["4_lm_filter"]["resumed"]
+
+
+def test_webtext_compression_gate(ray_session, tmp_path):
+    """min_compression_ratio drops repetitive docs in stage 1, changes
+    the config hash (so stale checkpoints refuse), and stays out of the
+    hash when unset (old checkpoints resume)."""
+    import zlib
+
+    import pyarrow as pa
+    import pytest
+
+    from crawl4ai_ray.pipelines.webtext import run_webtext
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    texts = [base, " ".join([base] * 6)]
+    # both pass the 0.5 quality gate (identical stopword/length profile);
+    # the repeated one compresses far better
+    r0 = len(zlib.compress(texts[0].encode(), 6)) / len(texts[0].encode())
+    r1 = len(zlib.compress(texts[1].encode(), 6)) / len(texts[1].encode())
+    assert r1 < r0
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    thr = (r0 + r1) / 2
+    man = run_webtext(docs, str(tmp_path / "a"), min_compression_ratio=thr)
+    assert man["stages"]["1_quality"]["rows"] == 1
+    assert man["params"]["min_compression_ratio"] == thr
+
+    # unset gate -> different config hash -> refuse to resume dir "a"
+    with pytest.raises(ValueError):
+        run_webtext(docs, str(tmp_path / "a"))
+
+    # unset gate writes a param dict WITHOUT the key (old-checkpoint
+    # hash compatibility)
+    man2 = run_webtext(docs, str(tmp_path / "b"))
+    assert "min_compression_ratio" not in man2["params"]
+    assert man2["stages"]["1_quality"]["rows"] == 2
