@@ -89,6 +89,12 @@ def main(argv=None):
         "ratio falls below this floor (off by default; setting it "
         "changes the run's config hash)",
     )
+    pw.add_argument(
+        "--lang-gate", type=str, default=None,
+        help="CCNet-style language gate: keep only docs whose windowed "
+        "majority language-ID vote equals this code and that are not "
+        "mixed-language (off by default)",
+    )
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
@@ -148,6 +154,7 @@ def main(argv=None):
                 curriculum_tiles=args.curriculum or None,
                 boiler_cap=args.boiler_cap,
                 min_compression_ratio=args.min_compression_ratio,
+                lang_gate=args.lang_gate,
             )
             print(json.dumps(man["stages"], indent=1))
         elif args.cmd == "queries":

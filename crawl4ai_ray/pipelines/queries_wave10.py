@@ -1536,56 +1536,30 @@ def q_lang_mixing(sf_dir: str):
     Entirely map-side — every doc's windows live in its own row, so the
     operator is ONE map_batches with zero shuffles; the oracle rebuilds
     the same votes from a (lang, word) VALUES table generated from the
-    SAME profile dict (no drift)."""
-    from ..stages.textstats import _LANG_PROFILES
-
-    word2langs: dict[str, list] = {}
-    for lang, words in _LANG_PROFILES.items():
-        for w in words:
-            word2langs.setdefault(w, []).append(lang)
-    langs_sorted = sorted(_LANG_PROFILES)
+    SAME profile dict (no drift). The per-doc voter is the shared
+    textstats.lang_mix_doc kernel (also behind the webtext lang gate)."""
+    from ..stages.textstats import lang_mix_doc
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
     def mix(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         out = {
             "doc_id": [], "n_windows": [], "n_confident": [],
             "n_langs": [], "majority_lang": [], "n_disagree": [],
         }
         for did, text in zip(ids, batch.column("text").to_pylist()):
-            toks = (text or "").lower().split()
-            if not toks:
+            nw, n_conf, n_langs, majority, n_dis = lang_mix_doc(
+                text, _MIX_WINDOW
+            )
+            if nw == 0:
                 continue
-            nw = (len(toks) + _MIX_WINDOW - 1) // _MIX_WINDOW
-            votes: list[str] = []
-            for wi in range(nw):
-                counts = {lang: 0 for lang in langs_sorted}
-                for t in toks[wi * _MIX_WINDOW : (wi + 1) * _MIX_WINDOW]:
-                    for lang in word2langs.get(t, ()):
-                        counts[lang] += 1
-                # argmax with (count desc, lang asc): lowest lang on ties
-                best = min(
-                    lg for lg in langs_sorted if counts[lg] == max(counts.values())
-                )
-                if counts[best] > 0:
-                    votes.append(best)
-            vc = Counter(votes)
-            if vc:
-                majority = min(
-                    (lg for lg in vc if vc[lg] == max(vc.values()))
-                )
-                n_dis = sum(1 for v in votes if v != majority)
-            else:
-                majority, n_dis = "unknown", 0
             out["doc_id"].append(int(did))
             out["n_windows"].append(nw)
-            out["n_confident"].append(len(votes))
-            out["n_langs"].append(len(vc))
+            out["n_confident"].append(n_conf)
+            out["n_langs"].append(n_langs)
             out["majority_lang"].append(majority)
             out["n_disagree"].append(n_dis)
         return pa.table(

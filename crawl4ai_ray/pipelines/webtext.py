@@ -127,6 +127,7 @@ def run_webtext(
     curriculum_tiles: int | None = None,
     boiler_cap: int = 1_000_000,
     min_compression_ratio: float | None = None,
+    lang_gate: str | None = None,
 ) -> dict:
     """Checkpointed webtext run: every stage writes partitioned parquet
     under ``out_dir/<N>_<name>/`` and a ``_DONE`` marker carrying the
@@ -167,6 +168,10 @@ def run_webtext(
             if min_compression_ratio is not None
             else {}
         ),
+        # CCNet-style language gate: keep only docs whose windowed
+        # majority vote is lang_gate AND that are not mixed-language;
+        # None keeps pre-gate checkpoints resumable
+        **({"lang_gate": lang_gate} if lang_gate is not None else {}),
     }
     cfg_hash = _config_hash(params)
     _os.makedirs(out_dir, exist_ok=True)
@@ -242,6 +247,14 @@ def run_webtext(
                 np.float64,
             )
             batch = batch.filter(pa.array(ratios >= min_compression_ratio))
+        if lang_gate is not None:
+            keep = [
+                (lambda r: r[3] == lang_gate and r[2] <= 1)(
+                    textstats.lang_mix_doc(t)
+                )
+                for t in batch.column("text").to_pylist()
+            ]
+            batch = batch.filter(pa.array(keep))
         return batch
 
     survivors = stage(

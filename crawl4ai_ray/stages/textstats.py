@@ -629,3 +629,49 @@ def lexical_diversity_batch(batch: pa.Table) -> pa.Table:
             "hapax_ratio": pa.array(nh.astype(np.float64) / nt.astype(np.float64)),
         }
     )
+
+
+def lang_window_votes(text: str, window: int = 20):
+    """Per-window stopword-profile votes for ``text`` (lowercased,
+    whitespace tokens; a window is confident when ≥1 profile word
+    matches; argmax ties break to the lexicographically lowest
+    language). Returns (n_windows, votes) — the kernel shared by the
+    lang_mixing query and the webtext language gate. Returns (0, [])
+    for empty text."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0, []
+    langs_sorted = sorted(_LANG_PROFILES)
+    word2langs: dict = _WORD2LANGS
+    nw = (len(toks) + window - 1) // window
+    votes = []
+    for wi in range(nw):
+        counts = {lang: 0 for lang in langs_sorted}
+        for t in toks[wi * window : (wi + 1) * window]:
+            for lang in word2langs.get(t, ()):
+                counts[lang] += 1
+        best = min(lg for lg in langs_sorted if counts[lg] == max(counts.values()))
+        if counts[best] > 0:
+            votes.append(best)
+    return nw, votes
+
+
+def lang_mix_doc(text: str, window: int = 20):
+    """(n_windows, n_confident, n_langs, majority_lang, n_disagree) for
+    one doc — the lang_mixing row, from the shared window voter."""
+    from collections import Counter
+
+    nw, votes = lang_window_votes(text, window)
+    vc = Counter(votes)
+    if vc:
+        majority = min(lg for lg in vc if vc[lg] == max(vc.values()))
+        n_dis = sum(1 for v in votes if v != majority)
+    else:
+        majority, n_dis = "unknown", 0
+    return nw, len(votes), len(vc), majority, n_dis
+
+
+_WORD2LANGS: dict = {}
+for _lang, _words in _LANG_PROFILES.items():
+    for _w in _words:
+        _WORD2LANGS.setdefault(_w, []).append(_lang)

@@ -281,3 +281,28 @@ def test_webtext_compression_gate(ray_session, tmp_path):
     man2 = run_webtext(docs, str(tmp_path / "b"))
     assert "min_compression_ratio" not in man2["params"]
     assert man2["stages"]["1_quality"]["rows"] == 2
+
+
+def test_webtext_lang_gate(ray_session, tmp_path):
+    """lang_gate keeps majority==gate and unmixed docs only; unset
+    keeps the param out of the config hash."""
+    import pyarrow as pa
+
+    from crawl4ai_ray.pipelines.webtext import run_webtext
+
+    en = "the cat and the dog of the town is it that for with good"
+    fr = "le chat et la maison de les gens est que une pour bien oui"
+    mixed = en + " " + " ".join(["pad"] * 8) + " " + fr  # en window + fr window
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array([en, fr, mixed], pa.string()),
+            }
+        )
+    )
+    man = run_webtext(docs, str(tmp_path / "a"), lang_gate="en")
+    assert man["stages"]["1_quality"]["rows"] == 1
+    assert man["params"]["lang_gate"] == "en"
+    man2 = run_webtext(docs, str(tmp_path / "b"))
+    assert "lang_gate" not in man2["params"]
