@@ -2060,6 +2060,140 @@ FROM matches m JOIN exact e ON e.a_id = m.a_id AND e.b_id = m.b_id
 
 
 # ---------------------------------------------------------------------------
+# minhash_bbit — b-bit minhash (Li & König 2010) estimate vs exact
+# ---------------------------------------------------------------------------
+
+_BBIT_B = 4
+
+
+def q_minhash_bbit(sf_dir: str):
+    """b-bit minhash (Li & König, WWW 2010): store only the low b=4 bits
+    of each of the 16 signature components — 64 bits of sketch per doc
+    instead of 1024 — and recover Jaccard from the collision rate with
+    the bias correction Ĵ = (m/k − 2⁻ᵇ)/(1 − 2⁻ᵇ) (the random-collision
+    floor subtracted, then rescaled). Same planted near-copy pairs,
+    md5-derived Carter-Wegman chain, and HUGEINT SQL mirror as
+    minhash_estimator; reports the truncated-bit match count, the
+    corrected estimate, and the exact Jaccard side by side."""
+    from ..stages.dedup import _mod_p, _mulmod_p
+
+    n_perm = _MH_EST_PERMS
+    b = _BBIT_B
+    mask = np.uint64((1 << b) - 1)
+    coeffs_a = np.array(
+        [
+            int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16)
+            % (_MH_P - 1)
+            + 1
+            for i in range(n_perm)
+        ],
+        np.uint64,
+    )
+    coeffs_b = np.array(
+        [
+            int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16) % _MH_P
+            for i in range(n_perm)
+        ],
+        np.uint64,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+
+    def shingle_hashes(toks: list) -> np.ndarray:
+        if len(toks) < 3:
+            return np.zeros(0, np.uint64)
+        hs = {
+            int(
+                hashlib.md5(
+                    f"{toks[i]} {toks[i+1]} {toks[i+2]}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        }
+        return np.fromiter(hs, np.uint64, len(hs))
+
+    floor = 1.0 / float(1 << b)
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"a_id": [], "b_id": [], "n_match_b": [], "jaccard_bbit": [],
+               "jaccard_exact": []}
+        for did, text in zip(ids, batch.column("text").to_pylist()):
+            toks = (text or "").split()
+            xa = shingle_hashes(toks)
+            xb = shingle_hashes(toks[1:])
+            if len(xa) == 0 or len(xb) == 0:
+                continue
+
+            def sig_b(x: np.ndarray) -> np.ndarray:
+                return np.array(
+                    [
+                        _mod_p(
+                            _mulmod_p(np.full(len(x), a, np.uint64), x) + bb
+                        ).min()
+                        & mask
+                        for a, bb in zip(coeffs_a, coeffs_b)
+                    ],
+                    np.uint64,
+                )
+
+            nm = int((sig_b(xa) == sig_b(xb)).sum())
+            sa, sb = set(xa.tolist()), set(xb.tolist())
+            est = (float(nm) / float(n_perm) - floor) / (1.0 - floor)
+            out["a_id"].append(int(did))
+            out["b_id"].append(int(did) + n_docs)
+            out["n_match_b"].append(nm)
+            out["jaccard_bbit"].append(est)
+            out["jaccard_exact"].append(
+                float(len(sa & sb)) / float(len(sa | sb))
+            )
+        return pa.table(
+            {
+                "a_id": pa.array(out["a_id"], pa.int64()),
+                "b_id": pa.array(out["b_id"], pa.int64()),
+                "n_match_b": pa.array(out["n_match_b"], pa.int64()),
+                "jaccard_bbit": pa.array(out["jaccard_bbit"], pa.float64()),
+                "jaccard_exact": pa.array(out["jaccard_exact"], pa.float64()),
+            }
+        )
+
+    return docs.map_batches(pair_rows, batch_format="pyarrow")
+
+
+SQL_MINHASH_BBIT = (
+    SQL_MINHASH_ESTIMATOR.replace(
+        "MIN((CAST(a AS HUGEINT) * CAST(x AS HUGEINT) + b) % {P}) AS m".replace(
+            "{P}", str(_MH_P)
+        ),
+        "CAST(MIN((CAST(a AS HUGEINT) * CAST(x AS HUGEINT) + b) % {P}) AS BIGINT)"
+        " & {MASK} AS m".replace("{P}", str(_MH_P)).replace(
+            "{MASK}", str((1 << _BBIT_B) - 1)
+        ),
+    )
+    .replace(
+        """SELECT m.a_id, m.b_id, m.n_match,
+       CAST(m.n_match AS DOUBLE) / CAST({K} AS DOUBLE) AS jaccard_est,
+       CAST(e.inter AS DOUBLE) / CAST(e.un AS DOUBLE) AS jaccard_exact
+FROM matches m JOIN exact e ON e.a_id = m.a_id AND e.b_id = m.b_id""".replace(
+            "{K}", str(_MH_EST_PERMS)
+        ),
+        """SELECT m.a_id, m.b_id, m.n_match AS n_match_b,
+       (CAST(m.n_match AS DOUBLE) / CAST({K} AS DOUBLE)
+        - CAST({FLOOR} AS DOUBLE))
+         / (CAST(1.0 AS DOUBLE) - CAST({FLOOR} AS DOUBLE)) AS jaccard_bbit,
+       CAST(e.inter AS DOUBLE) / CAST(e.un AS DOUBLE) AS jaccard_exact
+FROM matches m JOIN exact e ON e.a_id = m.a_id AND e.b_id = m.b_id""".replace(
+            "{K}", str(_MH_EST_PERMS)
+        ).replace("{FLOOR}", repr(1.0 / float(1 << _BBIT_B))),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -2103,3 +2237,5 @@ def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     oracles["mime_sniff"] = SQL_MIME_SNIFF
     queries["minhash_estimator"] = q_minhash_estimator
     oracles["minhash_estimator"] = SQL_MINHASH_ESTIMATOR
+    queries["minhash_bbit"] = q_minhash_bbit
+    oracles["minhash_bbit"] = SQL_MINHASH_BBIT

@@ -506,3 +506,27 @@ def test_minhash_estimator_identical_and_disjoint(ray_session, tmp_path):
     assert r2["jaccard_exact"] == 5.0 / 6.0
     assert 0.0 <= r2["jaccard_est"] <= 1.0
     assert r2["n_match"] * 1.0 / _MH_EST_PERMS == r2["jaccard_est"]
+
+
+def test_minhash_bbit_truncation_and_correction(ray_session, tmp_path):
+    """Truncated matches can only gain over full-width matches (low-bit
+    collisions), the correction maps a full match to exactly 1.0, and
+    identical sets stay at 1.0."""
+    from crawl4ai_ray.pipelines.queries_wave10 import (
+        _BBIT_B,
+        _MH_EST_PERMS,
+        q_minhash_bbit,
+        q_minhash_estimator,
+    )
+
+    texts = ["a a a a a a", "p q r s t u v w"]
+    sf = _write_docs(tmp_path, [0, 1], texts)
+    full = {r["a_id"]: r for r in q_minhash_estimator(sf).take_all()}
+    bbit = {r["a_id"]: r for r in q_minhash_bbit(sf).take_all()}
+    floor = 1.0 / (1 << _BBIT_B)
+    for a in full:
+        assert bbit[a]["n_match_b"] >= full[a]["n_match"]
+        want = (bbit[a]["n_match_b"] / _MH_EST_PERMS - floor) / (1.0 - floor)
+        assert bbit[a]["jaccard_bbit"] == want
+    assert bbit[0]["n_match_b"] == _MH_EST_PERMS
+    assert bbit[0]["jaccard_bbit"] == 1.0
