@@ -6886,3 +6886,7 @@ _register_wave9(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave10 import register as _register_wave10  # noqa: E402
 
 _register_wave10(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave11 import register as _register_wave11  # noqa: E402
+
+_register_wave11(QUERIES, ORACLES, SQL_PAGES)
