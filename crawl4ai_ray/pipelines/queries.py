@@ -6890,3 +6890,7 @@ _register_wave10(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave11 import register as _register_wave11  # noqa: E402
 
 _register_wave11(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave12 import register as _register_wave12  # noqa: E402
+
+_register_wave12(QUERIES, ORACLES, SQL_PAGES)
