@@ -6894,3 +6894,7 @@ _register_wave11(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave12 import register as _register_wave12  # noqa: E402
 
 _register_wave12(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave13 import register as _register_wave13  # noqa: E402
+
+_register_wave13(QUERIES, ORACLES, SQL_PAGES)
