@@ -6898,3 +6898,7 @@ _register_wave12(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave13 import register as _register_wave13  # noqa: E402
 
 _register_wave13(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave14 import register as _register_wave14  # noqa: E402
+
+_register_wave14(QUERIES, ORACLES, SQL_PAGES)
