@@ -6902,3 +6902,7 @@ _register_wave13(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave14 import register as _register_wave14  # noqa: E402
 
 _register_wave14(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave15 import register as _register_wave15  # noqa: E402
+
+_register_wave15(QUERIES, ORACLES, SQL_PAGES)
