@@ -6906,3 +6906,7 @@ _register_wave14(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave15 import register as _register_wave15  # noqa: E402
 
 _register_wave15(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave16 import register as _register_wave16  # noqa: E402
+
+_register_wave16(QUERIES, ORACLES, SQL_PAGES)
