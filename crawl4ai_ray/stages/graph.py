@@ -35,13 +35,23 @@ import ray
 
 
 def _label_sum(ds):
-    """Exact label sum as an (upper-31-bits, lower-31-bits) PAIR — the
-    convergence scalar for both min-label propagation loops. Summing raw
-    labels overflows int64 (BFS sentinel 2^62 × nodes — observed as Ray's
-    pickled-object fallback in the r3 sweep; CC node-id labels get there
-    at ~1e9 nodes too). Each half-sum stays < 2^62 for any n < 2^31, and
-    the pair determines the true sum (sum = hi·2^31 + lo), so pair
-    equality IS sum equality."""
+    """Exact label sum as an (upper-31-bits, lower-31-bits, ROW COUNT)
+    TRIPLE — the convergence scalar for both min-label propagation
+    loops. Summing raw labels overflows int64 (BFS sentinel 2^62 ×
+    nodes — observed as Ray's pickled-object fallback in the r3 sweep;
+    CC node-id labels get there at ~1e9 nodes too). Each half-sum stays
+    < 2^62 for any n < 2^31, and the pair determines the true sum
+    (sum = hi·2^31 + lo), so pair equality IS sum equality.
+
+    The row count is part of the quiescence test: existing labels only
+    ever DECREASE, but a dangling edge endpoint JOINING the label table
+    ADDS a positive label — a join and a decrease in the same sweep can
+    leave the sum unchanged (observed: chain 99–1–0 with 99 undeclared
+    stopped one sweep early and kept 99 at its neighbor's stale label,
+    r3 tenth-session dual-path parity catch). With the count included:
+    no-join sweeps have strictly decreasing sums until fixpoint, and
+    join sweeps change the count — (sum, count) equality is EXACT
+    quiescence."""
 
     def halves(b: pa.Table) -> pa.Table:
         lbl = b.column("lbl").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -51,11 +61,12 @@ def _label_sum(ds):
                 "lo": pa.array(
                     [int((lbl & np.int64((1 << 31) - 1)).sum())], pa.int64()
                 ),
+                "n": pa.array([b.num_rows], pa.int64()),
             }
         )
 
     agg = ds.map_batches(halves, batch_format="pyarrow")
-    return (agg.sum("hi"), agg.sum("lo"))
+    return (agg.sum("hi"), agg.sum("lo"), agg.sum("n"))
 
 
 def pagerank(
@@ -66,6 +77,7 @@ def pagerank(
     num_partitions: int = 16,
     round_to: int | None = 8,
     seeds: "list[int] | None" = None,
+    small_threshold: int = 50_000,
 ) -> "ray.data.Dataset":
     """PageRank over (node:int64) / (src:int64, dst:int64, w:float64)
     where w = 1/outdeg(src). Returns (node, rank). ``round_to`` rounds the
@@ -78,7 +90,15 @@ def pagerank(
     the score a seed-focused frontier wants (topic-local priority rather
     than global popularity). Init = the teleport vector. Seeds are a
     driver-side list (the seed list is budget-bounded by construction)
-    broadcast into the finish map."""
+    broadcast into the finish map.
+
+    ``small_threshold``: when BOTH |nodes| and |edges| fit under it, the
+    graph is collected once and iterated locally (identical arithmetic,
+    same final ROUND) instead of paying the fixed per-iteration shuffle
+    cost — the random_walks broadcast-adjacency pattern. Host-level
+    graphs and sampled subgraphs live here; page-level web graphs don't
+    (the distributed path is unchanged). Dual-path parity is test-locked;
+    pass 0 to force the distributed path."""
     n = nodes.count()
     P = num_partitions
     seed_arr = None
@@ -86,6 +106,37 @@ def pagerank(
         seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
         n_seeds = len(seed_arr)
     base = (1.0 - damping) / n  # uniform-teleport path
+
+    if n <= small_threshold:
+        edges = edges.materialize()
+        if edges.count() <= small_threshold:
+            ndf = nodes.to_pandas()
+            edf = edges.to_pandas()
+            nd = np.sort(ndf["node"].to_numpy(dtype=np.int64))
+            si = np.searchsorted(nd, edf["src"].to_numpy(dtype=np.int64))
+            di = np.searchsorted(nd, edf["dst"].to_numpy(dtype=np.int64))
+            w = edf["w"].to_numpy(dtype=np.float64)
+            if seed_arr is None:
+                r = np.full(n, 1.0 / n)
+                b_vec = base
+            else:
+                is_seed = np.isin(nd, seed_arr)
+                r = np.where(is_seed, 1.0 / n_seeds, 0.0)
+                b_vec = np.where(is_seed, (1.0 - damping) / n_seeds, 0.0)
+            for _ in range(n_iters):
+                s = np.zeros(n, np.float64)
+                np.add.at(s, di, w * r[si])
+                r = b_vec + damping * s
+            if round_to is not None:
+                r = np.round(r, round_to)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nd, pa.int64()),
+                        "rank": pa.array(r, pa.float64()),
+                    }
+                )
+            )
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -222,6 +273,7 @@ def connected_components(
     edges: "ray.data.Dataset",
     num_partitions: int = 16,
     max_iters: int = 50,
+    small_threshold: int = 200_000,
 ) -> "ray.data.Dataset":
     """Connected components by distributed min-label propagation WITH
     convergence detection — the iterate-until-fixpoint shape (PageRank
@@ -238,6 +290,50 @@ def connected_components(
     construction, connected; callers needing exactly the declared node
     set should filter the result."""
     P = num_partitions
+
+    # small-graph broadcast fast path (the pagerank / multi_source_bfs
+    # pattern): exact integer min-fixpoint → a local run is bit-identical
+    # to the distributed one. Dual-path parity is test-locked;
+    # small_threshold=0 forces the distributed path.
+    if small_threshold and nodes.count() <= small_threshold:
+        edges = edges.materialize()
+        if edges.count() <= small_threshold:
+            _SENT = np.iinfo(np.int64).max
+            node_arr = np.sort(
+                nodes.to_pandas()["node"].to_numpy(dtype=np.int64)
+            )
+            edf = edges.to_pandas()
+            s0 = edf["src"].to_numpy(dtype=np.int64)
+            d0 = edf["dst"].to_numpy(dtype=np.int64)
+            src = np.concatenate([s0, d0])  # symmetric, like `und` below
+            dst = np.concatenate([d0, s0])
+            nd = np.union1d(node_arr, np.union1d(src, dst))
+            lbl = np.where(np.isin(nd, node_arr), nd, _SENT)
+            si = np.searchsorted(nd, src)
+            di = np.searchsorted(nd, dst)
+            for _ in range(max_iters):
+                new = lbl.copy()
+                m = lbl[si] != _SENT
+                np.minimum.at(new, di[m], lbl[si][m])
+                if np.array_equal(new, lbl):
+                    break
+                lbl = new
+            else:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iters} "
+                    "sweeps (component diameter exceeds max_iters — raise "
+                    "max_iters; min-label propagation moves one hop per "
+                    "sweep)"
+                )
+            keep = lbl != _SENT
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nd[keep], pa.int64()),
+                        "component": pa.array(lbl[keep], pa.int64()),
+                    }
+                )
+            )
 
     und = edges.map_batches(
         lambda b: pa.table(
@@ -582,6 +678,7 @@ def multi_source_bfs(
     seeds: "list[int]",
     num_partitions: int = 16,
     max_iters: int = 50,
+    small_threshold: int = 200_000,
 ) -> "ray.data.Dataset":
     """Multi-source BFS over the DIRECTED graph (node:int64) /
     (src:int64, dst:int64): every reachable node gets its hop distance
@@ -613,6 +710,56 @@ def multi_source_bfs(
         raise ValueError("multi_source_bfs needs at least one seed")
     if seed_arr.min() < 0 or seed_arr.max() >= (1 << 32):
         raise ValueError("seed ids must fit in uint32 for the packed label")
+
+    # small-graph broadcast fast path (the random_walks / pagerank
+    # pattern): the label propagation is EXACT integer min-fixpoint, so
+    # a local run is bit-identical to the distributed one by
+    # construction. Dual-path parity is test-locked; small_threshold=0
+    # forces the distributed path.
+    if small_threshold and nodes.count() <= small_threshold:
+        edges = edges.materialize()
+        if edges.count() <= small_threshold:
+            node_arr = np.sort(
+                nodes.to_pandas()["node"].to_numpy(dtype=np.int64)
+            )
+            edf = edges.to_pandas()
+            src = edf["src"].to_numpy(dtype=np.int64)
+            dst = edf["dst"].to_numpy(dtype=np.int64)
+            # reached non-list dsts surface in the distributed label
+            # table too (bucket_min creates their rows) — mirror that
+            nd = np.union1d(node_arr, np.union1d(src, dst))
+            lbl = np.where(
+                np.isin(nd, seed_arr) & np.isin(nd, node_arr),
+                nd,
+                _BFS_UNREACHED,
+            )
+            si = np.searchsorted(nd, src)
+            di = np.searchsorted(nd, dst)
+            for _ in range(max_iters):
+                new = lbl.copy()
+                m = lbl[si] < _BFS_UNREACHED
+                np.minimum.at(new, di[m], lbl[si][m] + _BFS_HOP)
+                if np.array_equal(new, lbl):
+                    break
+                lbl = new
+            else:
+                raise RuntimeError(
+                    f"multi_source_bfs did not converge in {max_iters} "
+                    "sweeps (graph diameter exceeds max_iters — raise "
+                    "max_iters)"
+                )
+            keep = lbl < _BFS_UNREACHED
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nd[keep], pa.int64()),
+                        "dist": pa.array(lbl[keep] >> np.int64(32), pa.int64()),
+                        "seed": pa.array(
+                            lbl[keep] & np.int64(0xFFFFFFFF), pa.int64()
+                        ),
+                    }
+                )
+            )
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)

@@ -974,9 +974,12 @@ def test_connected_components(ray_session):
         for r in connected_components(n2, e2, num_partitions=2).take_all()
     }
     assert got2[0] == 0 and got2[1] == 0
-    # the dangling endpoint joins the output with its neighbor's label
-    # (documented contract), never a NaN-cast garbage label
-    assert got2[99] == 1 and len(got2) == 3
+    # the dangling endpoint joins the output and converges to its
+    # component's TRUE min label (never a NaN-cast garbage label, and
+    # never a stale join-time neighbor label — the r3 (sum, count)
+    # quiescence fix: a join plus a decrease in one sweep used to
+    # cancel in the sum and stop the loop one sweep early)
+    assert got2[99] == 0 and len(got2) == 3
     # non-convergence raises instead of returning wrong labels
     chain = ray.data.from_arrow(
         pa.table(
@@ -2702,3 +2705,85 @@ def test_fuzzy_one_edit_checks():
                 assert one_sub(a, b) == (lev(a, b) == 1), (a, b)
             if len(b) == len(a) + 1:
                 assert one_del(a, b) == (lev(a, b) == 1), (a, b)
+
+
+def test_pagerank_dual_path_parity(ray_session):
+    """The small-graph broadcast fast path must agree with the
+    distributed path bit-for-bit after the final ROUND(8) — same
+    parity contract as random_walks' dual path."""
+    from crawl4ai_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(11)
+    n = 60
+    src = rng.randint(0, n, 300).astype(np.int64)
+    dst = rng.randint(0, n, 300).astype(np.int64)
+    outdeg = np.bincount(src, minlength=n)
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(1.0 / outdeg[src], pa.float64()),
+            }
+        )
+    )
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, n_iters=4).take_all()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            nodes, edges, n_iters=4, small_threshold=0
+        ).take_all()
+    }
+    assert fast == dist
+    # personalized variant too
+    fast_p = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, n_iters=4, seeds=[1, 2]).take_all()
+    }
+    dist_p = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            nodes, edges, n_iters=4, seeds=[1, 2], small_threshold=0
+        ).take_all()
+    }
+    assert fast_p == dist_p
+
+
+def test_bfs_and_cc_dual_path_parity(ray_session):
+    """multi_source_bfs / connected_components small-graph fast paths
+    are exact integer fixpoints — outputs must be IDENTICAL to the
+    distributed path (including dangling edge endpoints absent from
+    the node list, which join the output once labeled)."""
+    from crawl4ai_ray.stages.graph import connected_components, multi_source_bfs
+
+    rng = np.random.RandomState(5)
+    n = 50
+    src = rng.randint(0, n + 5, 120).astype(np.int64)  # a few dangling ids
+    dst = rng.randint(0, n + 5, 120).astype(np.int64)
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    )
+
+    def as_set(ds):
+        return {tuple(sorted(r.items())) for r in ds.take_all()}
+
+    assert as_set(multi_source_bfs(nodes, edges, [0, 3])) == as_set(
+        multi_source_bfs(nodes, edges, [0, 3], small_threshold=0)
+    )
+    assert as_set(connected_components(nodes, edges)) == as_set(
+        connected_components(nodes, edges, small_threshold=0)
+    )
