@@ -472,6 +472,7 @@ def label_propagation(
     seeds: "dict[int, int]",
     n_sweeps: int = 4,
     num_partitions: int = 16,
+    small_threshold: int = 200_000,
 ) -> "ray.data.Dataset":
     """Semi-supervised label propagation (the classic LPA of Raghavan et
     al. 2007 in its seeded form): ``seeds`` maps node → community label;
@@ -502,6 +503,70 @@ def label_propagation(
     seed_map = {int(k): int(v) for k, v in seeds.items()}
     if not seed_map:
         raise ValueError("label_propagation needs at least one seed")
+
+    # small-graph broadcast fast path (pagerank/BFS/CC pattern): the
+    # vote counts are exact integers and the (count DESC, lbl ASC) tie
+    # rule is deterministic, so a local run is bit-identical to the
+    # distributed sweeps. Dual-path parity test-locked; pass 0 to force
+    # the distributed path.
+    if small_threshold and nodes.count() <= small_threshold:
+        edges = edges.materialize()
+        if edges.count() <= small_threshold:
+            node_arr = np.sort(
+                nodes.to_pandas()["node"].to_numpy(dtype=np.int64)
+            )
+            n = len(node_arr)
+            edf = edges.to_pandas()
+            src = edf["src"].to_numpy(dtype=np.int64)
+            dst = edf["dst"].to_numpy(dtype=np.int64)
+            # only declared endpoints vote / receive votes (the
+            # distributed resolve keys on the declared label rows)
+            declared = np.isin(src, node_arr) & np.isin(dst, node_arr)
+            si = np.searchsorted(node_arr, src[declared])
+            di = np.searchsorted(node_arr, dst[declared])
+            lbl = np.full(n, np.nan)
+            sk = np.fromiter(seed_map.keys(), np.int64, len(seed_map))
+            sv = np.fromiter(seed_map.values(), np.int64, len(seed_map))
+            pos = np.searchsorted(node_arr, sk)
+            ok = (pos < n) & (node_arr[np.minimum(pos, n - 1)] == sk)
+            lbl[pos[ok]] = sv[ok].astype(np.float64)
+            clamped = np.zeros(n, bool)
+            clamped[pos[ok]] = True
+            for _ in range(n_sweeps):
+                m = ~np.isnan(lbl[si])
+                if not m.any():
+                    continue
+                vt = pd.DataFrame(
+                    {"node": di[m], "lbl": lbl[si][m]}
+                )
+                tot = (
+                    vt.groupby(["node", "lbl"], sort=True)
+                    .size()
+                    .reset_index(name="c")
+                    .sort_values(
+                        ["node", "c", "lbl"],
+                        ascending=[True, False, True],
+                        kind="mergesort",
+                    )
+                )
+                mode = tot.groupby("node", sort=True).first()["lbl"]
+                new = lbl.copy()
+                idx = mode.index.to_numpy(dtype=np.int64)
+                upd = ~clamped[idx]
+                new[idx[upd]] = mode.to_numpy()[upd]
+                lbl = new
+            keep = ~np.isnan(lbl)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(node_arr[keep], pa.int64()),
+                        "community": pa.array(
+                            lbl[keep].astype(np.int64), pa.int64()
+                        ),
+                    }
+                )
+            )
+
     seeds_ref = ray.put(seed_map)
 
     def tag_edges(batch: pa.Table) -> pa.Table:
@@ -1208,6 +1273,7 @@ def hits(
     n_iters: int = 4,
     num_partitions: int = 16,
     round_to: int | None = 8,
+    small_threshold: int = 50_000,
 ) -> "ray.data.Dataset":
     """HITS hubs & authorities (Kleinberg 1999) over (node:int64) /
     (src:int64, dst:int64) — the query-independent sibling of ``pagerank``
@@ -1229,9 +1295,46 @@ def hits(
     division by the total) are mirrored operand-for-operand by the SQL
     oracle; summation-order drift is absorbed by the final ROUND.
     Edges must be distinct (multi-edges would double-count).
+
+    ``small_threshold``: local broadcast fast path (pagerank pattern) —
+    identical half-step arithmetic; summation-order drift vs the
+    distributed path is absorbed by the same final ROUND. Dual-path
+    parity test-locked; 0 forces the distributed path.
     """
     P = num_partitions
     n = nodes.count()
+
+    if small_threshold and n <= small_threshold:
+        edges = edges.materialize()
+        if edges.count() <= small_threshold:
+            nd = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+            edf = edges.to_pandas()
+            si = np.searchsorted(nd, edf["src"].to_numpy(dtype=np.int64))
+            di = np.searchsorted(nd, edf["dst"].to_numpy(dtype=np.int64))
+
+            def push(score, from_idx, to_idx):
+                s = np.zeros(n, np.float64)
+                np.add.at(s, to_idx, score[from_idx])
+                total = float(s.sum())
+                return s / total if total else s * 0.0
+
+            score = np.full(n, 1.0 / n)
+            auth = None
+            for _ in range(n_iters):
+                auth = push(score, si, di)  # auth(v) = Σ hub(u), u→v
+                score = push(auth, di, si)  # hub(u) = Σ auth(v), u→v
+            if round_to is not None:
+                score = np.round(score, round_to)
+                auth = np.round(auth, round_to)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nd, pa.int64()),
+                        "hub": pa.array(score, pa.float64()),
+                        "auth": pa.array(auth, pa.float64()),
+                    }
+                )
+            )
 
     def tag_edges_by(key_col: str):
         other_col = "dst" if key_col == "src" else "src"

@@ -2787,3 +2787,59 @@ def test_bfs_and_cc_dual_path_parity(ray_session):
     assert as_set(connected_components(nodes, edges)) == as_set(
         connected_components(nodes, edges, small_threshold=0)
     )
+
+
+def test_lpa_dual_path_parity(ray_session):
+    """label_propagation's small-graph fast path: integer votes +
+    deterministic tie rule — output identical to the distributed path,
+    including dangling endpoints and unlabeled nodes."""
+    from crawl4ai_ray.stages.graph import label_propagation
+
+    rng = np.random.RandomState(9)
+    n = 40
+    src = rng.randint(0, n + 4, 160).astype(np.int64)
+    dst = rng.randint(0, n + 4, 160).astype(np.int64)
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+    seeds = {0: 100, 7: 200, 13: 300}
+
+    def as_set(ds):
+        return {tuple(sorted(r.items())) for r in ds.take_all()}
+
+    assert as_set(label_propagation(nodes, edges, seeds, n_sweeps=3)) == as_set(
+        label_propagation(nodes, edges, seeds, n_sweeps=3, small_threshold=0)
+    )
+
+
+def test_hits_dual_path_parity(ray_session):
+    """hits' small-graph fast path agrees with the distributed path
+    after the final ROUND(8) — the pagerank parity contract."""
+    from crawl4ai_ray.stages.graph import hits
+
+    rng = np.random.RandomState(13)
+    n = 50
+    e = {(int(a), int(b)) for a, b in zip(rng.randint(0, n, 200),
+                                          rng.randint(0, n, 200))}
+    src = np.array([a for a, _ in sorted(e)], np.int64)
+    dst = np.array([b for _, b in sorted(e)], np.int64)
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    )
+
+    def as_map(ds):
+        return {r["node"]: (r["hub"], r["auth"]) for r in ds.take_all()}
+
+    assert as_map(hits(nodes, edges, n_iters=4)) == as_map(
+        hits(nodes, edges, n_iters=4, small_threshold=0)
+    )
