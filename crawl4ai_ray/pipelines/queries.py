@@ -6910,3 +6910,7 @@ _register_wave15(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave16 import register as _register_wave16  # noqa: E402
 
 _register_wave16(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave17 import register as _register_wave17  # noqa: E402
+
+_register_wave17(QUERIES, ORACLES, SQL_PAGES)
