@@ -181,7 +181,6 @@ def q_shingle_cosine_pairs(sf_dir: str):
     correctly rounded, the quality_correlations discipline).
     """
     from ..functions.hashing import hash64
-    from ..stages.graph import attach_node_value
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -266,53 +265,115 @@ def q_shingle_cosine_pairs(sf_dir: str):
         docs.map_batches(postings, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .materialize()  # consumed twice (pairs + norms) — one shuffle, not two
+        .materialize()  # consumed twice (pass 2 + pass 3) — one shuffle
     )
 
-    def only_pairs(batch: pa.Table) -> pa.Table:
-        m = pa.compute.equal(batch.column("is_pair"), 1)
-        t = batch.filter(m)
-        return pa.table({"a": t.column("a"), "b": t.column("b"), "v": t.column("v")})
+    # The naive plan (dots groupby(a,b) + norms groupby(doc) + two
+    # bucketed attaches) is 5 sequential all-to-alls of ~4 s fixed cost
+    # each (r3 profiling: remote compute ~2 s, wall 49 s at 200k docs).
+    # Fold instead: ALL partial dots of a pair (a, b) are co-located by
+    # hash(a) — so ONE bucket pass keyed by a sums the dot AND attaches
+    # na (norm partials re-summed in-bucket); a second keyed by b
+    # attaches nb and finishes. 3 all-to-alls total including pass 1.
 
-    def only_norms(batch: pa.Table) -> pa.Table:
+    def key_by_a(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "kb": pa.array((a % 32).astype(np.int64), pa.int64()),
+                "kind": batch.column("is_pair"),  # 1 = pair, 0 = norm
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "v": batch.column("v"),
+                "na": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def sum_and_na(g: pd.DataFrame) -> pa.Table:
+        nr = g[g["kind"] == 0]
+        pr = g[g["kind"] == 1]
+        if pr.empty:
+            return pa.table(
+                {
+                    "kb": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "na": pa.array([], pa.int64()),
+                }
+            )
+        nsq = nr.groupby("a", sort=False)["v"].sum()
+        dots = (
+            pr.groupby(["a", "b"], sort=False)["v"].sum().reset_index()
+        )
+        na = nsq.reindex(dots["a"].to_numpy()).to_numpy(dtype=np.int64)
+        b = dots["b"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "kb": pa.array((b % 32).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(len(dots), np.int64), pa.int64()),
+                "a": pa.array(dots["a"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "v": pa.array(dots["v"].to_numpy(np.int64), pa.int64()),
+                "na": pa.array(na, pa.int64()),
+            }
+        )
+
+    def norms_by_doc(batch: pa.Table) -> pa.Table:
         m = pa.compute.equal(batch.column("is_pair"), 0)
         t = batch.filter(m)
-        return pa.table({"doc_id": t.column("a"), "nsq": t.column("v")})
+        doc = t.column("a").to_numpy(zero_copy_only=False)
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {
+                "kb": pa.array((doc % 32).astype(np.int64), pa.int64()),
+                "kind": pa.array(z, pa.int64()),
+                "a": t.column("a"),
+                "b": pa.array(z, pa.int64()),
+                "v": t.column("v"),
+                "na": pa.array(z, pa.int64()),
+            }
+        )
 
-    dots = (
-        parts.map_batches(only_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(ray.data.aggregate.Sum("v", alias_name="dot"))
+    with_na = (
+        parts.map_batches(key_by_a, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(sum_and_na, batch_format="pandas")
     )
-    norms = (
-        parts.map_batches(only_norms, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(ray.data.aggregate.Sum("nsq", alias_name="nsq"))
-    )
 
-    with_na = attach_node_value(dots, norms, "a", "na", ["a", "b", "dot"])
-    with_nb = attach_node_value(with_na, norms, "b", "nb", ["a", "b", "dot", "na"])
-
-    def finish(batch: pa.Table) -> pa.Table:
-        dot = batch.column("dot").to_numpy(zero_copy_only=False).astype(np.int64)
-        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+    def finish_bucket(g: pd.DataFrame) -> pa.Table:
+        nr = g[g["kind"] == 0]
+        pr = g[g["kind"] == 1]
+        if pr.empty:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "dot": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        nsq = nr.groupby("a", sort=False)["v"].sum()
+        nb = nsq.reindex(pr["b"].to_numpy()).to_numpy(dtype=np.float64)
+        dot = pr["v"].to_numpy(dtype=np.int64)
+        na = pr["na"].to_numpy(dtype=np.float64)
         cos = dot.astype(np.float64) / (np.sqrt(na) * np.sqrt(nb))
         m = cos >= _SCP_THRESH
         return pa.table(
             {
-                "doc_a": pa.array(
-                    batch.column("a").to_numpy(zero_copy_only=False)[m], pa.int64()
-                ),
-                "doc_b": pa.array(
-                    batch.column("b").to_numpy(zero_copy_only=False)[m], pa.int64()
-                ),
+                "doc_a": pa.array(pr["a"].to_numpy(np.int64)[m], pa.int64()),
+                "doc_b": pa.array(pr["b"].to_numpy(np.int64)[m], pa.int64()),
                 "dot": pa.array(dot[m], pa.int64()),
                 "cos": pa.array(cos[m], pa.float64()),
             }
         )
 
-    return with_nb.map_batches(finish, batch_format="pyarrow")
+    return (
+        with_na.union(parts.map_batches(norms_by_doc, batch_format="pyarrow"))
+        .groupby("kb")
+        .map_groups(finish_bucket, batch_format="pandas")
+    )
 
 
 SQL_SHINGLE_COSINE_PAIRS = rf"""
