@@ -6914,3 +6914,7 @@ _register_wave16(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave17 import register as _register_wave17  # noqa: E402
 
 _register_wave17(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave18 import register as _register_wave18  # noqa: E402
+
+_register_wave18(QUERIES, ORACLES, SQL_PAGES)
