@@ -6918,3 +6918,7 @@ _register_wave17(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave18 import register as _register_wave18  # noqa: E402
 
 _register_wave18(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave19 import register as _register_wave19  # noqa: E402
+
+_register_wave19(QUERIES, ORACLES, SQL_PAGES)
