@@ -6922,3 +6922,7 @@ _register_wave18(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave19 import register as _register_wave19  # noqa: E402
 
 _register_wave19(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave20 import register as _register_wave20  # noqa: E402
+
+_register_wave20(QUERIES, ORACLES, SQL_PAGES)
