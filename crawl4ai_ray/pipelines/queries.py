@@ -6926,3 +6926,7 @@ _register_wave19(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave20 import register as _register_wave20  # noqa: E402
 
 _register_wave20(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave21 import register as _register_wave21  # noqa: E402
+
+_register_wave21(QUERIES, ORACLES, SQL_PAGES)
