@@ -6930,3 +6930,7 @@ _register_wave20(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave21 import register as _register_wave21  # noqa: E402
 
 _register_wave21(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave22 import register as _register_wave22  # noqa: E402
+
+_register_wave22(QUERIES, ORACLES, SQL_PAGES)
