@@ -1900,6 +1900,110 @@ _MH_EST_PERMS = 16
 _MH_P = (1 << 61) - 1
 
 
+def mh_est_coeffs(n_perm: int = _MH_EST_PERMS):
+    """The Carter-Wegman permutation family of the estimator pair
+    queries (minhash_estimator / minhash_bbit / minhash_lsh_eval /
+    lsh_band_curve): md5-slice coefficients, ONE definition — the
+    oracles recompute the identical derivation in HUGEINT SQL, so any
+    drift here breaks them all at once (review finding: 4 copies)."""
+    import hashlib
+
+    a = np.array(
+        [
+            int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16)
+            % (_MH_P - 1)
+            + 1
+            for i in range(n_perm)
+        ],
+        np.uint64,
+    )
+    b = np.array(
+        [
+            int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16) % _MH_P
+            for i in range(n_perm)
+        ],
+        np.uint64,
+    )
+    return a, b
+
+
+def mh_shingle_hashes(toks: list) -> np.ndarray:
+    """Distinct 3-gram shingle hashes (md5-slice ints) — the shared
+    shingling of the estimator pair family."""
+    import hashlib
+
+    if len(toks) < 3:
+        return np.zeros(0, np.uint64)
+    hs = {
+        int(
+            hashlib.md5(
+                f"{toks[i]} {toks[i+1]} {toks[i+2]}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        for i in range(len(toks) - 2)
+    }
+    return np.fromiter(hs, np.uint64, len(hs))
+
+
+def mh_sig(x: np.ndarray, coeffs_a: np.ndarray, coeffs_b: np.ndarray) -> np.ndarray:
+    """Minhash signature: per permutation, min of (a·x + b) mod p over
+    the shingle hashes — the audited _mulmod_p limb kernel."""
+    from ..stages.dedup import _mod_p, _mulmod_p
+
+    return np.array(
+        [
+            _mod_p(_mulmod_p(np.full(len(x), a, np.uint64), x) + b).min()
+            for a, b in zip(coeffs_a, coeffs_b)
+        ],
+        np.uint64,
+    )
+
+
+# Shared SQL prefix of the estimator pair family: the planted near-copy
+# pairs, shingle hashes, permutation coefficients and signatures — keep
+# {P}/{K} placeholders; consumers .replace() them (one SQL definition
+# for every oracle built on this derivation).
+MH_PAIR_SQL_PREFIX = r"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+dup AS (
+  SELECT doc_id AS id, t, 1 AS start FROM toks
+  UNION ALL
+  SELECT doc_id + nn.c, t, 2 FROM toks, nn
+),
+shh AS (
+  SELECT DISTINCT id,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                              1, 15)) AS BIGINT) AS x
+  FROM dup, LATERAL UNNEST(generate_series(start, len(t) - 2)) AS s(i)
+  WHERE len(t) - start >= 2
+),
+perms AS (
+  SELECT i,
+         CAST(('0x' || substr(md5('a|' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % ({P} - 1) + 1 AS a,
+         CAST(('0x' || substr(md5('b|' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % {P} AS b
+  FROM range({K}) t(i)
+),
+sigs AS MATERIALIZED (
+  SELECT id, i,
+         MIN((CAST(a AS HUGEINT) * CAST(x AS HUGEINT) + b) % {P}) AS m
+  FROM shh, perms GROUP BY id, i
+),
+pairs AS (
+  SELECT o.doc_id AS a_id, o.doc_id + nn.c AS b_id
+  FROM documents o, nn
+  WHERE EXISTS (SELECT 1 FROM shh WHERE id = o.doc_id)
+    AND EXISTS (SELECT 1 FROM shh WHERE id = o.doc_id + nn.c)
+)"""
+
+
 def q_minhash_estimator(sf_dir: str):
     """Estimator-quality readout for the minhash family (the trilogy
     companion of ann_recall_ivfpq and kmv_overlap): every doc is paired
@@ -1911,44 +2015,14 @@ def q_minhash_estimator(sf_dir: str):
     n_match/16 sits beside the exact shingle Jaccard. Shingle hashes
     are md5-slice ints on both sides; the mod-p multiply reuses the
     audited _mulmod_p limb kernel."""
-    from ..stages.dedup import _MERSENNE, _mod_p, _mulmod_p
-
     n_perm = _MH_EST_PERMS
-    coeffs_a = np.array(
-        [
-            int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16)
-            % (_MH_P - 1)
-            + 1
-            for i in range(n_perm)
-        ],
-        np.uint64,
-    )
-    coeffs_b = np.array(
-        [
-            int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16) % _MH_P
-            for i in range(n_perm)
-        ],
-        np.uint64,
-    )
+    coeffs_a, coeffs_b = mh_est_coeffs()
+    shingle_hashes = mh_shingle_hashes
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     n_docs = docs.count()
-
-    def shingle_hashes(toks: list) -> np.ndarray:
-        if len(toks) < 3:
-            return np.zeros(0, np.uint64)
-        hs = {
-            int(
-                hashlib.md5(
-                    f"{toks[i]} {toks[i+1]} {toks[i+2]}".encode()
-                ).hexdigest()[:15],
-                16,
-            )
-            for i in range(len(toks) - 2)
-        }
-        return np.fromiter(hs, np.uint64, len(hs))
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1960,17 +2034,10 @@ def q_minhash_estimator(sf_dir: str):
             xb = shingle_hashes(toks[1:])
             if len(xa) == 0 or len(xb) == 0:
                 continue
-            # signatures: per perm, min over shingles of (a·x + b) mod p
-            def sig(x: np.ndarray) -> np.ndarray:
-                return np.array(
-                    [
-                        _mod_p(_mulmod_p(np.full(len(x), a, np.uint64), x) + b).min()
-                        for a, b in zip(coeffs_a, coeffs_b)
-                    ],
-                    np.uint64,
-                )
-
-            nm = int((sig(xa) == sig(xb)).sum())
+            nm = int(
+                (mh_sig(xa, coeffs_a, coeffs_b)
+                 == mh_sig(xb, coeffs_a, coeffs_b)).sum()
+            )
             sa, sb = set(xa.tolist()), set(xb.tolist())
             inter = len(sa & sb)
             un = len(sa | sb)
@@ -2075,46 +2142,16 @@ def q_minhash_bbit(sf_dir: str):
     md5-derived Carter-Wegman chain, and HUGEINT SQL mirror as
     minhash_estimator; reports the truncated-bit match count, the
     corrected estimate, and the exact Jaccard side by side."""
-    from ..stages.dedup import _mod_p, _mulmod_p
-
     n_perm = _MH_EST_PERMS
     b = _BBIT_B
     mask = np.uint64((1 << b) - 1)
-    coeffs_a = np.array(
-        [
-            int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16)
-            % (_MH_P - 1)
-            + 1
-            for i in range(n_perm)
-        ],
-        np.uint64,
-    )
-    coeffs_b = np.array(
-        [
-            int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16) % _MH_P
-            for i in range(n_perm)
-        ],
-        np.uint64,
-    )
+    coeffs_a, coeffs_b = mh_est_coeffs()
+    shingle_hashes = mh_shingle_hashes
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     n_docs = docs.count()
-
-    def shingle_hashes(toks: list) -> np.ndarray:
-        if len(toks) < 3:
-            return np.zeros(0, np.uint64)
-        hs = {
-            int(
-                hashlib.md5(
-                    f"{toks[i]} {toks[i+1]} {toks[i+2]}".encode()
-                ).hexdigest()[:15],
-                16,
-            )
-            for i in range(len(toks) - 2)
-        }
-        return np.fromiter(hs, np.uint64, len(hs))
 
     floor = 1.0 / float(1 << b)
 
@@ -2129,19 +2166,10 @@ def q_minhash_bbit(sf_dir: str):
             if len(xa) == 0 or len(xb) == 0:
                 continue
 
-            def sig_b(x: np.ndarray) -> np.ndarray:
-                return np.array(
-                    [
-                        _mod_p(
-                            _mulmod_p(np.full(len(x), a, np.uint64), x) + bb
-                        ).min()
-                        & mask
-                        for a, bb in zip(coeffs_a, coeffs_b)
-                    ],
-                    np.uint64,
-                )
-
-            nm = int((sig_b(xa) == sig_b(xb)).sum())
+            nm = int(
+                ((mh_sig(xa, coeffs_a, coeffs_b) & mask)
+                 == (mh_sig(xb, coeffs_a, coeffs_b) & mask)).sum()
+            )
             sa, sb = set(xa.tolist()), set(xb.tolist())
             est = (float(nm) / float(n_perm) - floor) / (1.0 - floor)
             out["a_id"].append(int(did))

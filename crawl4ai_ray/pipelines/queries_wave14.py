@@ -517,11 +517,16 @@ def q_ndcg_bm25(sf_dir: str):
 
 def _sql_ndcg_bm25() -> str:
     # unrolled left-associative sums over scalar subqueries: g1 + g2 + …
+    # COALESCE each term: positions past the corpus size are absent (a
+    # <10-doc corpus) and must contribute 0 like the Ray-side fold, not
+    # NULL-poison the whole sum (review finding)
     dcg_terms = " + ".join(
-        f"(SELECT gain FROM ranked_g WHERE pos = {i})" for i in range(1, _NDCG_K + 1)
+        f"COALESCE((SELECT gain FROM ranked_g WHERE pos = {i}), 0e0)"
+        for i in range(1, _NDCG_K + 1)
     )
     idcg_terms = " + ".join(
-        f"(SELECT gain FROM ideal_g WHERE pos = {i})" for i in range(1, _NDCG_K + 1)
+        f"COALESCE((SELECT gain FROM ideal_g WHERE pos = {i}), 0e0)"
+        for i in range(1, _NDCG_K + 1)
     )
     return rf"""
 WITH toks AS (

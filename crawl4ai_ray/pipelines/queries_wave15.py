@@ -254,8 +254,11 @@ def q_degree_powerlaw_mle(sf_dir: str):
         s_q += c * math.floor(
             math.log(float(d) / float(_DPL_DMIN)) * 1e9 + 0.5
         )
-    alpha = 1.0 + float(n_tail) / (float(s_q) / 1e9)
-    sigma = (alpha - 1.0) / math.sqrt(float(n_tail))
+    if s_q == 0:  # empty tail, or every tail degree == dmin: MLE undefined
+        alpha = sigma = None
+    else:
+        alpha = 1.0 + float(n_tail) / (float(s_q) / 1e9)
+        sigma = (alpha - 1.0) / math.sqrt(float(n_tail))
     return pa.table(
         {
             "dmin": pa.array([_DPL_DMIN], pa.int64()),
@@ -296,9 +299,13 @@ tail AS (
   FROM hist WHERE deg >= {_DPL_DMIN}
 )
 SELECT CAST({_DPL_DMIN} AS BIGINT) AS dmin, n_tail, sum_q,
-       1e0 + CAST(n_tail AS DOUBLE) / (CAST(sum_q AS DOUBLE) / 1e9) AS alpha,
-       (1e0 + CAST(n_tail AS DOUBLE) / (CAST(sum_q AS DOUBLE) / 1e9) - 1e0)
-         / sqrt(CAST(n_tail AS DOUBLE)) AS sigma
+       CASE WHEN sum_q = 0 THEN NULL
+            ELSE 1e0 + CAST(n_tail AS DOUBLE) / (CAST(sum_q AS DOUBLE) / 1e9)
+       END AS alpha,
+       CASE WHEN sum_q = 0 THEN NULL
+            ELSE (1e0 + CAST(n_tail AS DOUBLE) / (CAST(sum_q AS DOUBLE) / 1e9)
+                  - 1e0) / sqrt(CAST(n_tail AS DOUBLE))
+       END AS sigma
 FROM tail
 """
 
@@ -330,45 +337,14 @@ def q_minhash_lsh_eval(sf_dir: str):
     fixed-width rows ever shuffle. Integer counts; the two divisions
     are mirrored (0-denominator → NULL on both sides).
     """
-    import hashlib
+    from .queries_wave10 import mh_est_coeffs, mh_shingle_hashes, mh_sig
 
-    from ..stages.dedup import _mod_p, _mulmod_p
-    from .queries_wave10 import _MH_EST_PERMS, _MH_P
-
-    n_perm = _MH_EST_PERMS
-    coeffs_a = np.array(
-        [
-            int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16) % (_MH_P - 1)
-            + 1
-            for i in range(n_perm)
-        ],
-        np.uint64,
-    )
-    coeffs_b = np.array(
-        [
-            int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16) % _MH_P
-            for i in range(n_perm)
-        ],
-        np.uint64,
-    )
+    coeffs_a, coeffs_b = mh_est_coeffs()
+    shingle_hashes = mh_shingle_hashes
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-
-    def shingle_hashes(toks: list) -> np.ndarray:
-        if len(toks) < 3:
-            return np.zeros(0, np.uint64)
-        hs = {
-            int(
-                hashlib.md5(
-                    f"{toks[i]} {toks[i+1]} {toks[i+2]}".encode()
-                ).hexdigest()[:15],
-                16,
-            )
-            for i in range(len(toks) - 2)
-        }
-        return np.fromiter(hs, np.uint64, len(hs))
 
     def partials(batch: pa.Table) -> pa.Table:
         # per-threshold confusion partials over this batch's planted pairs
@@ -383,18 +359,7 @@ def q_minhash_lsh_eval(sf_dir: str):
             if len(xa) == 0 or len(xb) == 0:
                 continue
 
-            def sig(x: np.ndarray) -> np.ndarray:
-                return np.array(
-                    [
-                        _mod_p(
-                            _mulmod_p(np.full(len(x), a, np.uint64), x) + b
-                        ).min()
-                        for a, b in zip(coeffs_a, coeffs_b)
-                    ],
-                    np.uint64,
-                )
-
-            eq = sig(xa) == sig(xb)
+            eq = mh_sig(xa, coeffs_a, coeffs_b) == mh_sig(xb, coeffs_a, coeffs_b)
             cand = bool(
                 eq.reshape(_MLE_BANDS, _MLE_ROWS).all(axis=1).any()
             )
@@ -455,48 +420,12 @@ def q_minhash_lsh_eval(sf_dir: str):
 
 
 def _sql_minhash_lsh_eval() -> str:
-    from .queries_wave10 import _MH_EST_PERMS, _MH_P
+    from .queries_wave10 import MH_PAIR_SQL_PREFIX, _MH_EST_PERMS, _MH_P
 
     thresholds = ", ".join(f"({t:.17e})" for t in _MLE_THRESHOLDS)
     return (
-        r"""
-WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
-toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-  FROM documents
-),
-dup AS (
-  SELECT doc_id AS id, t, 1 AS start FROM toks
-  UNION ALL
-  SELECT doc_id + nn.c, t, 2 FROM toks, nn
-),
-shh AS (
-  SELECT DISTINCT id,
-         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
-                              1, 15)) AS BIGINT) AS x
-  FROM dup, LATERAL UNNEST(generate_series(start, len(t) - 2)) AS s(i)
-  WHERE len(t) - start >= 2
-),
-perms AS (
-  SELECT i,
-         CAST(('0x' || substr(md5('a|' || CAST(i AS VARCHAR)), 1, 15))
-              AS BIGINT) % ({P} - 1) + 1 AS a,
-         CAST(('0x' || substr(md5('b|' || CAST(i AS VARCHAR)), 1, 15))
-              AS BIGINT) % {P} AS b
-  FROM range({K}) t(i)
-),
-sigs AS MATERIALIZED (
-  SELECT id, i,
-         MIN((CAST(a AS HUGEINT) * CAST(x AS HUGEINT) + b) % {P}) AS m
-  FROM shh, perms GROUP BY id, i
-),
-pairs AS (
-  SELECT o.doc_id AS a_id, o.doc_id + nn.c AS b_id
-  FROM documents o, nn
-  WHERE EXISTS (SELECT 1 FROM shh WHERE id = o.doc_id)
-    AND EXISTS (SELECT 1 FROM shh WHERE id = o.doc_id + nn.c)
-),
+        (MH_PAIR_SQL_PREFIX
+        + r""",
 bandmatch AS (
   SELECT p.a_id, sa.i // {R} AS band,
          MIN(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS allmatch
@@ -541,6 +470,7 @@ SELECT j_threshold, n_pairs, n_true, n_cand, tp,
             ELSE CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
 FROM conf
 """
+        )
         .replace("{P}", str(_MH_P))
         .replace("{K}", str(_MH_EST_PERMS))
         .replace("{R}", str(_MLE_ROWS))

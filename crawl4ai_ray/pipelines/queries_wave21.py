@@ -30,6 +30,14 @@ def sq8_codes_stats(emb: "ray.data.Dataset"):
     from ..stages.cluster import quantize_embeddings
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
         x = quantize_embeddings(batch)  # (n, d) int64 fixed-point
         d = x.shape[1] if x.size else 0
         return pa.table(

@@ -11,7 +11,6 @@ mirrored operand-for-operand, map-side partials before the one groupby.
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
@@ -47,43 +46,14 @@ def q_lsh_band_curve(sf_dir: str):
     (the minhash_lsh_eval map); per-batch (config, n_cand, sum_q)
     partials fold map-side, ONE groupby(config).
     """
-    from ..stages.dedup import _mod_p, _mulmod_p
-    from .queries_wave10 import _MH_EST_PERMS, _MH_P
+    from .queries_wave10 import mh_est_coeffs, mh_shingle_hashes, mh_sig
 
-    n_perm = _MH_EST_PERMS
-    coeffs_a = np.array(
-        [
-            int(hashlib.md5(f"a|{i}".encode()).hexdigest()[:15], 16) % (_MH_P - 1)
-            + 1
-            for i in range(n_perm)
-        ],
-        np.uint64,
-    )
-    coeffs_b = np.array(
-        [
-            int(hashlib.md5(f"b|{i}".encode()).hexdigest()[:15], 16) % _MH_P
-            for i in range(n_perm)
-        ],
-        np.uint64,
-    )
+    coeffs_a, coeffs_b = mh_est_coeffs()
+    shingle_hashes = mh_shingle_hashes
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-
-    def shingle_hashes(toks: list) -> np.ndarray:
-        if len(toks) < 3:
-            return np.zeros(0, np.uint64)
-        hs = {
-            int(
-                hashlib.md5(
-                    f"{toks[i]} {toks[i+1]} {toks[i+2]}".encode()
-                ).hexdigest()[:15],
-                16,
-            )
-            for i in range(len(toks) - 2)
-        }
-        return np.fromiter(hs, np.uint64, len(hs))
 
     def partials(batch: pa.Table) -> pa.Table:
         n_pairs = 0
@@ -96,18 +66,7 @@ def q_lsh_band_curve(sf_dir: str):
             if len(xa) == 0 or len(xb) == 0:
                 continue
 
-            def sig(x: np.ndarray) -> np.ndarray:
-                return np.array(
-                    [
-                        _mod_p(
-                            _mulmod_p(np.full(len(x), a, np.uint64), x) + b
-                        ).min()
-                        for a, b in zip(coeffs_a, coeffs_b)
-                    ],
-                    np.uint64,
-                )
-
-            eq = sig(xa) == sig(xb)
+            eq = mh_sig(xa, coeffs_a, coeffs_b) == mh_sig(xb, coeffs_a, coeffs_b)
             sa, sb = set(xa.tolist()), set(xb.tolist())
             j = float(len(sa & sb)) / float(len(sa | sb))
             n_pairs += 1
@@ -158,48 +117,12 @@ def q_lsh_band_curve(sf_dir: str):
 
 
 def _sql_lsh_band_curve() -> str:
-    from .queries_wave10 import _MH_EST_PERMS, _MH_P
+    from .queries_wave10 import MH_PAIR_SQL_PREFIX, _MH_EST_PERMS, _MH_P
 
     cfg_rows = ", ".join(f"({b}, {r})" for b, r in _LBC_CONFIGS)
     return (
-        r"""
-WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
-toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-  FROM documents
-),
-dup AS (
-  SELECT doc_id AS id, t, 1 AS start FROM toks
-  UNION ALL
-  SELECT doc_id + nn.c, t, 2 FROM toks, nn
-),
-shh AS (
-  SELECT DISTINCT id,
-         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
-                              1, 15)) AS BIGINT) AS x
-  FROM dup, LATERAL UNNEST(generate_series(start, len(t) - 2)) AS s(i)
-  WHERE len(t) - start >= 2
-),
-perms AS (
-  SELECT i,
-         CAST(('0x' || substr(md5('a|' || CAST(i AS VARCHAR)), 1, 15))
-              AS BIGINT) % ({P} - 1) + 1 AS a,
-         CAST(('0x' || substr(md5('b|' || CAST(i AS VARCHAR)), 1, 15))
-              AS BIGINT) % {P} AS b
-  FROM range({K}) t(i)
-),
-sigs AS MATERIALIZED (
-  SELECT id, i,
-         MIN((CAST(a AS HUGEINT) * CAST(x AS HUGEINT) + b) % {P}) AS m
-  FROM shh, perms GROUP BY id, i
-),
-pairs AS (
-  SELECT o.doc_id AS a_id, o.doc_id + nn.c AS b_id
-  FROM documents o, nn
-  WHERE EXISTS (SELECT 1 FROM shh WHERE id = o.doc_id)
-    AND EXISTS (SELECT 1 FROM shh WHERE id = o.doc_id + nn.c)
-),
+        (MH_PAIR_SQL_PREFIX
+        + r""",
 permmatch AS MATERIALIZED (
   SELECT p.a_id, sa.i,
          CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END AS eq
@@ -250,7 +173,7 @@ JOIN (
   SELECT bands, rows_per_band, SUM(is_cand) AS n_cand
   FROM band_cand GROUP BY bands, rows_per_band
 ) bc ON bc.bands = t.bands AND bc.rows_per_band = t.rows_per_band
-"""
+""")
         .replace("{P}", str(_MH_P))
         .replace("{K}", str(_MH_EST_PERMS))
         .replace("{CFGS}", cfg_rows)

@@ -113,30 +113,38 @@ def pagerank(
             ndf = nodes.to_pandas()
             edf = edges.to_pandas()
             nd = np.sort(ndf["node"].to_numpy(dtype=np.int64))
-            si = np.searchsorted(nd, edf["src"].to_numpy(dtype=np.int64))
-            di = np.searchsorted(nd, edf["dst"].to_numpy(dtype=np.int64))
-            w = edf["w"].to_numpy(dtype=np.float64)
-            if seed_arr is None:
-                r = np.full(n, 1.0 / n)
-                b_vec = base
-            else:
-                is_seed = np.isin(nd, seed_arr)
-                r = np.where(is_seed, 1.0 / n_seeds, 0.0)
-                b_vec = np.where(is_seed, (1.0 - damping) / n_seeds, 0.0)
-            for _ in range(n_iters):
-                s = np.zeros(n, np.float64)
-                np.add.at(s, di, w * r[si])
-                r = b_vec + damping * s
-            if round_to is not None:
-                r = np.round(r, round_to)
-            return ray.data.from_arrow(
-                pa.table(
-                    {
-                        "node": pa.array(nd, pa.int64()),
-                        "rank": pa.array(r, pa.float64()),
-                    }
+            es = edf["src"].to_numpy(dtype=np.int64)
+            ed = edf["dst"].to_numpy(dtype=np.int64)
+            # dangling endpoints evolve the rank-table membership sweep
+            # by sweep in the distributed plan; don't replicate that
+            # here — fall through to the authoritative distributed path
+            if np.isin(es, nd).all() and np.isin(ed, nd).all():
+                si = np.searchsorted(nd, es)
+                di = np.searchsorted(nd, ed)
+                w = edf["w"].to_numpy(dtype=np.float64)
+                if seed_arr is None:
+                    r = np.full(n, 1.0 / n)
+                    b_vec = base
+                else:
+                    is_seed = np.isin(nd, seed_arr)
+                    r = np.where(is_seed, 1.0 / n_seeds, 0.0)
+                    b_vec = np.where(
+                        is_seed, (1.0 - damping) / n_seeds, 0.0
+                    )
+                for _ in range(n_iters):
+                    s = np.zeros(n, np.float64)
+                    np.add.at(s, di, w * r[si])
+                    r = b_vec + damping * s
+                if round_to is not None:
+                    r = np.round(r, round_to)
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(nd, pa.int64()),
+                            "rank": pa.array(r, pa.float64()),
+                        }
+                    )
                 )
-            )
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -1309,32 +1317,37 @@ def hits(
         if edges.count() <= small_threshold:
             nd = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
             edf = edges.to_pandas()
-            si = np.searchsorted(nd, edf["src"].to_numpy(dtype=np.int64))
-            di = np.searchsorted(nd, edf["dst"].to_numpy(dtype=np.int64))
+            es = edf["src"].to_numpy(dtype=np.int64)
+            ed = edf["dst"].to_numpy(dtype=np.int64)
+            # dangling endpoints get score rows of their own in the
+            # distributed plan; fall through to it rather than misindex
+            if np.isin(es, nd).all() and np.isin(ed, nd).all():
+                si = np.searchsorted(nd, es)
+                di = np.searchsorted(nd, ed)
 
-            def push(score, from_idx, to_idx):
-                s = np.zeros(n, np.float64)
-                np.add.at(s, to_idx, score[from_idx])
-                total = float(s.sum())
-                return s / total if total else s * 0.0
+                def push(score, from_idx, to_idx):
+                    s = np.zeros(n, np.float64)
+                    np.add.at(s, to_idx, score[from_idx])
+                    total = float(s.sum())
+                    return s / total if total else s * 0.0
 
-            score = np.full(n, 1.0 / n)
-            auth = None
-            for _ in range(n_iters):
-                auth = push(score, si, di)  # auth(v) = Σ hub(u), u→v
-                score = push(auth, di, si)  # hub(u) = Σ auth(v), u→v
-            if round_to is not None:
-                score = np.round(score, round_to)
-                auth = np.round(auth, round_to)
-            return ray.data.from_arrow(
-                pa.table(
-                    {
-                        "node": pa.array(nd, pa.int64()),
-                        "hub": pa.array(score, pa.float64()),
-                        "auth": pa.array(auth, pa.float64()),
-                    }
+                score = np.full(n, 1.0 / n)
+                auth = None
+                for _ in range(n_iters):
+                    auth = push(score, si, di)  # auth(v) = Σ hub(u), u→v
+                    score = push(auth, di, si)  # hub(u) = Σ auth(v), u→v
+                if round_to is not None:
+                    score = np.round(score, round_to)
+                    auth = np.round(auth, round_to)
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(nd, pa.int64()),
+                            "hub": pa.array(score, pa.float64()),
+                            "auth": pa.array(auth, pa.float64()),
+                        }
+                    )
                 )
-            )
 
     def tag_edges_by(key_col: str):
         other_col = "dst" if key_col == "src" else "src"

@@ -2843,3 +2843,41 @@ def test_hits_dual_path_parity(ray_session):
     assert as_map(hits(nodes, edges, n_iters=4)) == as_map(
         hits(nodes, edges, n_iters=4, small_threshold=0)
     )
+
+
+def test_pagerank_hits_dangling_fall_through(ray_session):
+    """Edges referencing nodes outside the declared node set must not
+    crash or misattribute mass in the fast paths — they fall through to
+    the distributed path (review finding: searchsorted on undeclared
+    endpoints was out-of-bounds/misindexed)."""
+    from crawl4ai_ray.stages.graph import hits, pagerank
+
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 1, 2, 5], pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 0], pa.int64()),
+                "dst": pa.array([9, 3, 1], pa.int64()),  # 9, 3 undeclared
+                "w": pa.array([0.5, 1.0, 0.5], pa.float64()),
+            }
+        )
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(nodes, edges, n_iters=3).take_all()}
+    pr_dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, n_iters=3, small_threshold=0).take_all()
+    }
+    assert pr == pr_dist  # identical because BOTH took the distributed path
+    assert 9 in pr and 3 in pr  # dangling dsts receive rank rows
+    h = hits(
+        nodes,
+        edges.drop_columns(["w"]),
+        n_iters=2,
+    ).take_all()
+    h_dist = hits(
+        nodes, edges.drop_columns(["w"]), n_iters=2, small_threshold=0
+    ).take_all()
+    as_map = lambda rows: {r["node"]: (r["hub"], r["auth"]) for r in rows}
+    assert as_map(h) == as_map(h_dist)
