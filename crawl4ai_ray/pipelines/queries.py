@@ -6934,3 +6934,7 @@ _register_wave21(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave22 import register as _register_wave22  # noqa: E402
 
 _register_wave22(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave23 import register as _register_wave23  # noqa: E402
+
+_register_wave23(QUERIES, ORACLES, SQL_PAGES)
