@@ -6938,3 +6938,7 @@ _register_wave22(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave23 import register as _register_wave23  # noqa: E402
 
 _register_wave23(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave24 import register as _register_wave24  # noqa: E402
+
+_register_wave24(QUERIES, ORACLES, SQL_PAGES)
