@@ -6942,3 +6942,7 @@ _register_wave23(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave24 import register as _register_wave24  # noqa: E402
 
 _register_wave24(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave25 import register as _register_wave25  # noqa: E402
+
+_register_wave25(QUERIES, ORACLES, SQL_PAGES)
