@@ -6946,3 +6946,7 @@ _register_wave24(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave25 import register as _register_wave25  # noqa: E402
 
 _register_wave25(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave26 import register as _register_wave26  # noqa: E402
+
+_register_wave26(QUERIES, ORACLES, SQL_PAGES)
