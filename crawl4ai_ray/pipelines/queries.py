@@ -6950,3 +6950,7 @@ _register_wave25(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave26 import register as _register_wave26  # noqa: E402
 
 _register_wave26(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave27 import register as _register_wave27  # noqa: E402
+
+_register_wave27(QUERIES, ORACLES, SQL_PAGES)
