@@ -6954,3 +6954,7 @@ _register_wave26(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave27 import register as _register_wave27  # noqa: E402
 
 _register_wave27(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave28 import register as _register_wave28  # noqa: E402
+
+_register_wave28(QUERIES, ORACLES, SQL_PAGES)
