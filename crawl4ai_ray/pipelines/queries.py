@@ -6958,3 +6958,7 @@ _register_wave27(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave28 import register as _register_wave28  # noqa: E402
 
 _register_wave28(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave29 import register as _register_wave29  # noqa: E402
+
+_register_wave29(QUERIES, ORACLES, SQL_PAGES)
