@@ -6962,3 +6962,7 @@ _register_wave28(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave29 import register as _register_wave29  # noqa: E402
 
 _register_wave29(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave30 import register as _register_wave30  # noqa: E402
+
+_register_wave30(QUERIES, ORACLES, SQL_PAGES)
