@@ -6966,3 +6966,7 @@ _register_wave29(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave30 import register as _register_wave30  # noqa: E402
 
 _register_wave30(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave31 import register as _register_wave31  # noqa: E402
+
+_register_wave31(QUERIES, ORACLES, SQL_PAGES)
