@@ -6970,3 +6970,7 @@ _register_wave30(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave31 import register as _register_wave31  # noqa: E402
 
 _register_wave31(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave32 import register as _register_wave32  # noqa: E402
+
+_register_wave32(QUERIES, ORACLES, SQL_PAGES)
