@@ -6974,3 +6974,7 @@ _register_wave31(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave32 import register as _register_wave32  # noqa: E402
 
 _register_wave32(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave33 import register as _register_wave33  # noqa: E402
+
+_register_wave33(QUERIES, ORACLES, SQL_PAGES)
