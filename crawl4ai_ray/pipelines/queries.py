@@ -6978,3 +6978,7 @@ _register_wave32(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave33 import register as _register_wave33  # noqa: E402
 
 _register_wave33(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave34 import register as _register_wave34  # noqa: E402
+
+_register_wave34(QUERIES, ORACLES, SQL_PAGES)
