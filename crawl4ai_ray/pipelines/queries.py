@@ -6982,3 +6982,7 @@ _register_wave33(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave34 import register as _register_wave34  # noqa: E402
 
 _register_wave34(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave35 import register as _register_wave35  # noqa: E402
+
+_register_wave35(QUERIES, ORACLES, SQL_PAGES)
