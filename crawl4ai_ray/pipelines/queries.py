@@ -6986,3 +6986,7 @@ _register_wave34(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave35 import register as _register_wave35  # noqa: E402
 
 _register_wave35(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave36 import register as _register_wave36  # noqa: E402
+
+_register_wave36(QUERIES, ORACLES, SQL_PAGES)
