@@ -6990,3 +6990,7 @@ _register_wave35(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave36 import register as _register_wave36  # noqa: E402
 
 _register_wave36(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave37 import register as _register_wave37  # noqa: E402
+
+_register_wave37(QUERIES, ORACLES, SQL_PAGES)
