@@ -6994,3 +6994,7 @@ _register_wave36(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave37 import register as _register_wave37  # noqa: E402
 
 _register_wave37(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave38 import register as _register_wave38  # noqa: E402
+
+_register_wave38(QUERIES, ORACLES, SQL_PAGES)
