@@ -6998,3 +6998,7 @@ _register_wave37(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave38 import register as _register_wave38  # noqa: E402
 
 _register_wave38(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave39 import register as _register_wave39  # noqa: E402
+
+_register_wave39(QUERIES, ORACLES, SQL_PAGES)
