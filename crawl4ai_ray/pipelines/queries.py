@@ -7002,3 +7002,7 @@ _register_wave38(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave39 import register as _register_wave39  # noqa: E402
 
 _register_wave39(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave40 import register as _register_wave40  # noqa: E402
+
+_register_wave40(QUERIES, ORACLES, SQL_PAGES)

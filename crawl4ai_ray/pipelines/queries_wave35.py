@@ -48,34 +48,7 @@ def q_pagerank_convergence(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n = docs.count()
-
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        d1 = (2 * ids + 1) % n
-        d2 = (7 * ids + 3) % n
-        d3 = (3 * ids + 5) % n
-        has3 = ids % 2 == 0
-        dup2 = d2 == d1
-        dup3 = has3 & ((d3 == d1) | ((d3 == d2) & ~dup2))
-        keep2 = ~dup2
-        keep3 = has3 & ~dup3
-        outdeg = (
-            1.0 + keep2.astype(np.float64) + keep3.astype(np.float64)
-        )
-        w = 1.0 / outdeg
-        return pa.table(
-            {
-                "src": pa.array(
-                    np.concatenate([ids, ids[keep2], ids[keep3]]), pa.int64()
-                ),
-                "dst": pa.array(
-                    np.concatenate([d1, d2[keep2], d3[keep3]]), pa.int64()
-                ),
-                "w": pa.array(
-                    np.concatenate([w, w[keep2], w[keep3]]), pa.float64()
-                ),
-            }
-        )
+    mk_edges = pr_varying_edges_batchfn(n)
 
     nodes = docs.map_batches(
         lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
@@ -143,10 +116,44 @@ def q_pagerank_convergence(sf_dir: str):
     )
 
 
-def _sql_pagerank_convergence() -> str:
-    # the proven _pagerank_sql float discipline (CAST every constant,
-    # mirror rank * (1.0/outdeg), ROUND(8) absorbs summation order) over
-    # the degree-varying edge rules of this query
+def pr_varying_edges_batchfn(n: int):
+    """mk_edges over the degree-VARYING rules (2i+1, 7i+3; 3i+5 for even
+    i) — shared by pagerank_convergence and rank_degree_spearman (both
+    need a graph where the power iteration actually moves)."""
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d1 = (2 * ids + 1) % n
+        d2 = (7 * ids + 3) % n
+        d3 = (3 * ids + 5) % n
+        has3 = ids % 2 == 0
+        dup2 = d2 == d1
+        dup3 = has3 & ((d3 == d1) | ((d3 == d2) & ~dup2))
+        keep2 = ~dup2
+        keep3 = has3 & ~dup3
+        outdeg = 1.0 + keep2.astype(np.float64) + keep3.astype(np.float64)
+        w = 1.0 / outdeg
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([ids, ids[keep2], ids[keep3]]), pa.int64()
+                ),
+                "dst": pa.array(
+                    np.concatenate([d1, d2[keep2], d3[keep3]]), pa.int64()
+                ),
+                "w": pa.array(
+                    np.concatenate([w, w[keep2], w[keep3]]), pa.float64()
+                ),
+            }
+        )
+
+    return mk_edges
+
+
+def pr_varying_sql_body(n_iters: int) -> str:
+    """WITH-body (head + r1..r{n_iters} CTEs) of the degree-varying
+    PageRank oracle — shared by pagerank_convergence and
+    rank_degree_spearman."""
     head = """WITH nn AS (SELECT COUNT(*) AS c FROM documents),
 child AS (
   SELECT doc_id AS src_id, (2 * doc_id + 1) % nn.c AS dst_id FROM documents, nn
@@ -162,7 +169,7 @@ r0 AS (
 )"""
     parts = [head]
     prev = "r0"
-    for k in range(1, _PC_ITERS + 1):
+    for k in range(1, n_iters + 1):
         parts.append(
             f""",
 r{k} AS (
@@ -178,7 +185,11 @@ r{k} AS (
 )"""
         )
         prev = f"r{k}"
-    body = "".join(parts)
+    return "".join(parts)
+
+
+def _sql_pagerank_convergence() -> str:
+    body = pr_varying_sql_body(_PC_ITERS)
     sels = []
     for k in range(1, _PC_ITERS + 1):
         prev = f"r{k - 1}"
