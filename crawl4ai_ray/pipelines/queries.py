@@ -7006,3 +7006,7 @@ _register_wave39(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave40 import register as _register_wave40  # noqa: E402
 
 _register_wave40(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave41 import register as _register_wave41  # noqa: E402
+
+_register_wave41(QUERIES, ORACLES, SQL_PAGES)
