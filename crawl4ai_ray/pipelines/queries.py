@@ -7010,3 +7010,7 @@ _register_wave40(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave41 import register as _register_wave41  # noqa: E402
 
 _register_wave41(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave42 import register as _register_wave42  # noqa: E402
+
+_register_wave42(QUERIES, ORACLES, SQL_PAGES)
