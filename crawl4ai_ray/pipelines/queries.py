@@ -7014,3 +7014,7 @@ _register_wave41(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave42 import register as _register_wave42  # noqa: E402
 
 _register_wave42(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave43 import register as _register_wave43  # noqa: E402
+
+_register_wave43(QUERIES, ORACLES, SQL_PAGES)
