@@ -7018,3 +7018,7 @@ _register_wave42(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave43 import register as _register_wave43  # noqa: E402
 
 _register_wave43(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave44 import register as _register_wave44  # noqa: E402
+
+_register_wave44(QUERIES, ORACLES, SQL_PAGES)
