@@ -7022,3 +7022,7 @@ _register_wave43(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave44 import register as _register_wave44  # noqa: E402
 
 _register_wave44(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave45 import register as _register_wave45  # noqa: E402
+
+_register_wave45(QUERIES, ORACLES, SQL_PAGES)
