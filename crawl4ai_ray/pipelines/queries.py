@@ -7026,3 +7026,7 @@ _register_wave44(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave45 import register as _register_wave45  # noqa: E402
 
 _register_wave45(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave46 import register as _register_wave46  # noqa: E402
+
+_register_wave46(QUERIES, ORACLES, SQL_PAGES)
