@@ -7030,3 +7030,7 @@ _register_wave45(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave46 import register as _register_wave46  # noqa: E402
 
 _register_wave46(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave47 import register as _register_wave47  # noqa: E402
+
+_register_wave47(QUERIES, ORACLES, SQL_PAGES)
