@@ -7034,3 +7034,7 @@ _register_wave46(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave47 import register as _register_wave47  # noqa: E402
 
 _register_wave47(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave48 import register as _register_wave48  # noqa: E402
+
+_register_wave48(QUERIES, ORACLES, SQL_PAGES)
