@@ -7038,3 +7038,7 @@ _register_wave47(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave48 import register as _register_wave48  # noqa: E402
 
 _register_wave48(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave49 import register as _register_wave49  # noqa: E402
+
+_register_wave49(QUERIES, ORACLES, SQL_PAGES)
