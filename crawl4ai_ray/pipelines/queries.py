@@ -7042,3 +7042,7 @@ _register_wave48(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave49 import register as _register_wave49  # noqa: E402
 
 _register_wave49(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave50 import register as _register_wave50  # noqa: E402
+
+_register_wave50(QUERIES, ORACLES, SQL_PAGES)
