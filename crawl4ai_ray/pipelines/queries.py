@@ -7046,3 +7046,7 @@ _register_wave49(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave50 import register as _register_wave50  # noqa: E402
 
 _register_wave50(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave51 import register as _register_wave51  # noqa: E402
+
+_register_wave51(QUERIES, ORACLES, SQL_PAGES)
