@@ -7050,3 +7050,7 @@ _register_wave50(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave51 import register as _register_wave51  # noqa: E402
 
 _register_wave51(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave52 import register as _register_wave52  # noqa: E402
+
+_register_wave52(QUERIES, ORACLES, SQL_PAGES)
