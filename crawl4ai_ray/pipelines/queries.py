@@ -7054,3 +7054,7 @@ _register_wave51(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave52 import register as _register_wave52  # noqa: E402
 
 _register_wave52(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave53 import register as _register_wave53  # noqa: E402
+
+_register_wave53(QUERIES, ORACLES, SQL_PAGES)
