@@ -7058,3 +7058,7 @@ _register_wave52(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave53 import register as _register_wave53  # noqa: E402
 
 _register_wave53(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave54 import register as _register_wave54  # noqa: E402
+
+_register_wave54(QUERIES, ORACLES, SQL_PAGES)
