@@ -7062,3 +7062,7 @@ _register_wave53(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave54 import register as _register_wave54  # noqa: E402
 
 _register_wave54(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave55 import register as _register_wave55  # noqa: E402
+
+_register_wave55(QUERIES, ORACLES, SQL_PAGES)
