@@ -7066,3 +7066,7 @@ _register_wave54(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave55 import register as _register_wave55  # noqa: E402
 
 _register_wave55(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave56 import register as _register_wave56  # noqa: E402
+
+_register_wave56(QUERIES, ORACLES, SQL_PAGES)
