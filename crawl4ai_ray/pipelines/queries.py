@@ -7070,3 +7070,7 @@ _register_wave55(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave56 import register as _register_wave56  # noqa: E402
 
 _register_wave56(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave57 import register as _register_wave57  # noqa: E402
+
+_register_wave57(QUERIES, ORACLES, SQL_PAGES)
