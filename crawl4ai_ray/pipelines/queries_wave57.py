@@ -22,85 +22,113 @@ _BH_ALPHA_DEN = 10
 
 
 def q_bh_fdr(sf_dir: str):
-    """Benjamini–Hochberg FDR control over per-host traffic anomalies:
-    each host gets the EXACT empirical p-value p_h = (1 + #{hosts with
-    count ≥ count_h (excluding itself)}) / m under the
-    permutation-null "my count is exchangeable with the others", then
-    the BH step-up keeps the largest k with p_(k) ≤ k·α/m (α=0.1) —
-    the multiple-testing discipline a 10⁶-host anomaly dashboard needs
-    (Bonferroni kills all power; raw α floods it). Output: per host
-    its count, rank, p-value numerator and the discovery flag.
+    """Benjamini–Hochberg FDR control over per-document anomaly
+    p-values: each document carries an md5-uniform p-value (52-bit
+    integer numerator over 2⁵²) under the null, except the planted
+    anomalies (doc_id%97==0) whose p-values are divided by 1024; the
+    BH step-up keeps the largest k with p_(k) ≤ k·α/m (α=0.1) — the
+    multiple-testing discipline an anomaly dashboard needs (Bonferroni
+    kills all power, raw α floods it at 10⁶ tests). Output: the
+    discovery set — ranked rows with p-value numerator, the planted
+    flag (audit) and the BH threshold numerator at that rank.
 
-    Exactness: empirical p-values are integer rationals (num/m) and
-    the BH comparison cross-multiplies: num·α_den·m ≤ k·α_num·m ⇔
-    num·{den} ≤ k·{num_a} — pure integers, no division at all.
-    Distributed shape: the pages_per_host partial count; the
-    |hosts|-row rank fold is driver arithmetic (SQL: two windows).
+    Exactness: the step-up comparison cross-multiplies integers:
+    p ≤ k·α/m ⇔ u52·α_den·m ≤ k·α_num·2⁵² — no division anywhere.
+    Distributed shape: p-value generation is one map; ranking is one
+    distributed sort; the step-up scan folds over the (small)
+    candidate prefix — only rows with u52·α_den·m ≤ m·α_num·2⁵²
+    (p ≤ α, a superset of any BH discovery) leave the sort.
     """
-    from ..functions.urls import hosts_array
-    from ..stages.agg import partial_count
-    from .queries import _pages_ds
-
-    pages = _pages_ds(sf_dir, columns=["url"])
-
-    def add_host(batch: pa.Table) -> pa.Table:
-        return pa.table({"host": hosts_array(batch.column("url"))})
-
-    counts = partial_count(
-        pages.map_batches(add_host, batch_format="pyarrow"), "host"
-    ).take_all()
-    rows = sorted(
-        ((r["host"], int(r["n"])) for r in counts),
-        key=lambda t: (-t[1], t[0]),
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
-    m = len(rows)
-    ns = [n for _, n in rows]
-    # p-value numerator: 1 + #{other hosts with count >= mine}
-    pnum = []
-    for i, (_, n) in enumerate(rows):
-        ge = sum(1 for v in ns if v >= n) - 1
-        pnum.append(1 + ge)
-    # BH step-up on ranks 1..m (rows already p-ascending since counts
-    # descend => p_(k) = pnum of the k-th row; ties share numerators)
+    n_docs = docs.count()
+
+    def pvals(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        u, planted = [], []
+        for d in ids:
+            h = int(
+                hashlib.md5(f"bh|{d}".encode()).hexdigest()[:13], 16
+            )
+            pl = int(d % 97 == 0)
+            u.append(h // 1024 if pl else h)
+            planted.append(pl)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "u52": pa.array(u, pa.int64()),
+                "planted": pa.array(planted, pa.int64()),
+            }
+        )
+
+    pv = docs.map_batches(pvals, batch_format="pyarrow")
+    # prefix prune: any BH discovery has p <= alpha; only those rows
+    # (tiny fraction) need the driver-side step-up
+    cut = _BH_ALPHA_NUM * (1 << 52) // _BH_ALPHA_DEN
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = (
+            batch.column("u52").to_numpy(zero_copy_only=False) <= cut
+        )
+        return batch.filter(pa.array(keep))
+
+    cand = sorted(
+        pv.map_batches(prune, batch_format="pyarrow").take_all(),
+        key=lambda r: (int(r["u52"]), int(r["doc_id"])),
+    )
     kstar = 0
-    for k in range(1, m + 1):
-        if pnum[k - 1] * _BH_ALPHA_DEN <= k * _BH_ALPHA_NUM:
+    for k, r in enumerate(cand, start=1):
+        if int(r["u52"]) * _BH_ALPHA_DEN * n_docs <= k * _BH_ALPHA_NUM * (
+            1 << 52
+        ):
             kstar = k
+    out = cand[:kstar]
     return pa.table(
         {
-            "host": pa.array([h for h, _ in rows], pa.string()),
-            "n": pa.array(ns, pa.int64()),
-            "rank": pa.array(list(range(1, m + 1)), pa.int64()),
-            "p_num": pa.array(pnum, pa.int64()),
-            "m": pa.array([m] * m, pa.int64()),
-            "discovery": pa.array(
-                [int(k <= kstar) for k in range(1, m + 1)], pa.int64()
+            "rank": pa.array(
+                list(range(1, len(out) + 1)), pa.int64()
             ),
+            "doc_id": pa.array([int(r["doc_id"]) for r in out], pa.int64()),
+            "u52": pa.array([int(r["u52"]) for r in out], pa.int64()),
+            "planted": pa.array(
+                [int(r["planted"]) for r in out], pa.int64()
+            ),
+            "m": pa.array([n_docs] * len(out), pa.int64()),
         }
     )
 
 
 def _sql_bh_fdr(sql_pages: str) -> str:
+    c52 = 1 << 52
     return f"""
-WITH {sql_pages},
-c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM purl GROUP BY host),
-mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM c),
+WITH pv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0
+              THEN CAST(('0x' || substr(md5('bh|' || doc_id), 1, 13))
+                        AS BIGINT) // 1024
+              ELSE CAST(('0x' || substr(md5('bh|' || doc_id), 1, 13))
+                        AS BIGINT) END AS u52,
+         CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS planted
+  FROM documents
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pv),
 r AS (
-  SELECT c.host, c.n,
-         CAST(row_number() OVER (ORDER BY c.n DESC, c.host) AS BIGINT)
-           AS rank,
-         CAST((SELECT COUNT(*) FROM c c2 WHERE c2.n >= c.n) AS BIGINT)
-           AS p_num
-  FROM c
+  SELECT pv.*, CAST(row_number() OVER (ORDER BY u52, doc_id) AS BIGINT)
+           AS rank
+  FROM pv
 ),
 ks AS (
   SELECT COALESCE(MAX(rank), 0) AS kstar
-  FROM r WHERE p_num * {_BH_ALPHA_DEN} <= rank * {_BH_ALPHA_NUM}
+  FROM r, mm
+  WHERE CAST(u52 AS HUGEINT) * {_BH_ALPHA_DEN} * mm.m
+        <= CAST(rank AS HUGEINT) * {_BH_ALPHA_NUM} * {c52}
 )
-SELECT r.host, r.n, r.rank, r.p_num, mm.m,
-       CAST(CASE WHEN r.rank <= ks.kstar THEN 1 ELSE 0 END AS BIGINT)
-         AS discovery
-FROM r, mm, ks
+SELECT r.rank, r.doc_id, r.u52, r.planted, mm.m
+FROM r, mm, ks WHERE r.rank <= ks.kstar
 """
 
 

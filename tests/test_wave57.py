@@ -15,20 +15,30 @@ from crawl4ai_ray.pipelines.queries_wave57 import (
 
 
 def test_bh_discoveries_form_a_step_up_prefix(ray_session, sf_dir):
+    import hashlib
+
     df = q_bh_fdr(sf_dir).to_pandas().sort_values("rank")
-    m = len(df)
-    assert (df["m"] == m).all()
-    # p-numerators are valid empirical p-values: rank <= p_num <= m
-    assert (df["p_num"] >= df["rank"]).all()
-    assert (df["p_num"] <= m).all()
-    # discoveries are exactly ranks <= k*, where k* is the LAST rank
-    # satisfying the BH inequality (step-up, not step-down)
-    ok = df["p_num"] * _BH_ALPHA_DEN <= df["rank"] * _BH_ALPHA_NUM
-    kstar = int(df.loc[ok, "rank"].max()) if ok.any() else 0
-    assert (df["discovery"] == (df["rank"] <= kstar).astype(int)).all()
-    # the heavy-hitter host must be discovered; most hosts must not be
-    assert df.iloc[0]["discovery"] == 1
-    assert df["discovery"].sum() < m // 2
+    m = int(df["m"].iloc[0])
+    # brute-force the step-up over ALL documents
+    pv = []
+    for d in range(m):
+        h = int(hashlib.md5(f"bh|{d}".encode()).hexdigest()[:13], 16)
+        pl = int(d % 97 == 0)
+        pv.append((h // 1024 if pl else h, d, pl))
+    pv.sort()
+    kstar = 0
+    for k, (u, _, _) in enumerate(pv, start=1):
+        if u * _BH_ALPHA_DEN * m <= k * _BH_ALPHA_NUM * (1 << 52):
+            kstar = k
+    assert len(df) == kstar
+    assert list(df["doc_id"]) == [d for _, d, _ in pv[:kstar]]
+    assert list(df["u52"]) == [u for u, _, _ in pv[:kstar]]
+    # power: BH must find most planted anomalies...
+    n_planted = sum(pl for _, _, pl in pv)
+    assert df["planted"].sum() >= n_planted - 2
+    # ...while controlling the false fraction near alpha (generous
+    # bound: observed FDR below 0.5 on this seed)
+    assert (1 - df["planted"].mean()) <= 0.5
 
 
 def test_overdispersion_moments(ray_session, sf_dir):
