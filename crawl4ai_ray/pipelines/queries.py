@@ -7074,3 +7074,7 @@ _register_wave56(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave57 import register as _register_wave57  # noqa: E402
 
 _register_wave57(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave58 import register as _register_wave58  # noqa: E402
+
+_register_wave58(QUERIES, ORACLES, SQL_PAGES)
