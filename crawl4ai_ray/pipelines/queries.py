@@ -7078,3 +7078,7 @@ _register_wave57(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave58 import register as _register_wave58  # noqa: E402
 
 _register_wave58(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave59 import register as _register_wave59  # noqa: E402
+
+_register_wave59(QUERIES, ORACLES, SQL_PAGES)
