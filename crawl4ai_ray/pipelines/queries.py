@@ -7082,3 +7082,7 @@ _register_wave58(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave59 import register as _register_wave59  # noqa: E402
 
 _register_wave59(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave60 import register as _register_wave60  # noqa: E402
+
+_register_wave60(QUERIES, ORACLES, SQL_PAGES)
