@@ -78,14 +78,10 @@ def test_merkle_root_matches_brute_and_detects_change(
 def test_cochran_q_pieces(ray_session, sf_dir):
     row = q_cochran_q(sf_dir).to_pandas().iloc[0]
     g1, g2, g3 = int(row["g1"]), int(row["g2"]), int(row["g3"])
+    # sr is g1+g2+g3 by construction (same docs, summed flags)
+    sr = g1 + g2 + g3
     assert row["q_num"] == 2 * (
-        3 * (g1 * g1 + g2 * g2 + g3 * g3)
-        - (g1 + g2 + g3) ** 2
-    ) or True  # sr != g1+g2+g3 only if rows differ — check identity:
-    # sr IS g1+g2+g3 by construction
-    sr_expected = g1 + g2 + g3
-    assert row["q_num"] == 2 * (
-        3 * (g1 * g1 + g2 * g2 + g3 * g3) - sr_expected * sr_expected
+        3 * (g1 * g1 + g2 * g2 + g3 * g3) - sr * sr
     )
     assert row["q"] == row["q_num"] / row["q_den"]
     # the three gates pass very different fractions here: Q large
