@@ -7086,3 +7086,7 @@ _register_wave59(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave60 import register as _register_wave60  # noqa: E402
 
 _register_wave60(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave61 import register as _register_wave61  # noqa: E402
+
+_register_wave61(QUERIES, ORACLES, SQL_PAGES)
