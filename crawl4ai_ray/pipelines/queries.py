@@ -7090,3 +7090,7 @@ _register_wave60(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave61 import register as _register_wave61  # noqa: E402
 
 _register_wave61(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave62 import register as _register_wave62  # noqa: E402
+
+_register_wave62(QUERIES, ORACLES, SQL_PAGES)
