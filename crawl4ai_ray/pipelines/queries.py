@@ -7094,3 +7094,7 @@ _register_wave61(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave62 import register as _register_wave62  # noqa: E402
 
 _register_wave62(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave63 import register as _register_wave63  # noqa: E402
+
+_register_wave63(QUERIES, ORACLES, SQL_PAGES)
