@@ -7098,3 +7098,7 @@ _register_wave62(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave63 import register as _register_wave63  # noqa: E402
 
 _register_wave63(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave64 import register as _register_wave64  # noqa: E402
+
+_register_wave64(QUERIES, ORACLES, SQL_PAGES)
