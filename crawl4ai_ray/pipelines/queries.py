@@ -7102,3 +7102,7 @@ _register_wave63(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave64 import register as _register_wave64  # noqa: E402
 
 _register_wave64(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave65 import register as _register_wave65  # noqa: E402
+
+_register_wave65(QUERIES, ORACLES, SQL_PAGES)
