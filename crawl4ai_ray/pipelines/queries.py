@@ -7106,3 +7106,7 @@ _register_wave64(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave65 import register as _register_wave65  # noqa: E402
 
 _register_wave65(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave66 import register as _register_wave66  # noqa: E402
+
+_register_wave66(QUERIES, ORACLES, SQL_PAGES)
