@@ -7110,3 +7110,7 @@ _register_wave65(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave66 import register as _register_wave66  # noqa: E402
 
 _register_wave66(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave67 import register as _register_wave67  # noqa: E402
+
+_register_wave67(QUERIES, ORACLES, SQL_PAGES)
