@@ -7114,3 +7114,7 @@ _register_wave66(QUERIES, ORACLES, SQL_PAGES)
 from .queries_wave67 import register as _register_wave67  # noqa: E402
 
 _register_wave67(QUERIES, ORACLES, SQL_PAGES)
+
+from .queries_wave68 import register as _register_wave68  # noqa: E402
+
+_register_wave68(QUERIES, ORACLES, SQL_PAGES)

@@ -1,0 +1,395 @@
+"""Sixty-eighth-wave operators (round-3 continuation session,
+2026-08-21) — SALSA, Markov stationary distribution, Hoover index.
+
+Registered into the main query/oracle registries via ``register()`` —
+called from the tail of ``queries.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+_W68_Q = 10**12
+
+
+# ---------------------------------------------------------------------------
+# salsa_scores — stochastic HITS (SALSA) in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+_SALSA_ROUNDS = 4
+
+
+def q_salsa_scores(sf_dir: str):
+    """SALSA (Lempel–Moran) authority/hub scores over the synthetic
+    link graph: the stochastic variant of HITS where each push divides
+    by the sender's degree — a(v) = Σ_{{u→v}} h(u)/outdeg(u), h(u) =
+    Σ_{{u→v}} a(v)/indeg(v) — so scores are random-walk probabilities
+    immune to the tightly-knit-community effect that inflates HITS.
+    Here the walk runs in PURE integer fixed point: every per-edge
+    contribution is h_q//outdeg (a floor both engines take
+    identically), so unlike the ROUND(8)-absorbed hits oracle this one
+    is bit-exact with NO float anywhere. Output: per node the
+    authority and hub mass after {r} rounds.
+
+    Distributed shape: per-round edge-groupby pushes (the pagerank
+    union+groupby plan); at test scale the broadcast numpy fast path
+    (random_walks pattern) with identical integer arithmetic.
+    """
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        d1 = (2 * ids + 1) % n
+        d2 = (2 * ids + 2) % n
+        d3 = (7 * ids + 3) % n
+        keep3 = ~((d3 == d1) | (d3 == d2))
+        src = np.concatenate([ids, ids, ids[keep3]])
+        dst = np.concatenate([d1, d2, d3[keep3]])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(mk_edges, batch_format="pyarrow").take_all()
+    src = np.array([int(r["src"]) for r in rows], np.int64)
+    dst = np.array([int(r["dst"]) for r in rows], np.int64)
+    od = np.zeros(n, np.int64)
+    idg = np.zeros(n, np.int64)
+    np.add.at(od, src, 1)
+    np.add.at(idg, dst, 1)
+    h = np.full(n, _W68_Q, dtype=object)
+    a = np.zeros(n, dtype=object)
+    for _ in range(_SALSA_ROUNDS):
+        # a(v) = sum over edges u->v of h(u) // outdeg(u)
+        a = np.zeros(n, dtype=object)
+        contrib = np.array(
+            [int(h[u]) // int(od[u]) for u in src], dtype=object
+        )
+        for e in range(len(src)):
+            a[dst[e]] += contrib[e]
+        h = np.zeros(n, dtype=object)
+        contrib = np.array(
+            [int(a[v]) // int(idg[v]) for v in dst], dtype=object
+        )
+        for e in range(len(src)):
+            h[src[e]] += contrib[e]
+    return pa.table(
+        {
+            "node": pa.array(list(range(n)), pa.int64()),
+            "auth_q": pa.array([int(x) for x in a], pa.int64()),
+            "hub_q": pa.array([int(x) for x in h], pa.int64()),
+        }
+    )
+
+
+def _sql_salsa() -> str:
+    parts = [
+        f"""
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
+raw AS (
+  SELECT doc_id AS s, (2 * doc_id + 1) % nn.c AS t, 1 AS r
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (2 * doc_id + 2) % nn.c, 2 FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (7 * doc_id + 3) % nn.c, 3 FROM documents, nn
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT s AS src, t AS dst FROM raw
+),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+idg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY dst),
+h0 AS (
+  SELECT doc_id AS node, CAST({_W68_Q} AS BIGINT) AS q FROM documents
+)"""
+    ]
+    prev_h = "h0"
+    for r in range(1, _SALSA_ROUNDS + 1):
+        parts.append(
+            f"""
+a{r} AS MATERIALIZED (
+  SELECT d.doc_id AS node,
+         COALESCE(CAST(push.s AS BIGINT), 0) AS q
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(hh.q // od.d) AS s
+    FROM e
+    JOIN {prev_h} hh ON hh.node = e.src
+    JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) push ON push.node = d.doc_id
+),
+h{r} AS MATERIALIZED (
+  SELECT d.doc_id AS node,
+         COALESCE(CAST(push.s AS BIGINT), 0) AS q
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.src AS node, SUM(aa.q // idg.d) AS s
+    FROM e
+    JOIN a{r} aa ON aa.node = e.dst
+    JOIN idg ON idg.dst = e.dst
+    GROUP BY e.src
+  ) push ON push.node = d.doc_id
+)"""
+        )
+        prev_h = f"h{r}"
+    R = _SALSA_ROUNDS
+    parts.append(
+        f"""
+fin AS (
+  SELECT a{R}.node, a{R}.q AS auth_q, h{R}.q AS hub_q
+  FROM a{R} JOIN h{R} ON h{R}.node = a{R}.node
+)
+SELECT node, auth_q, hub_q FROM fin"""
+    )
+    return "WITH " + ",".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary — stationary distribution of the event-type chain
+# ---------------------------------------------------------------------------
+
+_MS_ROUNDS = 12
+_MS_Q = 10**12
+
+
+def q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain
+    (transitions = consecutive events within a user, the
+    markov_next_eval chain): π is the long-run fraction of time the
+    stream spends in each event type, found by {r} quantized power-
+    iteration rounds π′(j) = Σ_i π(i)·cnt(i,j)//row(i) with an
+    integer renormalization each round (the Bradley–Terry fixed-point
+    discipline) — bit-exact in both engines. Output: per event type
+    the empirical frequency and the stationary mass.
+
+    Distributed shape: transition counts are one (user-bucketed)
+    sessionize-plan pass + a groupby; the K² iteration is driver
+    arithmetic.
+    """
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uid % 16, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "us": batch.column("ts").cast(pa.int64()),
+                "et": batch.column("event_type"),
+            }
+        )
+
+    def per_bucket(g) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for _, gu in g.groupby("user_id", sort=True):
+            gu = gu.sort_values("us", kind="mergesort")
+            ets = gu["et"].tolist()
+            for x, y in zip(ets[:-1], ets[1:]):
+                cnt[(x, y)] += 1
+        items = sorted(cnt.items())
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k, _ in items], pa.string()),
+                "b": pa.array([k[1] for k, _ in items], pa.string()),
+                "c": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .take_all()
+    )
+    cnt = {(r["a"], r["b"]): int(r["c"]) for r in rows}
+    types = sorted({a for a, _ in cnt} | {b for _, b in cnt})
+    K = len(types)
+    row_tot = {
+        a: sum(cnt.get((a, b), 0) for b in types) for a in types
+    }
+    pi = {t: _MS_Q for t in types}
+    for _ in range(_MS_ROUNDS):
+        nxt = {
+            j: sum(
+                pi[i] * cnt.get((i, j), 0) // max(row_tot[i], 1)
+                for i in types
+            )
+            for j in types
+        }
+        tot = sum(nxt.values())
+        pi = {
+            j: nxt[j] * (K * _MS_Q) // max(tot, 1) // K for j in types
+        }
+    total_trans = sum(cnt.values())
+    freq = {
+        j: sum(cnt.get((i, j), 0) for i in types) for j in types
+    }
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "incoming": pa.array([freq[t] for t in types], pa.int64()),
+            "total_transitions": pa.array(
+                [total_trans] * K, pa.int64()
+            ),
+            "pi_q": pa.array([pi[t] for t in types], pa.int64()),
+        }
+    )
+
+
+def _sql_markov_stationary() -> str:
+    parts = [
+        f"""
+seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts)) AS nxt
+  FROM events
+),
+tc AS MATERIALIZED (
+  SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY a, b
+),
+ty AS (
+  SELECT DISTINCT t AS event_type FROM (
+    SELECT a AS t FROM tc UNION SELECT b FROM tc
+  )
+),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ty),
+rt AS (SELECT a, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY a),
+p0 AS (
+  SELECT event_type AS t, CAST({_MS_Q} AS BIGINT) AS q FROM ty
+)"""
+    ]
+    prev = "p0"
+    for r in range(1, _MS_ROUNDS + 1):
+        parts.append(
+            f"""
+n{r} AS MATERIALIZED (
+  SELECT ty.event_type AS t,
+         COALESCE(CAST(px.s AS BIGINT), 0) AS q
+  FROM ty
+  LEFT JOIN (
+    SELECT tc.b AS t,
+           SUM(pp.q * tc.c // GREATEST(rt.n, 1)) AS s
+    FROM tc
+    JOIN {prev} pp ON pp.t = tc.a
+    JOIN rt ON rt.a = tc.a
+    GROUP BY tc.b
+  ) px ON px.t = ty.event_type
+),
+p{r} AS MATERIALIZED (
+  SELECT n{r}.t,
+         CAST(CAST(n{r}.q AS HUGEINT) * (kk.k * {_MS_Q})
+              // GREATEST((SELECT CAST(SUM(q) AS BIGINT) FROM n{r}), 1)
+              // kk.k AS BIGINT) AS q
+  FROM n{r}, kk
+)"""
+        )
+        prev = f"p{r}"
+    parts.append(
+        f"""
+freq AS (
+  SELECT b AS event_type, CAST(SUM(c) AS BIGINT) AS incoming FROM tc
+  GROUP BY b
+),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM tc)
+SELECT ty.event_type,
+       COALESCE(freq.incoming, 0) AS incoming,
+       tt.total AS total_transitions,
+       {prev}.q AS pi_q
+FROM ty
+LEFT JOIN freq ON freq.event_type = ty.event_type
+JOIN {prev} ON {prev}.t = ty.event_type, tt"""
+    )
+    return "WITH " + ",".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# hoover_index — Robin Hood concentration of host load
+# ---------------------------------------------------------------------------
+
+
+def q_hoover_index(sf_dir: str):
+    """Hoover (Robin Hood) index of host load: H = ½·Σ|share_h − 1/m|
+    — the fraction of pages that would have to MOVE to equalize hosts,
+    the most operational of the inequality metrics (host_gini gives
+    the curve; Hoover gives the rebalancing bill). Output: one row
+    with the exact integer numerator Σ|c_h·m − N| and the quantized
+    index = numerator·10⁶ // (2·N·m).
+
+    Exactness: pure integer cross-multiplication, one final division.
+    Distributed shape: the pages_per_host partial count + a fold.
+    """
+    from ..functions.urls import hosts_array
+    from ..stages.agg import partial_count
+    from .queries import _pages_ds
+
+    pages = _pages_ds(sf_dir, columns=["url"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        return pa.table({"host": hosts_array(batch.column("url"))})
+
+    counts = partial_count(
+        pages.map_batches(add_host, batch_format="pyarrow"), "host"
+    ).take_all()
+    m = len(counts)
+    N = sum(int(r["n"]) for r in counts)
+    num = sum(abs(int(r["n"]) * m - N) for r in counts)
+    return pa.table(
+        {
+            "n_hosts": pa.array([m], pa.int64()),
+            "n_pages": pa.array([N], pa.int64()),
+            "abs_num": pa.array([num], pa.int64()),
+            "hoover_q": pa.array(
+                [num * 10**6 // (2 * N * m)], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_hoover(sql_pages: str) -> str:
+    return f"""
+WITH {sql_pages},
+c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM purl GROUP BY host),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(n) AS BIGINT) AS nn
+  FROM c
+),
+s AS (
+  SELECT CAST(SUM(abs(c.n * t.m - t.nn)) AS BIGINT) AS num
+  FROM c, t
+)
+SELECT t.m AS n_hosts, t.nn AS n_pages, s.num AS abs_num,
+       CAST(CAST(s.num AS HUGEINT) * 1000000
+            // (2 * CAST(t.nn AS HUGEINT) * t.m) AS BIGINT)
+         AS hoover_q
+FROM t, s
+"""
+
+
+def register(queries: dict, oracles: dict, sql_pages: str) -> None:
+    queries["salsa_scores"] = q_salsa_scores
+    oracles["salsa_scores"] = _sql_salsa()
+    queries["markov_stationary"] = q_markov_stationary
+    oracles["markov_stationary"] = _sql_markov_stationary()
+    queries["hoover_index"] = q_hoover_index
+    oracles["hoover_index"] = _sql_hoover(sql_pages)
