@@ -44,15 +44,15 @@ def q_salsa_scores(sf_dir: str):
     n = docs.count()
 
     def mk_edges(batch: pa.Table) -> pa.Table:
+        # SKEWED tree+quadratic graph (the kcore lesson): the standard
+        # 3-rule graph is indegree-regular, making SALSA's fixpoint
+        # uniform — this one has hub-heavy indegrees worth ranking
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        d1 = (2 * ids + 1) % n
-        d2 = (2 * ids + 2) % n
-        d3 = (7 * ids + 3) % n
-        keep3 = ~((d3 == d1) | (d3 == d2))
-        src = np.concatenate([ids, ids, ids[keep3]])
-        dst = np.concatenate([d1, d2, d3[keep3]])
+        keep1 = ids >= 1
+        src = np.concatenate([ids[keep1], ids])
+        dst = np.concatenate([ids[keep1] // 2, (ids * ids + 1) % n])
         return pa.table(
             {
                 "src": pa.array(src, pa.int64()),
@@ -61,8 +61,9 @@ def q_salsa_scores(sf_dir: str):
         )
 
     rows = docs.map_batches(mk_edges, batch_format="pyarrow").take_all()
-    src = np.array([int(r["src"]) for r in rows], np.int64)
-    dst = np.array([int(r["dst"]) for r in rows], np.int64)
+    pairs = sorted({(int(r["src"]), int(r["dst"])) for r in rows})
+    src = np.array([p[0] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs], np.int64)
     od = np.zeros(n, np.int64)
     idg = np.zeros(n, np.int64)
     np.add.at(od, src, 1)
@@ -97,12 +98,10 @@ def _sql_salsa() -> str:
         f"""
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents),
 raw AS (
-  SELECT doc_id AS s, (2 * doc_id + 1) % nn.c AS t, 1 AS r
-  FROM documents, nn
+  SELECT doc_id AS s, doc_id // 2 AS t FROM documents, nn
+  WHERE doc_id >= 1
   UNION ALL
-  SELECT doc_id, (2 * doc_id + 2) % nn.c, 2 FROM documents, nn
-  UNION ALL
-  SELECT doc_id, (7 * doc_id + 3) % nn.c, 3 FROM documents, nn
+  SELECT doc_id, (doc_id * doc_id + 1) % nn.c FROM documents, nn
 ),
 e AS MATERIALIZED (
   SELECT DISTINCT s AS src, t AS dst FROM raw

@@ -28,11 +28,13 @@ def test_salsa_mass_and_degree_bias(ray_session, sf_dir):
     # SALSA authority converges toward indegree/total: the correlation
     # with indegree must be strongly positive
     edges = set()
-    deg = np.zeros(n, np.int64)
     for s in range(n):
-        outs = {(2 * s + 1) % n, (2 * s + 2) % n, (7 * s + 3) % n}
-        for d in outs:
-            deg[d] += 1
+        if s >= 1:
+            edges.add((s, s // 2))
+        edges.add((s, (s * s + 1) % n))
+    deg = np.zeros(n, np.int64)
+    for _, d in edges:
+        deg[d] += 1
     a = df.sort_values("node")["auth_q"].to_numpy(np.float64)
     if deg.std() == 0:
         # the synthetic graph is indegree-regular (the documented
