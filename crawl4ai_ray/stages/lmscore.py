@@ -6,24 +6,30 @@ perplexity; the tail is dropped or down-weighted before training. The
 in-container stand-in for KenLM is a unigram model fit on the corpus
 itself — the distributed plan is identical to the production shape:
 
-1. Token counts: per-batch ``Counter`` partials (map-side combine) →
-   one small ``groupby(token).sum`` — only (token, partial_count) rows
-   shuffle, never text.
-2. Vocabulary cap: the top ``vocab_k`` tokens by (count desc, token asc)
-   become explicit classes; everything else folds into ONE out-of-vocab
-   class. This bounds the broadcast model size no matter how large the
-   corpus vocabulary grows (the 100 TB guardrail), exactly like
-   production LM vocabularies.
+1. Token counts: per-batch polars explode+groupby partials (map-side
+   combine) → one ``groupby(token).sum`` — only (token, partial_count)
+   rows shuffle, never text.
+2. Vocabulary cap — **fully distributed, exact**: the top ``vocab_k``
+   tokens by (count desc, token asc) become explicit classes. Selection
+   is (a) a per-block top-``vocab_k`` prune inside ``map_batches`` (after
+   the groupby each token is globally unique, so every global top-k
+   member survives its block's local top-k), then (b) ONE distributed
+   ``sort(count desc, token asc).limit(vocab_k)`` over the pruned set
+   (≤ vocab_k × num_blocks rows). The driver receives exactly
+   ``vocab_k`` rows — never the full distinct vocabulary, which at web
+   scale is billions of rows (typo'd words, URLs, hex strings).
+   Corpus totals (n_total, v_distinct) come from per-block scalar
+   partials (one row per block) summed on the driver — both folds are
+   bounded regardless of corpus size (the 100 TB guardrail).
 3. The per-token negative log-probabilities are pre-quantized to
    **fixed-point int64** (``round(-ln(p) * 1e8)``) on the driver, the
    tiny model dict is ``ray.put`` once, and scoring is an actor-pool
    ``map_batches``: per doc, ``nll_fixed = Σ count(tok) · q(tok)`` —
    an INTEGER sum, so the result is bit-exact regardless of summation
-   order, batch boundaries, or partitioning. (A float accumulation
-   would make the correctness gate hash-unstable across plans; the
-   ``bm25_topk`` float discipline avoids order-dependence by fixed
-   3-term expressions — here docs have hundreds of terms, so we
-   quantize instead.)
+   order, batch boundaries, or partitioning. Scoring is vectorized:
+   polars explode → ``replace_strict`` against the broadcast vocab
+   (built once per actor) → integer groupby-sum per doc; no per-row
+   Python in the hot path.
 
 Smoothing: add-one over (vocab_k + 1) classes —
 ``p(tok) = (c_tok + 1) / (n_total + vocab_k + 1)``. An OOV token is
@@ -36,6 +42,10 @@ Output: (doc_id, dl, nll_fixed, mean_nll_fixed, bucket) where
 integers) and ``bucket`` is head/middle/tail by fixed thresholds on
 ``mean_nll_fixed``.
 
+Tokenization is ``\\S+`` runs (polars ``str.extract_all``) — identical to
+Python ``str.split()`` on this corpus and to the DuckDB oracle's
+``regexp_split_to_array(text, '\\s+')``.
+
 Reference anchor: crawl4ai has no corpus LM stage (per-page framework);
 semantics follow the published CCNet pipeline.
 """
@@ -43,32 +53,45 @@ semantics follow the published CCNet pipeline.
 from __future__ import annotations
 
 import math
-from collections import Counter
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 
 import ray
 
 OOV = "\x00oov"  # cannot collide with whitespace-split tokens
 
+_TOK_RE = r"\S+"
+
+
+def _explode_tokens(df: pl.DataFrame, text_col: str) -> pl.DataFrame:
+    """(…, text) → one row per token occurrence, column ``w``."""
+    return (
+        df.select(
+            [c for c in df.columns if c != text_col]
+            + [pl.col(text_col).str.extract_all(_TOK_RE).alias("w")]
+        )
+        .explode("w", empty_as_null=True)
+        .filter(pl.col("w").is_not_null())
+    )
+
 
 def token_counts(docs: "ray.data.Dataset", text_col: str = "text"):
-    """Corpus token counts as a small Dataset of (w, c) — map-side
-    combined, so the shuffle carries one row per distinct token per
-    batch, independent of corpus length."""
+    """Corpus token counts as a Dataset of (w, c) — map-side combined
+    (polars explode+groupby inside the batch), so the shuffle carries one
+    row per distinct token per batch, independent of corpus length."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            c.update((t or "").split())
-        ws = sorted(c)
-        return pa.table(
-            {
-                "w": pa.array(ws, pa.string()),
-                "c": pa.array([c[w] for w in ws], pa.int64()),
-            }
+        df = pl.from_arrow(batch.select([text_col]))
+        out = (
+            _explode_tokens(df, text_col)
+            .group_by("w")
+            .len()
+            .sort("w")
+            .select("w", c=pl.col("len").cast(pl.Int64))
         )
+        return out.to_arrow()
 
     return (
         docs.map_batches(partial, batch_format="pyarrow")
@@ -76,6 +99,53 @@ def token_counts(docs: "ray.data.Dataset", text_col: str = "text"):
         .sum("c")
         .rename_columns({"sum(c)": "c"})
     )
+
+
+def _select_vocab(counts: "ray.data.Dataset", vocab_k: int):
+    """Exact distributed top-``vocab_k`` by (c desc, w asc) plus corpus
+    totals, with bounded driver state.
+
+    Returns ``(kept, n_total, v_distinct)`` where ``kept`` is a list of
+    (w, c) pairs of length ≤ vocab_k. Driver-held rows: ≤ vocab_k from
+    the sort+limit plus one scalar row per block for the totals — never
+    the full distinct vocabulary."""
+    counts = counts.materialize()  # shared by both passes; lives in the
+    # object store across the cluster, NOT on the driver
+
+    # Pass 1 — corpus totals: one (sum, count) row per block, folded on
+    # the driver (≤ num_blocks rows).
+    def totals(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(batch.column("c")).as_py() or 0], pa.int64()),
+                "v": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    tot_rows = counts.map_batches(totals, batch_format="pyarrow").take_all()
+    n_total = sum(r["s"] for r in tot_rows)
+    v_distinct = sum(r["v"] for r in tot_rows)
+    if v_distinct == 0:
+        return [], 0, 0
+
+    # Pass 2 — per-block prune (each token is globally unique after the
+    # groupby, so any global top-k token is within its block's top-k),
+    # then ONE distributed sort+limit ships exactly vocab_k rows down.
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("c", "descending"), ("w", "ascending")]).slice(
+            0, vocab_k
+        )
+
+    kept_rows = (
+        counts.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["c", "w"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+    kept = [(r["w"], int(r["c"])) for r in kept_rows]
+    return kept, n_total, v_distinct
 
 
 def fit_unigram(
@@ -88,21 +158,14 @@ def fit_unigram(
     ObjectRef to a dict token → fixed-point nll (int), with the OOV
     class under the ``OOV`` key.
 
-    The driver holds at most ``vocab_k + |batches|`` rows transiently
-    (counts are map-side combined); the broadcast dict is ≤ vocab_k+1
-    entries regardless of corpus size."""
+    Driver-bounded: vocab selection is a distributed sort+limit (see
+    ``_select_vocab``) — the driver holds ≤ vocab_k + num_blocks rows;
+    the broadcast dict is ≤ vocab_k+1 entries regardless of corpus
+    size."""
     counts = token_counts(docs, text_col)
-    rows = counts.to_pandas()
-    if "c" not in rows.columns:  # all-empty corpus: groupby emits no schema
-        import pandas as pd
-
-        rows = pd.DataFrame({"w": pd.Series([], dtype=str), "c": pd.Series([], dtype="int64")})
-    rows = rows.sort_values(["c", "w"], ascending=[False, True], kind="mergesort")
-    n_total = int(rows["c"].sum())
-    kept = rows.iloc[:vocab_k]
+    kept, n_total, v_distinct = _select_vocab(counts, vocab_k)
     v_kept = len(kept)
-    v_distinct = len(rows)
-    oov_total = n_total - int(kept["c"].sum())
+    oov_total = n_total - sum(c for _, c in kept)
     oov_rate = oov_total // max(v_distinct - v_kept, 1)
     denom = n_total + v_kept + 1
 
@@ -112,38 +175,45 @@ def fit_unigram(
         p = float(c + 1) / float(denom)
         return int(math.floor(-math.log(p) * 1e8 + 0.5))
 
-    model = {w: q(int(c)) for w, c in zip(kept["w"], kept["c"])}
+    model = {w: q(c) for w, c in kept}
     model[OOV] = q(oov_rate)
     return ray.put(model), n_total, v_kept
 
 
 class UnigramScorer:
-    """Actor-pool scoring stage: integer fixed-point nll accumulation.
-    The model dict is resolved from plasma once per actor."""
+    """Actor-pool scoring stage: integer fixed-point nll accumulation,
+    vectorized (polars explode → replace_strict → int groupby-sum).
+    The model dict is resolved from plasma once per actor and unpacked
+    into the (old, new) lists replace_strict wants."""
 
     def __init__(self, model_ref, text_col: str = "text",
                  head_t: int = 0, tail_t: int = 0, carry_cols: tuple = ()):
-        self.model: dict = ray.get(model_ref)
-        self.oov = self.model[OOV]
+        model: dict = ray.get(model_ref)
+        self.oov = model[OOV]
+        self.vocab_w = [w for w in model if w is not OOV and w != OOV]
+        self.vocab_q = [model[w] for w in self.vocab_w]
         self.text_col = text_col
         self.head_t = head_t
         self.tail_t = tail_t
         self.carry_cols = tuple(carry_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
+        n = batch.num_rows
+        df = pl.from_arrow(batch.select([self.text_col])).with_row_index("i")
+        toks = _explode_tokens(df, self.text_col).with_columns(
+            q=pl.col("w").replace_strict(
+                old=self.vocab_w, new=self.vocab_q,
+                default=self.oov, return_dtype=pl.Int64,
+            )
+        )
+        agg = toks.group_by("i").agg(
+            dl=pl.len().cast(pl.Int64), nll=pl.col("q").sum().cast(pl.Int64)
+        )
         dl = np.zeros(n, dtype=np.int64)
         nll = np.zeros(n, dtype=np.int64)
-        get = self.model.get
-        oov = self.oov
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            dl[i] = len(toks)
-            s = 0
-            for w, c in Counter(toks).items():
-                s += c * get(w, oov)
-            nll[i] = s
+        idx = agg.get_column("i").to_numpy()
+        dl[idx] = agg.get_column("dl").to_numpy()
+        nll[idx] = agg.get_column("nll").to_numpy()
         mean = np.where(dl > 0, nll // np.maximum(dl, 1), 0)
         bucket = np.where(
             mean < self.head_t, "head", np.where(mean < self.tail_t, "middle", "tail")

@@ -1493,6 +1493,51 @@ def test_unigram_lm_score_oov_and_buckets(ray_session):
     assert out.loc[2, "mean_nll_fixed"] > out.loc[0, "mean_nll_fixed"]
 
 
+def test_unigram_vocab_selection_driver_bounded(ray_session):
+    """The round-3 scale-killer (full distinct-vocab to_pandas on the
+    driver) must stay dead: fit_unigram's vocab selection goes through a
+    per-block prune + distributed sort+limit, so (a) Dataset.to_pandas is
+    NEVER called during the fit — monkeypatch-asserted — and (b) with a
+    distinct vocabulary much larger than vocab_k, the driver-held kept
+    list is exactly vocab_k rows and matches the exact top-k by
+    (count desc, token asc)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from crawl4ai_ray.stages.lmscore import _select_vocab, fit_unigram, token_counts
+
+    # 300 distinct tokens, counts 1..300 via repetition; vocab_k=16
+    docs = [
+        {"doc_id": i, "text": " ".join(f"w{j:03d}" for j in range(i % 30 + 1))}
+        for i in range(120)
+    ]
+    ds = ray.data.from_items(docs).repartition(8)
+    vocab_k = 7
+
+    orig = rd.Dataset.to_pandas
+    calls = []
+    rd.Dataset.to_pandas = lambda self, *a, **k: calls.append(1) or orig(self, *a, **k)
+    try:
+        model_ref, n_total, v_kept = fit_unigram(ds, vocab_k=vocab_k)
+    finally:
+        rd.Dataset.to_pandas = orig
+    assert not calls, "fit_unigram must not collect any Dataset via to_pandas"
+    assert v_kept == vocab_k
+
+    # exact-top-k parity vs a scalar recompute
+    truth = Counter()
+    for d in docs:
+        truth.update(d["text"].split())
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k]
+    kept, n, v = _select_vocab(token_counts(ds), vocab_k)
+    assert kept == expect
+    assert n == sum(truth.values()) and v == len(truth)
+    assert len(kept) <= vocab_k  # the driver-held row bound
+    model = ray.get(model_ref)
+    assert len(model) == vocab_k + 1  # vocab + one OOV class broadcast
+
+
 def test_line_dedup_and_lm_degenerate_inputs(ray_session):
     """Single-doc and all-empty corpora must flow through both new stages
     without schema loss: no boilerplate exists at n=1, the LM scores an
