@@ -42,36 +42,41 @@ def q_khop_shortest_paths(sf_dir: str):
 
     Exactness: weights, relaxations and the fixed round count are pure
     integers — the unrolled SQL chain mirrors round for round.
-    Distributed shape: per-round edge-groupby relaxation (the
-    multi_source_bfs plan with weights); at test scale the
-    small-graph broadcast fast path (random_walks pattern).
+    Routed through ``stages.graph.bounded_sssp`` — the distributed
+    per-round union+bucketed-groupby-MIN relaxation (the
+    multi_source_bfs plan with weights; weights hashed edge-local
+    inside map_batches, nothing unbounded on the driver) with the
+    test-locked small-graph broadcast fast path at test scale
+    (bit-equal: all-integer relaxation).
     """
+    from ..stages.graph import bounded_sssp
     from .queries_wave56 import _undirected_edges
 
     edges_ds, n = _undirected_edges(sf_dir)
-    rows = edges_ds.take_all()
-    a = np.array([int(r["a"]) for r in rows], np.int64)
-    b = np.array([int(r["b"]) for r in rows], np.int64)
-    w = np.array(
-        [_ksp_weight(int(x), int(y)) for x, y in zip(a, b)], np.int64
+
+    def weight_both_ways(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.array(
+            [_ksp_weight(int(x), int(y)) for x, y in zip(a, b)], np.int64
+        )
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(weight_both_ways, batch_format="pyarrow")
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda bt: pa.table({"node": bt.column("doc_id")}),
+        batch_format="pyarrow",
     )
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    ww = np.concatenate([w, w])
-    d = np.full(n, _KSP_INF, np.int64)
-    d[0] = 0
-    for _ in range(_KSP_ROUNDS):
-        cand = d[src] + ww
-        nd = d.copy()
-        np.minimum.at(nd, dst, cand)
-        d = np.minimum(d, nd)
-    return pa.table(
-        {
-            "node": pa.array(list(range(n)), pa.int64()),
-            "dist": pa.array(
-                [int(x) if x < _KSP_INF else -1 for x in d], pa.int64()
-            ),
-        }
+    return bounded_sssp(
+        nodes, edges, source=0, rounds=_KSP_ROUNDS, inf=_KSP_INF
     )
 
 

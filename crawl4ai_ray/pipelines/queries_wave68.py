@@ -34,14 +34,22 @@ def q_salsa_scores(sf_dir: str):
     is bit-exact with NO float anywhere. Output: per node the
     authority and hub mass after {r} rounds.
 
-    Distributed shape: per-round edge-groupby pushes (the pagerank
-    union+groupby plan); at test scale the broadcast numpy fast path
-    (random_walks pattern) with identical integer arithmetic.
+    Routed through ``stages.graph.salsa`` — the distributed
+    union+bucketed-groupby integer-push plan (two bounded all-to-alls
+    per half-step, in-bucket degree counting, nothing unbounded on the
+    driver) with the test-locked small-graph broadcast fast path at
+    test scale (bit-equal: all-integer arithmetic).
     """
+    from ..stages.graph import salsa
+
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
     n = docs.count()
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}),
+        batch_format="pyarrow",
+    )
 
     def mk_edges(batch: pa.Table) -> pa.Table:
         # SKEWED tree+quadratic graph (the kcore lesson): the standard
@@ -60,37 +68,15 @@ def q_salsa_scores(sf_dir: str):
             }
         )
 
-    rows = docs.map_batches(mk_edges, batch_format="pyarrow").take_all()
-    pairs = sorted({(int(r["src"]), int(r["dst"])) for r in rows})
-    src = np.array([p[0] for p in pairs], np.int64)
-    dst = np.array([p[1] for p in pairs], np.int64)
-    od = np.zeros(n, np.int64)
-    idg = np.zeros(n, np.int64)
-    np.add.at(od, src, 1)
-    np.add.at(idg, dst, 1)
-    h = np.full(n, _W68_Q, dtype=object)
-    a = np.zeros(n, dtype=object)
-    for _ in range(_SALSA_ROUNDS):
-        # a(v) = sum over edges u->v of h(u) // outdeg(u)
-        a = np.zeros(n, dtype=object)
-        contrib = np.array(
-            [int(h[u]) // int(od[u]) for u in src], dtype=object
-        )
-        for e in range(len(src)):
-            a[dst[e]] += contrib[e]
-        h = np.zeros(n, dtype=object)
-        contrib = np.array(
-            [int(a[v]) // int(idg[v]) for v in dst], dtype=object
-        )
-        for e in range(len(src)):
-            h[src[e]] += contrib[e]
-    return pa.table(
-        {
-            "node": pa.array(list(range(n)), pa.int64()),
-            "auth_q": pa.array([int(x) for x in a], pa.int64()),
-            "hub_q": pa.array([int(x) for x in h], pa.int64()),
-        }
+    # distinct edges via ONE bucketed groupby (multi-edges would
+    # double-count a push) — no driver-side set
+    edges = (
+        docs.map_batches(mk_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
     )
+    return salsa(nodes, edges, n_iters=_SALSA_ROUNDS, q=_W68_Q)
 
 
 def _sql_salsa() -> str:

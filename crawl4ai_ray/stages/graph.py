@@ -1510,6 +1510,387 @@ def hits(
     )
 
 
+def salsa(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    n_iters: int = 4,
+    q: int = 10**12,
+    num_partitions: int = 16,
+    small_threshold: int = 50_000,
+) -> "ray.data.Dataset":
+    """SALSA (Lempel–Moran 2000) authority/hub scores over (node:int64) /
+    distinct (src:int64, dst:int64) — the stochastic sibling of ``hits``
+    where every push divides by the sender's degree:
+
+        auth(v) = Σ_{u→v} hub(u)  // outdeg(u)
+        hub(u)  = Σ_{u→v} auth(v) // indeg(v)
+
+    run in PURE integer fixed point (init hub = ``q``): every per-edge
+    contribution is an int64 floor division, so the result is bit-exact
+    regardless of summation order, partitioning, or path. Returns
+    (node, auth_q, hub_q) — raw mass after ``n_iters`` rounds, no
+    normalization (Σ hub ≤ n·q throughout, so int64 holds for
+    n·q < 2^63, i.e. ~9M nodes at q=1e12; shrink q for more).
+
+    Distributed plan — the ``hits`` shape with a twist that saves the
+    degree-prep pass entirely: each half-step co-locates edges by their
+    SENDING endpoint's hash bucket, and because ALL edges with a given
+    sender land in that sender's bucket, the sender's degree is just the
+    in-bucket key count — computed locally, never joined. Per half-step:
+    one union+groupby(bucket) with map-side integer partial sums by
+    receiver, then one groupby(node).sum unioned with a zeros row per
+    node (isolated nodes keep a row). Two bounded all-to-alls per
+    half-step; score tables repartitioned to ``num_partitions`` blocks
+    per round (Ray's Aggregate emits blocks ∝ input blocks). Edge
+    endpoints must be ⊆ nodes (asserted in the bucket kernel).
+
+    ``small_threshold``: local broadcast fast path with the identical
+    integer arithmetic — bit-equal by construction. Dual-path parity is
+    test-locked; 0 forces the distributed path."""
+    P = num_partitions
+    n = nodes.count()
+
+    if small_threshold and n <= small_threshold:
+        edges = edges.materialize()
+        if edges.count() <= small_threshold:
+            nd = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+            edf = edges.to_pandas()
+            es = edf["src"].to_numpy(dtype=np.int64)
+            ed = edf["dst"].to_numpy(dtype=np.int64)
+            if np.isin(es, nd).all() and np.isin(ed, nd).all():
+                m = len(nd)
+                si = np.searchsorted(nd, es)
+                di = np.searchsorted(nd, ed)
+                od = np.zeros(m, np.int64)
+                idg = np.zeros(m, np.int64)
+                np.add.at(od, si, 1)
+                np.add.at(idg, di, 1)
+                h = np.full(m, q, np.int64)
+                a = np.zeros(m, np.int64)
+                for _ in range(n_iters):
+                    a = np.zeros(m, np.int64)
+                    np.add.at(a, di, h[si] // od[si])
+                    h = np.zeros(m, np.int64)
+                    np.add.at(h, si, a[di] // idg[di])
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(nd, pa.int64()),
+                            "auth_q": pa.array(a, pa.int64()),
+                            "hub_q": pa.array(h, pa.int64()),
+                        }
+                    )
+                )
+
+    # --- distributed path -------------------------------------------------
+    # row kinds in the unioned table: kind=0 edge (key=sender,
+    # other=receiver), kind=1 score (key=node, val=score). All-int64
+    # schema — no nulls, so the arrow→numpy path is zero-copy exact.
+    def tag_edges_by(key_col: str):
+        other_col = "dst" if key_col == "src" else "src"
+
+        def tag(batch: pa.Table) -> pa.Table:
+            key = batch.column(key_col).to_numpy(zero_copy_only=False)
+            z = np.zeros(batch.num_rows, np.int64)
+            return pa.table(
+                {
+                    "bucket": pa.array((key % P).astype(np.int64)),
+                    "key": batch.column(key_col),
+                    "other": batch.column(other_col),
+                    "val": pa.array(z),
+                    "kind": pa.array(z),
+                }
+            )
+
+        return tag
+
+    edges_by_src = edges.map_batches(
+        tag_edges_by("src"), batch_format="pyarrow"
+    ).materialize()
+    edges_by_dst = edges.map_batches(
+        tag_edges_by("dst"), batch_format="pyarrow"
+    ).materialize()
+
+    zeros = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "val": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((node % P).astype(np.int64)),
+                "key": batch.column("node"),
+                "other": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "val": batch.column("val"),
+                "kind": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    def bucket_push(g: pa.Table) -> pa.Table:
+        """Integer push, vectorized per hash bucket: in-bucket key count
+        IS the sender degree (all of a sender's edges share its bucket);
+        contribution = score[key] // degree[key], partial-summed by
+        receiver MAP-SIDE so only (node, partial) rows shuffle."""
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        em = kind == 0
+        ekey = key[em]
+        if ekey.size == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+            )
+        eoth = g.column("other").to_numpy(zero_copy_only=False)[em]
+        skey = key[~em]
+        sval = g.column("val").to_numpy(zero_copy_only=False)[~em]
+        order = np.argsort(skey)
+        skey = skey[order]
+        sval = sval[order]
+        pos = np.searchsorted(skey, ekey)
+        if not (pos < len(skey)).all() or not (skey[pos] == ekey).all():
+            raise ValueError("salsa: edge endpoint not in the node set")
+        uk, inv, cnts = np.unique(ekey, return_inverse=True, return_counts=True)
+        contrib = sval[pos] // cnts[inv]
+        uo, oinv = np.unique(eoth, return_inverse=True)
+        sums = np.zeros(len(uo), np.int64)
+        np.add.at(sums, oinv, contrib)
+        return pa.table(
+            {"node": pa.array(uo, pa.int64()), "val": pa.array(sums, pa.int64())}
+        )
+
+    def half_step(sc: "ray.data.Dataset", tagged_edges: "ray.data.Dataset"):
+        tagged = sc.map_batches(tag_scores, batch_format="pyarrow")
+        parts = (
+            tagged_edges.union(tagged)
+            .groupby("bucket")
+            .map_groups(bucket_push, batch_format="pyarrow")
+        )
+        return (
+            parts.union(zeros)
+            .groupby("node")
+            .sum("val")
+            .rename_columns({"sum(val)": "val"})
+            .repartition(P)
+            .materialize()
+        )
+
+    hubs = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "val": pa.array(np.full(b.num_rows, q, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auths = None
+    for _ in range(n_iters):
+        auths = half_step(hubs, edges_by_src)
+        hubs = half_step(auths, edges_by_dst)
+
+    def a_rows(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, np.int64)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "auth_q": batch.column("val"),
+                "hub_q": pa.array(z),
+            }
+        )
+
+    def h_rows(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, np.int64)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "auth_q": pa.array(z),
+                "hub_q": batch.column("val"),
+            }
+        )
+
+    return (
+        auths.map_batches(a_rows, batch_format="pyarrow")
+        .union(hubs.map_batches(h_rows, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(
+            ray.data.aggregate.Sum("auth_q", alias_name="auth_q"),
+            ray.data.aggregate.Sum("hub_q", alias_name="hub_q"),
+        )
+    )
+
+
+def bounded_sssp(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    source: int = 0,
+    rounds: int = 12,
+    inf: int = 1 << 40,
+    num_partitions: int = 16,
+    small_threshold: int = 200_000,
+) -> "ray.data.Dataset":
+    """Weighted single-source shortest paths under a FIXED relaxation
+    horizon: exactly ``rounds`` synchronous Bellman–Ford sweeps over
+    (node:int64) / (src:int64, dst:int64, w:int64) — the cheapest
+    ≤ rounds-hop route from ``source`` (equal to the true shortest path
+    wherever the optimal route uses ≤ rounds edges). Returns
+    (node, dist) with ``dist = -1`` for nodes unreached within the
+    horizon. Directed; pass both (u,v,w) and (v,u,w) for undirected.
+
+    All-integer relaxation → bit-exact on any path/partitioning. Per
+    sweep (the ``multi_source_bfs`` plan with weights): ONE
+    union+groupby(src-hash bucket) co-locates each edge with its
+    source's current distance; in-bucket vectorized candidates
+    ``d[src]+w`` (finite sources only) partial-MIN'd by dst map-side;
+    then the partials union the current distance table into ONE
+    groupby(node).min — combine-with-previous and merge in the same
+    all-to-all. Distance tables repartitioned per sweep. Edge endpoints
+    must be ⊆ nodes (asserted in the bucket kernel).
+
+    ``small_threshold``: local broadcast fast path, identical integer
+    arithmetic (bit-equal). Dual-path parity is test-locked; 0 forces
+    the distributed path."""
+    P = num_partitions
+    n = nodes.count()
+
+    if small_threshold and n <= small_threshold:
+        edges = edges.materialize()
+        if edges.count() <= small_threshold:
+            nd = np.sort(nodes.to_pandas()["node"].to_numpy(dtype=np.int64))
+            edf = edges.to_pandas()
+            es = edf["src"].to_numpy(dtype=np.int64)
+            ed = edf["dst"].to_numpy(dtype=np.int64)
+            if np.isin(es, nd).all() and np.isin(ed, nd).all():
+                m = len(nd)
+                si = np.searchsorted(nd, es)
+                di = np.searchsorted(nd, ed)
+                ww = edf["w"].to_numpy(dtype=np.int64)
+                d = np.full(m, inf, np.int64)
+                d[np.searchsorted(nd, source)] = 0
+                for _ in range(rounds):
+                    fin = d[si] < inf
+                    nd_arr = d.copy()
+                    np.minimum.at(nd_arr, di[fin], d[si][fin] + ww[fin])
+                    d = nd_arr
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(nd, pa.int64()),
+                            "dist": pa.array(
+                                np.where(d >= inf, -1, d), pa.int64()
+                            ),
+                        }
+                    )
+                )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((src % P).astype(np.int64)),
+                "key": batch.column("src"),
+                "other": batch.column("dst"),
+                "val": batch.column("w"),
+                "kind": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
+
+    edges_t = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def init_dist(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "d": pa.array(np.where(node == source, 0, inf).astype(np.int64)),
+            }
+        )
+
+    dist = nodes.map_batches(init_dist, batch_format="pyarrow").materialize()
+
+    def tag_dist(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((node % P).astype(np.int64)),
+                "key": batch.column("node"),
+                "other": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "val": batch.column("d"),
+                "kind": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    def bucket_relax(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        em = kind == 0
+        ekey = key[em]
+        if ekey.size == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        eoth = g.column("other").to_numpy(zero_copy_only=False)[em]
+        ew = g.column("val").to_numpy(zero_copy_only=False)[em]
+        dkey = key[~em]
+        dval = g.column("val").to_numpy(zero_copy_only=False)[~em]
+        order = np.argsort(dkey)
+        dkey = dkey[order]
+        dval = dval[order]
+        pos = np.searchsorted(dkey, ekey)
+        if not (pos < len(dkey)).all() or not (dkey[pos] == ekey).all():
+            raise ValueError("bounded_sssp: edge source not in the node set")
+        du = dval[pos]
+        fin = du < inf
+        if not fin.any():
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        cand = du[fin] + ew[fin]
+        uo, oinv = np.unique(eoth[fin], return_inverse=True)
+        mins = np.full(len(uo), inf, np.int64)
+        np.minimum.at(mins, oinv, cand)
+        return pa.table(
+            {"node": pa.array(uo, pa.int64()), "d": pa.array(mins, pa.int64())}
+        )
+
+    for _ in range(rounds):
+        tagged = dist.map_batches(tag_dist, batch_format="pyarrow")
+        parts = (
+            edges_t.union(tagged)
+            .groupby("bucket")
+            .map_groups(bucket_relax, batch_format="pyarrow")
+        )
+        dist = (
+            parts.union(dist)
+            .groupby("node")
+            .min("d")
+            .rename_columns({"min(d)": "d"})
+            .repartition(P)
+            .materialize()
+        )
+
+    return dist.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node"),
+                "dist": pa.array(
+                    np.where(
+                        b.column("d").to_numpy(zero_copy_only=False) >= inf,
+                        -1,
+                        b.column("d").to_numpy(zero_copy_only=False),
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def normalize_out_weights(
     edges: "ray.data.Dataset",
     num_partitions: int = 16,

@@ -2926,3 +2926,83 @@ def test_pagerank_hits_dangling_fall_through(ray_session):
     ).take_all()
     as_map = lambda rows: {r["node"]: (r["hub"], r["auth"]) for r in rows}
     assert as_map(h) == as_map(h_dist)
+
+
+def test_salsa_dual_path_parity_and_semantics(ray_session):
+    """salsa's small-graph fast path is BIT-equal to the distributed
+    path (all-integer arithmetic — no ROUND needed), and the pushes
+    conserve the degree-division semantics: total authority mass after
+    round 1 equals sum over nodes with out-edges of q (up to per-edge
+    floor loss < outdeg per sender)."""
+    from crawl4ai_ray.stages.graph import salsa
+
+    rng = np.random.RandomState(7)
+    n = 40
+    e = {(int(a), int(b)) for a, b in zip(rng.randint(0, n, 150),
+                                          rng.randint(0, n, 150))}
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in sorted(e)], pa.int64()),
+                "dst": pa.array([b for _, b in sorted(e)], pa.int64()),
+            }
+        )
+    )
+
+    def as_map(ds):
+        return {r["node"]: (r["auth_q"], r["hub_q"]) for r in ds.take_all()}
+
+    local = as_map(salsa(nodes, edges, n_iters=3, q=10**9))
+    dist = as_map(salsa(nodes, edges, n_iters=3, q=10**9, small_threshold=0))
+    assert local == dist
+    assert len(local) == n  # every node keeps a row, isolated ones at 0
+
+    # one-round mass check: senders emit q - (q % outdeg) in total
+    one = salsa(nodes, edges, n_iters=1, q=10**9)
+    outdeg = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    expect_auth_mass = sum(10**9 - (10**9 % d) for d in outdeg.values())
+    got_auth_mass = sum(v[0] for v in as_map(one).values())
+    assert got_auth_mass == expect_auth_mass
+
+
+def test_bounded_sssp_dual_path_parity_and_horizon(ray_session):
+    """bounded_sssp's fast path is BIT-equal to the distributed path,
+    and the horizon semantics hold: with rounds < needed hops a far
+    node stays unreached (-1); with enough rounds it gets the true
+    weighted distance on a hand-built path graph."""
+    from crawl4ai_ray.stages.graph import bounded_sssp
+
+    # path 0-1-2-3-4 with weights 2,3,4,5 plus a heavy shortcut 0->4 (99)
+    src = np.array([0, 1, 2, 3, 0], np.int64)
+    dst = np.array([1, 2, 3, 4, 4], np.int64)
+    w = np.array([2, 3, 4, 5, 99], np.int64)
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(5, dtype=np.int64), pa.int64())})
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+    )
+
+    def as_map(ds):
+        return {r["node"]: r["dist"] for r in ds.take_all()}
+
+    for rounds, expect4 in [(1, 99), (4, 14), (12, 14)]:
+        local = as_map(bounded_sssp(nodes, edges, source=0, rounds=rounds))
+        dist = as_map(
+            bounded_sssp(nodes, edges, source=0, rounds=rounds,
+                         small_threshold=0)
+        )
+        assert local == dist
+        assert local[4] == expect4
+    assert as_map(bounded_sssp(nodes, edges, source=0, rounds=1))[2] == -1

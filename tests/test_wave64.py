@@ -54,12 +54,13 @@ def test_khop_bounds_and_dijkstra_agreement(ray_session, sf_dir):
             if d + w < dist.get(u, 1 << 60):
                 dist[u] = d + w
                 heapq.heappush(pq, (d + w, u))
-    # bounded-round distances are admissible upper bounds...
+    # bounded-round distances are admissible upper bounds: every
+    # reached node's distance is ≥ the true Dijkstra distance, and a
+    # node unreachable in the full graph can never be "reached"
     for v in range(n):
         got = df.loc[v, "dist"]
-        assert got == -1 or got >= dist.get(v, 1 << 60) or got >= 0
         if got != -1:
-            assert got >= dist[v]
+            assert v in dist and got >= dist[v]
     # ...and with 12 rounds on this small-diameter graph they are
     # EXACT for the overwhelming majority of nodes
     exact = sum(
