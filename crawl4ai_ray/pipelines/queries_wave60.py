@@ -261,10 +261,11 @@ def q_merkle_root(sf_dir: str):
     row with the leaf count and the root hash.
 
     Exactness: pure md5 string arithmetic, identical in both engines.
-    Distributed shape: leaf hashing is one map; this flat binary fold
-    collects the n 32-char digests once (at open-web scale the tree
-    would be paged — fixed-arity 1024-leaf subtree roots computed
-    map-side, then this same fold over page roots).
+    Routed through ``stages.merkle.merkle_root`` — leaf hashing is one
+    map; rank assignment is a range-bucket two-level prefix scan and
+    each tree level is ONE halving groupby (total shuffled volume
+    ≤ 2× the leaf digests, driver holds ≤ num_partitions count rows),
+    with the test-locked local fold fast path at test scale.
     """
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -285,28 +286,18 @@ def q_merkle_root(sf_dir: str):
             }
         )
 
-    rows = sorted(
-        docs.map_batches(leaves, batch_format="pyarrow").take_all(),
-        key=lambda r: int(r["doc_id"]),
+    from ..stages.merkle import merkle_root
+
+    n, root = merkle_root(
+        docs.map_batches(leaves, batch_format="pyarrow"),
+        key_col="doc_id",
+        hash_col="h",
+        levels=_MK_LEVELS,
     )
-    level = [r["h"] for r in rows]
-    n = len(level)
-    for _ in range(_MK_LEVELS):
-        nxt = []
-        for i in range(0, len(level), 2):
-            if i + 1 < len(level):
-                nxt.append(
-                    hashlib.md5(
-                        (level[i] + level[i + 1]).encode()
-                    ).hexdigest()
-                )
-            else:
-                nxt.append(level[i])
-        level = nxt
     return pa.table(
         {
             "n_leaves": pa.array([n], pa.int64()),
-            "root": pa.array([level[0]], pa.string()),
+            "root": pa.array([root], pa.string()),
         }
     )
 

@@ -3006,3 +3006,53 @@ def test_bounded_sssp_dual_path_parity_and_horizon(ray_session):
         assert local == dist
         assert local[4] == expect4
     assert as_map(bounded_sssp(nodes, edges, source=0, rounds=1))[2] == -1
+
+
+def test_merkle_root_dual_path_parity(ray_session):
+    """merkle_root's distributed rank+halving-groupby fold is bit-equal
+    to the local collect-and-fold fast path (md5 arithmetic is
+    deterministic), for even, odd-promotion, and sparse-key leaf sets;
+    insufficient levels raise on both paths."""
+    import hashlib as hl
+
+    import pytest as pt
+
+    from crawl4ai_ray.stages.merkle import merkle_root
+
+    def mk(keys):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(keys, pa.int64()),
+                    "h": pa.array(
+                        [hl.md5(str(k).encode()).hexdigest() for k in keys],
+                        pa.string(),
+                    ),
+                }
+            )
+        ).repartition(4)
+
+    for keys in [list(range(8)), list(range(13)), [3, 99, 7, 1000, 42]]:
+        local = merkle_root(mk(keys), levels=6)
+        dist = merkle_root(mk(keys), levels=6, small_threshold=0,
+                           num_partitions=3)
+        assert local == dist
+        assert local[0] == len(keys)
+
+    # scalar recompute for the odd case: promotion keeps the tail hash
+    keys = list(range(5))
+    lv = [hl.md5(str(k).encode()).hexdigest() for k in keys]
+    while len(lv) > 1:
+        lv = [
+            hl.md5((lv[i] + lv[i + 1]).encode()).hexdigest()
+            if i + 1 < len(lv) else lv[i]
+            for i in range(0, len(lv), 2)
+        ]
+    assert merkle_root(mk(keys), levels=6)[1] == lv[0]
+    assert merkle_root(mk(keys), levels=6, small_threshold=0)[1] == lv[0]
+
+    with pt.raises(ValueError):
+        merkle_root(mk(list(range(9))), levels=2)
+    with pt.raises(ValueError):
+        merkle_root(mk(list(range(9))), levels=2, small_threshold=0)
+    assert merkle_root(mk([]).filter(lambda r: False), levels=3) == (0, "")
