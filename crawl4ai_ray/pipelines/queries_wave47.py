@@ -33,28 +33,40 @@ def q_lru_mrc(sf_dir: str, rate_num: int = 1, rate_den: int = 1):
     (cold rows contribute 0 to hits).
 
     Distributed shape (SHARDS, Waldspurger et al. FAST'15): spatial
-    key-hash sampling (keep key iff hash64(key) % rate_den < rate_num)
+    key-hash sampling (keep key iff md5-slice(key) % rate_den <
+    rate_num — an SQL-mirrorable spatial hash, the wave-24 discipline)
     is the scale path — reuse distances computed on the key-sampled
-    stream are unbiased after 1/R scaling, so the materialized sample
-    is SMALL BY CONSTRUCTION at any corpus size. Here: per-key
-    occurrence lists built by one distributed groupby; the sampled
-    index is broadcast once via ray.put; distances are counted
-    per-query-batch with K vectorized searchsorted passes (no python
-    loop over accesses); ONE groupby closes the histogram. The
-    registered query runs rate 1/1 so the DuckDB oracle (correlated
-    COUNT(DISTINCT) per reuse window) mirrors it exactly.
+    stream are unbiased after R = rate_den/rate_num scaling, so the
+    materialized sample is SMALL BY CONSTRUCTION at any corpus size.
+    Here: per-key occurrence lists built by one distributed groupby;
+    the sampled index is broadcast once via ray.put; distances are
+    counted per-query-batch with K vectorized searchsorted passes (no
+    python loop over accesses); ONE groupby closes the histogram.
+    When sampling is active the output ``dist`` column IS rescaled to
+    full-stream units (``dist_sampled · rate_den // rate_num`` — the
+    SHARDS contract; r3 advice: callers previously got sampled-unit
+    distances with no marker); counts stay raw sampled counts, so
+    ``hit_ratio`` (a ratio) needs no scaling. Cold misses stay -1.
+    Registered twice: ``lru_mrc`` at rate 1/1 (the exact DuckDB
+    correlated-COUNT(DISTINCT) oracle) and ``lru_mrc_sampled`` at rate
+    1/4, whose oracle applies the SAME md5 predicate + rescale — the
+    scale path is oracle-exercised, not demo-only.
     """
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
     )
 
     if rate_num < rate_den:
-        from ..functions.hashing import hash64_one
 
         def sample(batch: pa.Table) -> pa.Table:
             uid = batch.column("user_id").to_numpy(zero_copy_only=False)
             keep = np.array(
-                [hash64_one(str(int(u))) % rate_den < rate_num for u in uid],
+                [
+                    int(hashlib.md5(f"mrc|{int(u)}".encode()).hexdigest()[:8], 16)
+                    % rate_den
+                    < rate_num
+                    for u in uid
+                ],
                 bool,
             )
             return batch.filter(pa.array(keep))
@@ -133,7 +145,9 @@ def q_lru_mrc(sf_dir: str, rate_num: int = 1, rate_den: int = 1):
     for dval in dists:
         if dval >= 0:
             cum_hits += hist[dval]
-        out_d.append(dval)
+        # SHARDS rescale to full-stream units when sampling is active
+        # (-1 cold sentinel passes through); integer-exact
+        out_d.append(dval * rate_den // rate_num if dval >= 0 else dval)
         out_n.append(hist[dval])
         out_r.append(float(cum_hits) / float(total))
     return pa.table(
@@ -173,7 +187,7 @@ FROM h, t
 # bradley_terry — preference ranking of sources from pairwise duels
 # ---------------------------------------------------------------------------
 
-_BT_SCALE = 1_000_000
+_BT_SCALE = 100_000
 _BT_ITERS = 15
 
 
@@ -193,8 +207,12 @@ def q_bradley_terry(sf_dir: str):
     runs in pure integer arithmetic — each term n_ab·S²//(p_a+p_b),
     then W_a·S²//D_a, then a S-rescale — so the unrolled DuckDB CTE
     chain reproduces it bit-for-bit (no float fold order anywhere).
-    Overflow bound: wtot·S² < 2^63 up to ~6e6 docs/source pair set
-    (documented; holds through sf0.1 with 10× margin).
+    Overflow bound (r3 advice: the old S=1e6 left only ~7.8× headroom
+    at sf0.1 and would overflow the BIGINT oracle near sf1): with
+    S=1e5, wtot·S² < 2^63 holds up to wtot ≈ 9.2e8 wins per source
+    (~775× headroom at sf0.1, safely past sf1); a ValueError guard
+    asserts the bound so a silent-divergence regime can't produce a
+    Python result the BIGINT oracle would reject.
     """
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
@@ -253,6 +271,19 @@ def q_bradley_terry(sf_dir: str):
     S2 = S * S
     p = {s: S for s in srcs}
     wtot = {a: sum(wins[(a, b)] for b in srcs if b != a) for a in srcs}
+    # explicit BIGINT-parity guard: the SQL oracle computes wtot*S^2 and
+    # nab*S^2 in int64 -- refuse the regime where Python's arbitrary
+    # precision would silently diverge from it
+    worst = max(
+        [wtot[a] for a in srcs]
+        + [wins[(a, b)] + wins[(b, a)] for a in srcs for b in srcs if a != b],
+        default=0,
+    )
+    if worst * S2 >= 1 << 63:
+        raise ValueError(
+            f"bradley_terry: wins total {worst} * S^2 overflows int64 -- "
+            "reduce _BT_SCALE or pre-normalize wins"
+        )
     for _ in range(_BT_ITERS):
         pn = {}
         for a in srcs:
@@ -499,9 +530,48 @@ FROM ch JOIN best USING (host)
 """
 
 
+SQL_LRU_MRC_SAMPLED = """
+WITH sev AS (
+  SELECT event_id, user_id FROM events
+  WHERE CAST(('0x' || substr(md5('mrc|' || user_id), 1, 8)) AS BIGINT)
+        % 4 < 1
+),
+acc AS (
+  SELECT event_id AS pos, user_id,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM sev
+),
+d AS (
+  SELECT CASE WHEN prev IS NULL THEN CAST(-1 AS BIGINT)
+              ELSE CAST(((SELECT COUNT(DISTINCT e2.user_id) FROM sev e2
+                          WHERE e2.event_id > acc.prev
+                            AND e2.event_id < acc.pos) + 1) * 4
+                        AS BIGINT)
+         END AS dist
+  FROM acc
+),
+h AS (SELECT dist, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY dist),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+SELECT h.dist, h.n,
+       CAST(CAST(SUM(CASE WHEN h.dist >= 0 THEN h.n ELSE 0 END)
+                 OVER (ORDER BY h.dist) AS BIGINT) AS DOUBLE)
+         / CAST(t.total AS DOUBLE) AS hit_ratio
+FROM h, t
+"""
+
+
+def q_lru_mrc_sampled(sf_dir: str):
+    """SHARDS scale path of ``lru_mrc``, oracle-exercised: spatial
+    md5-key sampling at rate 1/4, distances rescaled ×4 to full-stream
+    units (see q_lru_mrc docstring)."""
+    return q_lru_mrc(sf_dir, rate_num=1, rate_den=4)
+
+
 def register(queries: dict, oracles: dict, sql_pages: str) -> None:
     queries["lru_mrc"] = q_lru_mrc
     oracles["lru_mrc"] = SQL_LRU_MRC
+    queries["lru_mrc_sampled"] = q_lru_mrc_sampled
+    oracles["lru_mrc_sampled"] = SQL_LRU_MRC_SAMPLED
     queries["bradley_terry"] = q_bradley_terry
     oracles["bradley_terry"] = _sql_bradley_terry()
     queries["secretary_admission"] = q_secretary_admission

@@ -64,15 +64,24 @@ def test_lru_mrc_shards_rate_is_subset_consistent(ray_session, sf_dir):
     """SHARDS key-hash sampling: distances on the sampled stream equal
     an exact recompute on the filtered stream (spatial sampling keeps
     every occurrence of a kept key, so per-key reuse windows shrink
-    only by removed OTHER keys)."""
-    from crawl4ai_ray.functions.hashing import hash64_one
+    only by removed OTHER keys), then get the ×R rescale to full-stream
+    units (r3 advice: sampled distances must not leak unscaled)."""
+    import hashlib
 
     pos, keys = _events(sf_dir)
-    keep = np.array([hash64_one(str(int(k))) % 2 == 0 for k in keys])
+    keep = np.array(
+        [
+            int(hashlib.md5(f"mrc|{int(k)}".encode()).hexdigest()[:8], 16) % 2 == 0
+            for k in keys
+        ]
+    )
     assert 0 < keep.sum() < len(keys)  # both sides non-trivial
     brute = _brute_distances(pos[keep], [k for k, m in zip(keys, keep) if m])
     vals, cnts = np.unique(np.array(brute), return_counts=True)
-    expect = dict(zip(vals.tolist(), cnts.tolist()))
+    expect = {
+        (v * 2 if v >= 0 else v): c
+        for v, c in zip(vals.tolist(), cnts.tolist())
+    }
     df = q_lru_mrc(sf_dir, rate_num=1, rate_den=2).to_pandas()
     got = dict(zip(df["dist"], df["n"]))
     assert got == expect
