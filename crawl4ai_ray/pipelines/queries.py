@@ -1210,7 +1210,7 @@ def q_connected_components(sf_dir: str):
     ).groupby("host_id").min("doc_id")
     # hosts are dense ints 0..49 — a fancy-indexable array beats a dict
     hub_arr = np.zeros(50, dtype=np.int64)
-    for r in hubs_ds.take_all():
+    for r in hubs_ds.take_all():  # bounded: one row per host (≤ 50 hosts)
         hub_arr[int(r["host_id"])] = int(r["min(doc_id)"])
     hub_ref = ray.put(hub_arr)
 
@@ -2112,7 +2112,7 @@ def q_hits(sf_dir: str):
 def q_ann_topk(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qrows = sorted(
-        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
+        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]  # bounded: the k query vectors only
     )
     queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [int(r["vec_id"]) for r in qrows]
@@ -2126,7 +2126,7 @@ def q_ann_topk_ivf_scan(sf_dir: str):
     bucket-pruned storage path (r2 VERDICT #8)."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qrows = sorted(
-        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
+        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]  # bounded: the k query vectors only
     )
     queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [int(r["vec_id"]) for r in qrows]
@@ -2152,7 +2152,7 @@ def q_ann_topk_ivf(sf_dir: str):
     if not os.path.exists(os.path.join(idx_dir, "_CENTROIDS.npy")):
         partition_embeddings(emb, idx_dir, n_centroids=8)
     qrows = sorted(
-        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]
+        emb.filter(expr="vec_id < 5").take_all(), key=lambda r: r["vec_id"]  # bounded: the k query vectors only
     )
     queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [int(r["vec_id"]) for r in qrows]
@@ -2504,7 +2504,7 @@ def q_length_vs_lang_mean(sf_dir: str):
     agg = toks.groupby("lang").aggregate(
         ray.data.aggregate.Sum("n_tok", alias_name="sum_tok"),
         ray.data.aggregate.Count(alias_name="cnt"),
-    ).take_all()
+    ).take_all()  # bounded: one row per lang (bounded key domain)
     stats = {r["lang"]: (int(r["sum_tok"]), int(r["cnt"])) for r in agg}
     stats_ref = ray.put(stats)
 
@@ -2552,7 +2552,7 @@ def q_host_curation(sf_dir: str):
     agg = hosted.groupby("host").aggregate(
         ray.data.aggregate.Sum("n_tok", alias_name="sum_tok"),
         ray.data.aggregate.Count(alias_name="n_docs"),
-    ).take_all()
+    ).take_all()  # bounded: one row per host (bounded key domain)
     stats = {r["host"]: (int(r["sum_tok"]), int(r["n_docs"])) for r in agg}
     stats_ref = ray.put(stats)
 
@@ -3188,7 +3188,7 @@ def q_search_snippets(sf_dir: str):
         _bm25_scored(sf_dir)
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(10)
-        .take_all()
+        .take_all()  # bounded: ≤ 10 rows (sort+limit)
     )
     ids = sorted(int(r["doc_id"]) for r in top)
     docs = ray.data.read_parquet(
@@ -3258,7 +3258,7 @@ def q_hybrid_rrf(sf_dir: str):
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     q0 = sorted(
-        emb.filter(expr="vec_id < 1").take_all(), key=lambda r: r["vec_id"]
+        emb.filter(expr="vec_id < 1").take_all(), key=lambda r: r["vec_id"]  # bounded: the k query vectors only
     )
     queries = np.asarray([r["embedding"] for r in q0], dtype=np.float64)
     sem = brute_force_topk(emb, queries, [0], k=20).map_batches(

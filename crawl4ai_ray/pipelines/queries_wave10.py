@@ -313,7 +313,7 @@ def q_seed_cover(sf_dir: str):
         gains = edges.map_batches(mask, batch_format="pyarrow").groupby("src").count()
         top = gains.sort(
             ["count()", "src"], descending=[True, False]
-        ).limit(1).take_all()
+        ).limit(1).take_all()  # bounded: ≤ 1 rows (sort+limit)
         if not top:
             break
         seed, gain = int(top[0]["src"]), int(top[0]["count()"])
@@ -325,7 +325,7 @@ def q_seed_cover(sf_dir: str):
             for r in edges.map_batches(
                 lambda b, _s=seed: b.filter(pc.equal(b.column("src"), _s)),
                 batch_format="pyarrow",
-            ).take_all()
+            ).take_all()  # bounded: one node's out-neighborhood (≤ max outdeg)
         ]
         covered.add(seed)
         covered.update(neigh)
@@ -483,7 +483,7 @@ def q_rake_keywords(sf_dir: str):
             ray.data.aggregate.Sum("freq", alias_name="freq"),
             ray.data.aggregate.Sum("deg", alias_name="deg"),
         )
-        .take_all()
+        .take_all()  # scale-note: vocabulary-sized word-score broadcast (RAKE scores every word; web-scale path = phrase-word ⋈ word-stats bucketed join)
     )
     score_map = {
         r["w"]: (int(r["deg"]) * 1_000_000_000) // int(r["freq"]) for r in wstats
@@ -608,7 +608,7 @@ def q_host_gini(sf_dir: str):
     )
     hc = partial_count(hosts, "host", out_col="c")
 
-    sizes = hc.groupby("c").count().take_all()
+    sizes = hc.groupby("c").count().take_all()  # bounded: one row per c (bounded key domain)
     sizes.sort(key=lambda r: r["c"])
     offs: dict[int, int] = {}
     acc = 0
@@ -849,7 +849,7 @@ def q_fair_share_alloc(sf_dir: str):
     )
     demands = partial_count(hosts, "host", out_col="demand").materialize()
 
-    hist_rows = demands.groupby("demand").count().take_all()
+    hist_rows = demands.groupby("demand").count().take_all()  # bounded: one row per demand (bounded key domain)
     hist = sorted((int(r["demand"]), int(r["count()"])) for r in hist_rows)
     total = sum(v * c for v, c in hist)
     budget = total // 3
@@ -976,7 +976,7 @@ def q_zipf_fit(sf_dir: str):
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
         .sort(["c", "w"], descending=[True, False])
         .limit(_ZIPF_K)
-        .take_all()
+        .take_all()  # bounded: ≤ _ZIPF_K rows (sort+limit)
     )
     n = len(top)
     sx = sy = sxy = sxx = 0
@@ -1098,7 +1098,7 @@ def recrawl_admission(rates: "ray.data.Dataset") -> "ray.data.Dataset":
 
     demands = {
         int(r["host_id"]): int(r["count()"])
-        for r in stale.groupby("host_id").count().take_all()
+        for r in stale.groupby("host_id").count().take_all()  # bounded: one row per host_id (bounded key domain)
     }
     total = sum(demands.values())
     budget = total // 3

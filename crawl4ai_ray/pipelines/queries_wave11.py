@@ -300,7 +300,7 @@ def q_heaps_fit(sf_dir: str):
     one float division per output."""
     from .queries_wave9 import q_vocab_growth
 
-    pts = q_vocab_growth(sf_dir).take_all()
+    pts = q_vocab_growth(sf_dir).take_all()  # bounded: one row per growth checkpoint
     qx = [
         int(math.floor(math.log(float(r["n_tokens"])) * 1e9 + 0.5)) for r in pts
     ]
@@ -386,7 +386,7 @@ def q_lang_source_mi(sf_dir: str):
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby(["lang", "source"])
         .sum("c")
-        .take_all()
+        .take_all()  # bounded: one row per lang×source (bounded key domain)
     )
     langs: dict[str, int] = {}
     sources: dict[str, int] = {}

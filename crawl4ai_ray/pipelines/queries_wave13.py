@@ -242,7 +242,7 @@ def q_borda_quality(sf_dir: str):
         sig.map_batches(hist_partial, batch_format="pyarrow")
         .groupby(["sig", "val"])
         .aggregate(ray.data.aggregate.Sum("cnt", alias_name="cnt"))
-        .to_pandas()
+        .to_pandas()  # bounded: (sig position × quantized value) histogram cells
     )
     lut = {}
     for i in range(3):

@@ -448,7 +448,7 @@ def q_ndcg_bm25(sf_dir: str):
         _bm25_scored(sf_dir)
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(_NDCG_K)
-        .take_all()
+        .take_all()  # bounded: ≤ _NDCG_K rows (sort+limit)
     )
 
     docs = ray.data.read_parquet(
@@ -471,7 +471,7 @@ def q_ndcg_bm25(sf_dir: str):
     ideal = (
         rel_ds.sort(["rel", "doc_id"], descending=[True, False])
         .limit(_NDCG_K)
-        .take_all()
+        .take_all()  # bounded: ≤ _NDCG_K rows (sort+limit)
     )
     top_ids = pa.array([int(r["doc_id"]) for r in top], pa.int64())
 
@@ -480,7 +480,7 @@ def q_ndcg_bm25(sf_dir: str):
 
     rel_map = {
         int(r["doc_id"]): int(r["rel"])
-        for r in rel_ds.map_batches(pick_top, batch_format="pyarrow").take_all()
+        for r in rel_ds.map_batches(pick_top, batch_format="pyarrow").take_all()  # bounded: ≤ K top-ranked rows (broadcast id set)
     }
 
     ln2 = math.log(2.0)

@@ -145,7 +145,7 @@ def q_oov_rate(sf_dir: str):
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
         .sort(["c", "w"], descending=[True, False])
         .limit(_OOV_V)
-        .take_all()
+        .take_all()  # bounded: ≤ _OOV_V rows (sort+limit)
     )
     vocab_ref = ray.put(frozenset(r["w"] for r in top))
 

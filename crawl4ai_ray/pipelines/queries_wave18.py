@@ -163,7 +163,7 @@ def q_audience_overlap(sf_dir: str):
     )
     types = sorted(
         r["event_type"]
-        for r in ev.groupby("event_type").count().select_columns(["event_type"]).take_all()
+        for r in ev.groupby("event_type").count().select_columns(["event_type"]).take_all()  # bounded: one row per event_type (bounded key domain)
     )
     bit = {t: 1 << i for i, t in enumerate(types)}
     bit_ref = ray.put(bit)
@@ -325,7 +325,7 @@ def q_dup_rate_by_source(sf_dir: str):
     totals = (
         parts.groupby("source")
         .aggregate(ray.data.aggregate.Sum("n_docs", alias_name="n_docs"))
-        .take_all()
+        .take_all()  # bounded: one row per source (bounded key domain)
     )
     tot = {r["source"]: int(r["n_docs"]) for r in totals}
 

@@ -55,7 +55,7 @@ def q_depth_quality_profile(sf_dir: str):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "n_chars"],
         filter=pds.field("doc_id").isin(pa.array(sorted(set(ids)), pa.int64())),
-    ).take_all()
+    ).take_all()  # bounded: the probed id set only (pushed-down isin filter)
     chars = {int(r["doc_id"]): int(r["n_chars"]) for r in docs}
     agg: dict[int, list] = {}
     for i, d in zip(ids, depths):

@@ -55,7 +55,7 @@ def sq8_codes_stats(emb: "ray.data.Dataset"):
             ray.data.aggregate.Min("mn", alias_name="mn"),
             ray.data.aggregate.Max("mx", alias_name="mx"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per dim (bounded key domain)
     )
     d = len(rows)
     mn = np.zeros(d, np.int64)

@@ -233,7 +233,7 @@ def q_vocab_drift_chi2(sf_dir: str):
             ray.data.aggregate.Sum("c_even", alias_name="c_even"),
             ray.data.aggregate.Sum("c_odd", alias_name="c_odd"),
         )
-        .take_all()  # |vocab| — 31 tokens on the synthetic corpus; for a
+        .take_all()  # |vocab| — 31 tokens on the synthetic corpus; for a  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
         # web-scale vocab the movers cut would be a sort+limit instead
     )
     terms = []

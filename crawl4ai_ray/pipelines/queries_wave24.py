@@ -179,7 +179,7 @@ def q_events_watermark(sf_dir: str):
     totals = (
         tagged.groupby("bucket")
         .aggregate(ray.data.aggregate.Max("ts_us", alias_name="mx"))
-        .take_all()
+        .take_all()  # bounded: one row per bucket (bounded key domain)
     )
     totals.sort(key=lambda r: r["bucket"])
     prefix: dict[int, int] = {}

@@ -205,7 +205,7 @@ def q_ucb_crawl_sched(sf_dir: str):
     agg = (
         docs.groupby("source")
         .aggregate(ray.data.aggregate.Sum("n_chars", alias_name="s"))
-        .take_all()
+        .take_all()  # bounded: one row per source (bounded key domain)
     )
     qs = {r["source"]: int(r["s"]) % 89 + 5 for r in agg}
     arms = sorted(qs)
@@ -367,7 +367,7 @@ def q_source_percent_rank(sf_dir: str):
             ray.data.aggregate.Min("rank", alias_name="base"),
             ray.data.aggregate.Count(alias_name="cnt"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per source (bounded key domain)
     )
     bases: dict[str, tuple[int, int]] = {
         r["source"]: (int(r["base"]), int(r["cnt"])) for r in counts

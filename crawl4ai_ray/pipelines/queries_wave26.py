@@ -148,7 +148,7 @@ def q_blocking_eval(sf_dir: str):
             }
         )
 
-    rows = pairs.map_batches(partial, batch_format="pyarrow").take_all()
+    rows = pairs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: one partial row per batch
     # one partial row per batch — the driver fold is O(#batches)
     n_cand = sum(int(r["n_cand"]) for r in rows)
     n_rec = sum(int(r["n_rec"]) for r in rows)

@@ -81,7 +81,7 @@ def q_kcenter_coreset(sf_dir: str):
                 }
             )
 
-        cand = emb.map_batches(far, batch_format="pyarrow").take_all()
+        cand = emb.map_batches(far, batch_format="pyarrow").take_all()  # bounded: one candidate row per batch (k-center argmax partials)
         cand.sort(key=lambda r: (-int(r["mind"]), int(r["vec_id"])))
         pick, d = int(cand[0]["vec_id"]), int(cand[0]["mind"])
         centers.append(pick)
@@ -200,7 +200,7 @@ def q_isotonic_calibration(sf_dir: str):
             ray.data.aggregate.Sum("n", alias_name="n"),
             ray.data.aggregate.Sum("pos", alias_name="pos"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per bucket (bounded key domain)
     )
     rows.sort(key=lambda r: int(r["bucket"]))
     buckets = [int(r["bucket"]) for r in rows]
@@ -317,7 +317,7 @@ def q_cusum_alarm(sf_dir: str):
         ev.map_batches(daily, batch_format="pyarrow")
         .groupby("day")
         .aggregate(ray.data.aggregate.Sum("x", alias_name="x"))
-        .take_all()
+        .take_all()  # bounded: one row per day (bounded key domain)
     )
     rows.sort(key=lambda r: int(r["day"]))
     days = np.array([int(r["day"]) for r in rows], np.int64)

@@ -89,7 +89,7 @@ def q_priority_sample_est(sf_dir: str):
 
     pruned = docs.map_batches(keyed, batch_format="pyarrow")
     top = pruned.sort(["neg_p", "doc_id"]).limit(_PS_K + 1)
-    rows = top.take_all()
+    rows = top.take_all()  # bounded: ≤ K+1 rows (sort+limit)
     tau = float(rows[_PS_K]["priority"]) if len(rows) > _PS_K else 0.0
     kept = rows[:_PS_K]
     true_total = int(
@@ -220,7 +220,7 @@ def q_lang_length_quantiles(sf_dir: str):
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby(["lang", "n_chars"])
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: (lang × distinct length) cells — length domain ≤ max doc length
     )
     hist: dict[str, list] = {}
     for r in rows:
@@ -299,7 +299,7 @@ def q_facility_select(sf_dir: str):
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(ids % _FS_POOL_MOD == 0))
 
-    pool_rows = emb.map_batches(pool_mask, batch_format="pyarrow").take_all()
+    pool_rows = emb.map_batches(pool_mask, batch_format="pyarrow").take_all()  # scale-note: fixed-rate sampled pool (shrink the rate with corpus size at web scale)
     pool_rows.sort(key=lambda r: r["vec_id"])
     pool_ids = np.array([r["vec_id"] for r in pool_rows], np.int64)
     pool_fp = quantize_embeddings(pa.Table.from_pylist(pool_rows))
@@ -336,7 +336,7 @@ def q_facility_select(sf_dir: str):
             emb.map_batches(gains, batch_format="pyarrow")
             .groupby("cand")
             .aggregate(ray.data.aggregate.Sum("g", alias_name="g"))
-            .take_all()
+            .take_all()  # scale-note: fixed-rate sampled pool (shrink the rate with corpus size at web scale)
         )
         agg = [r for r in agg if int(r["cand"]) not in selected]
         if not agg:

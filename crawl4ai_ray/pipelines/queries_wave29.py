@@ -407,7 +407,7 @@ def q_fellegi_sunter(sf_dir: str):
             ray.data.aggregate.Sum("g_len", alias_name="a_len"),
             ray.data.aggregate.Sum("g_ft", alias_name="a_ft"),
         )
-        .take_all()
+        .take_all()  # bounded: global agreement-count fold (few scalar sums)
     )
     by = {int(r["is_match"]): r for r in stats}
     weights = {}

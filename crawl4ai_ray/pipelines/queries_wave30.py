@@ -72,7 +72,7 @@ def q_kneser_ney_bigrams(sf_dir: str):
         .materialize()
     )
     # marginals: tiny (|vocab|-sized) folds off the bigram aggregate
-    rows = big.take_all()
+    rows = big.take_all()  # scale-note: bigram-vocabulary-sized fold (web-scale path = PMI's DF-broadcast plan in stages/textstats.pmi_pairs)
     c_w1: dict[str, int] = {}
     n1_fwd: dict[str, int] = {}
     n1_bwd: dict[str, int] = {}
@@ -188,7 +188,7 @@ def q_good_turing_vocab(sf_dir: str):
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
     )
     v = len(rows)
     n = sum(int(r["c"]) for r in rows)
@@ -292,7 +292,7 @@ def q_f1_threshold_sweep(sf_dir: str):
         scored.map_batches(partial, batch_format="pyarrow")
         .groupby(["score_q", "is_match"])
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
-        .take_all()
+        .take_all()  # bounded: (quantized score × label) cells
     )
     pos = {}
     neg = {}

@@ -197,7 +197,7 @@ def q_onion_layers(sf_dir: str):
     layers: dict[int, int] = {}
     deg_rows: list = []
     for rnd in range(1, 32):
-        deg_rows = node_degrees(e).take_all()
+        deg_rows = node_degrees(e).take_all()  # scale-note: node-sized degree fold per peel round (web-scale path = stages/graph.kcore distributed peeling)
         peel = sorted(
             int(r["node"]) for r in deg_rows if int(r["deg"]) < _OL_K
         )
@@ -322,12 +322,12 @@ def q_rich_club(sf_dir: str):
         withd.map_batches(md_partial, batch_format="pyarrow")
         .groupby("md")
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: degree-histogram cells
     )
     d_hist = (
         degs.groupby("deg")
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: one row per deg (bounded key domain)
     )
     e_by_md = {int(r["md"]): int(r["c"]) for r in e_hist}
     n_by_deg = {int(r["deg"]): int(r["c"]) for r in d_hist}

@@ -148,7 +148,7 @@ def q_table_profile(sf_dir: str):
             }
         )
 
-    rows = ds.map_batches(null_partial, batch_format="pyarrow").take_all()
+    rows = ds.map_batches(null_partial, batch_format="pyarrow").take_all()  # bounded: one partial row per batch
     stats = {c: [0, 0] for c in _TP_COLS}
     for r in rows:
         stats[r["column"]][0] += int(r["n"])
@@ -214,9 +214,9 @@ def q_rocchio_expansion(sf_dir: str):
 
     top = QUERIES["bm25_topk"](sf_dir)
     if not isinstance(top, pa.Table):
-        top = top.to_pandas() if hasattr(top, "to_pandas") else top
+        top = top.to_pandas() if hasattr(top, "to_pandas") else top  # bounded: k-row query output
     if isinstance(top, pa.Table):
-        top = top.to_pandas()
+        top = top.to_pandas()  # bounded: k-row query output
     top = top.sort_values(
         ["score", "doc_id"], ascending=[False, True]
     ).head(_RC_FEEDBACK)
@@ -244,7 +244,7 @@ def q_rocchio_expansion(sf_dir: str):
         docs.map_batches(df_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("df", alias_name="df"))
-        .take_all()
+        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
     )
     n_docs = docs.count()
 
@@ -269,7 +269,7 @@ def q_rocchio_expansion(sf_dir: str):
         docs.map_batches(fb_tf, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("tf", alias_name="tf"))
-        .take_all()
+        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
     )
     df_map = {r["tok"]: int(r["df"]) for r in df_rows}
     terms = []

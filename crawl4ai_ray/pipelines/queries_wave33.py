@@ -43,9 +43,9 @@ def q_kendall_tau(sf_dir: str):
 
     top = QUERIES["bm25_topk"](sf_dir)
     if not isinstance(top, pa.Table):
-        top = top.to_pandas()
+        top = top.to_pandas()  # bounded: k-row query output
     else:
-        top = top.to_pandas()
+        top = top.to_pandas()  # bounded: k-row query output
     top = top.sort_values(["score", "doc_id"], ascending=[False, True])
     ids = [int(x) for x in top["doc_id"]]
     bm_rank = {d: i for i, d in enumerate(ids)}
@@ -60,7 +60,7 @@ def q_kendall_tau(sf_dir: str):
         keep = np.isin(d, ray.get(id_ref))
         return batch.filter(pa.array(keep))
 
-    rows = docs.map_batches(pick, batch_format="pyarrow").take_all()
+    rows = docs.map_batches(pick, batch_format="pyarrow").take_all()  # bounded: broadcast candidate id set only
     lens = {int(r["doc_id"]): int(r["n_chars"]) for r in rows}
     len_order = sorted(ids, key=lambda d: (lens[d], d))
     ln_rank = {d: i for i, d in enumerate(len_order)}
@@ -165,7 +165,7 @@ def q_bloom_fpr_curve(sf_dir: str):
         pages.map_batches(bits_partial, batch_format="pyarrow")
         .groupby("pos")
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: one row per bit position (≤ 64)
     )
     bits = np.zeros(_BF_M, bool)
     for r in bit_rows:
@@ -190,7 +190,7 @@ def q_bloom_fpr_curve(sf_dir: str):
             }
         )
 
-    rows = probes.map_batches(probe, batch_format="pyarrow").take_all()
+    rows = probes.map_batches(probe, batch_format="pyarrow").take_all()  # bounded: one partial row per probe batch
     n_fp = sum(int(r["fp"]) for r in rows)
     n_probe = sum(int(r["n"]) for r in rows)
     n_bits_set = int(bits.sum())
@@ -330,7 +330,7 @@ def q_ring_rebalance_eval(sf_dir: str):
             ray.data.aggregate.Max("on_removed", alias_name="on_removed"),
             ray.data.aggregate.Max("moved", alias_name="moved"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per host (bounded key domain)
     )
     n_hosts = len(rows)
     n_removed = sum(int(r["on_removed"]) for r in rows)

@@ -96,7 +96,7 @@ def q_sprt_abtest(sf_dir: str):
             ray.data.aggregate.Sum("n", alias_name="n"),
             ray.data.aggregate.Sum("x", alias_name="x"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per day (bounded key domain)
     )
     rows.sort(key=lambda r: int(r["day"]))
     out = {"day": [], "n_cum": [], "x_cum": [], "llr_q": [],
@@ -228,7 +228,7 @@ def q_quantile_normalize(sf_dir: str):
             ray.data.aggregate.Min("rank", alias_name="base"),
             ray.data.aggregate.Count(alias_name="cnt"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per source (bounded key domain)
     )
     bases = {r["source"]: (int(r["base"]), int(r["cnt"])) for r in counts}
 
@@ -237,7 +237,7 @@ def q_quantile_normalize(sf_dir: str):
     hist = (
         docs.groupby("n_chars")
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: distinct-length histogram (length domain ≤ max doc length)
     )
     hist.sort(key=lambda r: int(r["n_chars"]))
     vals = np.array([int(r["n_chars"]) for r in hist], np.int64)
@@ -347,7 +347,7 @@ def q_gate_order_opt(sf_dir: str):
             ray.data.aggregate.Sum("n_reject", alias_name="n_reject"),
             ray.data.aggregate.Sum("n", alias_name="n"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per gate
     )
     ranked = sorted(rows, key=lambda r: (-int(r["n_reject"]), r["gate"]))
     return pa.table(

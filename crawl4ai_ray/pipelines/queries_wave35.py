@@ -102,7 +102,7 @@ def q_pagerank_convergence(sf_dir: str):
                 }
             )
 
-        rows = joined.map_batches(diff_partial, batch_format="pyarrow").take_all()
+        rows = joined.map_batches(diff_partial, batch_format="pyarrow").take_all()  # bounded: one partial row per batch
         out["iter"].append(k)
         out["residual_q8"].append(sum(int(r["s"]) for r in rows))
         out["n_changed"].append(sum(int(r["c"]) for r in rows))
@@ -251,7 +251,7 @@ def q_neg_sampling_dist(sf_dir: str):
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
     )
     rows.sort(key=lambda r: r["tok"])
     toks = [r["tok"] for r in rows]
@@ -290,7 +290,7 @@ def q_neg_sampling_dist(sf_dir: str):
         draws.map_batches(draw_partial, batch_format="pyarrow")
         .groupby("ti")
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
-        .take_all()
+        .take_all()  # bounded: one row per topic index
     )
     actual = np.zeros(len(toks), np.int64)
     for r in drawn:
@@ -389,7 +389,7 @@ def q_benford_audit(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("digit")
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
-        .take_all()
+        .take_all()  # bounded: one row per leading digit (9)
     )
     agg.sort(key=lambda r: int(r["digit"]))
     total = sum(int(r["n"]) for r in agg)

@@ -180,7 +180,7 @@ def q_cascade_rerank(sf_dir: str):
     from .queries import QUERIES
 
     top = QUERIES["bm25_topk"](sf_dir)
-    top = top.to_pandas() if not isinstance(top, pa.Table) else top.to_pandas()
+    top = top.to_pandas() if not isinstance(top, pa.Table) else top.to_pandas()  # bounded: k-row query output
     top = top.sort_values(["score", "doc_id"], ascending=[False, True])
     ids = [int(x) for x in top["doc_id"]]
     bm_rank = {d: i + 1 for i, d in enumerate(ids)}
@@ -204,7 +204,7 @@ def q_cascade_rerank(sf_dir: str):
             }
         )
 
-    rows = docs.map_batches(score, batch_format="pyarrow").take_all()
+    rows = docs.map_batches(score, batch_format="pyarrow").take_all()  # bounded: BM25-candidate rows only (isin-filtered)
     ms = {int(r["doc_id"]): int(r["maxsim"]) for r in rows}
     order = sorted(ids, key=lambda d: (-ms[d], d))
     final_rank = {d: i + 1 for i, d in enumerate(order)}

@@ -185,7 +185,7 @@ def q_markov_next_eval(sf_dir: str):
     trans = (
         pr.groupby(["train", "prev", "nxt"])
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: (train × state × state) transition cells
     )
     # trained argmax row per prev (ties -> smaller type)
     best: dict[str, tuple] = {}
@@ -313,7 +313,7 @@ def q_deleted_interpolation(sf_dir: str):
         docs.map_batches(bigram_partial, batch_format="pyarrow")
         .groupby(["half", "w1", "w2"])
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # scale-note: bigram-vocabulary-sized fold (web-scale path = capped top-k per half)
     )
     # train tables (vocab-bounded on this corpus)
     c_bi: dict[tuple, int] = {}

@@ -73,7 +73,7 @@ def q_shuffle_runs_test(sf_dir: str):
         docs.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .take_all()
+        .take_all()  # bounded: one row per bucket (bounded key domain)
     )
     rows.sort(key=lambda r: int(r["bucket"]))
     changes = sum(int(r["changes"]) for r in rows)
@@ -175,7 +175,7 @@ def q_ewma_forecast(sf_dir: str):
         ev.map_batches(daily, batch_format="pyarrow")
         .groupby("day")
         .aggregate(ray.data.aggregate.Sum("x", alias_name="x"))
-        .take_all()
+        .take_all()  # bounded: one row per day (bounded key domain)
     )
     rows.sort(key=lambda r: int(r["day"]))
     out = {"day": [], "x": [], "forecast": [], "s": [], "resid": []}
@@ -295,7 +295,7 @@ def q_permutation_test(sf_dir: str):
             ray.data.aggregate.Sum("n1", alias_name="n1"),
             ray.data.aggregate.Sum("n", alias_name="n"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per b (bounded key domain)
     )
     sum_all = int(
         docs.map_batches(

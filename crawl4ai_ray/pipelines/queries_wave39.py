@@ -39,7 +39,7 @@ def q_strategy_overlap(sf_dir: str):
     bfs = QUERIES["bfs_depth"](sf_dir)
     bfs = bfs.to_pandas() if hasattr(bfs, "to_pandas") else bfs
     bf = QUERIES["best_first_order"](sf_dir)
-    bf = bf.to_pandas() if hasattr(bf, "to_pandas") else bf
+    bf = bf.to_pandas() if hasattr(bf, "to_pandas") else bf  # bounded: crawl-budget-bounded result sets
     bfs_urls = set(bfs["url"])
     bf_urls = set(bf["url"])
     inter = len(bfs_urls & bf_urls)
@@ -230,7 +230,7 @@ def q_bm25_mrr(sf_dir: str):
     from .queries import QUERIES
 
     top = QUERIES["bm25_topk"](sf_dir)
-    top = top.to_pandas() if not isinstance(top, pa.Table) else top.to_pandas()
+    top = top.to_pandas() if not isinstance(top, pa.Table) else top.to_pandas()  # bounded: k-row query output
     top = top.sort_values(["score", "doc_id"], ascending=[False, True])
     ids = [int(x) for x in top["doc_id"]]
     id_ref = ray.put(np.array(sorted(ids), np.int64))
@@ -259,7 +259,7 @@ def q_bm25_mrr(sf_dir: str):
             }
         )
 
-    rows = docs.map_batches(rel, batch_format="pyarrow").take_all()
+    rows = docs.map_batches(rel, batch_format="pyarrow").take_all()  # bounded: BM25-candidate rows only (isin-filtered)
     rel_map = {int(r["doc_id"]): int(r["rel"]) for r in rows}
     first = 0
     for i, d in enumerate(ids, start=1):

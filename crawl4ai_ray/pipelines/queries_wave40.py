@@ -80,7 +80,7 @@ def q_rank_degree_spearman(sf_dir: str):
         prq, indeg, key_col="node", out_col="deg", schema_cols=["node", "q8"]
     )
 
-    rows = joined.take_all()  # (node, q8, deg) — node-sized; at web scale
+    rows = joined.take_all()  # (node, q8, deg) — node-sized; at web scale  # scale-note: node-sized rank/moment fold (web-scale path = two more bucketed passes, see comment)
     # the rank assignment + moment fold would run as two more bucketed
     # passes; the driver fold here mirrors the oracle exactly
     q8s = np.array([int(r["q8"]) for r in rows], np.int64)
@@ -219,7 +219,7 @@ def q_otsu_threshold(sf_dir: str):
             ray.data.aggregate.Sum("c", alias_name="c"),
             ray.data.aggregate.Sum("s", alias_name="s"),
         )
-        .take_all()
+        .take_all()  # bounded: value-histogram cells
     )
     rows.sort(key=lambda r: int(r["v"]))
     vs = [int(r["v"]) for r in rows]
@@ -350,7 +350,7 @@ def q_gate_kappa(sf_dir: str):
             }
         )
 
-    rows = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    rows = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: one partial row per batch
     n11 = sum(int(r["n11"]) for r in rows)
     n10 = sum(int(r["n10"]) for r in rows)
     n01 = sum(int(r["n01"]) for r in rows)

@@ -327,7 +327,7 @@ def q_term_coherence(sf_dir: str):
         docs.map_batches(df_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("df", alias_name="df"))
-        .take_all()
+        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
     )
     n_docs = docs.count()
     cand = sorted(
@@ -360,7 +360,7 @@ def q_term_coherence(sf_dir: str):
         docs.map_batches(co_partial, batch_format="pyarrow")
         .groupby(["i", "j"])
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: (dim × dim) co-occurrence cells
     )
     comap = {(int(r["i"]), int(r["j"])): int(r["c"]) for r in co}
     out = {"term_a": [], "term_b": [], "df_a": [], "df_b": [],

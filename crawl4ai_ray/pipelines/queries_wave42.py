@@ -35,7 +35,7 @@ def _daily_counts(sf_dir: str) -> list:
         ev.map_batches(daily, batch_format="pyarrow")
         .groupby("day")
         .aggregate(ray.data.aggregate.Sum("x", alias_name="x"))
-        .take_all()
+        .take_all()  # bounded: one row per day (bounded key domain)
     )
     rows.sort(key=lambda r: int(r["day"]))
     return [(int(r["day"]), int(r["x"])) for r in rows]
@@ -251,7 +251,7 @@ def q_markov_entropy_rate(sf_dir: str):
         .map_groups(pairs, batch_format="pandas")
         .groupby(["prev", "nxt"])
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: (event_type × event_type) transition cells
     )
     row_tot: dict[str, int] = {}
     for r in trans:

@@ -42,11 +42,11 @@ def q_rbo_rankings(sf_dir: str):
     from .queries import QUERIES
 
     bm = QUERIES["bm25_topk"](sf_dir)
-    bm = bm.to_pandas() if not isinstance(bm, pa.Table) else bm.to_pandas()
+    bm = bm.to_pandas() if not isinstance(bm, pa.Table) else bm.to_pandas()  # bounded: k-row query output
     bm = bm.sort_values(["score", "doc_id"], ascending=[False, True])
     a = [int(x) for x in bm["doc_id"]]
     ms = QUERIES["colbert_maxsim"](sf_dir)
-    ms = ms.to_pandas() if hasattr(ms, "to_pandas") else ms
+    ms = ms.to_pandas() if hasattr(ms, "to_pandas") else ms  # bounded: k-row query output
     ms = ms.sort_values(["maxsim", "doc_id"], ascending=[False, True])
     b = [int(x) for x in ms["doc_id"]]
     k = min(len(a), len(b))
@@ -233,7 +233,7 @@ def q_gate_odds_ratio(sf_dir: str):
     """
     from .queries_wave40 import q_gate_kappa
 
-    row = q_gate_kappa(sf_dir).to_pandas().iloc[0]
+    row = q_gate_kappa(sf_dir).to_pandas().iloc[0]  # bounded: single-row upstream query
     n11, n10, n01, n00 = (
         int(row["n11"]), int(row["n10"]), int(row["n01"]), int(row["n00"])
     )

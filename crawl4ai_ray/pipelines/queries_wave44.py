@@ -158,7 +158,7 @@ def q_decision_stump(sf_dir: str):
             ray.data.aggregate.Sum("n", alias_name="n"),
             ray.data.aggregate.Sum("pos", alias_name="pos"),
         )
-        .take_all()
+        .take_all()  # bounded: value-histogram cells
     )
     rows.sort(key=lambda r: int(r["v"]))
     n_tot = sum(int(r["n"]) for r in rows)
@@ -300,7 +300,7 @@ def q_feature_hash_audit(sf_dir: str):
         distinct.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: one row per bucket (bounded key domain)
     )
     n_feats = sum(int(r["c"]) for r in occ)
     n_occupied = len(occ)

@@ -219,7 +219,7 @@ def q_capture_recapture(sf_dir: str):
             }
         )
 
-    rows = pages.map_batches(partial, batch_format="pyarrow").take_all()
+    rows = pages.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: one partial row per batch
     n1 = sum(int(r["n1"]) for r in rows)
     n2 = sum(int(r["n2"]) for r in rows)
     m = sum(int(r["m"]) for r in rows)

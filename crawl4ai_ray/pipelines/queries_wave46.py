@@ -76,7 +76,7 @@ def q_neyman_allocation(sf_dir: str):
             ray.data.aggregate.Sum("s", alias_name="s"),
             ray.data.aggregate.Sum("s2", alias_name="s2"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per source (bounded key domain)
     )
     rows.sort(key=lambda r: r["source"])
     # weight_h = N_h * sigma_h = sqrt(N_h * (n*s2 - s^2) / n) — computed

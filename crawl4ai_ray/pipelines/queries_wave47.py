@@ -88,7 +88,7 @@ def q_lru_mrc(sf_dir: str, rate_num: int = 1, rate_den: int = 1):
     occ_rows = (
         ev.groupby("user_id")
         .map_groups(occ_lists, batch_format="pandas")
-        .take_all()
+        .take_all()  # scale-note: full-rate key index (the rate-1/1 exact-oracle variant; lru_mrc_sampled exercises the SHARDS-sampled scale path)
     )
     # sampled per-key occurrence index: SMALL by the SHARDS contract;
     # broadcast once, read zero-copy in every distance batch
@@ -130,7 +130,7 @@ def q_lru_mrc(sf_dir: str, rate_num: int = 1, rate_den: int = 1):
             queries.map_batches(distances, batch_format="pyarrow")
             .groupby("dist")
             .aggregate(ray.data.aggregate.Count(alias_name="n"))
-            .take_all()
+            .take_all()  # bounded: one row per dist (bounded key domain)
         )
     else:
         hist_rows = []
@@ -244,7 +244,7 @@ def q_bradley_terry(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: (source × distinct length) cells
     agg: dict[tuple[str, int], int] = {}
     for r in parts:
         k = (r["source"], int(r["n_chars"]))

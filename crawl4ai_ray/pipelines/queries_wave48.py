@@ -49,7 +49,7 @@ def q_dp_host_counts(sf_dir: str):
 
     counts = partial_count(
         pages.map_batches(add_host, batch_format="pyarrow"), "host"
-    ).take_all()
+    ).take_all()  # bounded: one row per host
 
     hosts = sorted(r["host"] for r in counts)
     byh = {r["host"]: int(r["n"]) for r in counts}
@@ -151,7 +151,7 @@ def q_burrows_delta(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
     cst: dict = {}
     for r in parts:
         k = (r["source"], r["tok"])
@@ -295,7 +295,7 @@ def q_changepoint_binseg(sf_dir: str):
         ev.map_batches(hour_partial, batch_format="pyarrow")
         .groupby("hb")
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
-        .take_all()
+        .take_all()  # bounded: one row per hour bucket
     )
     rows.sort(key=lambda r: int(r["hb"]))
     hbs = [int(r["hb"]) for r in rows]

@@ -68,7 +68,7 @@ def q_dawid_skene(sf_dir: str):
         r["lang"]
         for r in docs.groupby("lang")
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: one row per lang (bounded key domain)
     )
     L = len(classes)
     cls_idx = {c: i for i, c in enumerate(classes)}
@@ -119,7 +119,7 @@ def q_dawid_skene(sf_dir: str):
         )
 
     def m_step(ds):
-        parts = ds.map_batches(m_partial, batch_format="pyarrow").take_all()
+        parts = ds.map_batches(m_partial, batch_format="pyarrow").take_all()  # bounded: per-batch EM moment partials
         pi = np.zeros(L, dtype=object)
         t = np.zeros((4, L, L), dtype=object)
         for r in parts:

@@ -76,7 +76,7 @@ def q_ipf_raking(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: per-batch histogram partials
     full: dict = {}
     samp: dict = {}
     for r in parts:
@@ -216,7 +216,7 @@ def q_hill_tail_index(sf_dir: str):
         int(r["n_chars"])
         for r in docs.sort("n_chars", descending=True)
         .limit(_HILL_K + 1)
-        .take_all()
+        .take_all()  # bounded: ≤ K+1 rows (sort+limit)
     ]
     thr = top[_HILL_K]
     lqs = [

@@ -70,7 +70,7 @@ def q_wasserstein_1d(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: histogram cells
     ca: dict = {}
     cb: dict = {}
     for r in parts:
@@ -160,7 +160,7 @@ def q_randomized_response(sf_dir: str):
         r["lang"]
         for r in docs.groupby("lang")
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: one row per lang (bounded key domain)
     )
     L = len(classes)
 
@@ -192,7 +192,7 @@ def q_randomized_response(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: (class × class) cells
     true_n = {c: 0 for c in classes}
     obs_n = {c: 0 for c in classes}
     n = 0
@@ -285,7 +285,7 @@ def q_mm1_politeness(sf_dir: str):
 
     counts = partial_count(
         pages.map_batches(add_host, batch_format="pyarrow"), "host"
-    ).take_all()
+    ).take_all()  # bounded: one row per host
     cap = _MM1_MU_PER_DAY * _MM1_DAYS
     hosts = sorted(r["host"] for r in counts)
     byh = {r["host"]: int(r["n"]) for r in counts}

@@ -77,7 +77,7 @@ def q_ams_f2(sf_dir: str):
     ests = sorted(v * v for v in s)
     est_mean = sum(ests) // _AMS_K
     est_median = (ests[_AMS_K // 2 - 1] + ests[_AMS_K // 2]) // 2
-    counts = partial_count(hosts_ds, "host").take_all()
+    counts = partial_count(hosts_ds, "host").take_all()  # bounded: one row per host
     f2 = sum(int(r["n"]) ** 2 for r in counts)
     return pa.table(
         {
@@ -190,7 +190,7 @@ def q_pca_power_iteration(sf_dir: str):
             }
         )
 
-    parts = emb.map_batches(moments, batch_format="pyarrow").take_all()
+    parts = emb.map_batches(moments, batch_format="pyarrow").take_all()  # bounded: d² moment partials per batch
     n = sum(int(r["n"]) for r in parts)
     d = int(math.isqrt(len(parts[0]["m"])))
     S = np.zeros(d, dtype=object)

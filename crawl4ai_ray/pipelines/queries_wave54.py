@@ -55,7 +55,7 @@ def q_ksegmentation(sf_dir: str):
         ev.map_batches(hour_partial, batch_format="pyarrow")
         .groupby("hb")
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
-        .take_all()
+        .take_all()  # bounded: one row per hour bucket
     )
     rows.sort(key=lambda r: int(r["hb"]))
     hbs = np.array([int(r["hb"]) for r in rows], np.int64)
@@ -198,7 +198,7 @@ def q_exp_mechanism(sf_dir: str):
 
     counts = partial_count(
         pages.map_batches(add_host, batch_format="pyarrow"), "host"
-    ).take_all()
+    ).take_all()  # bounded: one row per host
     rows = sorted((r["host"], int(r["n"])) for r in counts)
     noisy = {}
     for h, n in rows:

@@ -92,7 +92,7 @@ def q_qld_topk(sf_dir: str):
         tf_ds.map_batches(score, batch_format="pyarrow")
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(10)
-        .take_all()
+        .take_all()  # bounded: ≤ 10 rows (sort+limit)
     )
     return pa.table(
         {
@@ -199,7 +199,7 @@ def q_logrank_test(sf_dir: str):
             ray.data.aggregate.Min("mn", alias_name="mn"),
             ray.data.aggregate.Max("mx", alias_name="mx"),
         )
-        .take_all()
+        .take_all()  # scale-note: user-sized driver fold (grows with distinct users; web-scale path = keep per-user rows as a Dataset + bucketed follow-on groupby)
     )
     DAY = 86_400_000_000
     deaths: dict = {}
@@ -345,7 +345,7 @@ def q_edf_feasibility(sf_dir: str):
         pages.map_batches(per_host, batch_format="pyarrow")
         .groupby("host")
         .aggregate(ray.data.aggregate.Max("ttl_q", alias_name="ttl_q"))
-        .take_all()
+        .take_all()  # bounded: one row per host (bounded key domain)
     )
     hs = sorted(
         ((r["host"], int(r["ttl_q"])) for r in rows),

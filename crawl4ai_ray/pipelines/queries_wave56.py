@@ -94,7 +94,7 @@ def q_graph_robustness(sf_dir: str):
         edges.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(ray.data.aggregate.Sum("d", alias_name="d"))
-        .take_all()
+        .take_all()  # scale-note: node-sized driver fold (grows with graph nodes; web-scale path = bucketed groupby kernels in stages/graph)
     )
     removed = set(
         r["node"]
@@ -142,7 +142,7 @@ def q_graph_robustness(sf_dir: str):
         sizes = (
             comp.groupby("component")
             .aggregate(ray.data.aggregate.Count(alias_name="c"))
-            .take_all()
+            .take_all()  # scale-note: component-count-sized fold (≤ #components; web-scale path = groupby-topk on the sizes Dataset)
         )
         n_nodes = sum(int(r["c"]) for r in sizes)
         largest = max(int(r["c"]) for r in sizes)
@@ -268,7 +268,7 @@ def q_mad_outliers(sf_dir: str):
 
     counts = partial_count(
         pages.map_batches(add_host, batch_format="pyarrow"), "host"
-    ).take_all()
+    ).take_all()  # bounded: one row per host
     rows = sorted((r["host"], int(r["n"])) for r in counts)
     xs = sorted(n for _, n in rows)
     k = (len(xs) + 1) // 2
@@ -380,7 +380,7 @@ def q_rm3_expansion(sf_dir: str):
         docs.map_batches(term_scores, batch_format="pyarrow")
         .groupby("term")
         .aggregate(ray.data.aggregate.Sum("s", alias_name="weight_q"))
-        .take_all()
+        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
     )
     ordered = sorted(rows, key=lambda r: (-int(r["weight_q"]), r["term"]))[
         :_RM3_TOP_TERMS

@@ -76,7 +76,7 @@ def q_bh_fdr(sf_dir: str):
         return batch.filter(pa.array(keep))
 
     cand = sorted(
-        pv.map_batches(prune, batch_format="pyarrow").take_all(),
+        pv.map_batches(prune, batch_format="pyarrow").take_all(),  # bounded: BH-pruned candidate set (p-value cut)
         key=lambda r: (int(r["u52"]), int(r["doc_id"])),
     )
     kstar = 0
@@ -222,7 +222,7 @@ def q_overdispersion(sf_dir: str):
             ray.data.aggregate.Sum("s", alias_name="s"),
             ray.data.aggregate.Sum("s2", alias_name="s2"),
         )
-        .take_all()
+        .take_all()  # scale-note: user-sized driver fold (grows with distinct users; web-scale path = keep per-user rows as a Dataset + bucketed follow-on groupby)
     )
     T = _OD_DAYS
     out = {"user_id": [], "s": [], "s2": [], "d_q": [], "nb_r_q": [], "under": []}
@@ -308,7 +308,7 @@ def q_copeland_fusion(sf_dir: str):
         _bm25_scored(sf_dir)
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(_CF_TOP)
-        .take_all()
+        .take_all()  # bounded: ≤ _CF_TOP rows (sort+limit)
     )
     qld = q_qld_topk(sf_dir).to_pylist()  # top-10
     docs = ray.data.read_parquet(
@@ -317,7 +317,7 @@ def q_copeland_fusion(sf_dir: str):
     lens = (
         docs.sort(["n_chars", "doc_id"], descending=[True, False])
         .limit(_CF_TOP)
-        .take_all()
+        .take_all()  # bounded: ≤ _CF_TOP rows (sort+limit)
     )
     cand = sorted(
         {int(r["doc_id"]) for r in bm}

@@ -70,7 +70,7 @@ def q_cascade_ltm(sf_dir: str):
         edges.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(ray.data.aggregate.Sum("d", alias_name="d"))
-        .take_all()
+        .take_all()  # scale-note: node-sized driver fold (grows with graph nodes; web-scale path = bucketed groupby kernels in stages/graph)
     )
     seeds = [
         int(r["node"])
@@ -102,7 +102,7 @@ def q_cascade_ltm(sf_dir: str):
             edges.map_batches(contrib, batch_format="pyarrow")
             .groupby("node")
             .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-            .take_all()
+            .take_all()  # scale-note: node-sized driver fold (grows with graph nodes; web-scale path = bucketed groupby kernels in stages/graph)
         )
         newly = [
             int(r["node"])

@@ -76,7 +76,7 @@ def q_bloom_intersect_est(sf_dir: str):
             ray.data.aggregate.Max("in_a", alias_name="a"),
             ray.data.aggregate.Max("in_b", alias_name="b"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per position
     )
     ta = sum(1 for r in bits if r["a"])
     tb = sum(1 for r in bits if r["b"])
@@ -251,7 +251,7 @@ def q_ransac_line(sf_dir: str):
         int(r["doc_id"]): (int(r["x"]), int(r["y"]))
         for r in pts.map_batches(
             sup_filter, batch_format="pyarrow"
-        ).take_all()
+        ).take_all()  # bounded: filtered support set
     }
 
     def inliers(batch: pa.Table) -> pa.Table:
@@ -397,7 +397,7 @@ def q_qte_quantiles(sf_dir: str):
         ev.map_batches(tag, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(ray.data.aggregate.Sum("cents", alias_name="s"))
-        .take_all()
+        .take_all()  # scale-note: user-sized driver fold (grows with distinct users; web-scale path = keep per-user rows as a Dataset + bucketed follow-on groupby)
     )
     treat = sorted(
         int(r["s"]) for r in users if int(r["user_id"]) % 5 == 0

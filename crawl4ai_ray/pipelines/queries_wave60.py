@@ -84,7 +84,7 @@ def q_naive_bayes_langid(sf_dir: str):
 
     parts = docs.map_batches(
         train_partial, batch_format="pyarrow"
-    ).take_all()
+    ).take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
     cnt: dict = {}
     prior: dict = {}
     for r in parts:
@@ -162,7 +162,7 @@ def q_naive_bayes_langid(sf_dir: str):
         docs.map_batches(predict, batch_format="pyarrow")
         .groupby(["true_lang", "pred_lang"])
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
-        .take_all()
+        .take_all()  # bounded: (lang × lang) confusion cells
     )
     rows.sort(key=lambda r: (r["true_lang"], r["pred_lang"]))
     return pa.table(

@@ -86,7 +86,7 @@ def q_ips_debias(sf_dir: str):
             ray.data.aggregate.Sum("clicks", alias_name="clicks"),
             ray.data.aggregate.Sum("wclicks", alias_name="wclicks"),
         )
-        .take_all()
+        .take_all()  # bounded: few pooled scalar sums
     )
     rows.sort(key=lambda r: int(r["t"]))
     return pa.table(
@@ -205,7 +205,7 @@ def q_zone_map_pruning(sf_dir: str):
             ray.data.aggregate.Min("mn", alias_name="mn"),
             ray.data.aggregate.Max("mx", alias_name="mx"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per block
     )
     phys_blocks = len(phys)
     phys_pruned = sum(
@@ -230,7 +230,7 @@ def q_zone_map_pruning(sf_dir: str):
         docs.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("v")
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: value-histogram cells
     )
     hist.sort(key=lambda r: int(r["v"]))
     vals = [int(r["v"]) for r in hist]
@@ -357,7 +357,7 @@ def q_l_diversity(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: (lang × count) cells
     agg: dict = {}
     for r in parts:
         k = (r["source"], int(r["len_b"]))

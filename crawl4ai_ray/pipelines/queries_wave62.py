@@ -116,7 +116,7 @@ def q_pooled_qc(sf_dir: str):
             ray.data.aggregate.Max("pf", alias_name="pf"),
             ray.data.aggregate.Sum("sz", alias_name="sz"),
         )
-        .take_all()
+        .take_all()  # bounded: one row per pool
     )
     n_pools = len(prows)
     retests = sum(int(r["sz"]) for r in prows if int(r["pf"]) == 1)
@@ -302,7 +302,7 @@ def q_winsorized_means(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: value-histogram cells
     agg: dict = {}
     for r in parts:
         k = (r["source"], int(r["v"]))

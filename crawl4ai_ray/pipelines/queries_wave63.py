@@ -90,7 +90,7 @@ def q_energy_distance(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: value-histogram cells
     hist: dict = {}
     for r in parts:
         k = (int(r["v"]), int(r["is_en"]))
@@ -236,7 +236,7 @@ def q_peak_concurrency(sf_dir: str):
         ev.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .take_all()
+        .take_all()  # bounded: one row per bucket (bounded key domain)
     )
     deltas: dict = {}
     for r in sess:
@@ -346,7 +346,7 @@ def q_successive_halving(sf_dir: str):
         for r in pages.map_batches(host_rows, batch_format="pyarrow")
         .groupby("host")
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: one row per host (bounded key domain)
     )
     alive = list(hosts)
     pulls = {h: 0 for h in hosts}

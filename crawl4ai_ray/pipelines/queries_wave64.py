@@ -191,7 +191,7 @@ def q_iv_wald(sf_dir: str):
             ray.data.aggregate.Sum("cents", alias_name="cents"),
             ray.data.aggregate.Sum("one", alias_name="cnt"),
         )
-        .take_all()
+        .take_all()  # scale-note: user-sized driver fold (grows with distinct users; web-scale path = keep per-user rows as a Dataset + bucketed follow-on groupby)
     )
     agg = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, Sx, Sy
     for r in users:
@@ -313,7 +313,7 @@ def q_err_metric(sf_dir: str):
         _bm25_scored(sf_dir)
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(_ERR_K)
-        .take_all()
+        .take_all()  # bounded: ≤ _ERR_K rows (sort+limit)
     )
     qld = q_qld_topk(sf_dir).to_pylist()
 

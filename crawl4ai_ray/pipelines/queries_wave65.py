@@ -65,7 +65,7 @@ def q_w1_source_matrix(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: value-histogram cells
     hist: dict = {}
     for r in parts:
         k = (r["source"], int(r["v"]))
@@ -225,7 +225,7 @@ def q_percolation_curve(sf_dir: str):
         sizes = (
             comp.groupby("component")
             .aggregate(ray.data.aggregate.Count(alias_name="c"))
-            .take_all()
+            .take_all()  # scale-note: component-count-sized fold (≤ #components; web-scale path = groupby-topk on the sizes Dataset)
         )
         largest = max(int(r["c"]) for r in sizes)
         rows.append((keep, n_edges, len(sizes), largest))
@@ -333,7 +333,7 @@ def q_erlang_b(sf_dir: str):
 
     counts = partial_count(
         pages.map_batches(add_host, batch_format="pyarrow"), "host"
-    ).take_all()
+    ).take_all()  # bounded: one row per host
     rows = sorted((r["host"], int(r["n"])) for r in counts)
     out = {"host": [], "n": [], "a": [], "b1": [], "b2": [], "b3": []}
     for h, n in rows:

@@ -73,7 +73,7 @@ def q_holm_bonferroni(sf_dir: str):
     cand = sorted(
         docs.map_batches(pvals, batch_format="pyarrow")
         .map_batches(prune, batch_format="pyarrow")
-        .take_all(),
+        .take_all(),  # bounded: BH-pruned candidate set (p-value cut)
         key=lambda r: (int(r["u52"]), int(r["doc_id"])),
     )
     out = []
@@ -224,7 +224,7 @@ def q_mi_feature_ranking(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # bounded: histogram cells
     cells: dict = {}
     for r in parts:
         key = (r["feat"], int(r["b"]), int(r["k"]))
@@ -396,7 +396,7 @@ def q_affinity_gain(sf_dir: str):
             }
         )
 
-    parts = pages.map_batches(tag, batch_format="pyarrow").take_all()
+    parts = pages.map_batches(tag, batch_format="pyarrow").take_all()  # bounded: (round × outcome) cells
     aff: dict = {}
     rnd: dict = {}
     tot: dict = {}

@@ -60,7 +60,7 @@ def q_stl_decompose(sf_dir: str):
         ev.map_batches(hour_partial, batch_format="pyarrow")
         .groupby("hb")
         .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
-        .take_all()
+        .take_all()  # bounded: one row per hour bucket
     )
     rows.sort(key=lambda r: int(r["hb"]))
     hbs = np.array([int(r["hb"]) for r in rows], np.int64)
@@ -230,7 +230,7 @@ def q_icc_design_effect(sf_dir: str):
             ray.data.aggregate.Sum("c2", alias_name="s2"),
             ray.data.aggregate.Sum("one", alias_name="m"),
         )
-        .take_all()
+        .take_all()  # bounded: grouped scalar sums
     )
     k = len(users)
     N = sum(int(r["m"]) for r in users)

@@ -203,7 +203,7 @@ def q_markov_stationary(sf_dir: str):
         .map_groups(per_bucket, batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()
+        .take_all()  # bounded: (event_type × event_type) transition cells
     )
     cnt = {(r["a"], r["b"]): int(r["c"]) for r in rows}
     types = sorted({a for a, _ in cnt} | {b for _, b in cnt})
@@ -335,7 +335,7 @@ def q_hoover_index(sf_dir: str):
 
     counts = partial_count(
         pages.map_batches(add_host, batch_format="pyarrow"), "host"
-    ).take_all()
+    ).take_all()  # bounded: one row per host
     m = len(counts)
     N = sum(int(r["n"]) for r in counts)
     num = sum(abs(int(r["n"]) * m - N) for r in counts)

@@ -813,7 +813,7 @@ def q_opic_order(sf_dir: str):
     for wave in range(_OPIC_WAVES):
         admitted = pending.sort(
             ["cash", "doc_id"], descending=[True, False]
-        ).limit(_OPIC_BUDGET).take_all()
+        ).limit(_OPIC_BUDGET).take_all()  # bounded: ≤ _OPIC_BUDGET rows (sort+limit)
         if not admitted:
             break
         adm_ids = np.array([r["doc_id"] for r in admitted], dtype=np.int64)
@@ -1056,7 +1056,7 @@ def q_graph_diameter(sf_dir: str):
         row = (
             bfs.sort(["dist", "node"], descending=[True, False])
             .limit(1)
-            .take_all()[0]
+            .take_all()[0]  # bounded: ≤ 1 rows (sort+limit)
         )
         return int(row["node"]), int(row["dist"])
 

@@ -138,7 +138,7 @@ def q_assoc_rules(sf_dir: str):
     )
     marg = {
         r["event_type"]: int(r["count()"])
-        for r in distinct.groupby("event_type").count().take_all()
+        for r in distinct.groupby("event_type").count().take_all()  # bounded: one row per event_type (bounded key domain)
     }
     marg_ref = ray.put(marg)
 
@@ -551,7 +551,7 @@ def q_hard_negatives(sf_dir: str):
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(ids % 50 == 0))
 
-    qrows = emb.map_batches(pick_queries, batch_format="pyarrow").take_all()
+    qrows = emb.map_batches(pick_queries, batch_format="pyarrow").take_all()  # scale-note: fixed-rate sampled pool (shrink the rate with corpus size at web scale)
     qrows.sort(key=lambda r: r["vec_id"])
     qtab = pa.Table.from_pylist(qrows)
     q_fp = quantize_embeddings(qtab)
@@ -1132,7 +1132,7 @@ def q_length_bucket_batching(sf_dir: str):
     B = 32
     toks = _token_counts_ds(sf_dir).materialize()
 
-    hist = toks.groupby("n_tok").count().take_all()
+    hist = toks.groupby("n_tok").count().take_all()  # bounded: doc-length histogram (length domain)
     hist.sort(key=lambda r: r["n_tok"])
     starts, acc = {}, 0
     for r in hist:
