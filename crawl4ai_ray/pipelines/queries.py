@@ -6875,246 +6875,20 @@ SELECT doc_id, CAST(hits AS BIGINT) AS n_hits, snip AS snippet FROM (
 # eighth-wave operators live in queries_wave8.py; registered here so the
 # driver contract (__ray_entry__) keeps reading ONE registry pair.
 # ---------------------------------------------------------------------------
-from .queries_wave8 import register as _register_wave8  # noqa: E402
-
-_register_wave8(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave9 import register as _register_wave9  # noqa: E402
-
-_register_wave9(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave10 import register as _register_wave10  # noqa: E402
-
-_register_wave10(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave11 import register as _register_wave11  # noqa: E402
-
-_register_wave11(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave12 import register as _register_wave12  # noqa: E402
-
-_register_wave12(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave13 import register as _register_wave13  # noqa: E402
-
-_register_wave13(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave14 import register as _register_wave14  # noqa: E402
-
-_register_wave14(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave15 import register as _register_wave15  # noqa: E402
-
-_register_wave15(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave16 import register as _register_wave16  # noqa: E402
-
-_register_wave16(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave17 import register as _register_wave17  # noqa: E402
-
-_register_wave17(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave18 import register as _register_wave18  # noqa: E402
-
-_register_wave18(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave19 import register as _register_wave19  # noqa: E402
-
-_register_wave19(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave20 import register as _register_wave20  # noqa: E402
-
-_register_wave20(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave21 import register as _register_wave21  # noqa: E402
-
-_register_wave21(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave22 import register as _register_wave22  # noqa: E402
-
-_register_wave22(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave23 import register as _register_wave23  # noqa: E402
-
-_register_wave23(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave24 import register as _register_wave24  # noqa: E402
-
-_register_wave24(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave25 import register as _register_wave25  # noqa: E402
-
-_register_wave25(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave26 import register as _register_wave26  # noqa: E402
-
-_register_wave26(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave27 import register as _register_wave27  # noqa: E402
-
-_register_wave27(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave28 import register as _register_wave28  # noqa: E402
-
-_register_wave28(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave29 import register as _register_wave29  # noqa: E402
-
-_register_wave29(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave30 import register as _register_wave30  # noqa: E402
-
-_register_wave30(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave31 import register as _register_wave31  # noqa: E402
-
-_register_wave31(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave32 import register as _register_wave32  # noqa: E402
-
-_register_wave32(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave33 import register as _register_wave33  # noqa: E402
-
-_register_wave33(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave34 import register as _register_wave34  # noqa: E402
-
-_register_wave34(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave35 import register as _register_wave35  # noqa: E402
-
-_register_wave35(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave36 import register as _register_wave36  # noqa: E402
-
-_register_wave36(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave37 import register as _register_wave37  # noqa: E402
-
-_register_wave37(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave38 import register as _register_wave38  # noqa: E402
-
-_register_wave38(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave39 import register as _register_wave39  # noqa: E402
-
-_register_wave39(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave40 import register as _register_wave40  # noqa: E402
-
-_register_wave40(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave41 import register as _register_wave41  # noqa: E402
-
-_register_wave41(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave42 import register as _register_wave42  # noqa: E402
-
-_register_wave42(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave43 import register as _register_wave43  # noqa: E402
-
-_register_wave43(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave44 import register as _register_wave44  # noqa: E402
-
-_register_wave44(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave45 import register as _register_wave45  # noqa: E402
-
-_register_wave45(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave46 import register as _register_wave46  # noqa: E402
-
-_register_wave46(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave47 import register as _register_wave47  # noqa: E402
-
-_register_wave47(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave48 import register as _register_wave48  # noqa: E402
-
-_register_wave48(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave49 import register as _register_wave49  # noqa: E402
-
-_register_wave49(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave50 import register as _register_wave50  # noqa: E402
-
-_register_wave50(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave51 import register as _register_wave51  # noqa: E402
-
-_register_wave51(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave52 import register as _register_wave52  # noqa: E402
-
-_register_wave52(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave53 import register as _register_wave53  # noqa: E402
-
-_register_wave53(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave54 import register as _register_wave54  # noqa: E402
-
-_register_wave54(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave55 import register as _register_wave55  # noqa: E402
-
-_register_wave55(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave56 import register as _register_wave56  # noqa: E402
-
-_register_wave56(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave57 import register as _register_wave57  # noqa: E402
-
-_register_wave57(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave58 import register as _register_wave58  # noqa: E402
-
-_register_wave58(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave59 import register as _register_wave59  # noqa: E402
-
-_register_wave59(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave60 import register as _register_wave60  # noqa: E402
-
-_register_wave60(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave61 import register as _register_wave61  # noqa: E402
-
-_register_wave61(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave62 import register as _register_wave62  # noqa: E402
-
-_register_wave62(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave63 import register as _register_wave63  # noqa: E402
-
-_register_wave63(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave64 import register as _register_wave64  # noqa: E402
-
-_register_wave64(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave65 import register as _register_wave65  # noqa: E402
-
-_register_wave65(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave66 import register as _register_wave66  # noqa: E402
-
-_register_wave66(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave67 import register as _register_wave67  # noqa: E402
-
-_register_wave67(QUERIES, ORACLES, SQL_PAGES)
-
-from .queries_wave68 import register as _register_wave68  # noqa: E402
-
-_register_wave68(QUERIES, ORACLES, SQL_PAGES)
+import importlib  # noqa: E402
+import os as _os  # noqa: E402
+import re as _re  # noqa: E402
+
+# wave modules are discovered, not hand-listed (r3 ADVICE: the unrolled
+# 68-block import tail); each must expose
+# register(queries, oracles, sql_pages). Sorted numerically so later
+# waves may override earlier registrations deliberately.
+_WAVE_RE = _re.compile(r"queries_wave(\d+)\.py$")
+for _name in sorted(
+    (m.group(1) for f in _os.listdir(_os.path.dirname(__file__))
+     if (m := _WAVE_RE.fullmatch(f))),
+    key=int,
+):
+    importlib.import_module(f".queries_wave{_name}", __package__).register(
+        QUERIES, ORACLES, SQL_PAGES
+    )

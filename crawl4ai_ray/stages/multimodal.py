@@ -6,7 +6,14 @@ resize / frame-sample are actor-pool ``map_batches`` stages: the actor
 this container the decode kernels are STUBS (no PIL/ffmpeg available) that
 produce deterministic fake outputs from the payload bytes, so schemas,
 batch sizing, actor signatures and output layout are real and tested.
-Swap ``_decode_stub`` for a real decoder to productionize.
+The decode kernels are INJECTABLE: ``DecodeMedia`` and ``FrameSample``
+take a ``decoder_factory`` — a zero-arg callable returning an object with
+``decode(payload) -> {width, height, features}`` (resp.
+``sample(payload, n_frames) -> [{frame_idx, ts_ms, features}, ...]``) —
+constructed ONCE per actor in ``__init__`` (where a real build loads
+PIL/ffmpeg); the default factory wraps the deterministic stubs. The
+swap-in proof (schemas preserved, init-once per actor, batch boundaries
+exact) is tests/test_kernel_injection.py.
 """
 
 from __future__ import annotations
@@ -42,12 +49,45 @@ def _decode_stub(payload: bytes) -> dict:
     return {"width": int(width), "height": int(height), "features": feats.tolist()}
 
 
+class _StubCodec:
+    """Default codec object: wraps the deterministic stubs behind the
+    same interface a real PIL/ffmpeg-backed codec would present."""
+
+    def decode(self, payload: bytes) -> dict:
+        return _decode_stub(payload)
+
+    def sample(self, payload: bytes, n_frames: int) -> list:
+        h = hashlib.blake2b(payload or b"", digest_size=32).digest()
+        duration_ms = 1000 + int.from_bytes(h[:2], "big")
+        frames = []
+        for j in range(n_frames):
+            fh = hashlib.blake2b(
+                (payload or b"") + j.to_bytes(4, "big"), digest_size=32
+            ).digest()
+            frames.append(
+                {
+                    "frame_idx": j,
+                    "ts_ms": duration_ms * j // n_frames,
+                    "features": (
+                        np.frombuffer(fh, dtype=np.uint8)[:FEATURE_DIM].astype(
+                            np.float32
+                        )
+                        / 255.0
+                    ).tolist(),
+                }
+            )
+        return frames
+
+
 class DecodeMedia:
     """Actor-pool stage: (media_id, payload, mime) → decoded metadata +
-    feature vector. batch_size should be small (payloads are fat)."""
+    feature vector. batch_size should be small (payloads are fat).
+    ``decoder_factory``: zero-arg factory → codec with ``decode(payload)``,
+    built ONCE per actor here (the model-load seam)."""
 
-    def __init__(self, strict: bool = False):
-        # real build: self.codec = load_codecs()  (once per actor)
+    def __init__(self, strict: bool = False, decoder_factory=None):
+        # the once-per-actor codec load (real build: PIL/libvips handles)
+        self.codec = (decoder_factory or _StubCodec)()
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -56,7 +96,7 @@ class DecodeMedia:
                 "real media decoding requires PIL/ffmpeg, not present in this container"
             )
         payloads = batch.column("payload").to_pylist()
-        decoded = [_decode_stub(p) for p in payloads]
+        decoded = [self.codec.decode(p) for p in payloads]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -101,8 +141,10 @@ class FrameSample:
     rows are small (features, not pixels), so the fan-out is safe at any
     batch size; the INPUT batch stays small because payloads are fat."""
 
-    def __init__(self, n_frames: int = 4, strict: bool = False):
-        # real build: self.av = load_pyav()  (once per actor)
+    def __init__(self, n_frames: int = 4, strict: bool = False,
+                 decoder_factory=None):
+        # the once-per-actor codec load (real build: ffmpeg/pyav handles)
+        self.codec = (decoder_factory or _StubCodec)()
         self.n_frames = n_frames
         self.strict = strict
 
@@ -121,24 +163,11 @@ class FrameSample:
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            h = hashlib.blake2b(payload or b"", digest_size=32).digest()
-            # stub "duration" from the payload, frames uniformly spaced
-            duration_ms = 1000 + int.from_bytes(h[:2], "big")
-            for j in range(self.n_frames):
-                fh = hashlib.blake2b(
-                    (payload or b"") + j.to_bytes(4, "big"), digest_size=32
-                ).digest()
+            for fr in self.codec.sample(payload, self.n_frames):
                 out["media_id"].append(mid)
-                out["frame_idx"].append(j)
-                out["ts_ms"].append(duration_ms * j // self.n_frames)
-                out["features"].append(
-                    (
-                        np.frombuffer(fh, dtype=np.uint8)[:FEATURE_DIM].astype(
-                            np.float32
-                        )
-                        / 255.0
-                    ).tolist()
-                )
+                out["frame_idx"].append(fr["frame_idx"])
+                out["ts_ms"].append(fr["ts_ms"])
+                out["features"].append(fr["features"])
         return pa.table(
             {
                 "media_id": pa.array(out["media_id"], pa.int64()),
@@ -149,11 +178,13 @@ class FrameSample:
         )
 
 
-def frame_pipeline(ds, n_frames: int = 4, batch_size: int = 8, concurrency=(1, 4)):
+def frame_pipeline(ds, n_frames: int = 4, batch_size: int = 8, concurrency=(1, 4),
+                   decoder_factory=None):
     """video rows → sampled frame table (actor pool, fat-payload batches)."""
     return ds.map_batches(
         FrameSample,
-        fn_constructor_kwargs={"n_frames": n_frames},
+        fn_constructor_kwargs={"n_frames": n_frames,
+                               "decoder_factory": decoder_factory},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -174,10 +205,12 @@ def synth_media_table(n: int = 64) -> pa.Table:
     )
 
 
-def media_pipeline(ds, batch_size: int = 16, concurrency=(1, 4)):
+def media_pipeline(ds, batch_size: int = 16, concurrency=(1, 4),
+                   decoder_factory=None):
     """decode → resize as actor pools (small batches: fat payloads)."""
     return ds.map_batches(
         DecodeMedia,
+        fn_constructor_kwargs={"decoder_factory": decoder_factory},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -20,7 +20,7 @@ possible:
   regenerated corpus is detectable.
 
 Run from the repo root:  python scripts/gen_golden_oracles.py
-Writes crawl4ai_ray/pipelines/golden_sf001.py (committed).
+Writes crawl4ai_ray/pipelines/golden_sf001.json (committed data file).
 """
 
 from __future__ import annotations
@@ -435,26 +435,17 @@ def main() -> None:
         print(f"   pinned {t1.num_rows} rows")
 
     docs_md5 = hashlib.md5(open(f"{SF}/documents.parquet", "rb").read()).hexdigest()
-    out = ["'''AUTO-GENERATED by scripts/gen_golden_oracles.py — do not edit."]
-    out.append("")
-    out.append("Pinned sf0.01 golden oracles for the non-SQL-expressible queries")
-    out.append("(deterministic output captured as literal VALUES tables; the")
-    out.append("fingerprints rows were independently recomputed in pure python")
-    out.append("before pinning — see the generator script for the protocol).")
-    out.append(f"Input pin: md5(documents.parquet @ sf0.01) = {docs_md5}")
-    out.append("'''")
-    out.append("")
-    out.append("GOLDEN_SQL = {")
-    for name, sql in goldens.items():
-        out.append(f'    "{name}": """')
-        out.append(sql.replace("\\", "\\\\"))
-        out.append('""",')
-    out.append("}")
-    with open("crawl4ai_ray/pipelines/golden_sf001.py", "w") as f:
-        f.write("\n".join(out) + "\n")
-    print("wrote crawl4ai_ray/pipelines/golden_sf001.py")
+    doc = (
+        "AUTO-GENERATED by scripts/gen_golden_oracles.py — do not edit.\n\n"
+        "Pinned sf0.01 golden oracles for the non-SQL-expressible queries\n"
+        "(deterministic output captured as literal VALUES tables; the\n"
+        "fingerprints rows were independently recomputed in pure python\n"
+        "before pinning — see the generator script for the protocol).\n"
+        f"Input pin: md5(documents.parquet @ sf0.01) = {docs_md5}"
+    )
+    import json as _json
+
+    with open("crawl4ai_ray/pipelines/golden_sf001.json", "w") as f:
+        _json.dump({"__doc__": doc, "golden_sql": goldens}, f, indent=1)
+    print("wrote crawl4ai_ray/pipelines/golden_sf001.json")
     ray.shutdown()
-
-
-if __name__ == "__main__":
-    main()

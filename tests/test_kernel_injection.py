@@ -1,0 +1,227 @@
+"""Real-kernel injection proofs for the stub model families (r3 VERDICT
+task #3): swap a pure-python "real" kernel with DIFFERENT arithmetic than
+the stub through each documented seam and assert the pipeline invariants —
+output schema unchanged, kernel constructed ONCE per actor (counted via a
+shared log file), and batch boundaries exact (no dropped/duplicated calls).
+
+Together with tests/test_encoder_injection.py (the embedding family), this
+covers all three declared stub families: media codecs (this file), LLM
+completion (this file), sentence encoders (test_encoder_injection.py).
+
+Kernels are closures (cloudpickle by value) because tests/ is not an
+importable package inside Ray workers.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def make_real_grid_codec(log_path: str):
+    """'Real' media codec for the raw-gray interchange format
+    (multimodal.raw_gray_payload): actually PARSES the 72-byte 8×9 grid
+    instead of hashing it — width/height from the real geometry, features
+    = per-row means / 255. Logs one line per CONSTRUCTION."""
+
+    def factory():
+        import os as _os
+
+        import numpy as _np
+
+        from crawl4ai_ray.stages.multimodal import (
+            FEATURE_DIM,
+            GRID_COLS,
+            GRID_ROWS,
+        )
+
+        class _GridCodec:
+            def __init__(self):
+                with open(log_path, "a") as f:
+                    f.write(f"{_os.getpid()}\n")
+
+            def decode(self, payload: bytes) -> dict:
+                g = _np.frombuffer(payload, dtype=_np.uint8).reshape(
+                    GRID_ROWS, GRID_COLS
+                )
+                feats = _np.zeros(FEATURE_DIM, _np.float32)
+                feats[:GRID_ROWS] = g.mean(axis=1) / 255.0
+                return {
+                    "width": GRID_COLS,
+                    "height": GRID_ROWS,
+                    "features": feats.tolist(),
+                }
+
+            def sample(self, payload: bytes, n_frames: int) -> list:
+                g = _np.frombuffer(payload, dtype=_np.uint8).reshape(
+                    GRID_ROWS, GRID_COLS
+                )
+                frames = []
+                for j in range(n_frames):
+                    feats = _np.zeros(FEATURE_DIM, _np.float32)
+                    feats[:GRID_COLS] = g[j % GRID_ROWS] / 255.0
+                    frames.append(
+                        {
+                            "frame_idx": j,
+                            "ts_ms": 100 * j,
+                            "features": feats.tolist(),
+                        }
+                    )
+                return frames
+
+        return _GridCodec()
+
+    return factory
+
+
+def test_media_codec_injection(ray_session, tmp_path):
+    """media_pipeline with an injected real grid codec: same schema as the
+    stub path, values match a scalar recompute of the REAL arithmetic
+    (proving the injected kernel actually ran), and the codec was
+    constructed once per actor across a many-batch run."""
+    from crawl4ai_ray.stages.multimodal import (
+        GRID_COLS,
+        GRID_ROWS,
+        media_pipeline,
+        raw_gray_payload,
+        synth_media_table,
+    )
+
+    log = str(tmp_path / "codec_loads.log")
+    n = 48
+    rng = np.random.RandomState(3)
+    grids = rng.randint(0, 256, size=(n, GRID_ROWS, GRID_COLS)).astype(np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "url": pa.array([f"https://m.example.com/{i}" for i in range(n)]),
+            "mime": pa.array(["image/raw-gray"] * n),
+            "payload": pa.array(
+                [raw_gray_payload(g) for g in grids], pa.binary()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+
+    # autoscaling (1,2) pools: two FIXED pools of 2 would pin all 4 of
+    # the test session's CPUs and starve the repartition tasks (deadlock)
+    out = media_pipeline(
+        ds, batch_size=4, concurrency=(1, 2),
+        decoder_factory=make_real_grid_codec(log),
+    ).to_pandas().set_index("media_id").sort_index()
+
+    # schema identical to the stub path
+    stub = media_pipeline(ray.data.from_arrow(tbl.slice(0, 4))).to_pandas()
+    assert list(out.reset_index().columns) == list(stub.columns)
+
+    # values match the REAL arithmetic, not the stub's
+    assert (out["width"] == GRID_COLS).all()
+    assert (out["height"] == GRID_ROWS).all()
+    for i in [0, 17, n - 1]:
+        got = np.asarray(out.loc[i, "features"], dtype=np.float32)
+        expect = grids[i].mean(axis=1).astype(np.float32) / 255.0
+        np.testing.assert_allclose(got[:GRID_ROWS], expect, rtol=1e-6)
+
+    # init-once per actor: 12 batches ran, but ≤ 2 decode-actor loads
+    # (+nothing per batch). ResizeMedia takes no codec.
+    loads = open(log).read().splitlines()
+    assert 1 <= len(loads) <= 2, loads
+
+
+def test_frame_sampler_injection(ray_session, tmp_path):
+    """frame_pipeline with the injected codec: exact fan-out (n_frames
+    rows per input, none dropped or duplicated across batch boundaries)
+    and real per-frame features."""
+    from crawl4ai_ray.stages.multimodal import (
+        GRID_COLS,
+        GRID_ROWS,
+        frame_pipeline,
+        raw_gray_payload,
+    )
+
+    log = str(tmp_path / "av_loads.log")
+    n, k = 30, 3
+    rng = np.random.RandomState(7)
+    grids = rng.randint(0, 256, size=(n, GRID_ROWS, GRID_COLS)).astype(np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(
+                [raw_gray_payload(g) for g in grids], pa.binary()
+            ),
+        }
+    )
+    out = frame_pipeline(
+        ray.data.from_arrow(tbl).repartition(6),
+        n_frames=k, batch_size=4, concurrency=(1, 2),
+        decoder_factory=make_real_grid_codec(log),
+    ).to_pandas()
+
+    assert len(out) == n * k  # exact fan-out
+    per = out.groupby("media_id")["frame_idx"].apply(
+        lambda s: sorted(s.tolist())
+    )
+    assert all(v == list(range(k)) for v in per)
+    row = out[(out["media_id"] == 5) & (out["frame_idx"] == 2)].iloc[0]
+    expect = grids[5][2 % GRID_ROWS].astype(np.float32) / 255.0
+    np.testing.assert_allclose(
+        np.asarray(row["features"], np.float32)[:GRID_COLS], expect, rtol=1e-6
+    )
+    assert 1 <= len(open(log).read().splitlines()) <= 2
+
+
+def test_llm_completion_injection(ray_session, tmp_path):
+    """ExtractStage + LLMExtractionStrategy with an injected deterministic
+    completion_fn, run as a distributed actor pool: extracted JSON equals
+    the fake LLM's per-chunk answers, and the call log shows exactly one
+    LLM call per (doc, chunk) — batch boundaries drop/duplicate nothing."""
+    from crawl4ai_ray.functions.extraction import ExtractStage, IdentityChunking
+    from crawl4ai_ray.functions.llm import LLMExtractionStrategy
+
+    log = str(tmp_path / "llm_calls.log")
+
+    def completion_fn(prompt: str) -> str:
+        # deterministic 'model': extracts the shouted words; one JSON
+        # object per call, logged for the boundary count
+        chunk = prompt.rsplit("Content:\n", 1)[-1]
+        words = sorted({w for w in chunk.split() if w.isupper() and not w.isdigit()})
+        with open(log, "a") as f:
+            f.write("x\n")
+        return json.dumps([{"tags": words, "len": len(chunk)}])
+
+    n = 20
+    docs = [
+        {
+            "url": f"https://site.example.com/p{i}",
+            "html": f"ALPHA{i % 3} text one\n\nmore BETA{i % 2} text",
+        }
+        for i in range(n)
+    ]
+    # ExtractStage passes the whole doc through (IdentityChunking); the
+    # strategy's own default RegexChunking splits on blank lines → 2
+    # chunks per doc → 2 LLM calls per doc, results flattened in order
+    strat = LLMExtractionStrategy(completion_fn=completion_fn)
+    out = (
+        ray.data.from_items(docs)
+        .repartition(5)
+        .map_batches(
+            ExtractStage,
+            fn_constructor_args=(strat, "html", IdentityChunking()),
+            batch_format="pyarrow",
+            batch_size=3,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .set_index("url")
+    )
+    assert len(out) == n
+    for i in [0, 7, n - 1]:
+        recs = json.loads(out.loc[f"https://site.example.com/p{i}", "extracted"])
+        assert len(recs) == 2
+        assert recs[0]["tags"] == [f"ALPHA{i % 3}"]
+        assert recs[1]["tags"] == [f"BETA{i % 2}"]
+    calls = open(log).read().splitlines()
+    assert len(calls) == 2 * n  # one call per (doc, chunk), exactly
