@@ -1959,11 +1959,14 @@ def q_token_percentiles(sf_dir: str):
     return exact_percentiles(stats, "n_tokens", (0.5, 0.9, 0.95, 0.99))
 
 
-def q_pagerank(sf_dir: str):
+def q_pagerank(sf_dir: str, small_threshold: int = 50_000):
     """PageRank over the synthetic id-level link graph (the same 3
     modular out-edge rules SQL_EDGES uses, deduplicated per row —
     collisions only ever occur within one row's 3 candidates, so dedup
-    and out-degree are LOCAL, no shuffle to build the edge table)."""
+    and out-degree are LOCAL, no shuffle to build the edge table).
+    ``small_threshold=0`` forces the distributed BSP path (bench.py's
+    pagerank_dist leg — r3 VERDICT: the bench must keep measuring the
+    iterative-shuffle plan, not only the local fast path)."""
     from ..stages.graph import pagerank
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -1993,7 +1996,9 @@ def q_pagerank(sf_dir: str):
         lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
     )
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
-    return pagerank(nodes, edges, n_iters=5, damping=0.85)
+    return pagerank(
+        nodes, edges, n_iters=5, damping=0.85, small_threshold=small_threshold
+    )
 
 
 def q_personalized_pagerank(sf_dir: str):

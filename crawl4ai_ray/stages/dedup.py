@@ -767,13 +767,13 @@ def ngram_jaccard_pairs(
     Partitioning assumption: one bucket's postings fit in a worker's heap
     (postings are 24 bytes/row; raise num_buckets with corpus size).
     """
-    import pandas as pd
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["gram", "id"], kind="mergesort")
-        grams = g["gram"].to_numpy()
-        ids = g["id"].to_numpy()
-        szs = g["sz"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r3 VERDICT #4): int64 columns come out of the
+        # sorted table zero-copy; no pandas object conversion per bucket
+        g = g.sort_by([("gram", "ascending"), ("id", "ascending")])
+        grams = g.column("gram").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        szs = g.column("sz").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
         ends = np.r_[starts[1:], len(grams)]
         A, B, SA, SB = [], [], [], []
@@ -788,21 +788,13 @@ def ngram_jaccard_pairs(
             B.append(ids[s + jj])
             SA.append(szs[s + ii])
             SB.append(szs[s + jj])
-        if not A:
-            return pd.DataFrame(
-                {
-                    "a": np.zeros(0, np.int64),
-                    "b": np.zeros(0, np.int64),
-                    "sa": np.zeros(0, np.int64),
-                    "sb": np.zeros(0, np.int64),
-                }
-            )
-        return pd.DataFrame(
+        z = np.zeros(0, np.int64)
+        return pa.table(
             {
-                "a": np.concatenate(A),
-                "b": np.concatenate(B),
-                "sa": np.concatenate(SA),
-                "sb": np.concatenate(SB),
+                "a": pa.array(np.concatenate(A) if A else z, pa.int64()),
+                "b": pa.array(np.concatenate(B) if B else z, pa.int64()),
+                "sa": pa.array(np.concatenate(SA) if SA else z, pa.int64()),
+                "sb": pa.array(np.concatenate(SB) if SB else z, pa.int64()),
             }
         )
 
@@ -811,7 +803,7 @@ def ngram_jaccard_pairs(
         num_buckets=num_buckets,
     )
     shared = posted.groupby("bucket").map_groups(
-        per_bucket, batch_format="pandas"
+        per_bucket, batch_format="pyarrow"
     )
     agg = shared.groupby(["a", "b"]).aggregate(
         ray.data.aggregate.Count(alias_name="inter"),
@@ -859,13 +851,12 @@ def ngram_containment_pairs(
     single int64 division."""
     tau_m = int(round(tau * 1000))
 
-    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        g = g.sort_values(["gram", "id"], kind="mergesort")
-        grams = g["gram"].to_numpy()
-        ids = g["id"].to_numpy()
-        szs = g["sz"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r3 VERDICT #4) — see ngram_jaccard_pairs
+        g = g.sort_by([("gram", "ascending"), ("id", "ascending")])
+        grams = g.column("gram").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        szs = g.column("sz").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
         ends = np.r_[starts[1:], len(grams)]
         A, B, SA, SB = [], [], [], []
@@ -880,15 +871,13 @@ def ngram_containment_pairs(
             B.append(ids[s + jj])
             SA.append(szs[s + ii])
             SB.append(szs[s + jj])
-        if not A:
-            z = np.zeros(0, np.int64)
-            return pd.DataFrame({"a": z, "b": z, "sa": z, "sb": z})
-        return pd.DataFrame(
+        z = np.zeros(0, np.int64)
+        return pa.table(
             {
-                "a": np.concatenate(A),
-                "b": np.concatenate(B),
-                "sa": np.concatenate(SA),
-                "sb": np.concatenate(SB),
+                "a": pa.array(np.concatenate(A) if A else z, pa.int64()),
+                "b": pa.array(np.concatenate(B) if B else z, pa.int64()),
+                "sa": pa.array(np.concatenate(SA) if SA else z, pa.int64()),
+                "sb": pa.array(np.concatenate(SB) if SB else z, pa.int64()),
             }
         )
 
@@ -897,7 +886,7 @@ def ngram_containment_pairs(
         num_buckets=num_buckets,
     )
     shared = posted.groupby("bucket").map_groups(
-        per_bucket, batch_format="pandas"
+        per_bucket, batch_format="pyarrow"
     )
     agg = shared.groupby(["a", "b"]).aggregate(
         ray.data.aggregate.Count(alias_name="inter"),
@@ -948,12 +937,11 @@ def ngram_jaccard_pairs_prefix(
     Jaccard kernel via the sketch-carrying ``verify_pairs``. At τ=0.9 the
     sf0.1 corpus generates ~100× fewer pair rows than the full inverted
     index."""
-    import pandas as pd
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["gram", "id"], kind="mergesort")
-        grams = g["gram"].to_numpy()
-        ids = g["id"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r3 VERDICT #4) — see ngram_jaccard_pairs
+        g = g.sort_by([("gram", "ascending"), ("id", "ascending")])
+        grams = g.column("gram").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
         ends = np.r_[starts[1:], len(grams)]
         A, B = [], []
@@ -964,12 +952,12 @@ def ngram_jaccard_pairs_prefix(
             ii, jj = np.triu_indices(length, k=1)
             A.append(ids[s + ii])
             B.append(ids[s + jj])
-        if not A:
-            return pd.DataFrame(
-                {"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)}
-            )
-        return pd.DataFrame(
-            {"a": np.concatenate(A), "b": np.concatenate(B)}
+        z = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(A) if A else z, pa.int64()),
+                "b": pa.array(np.concatenate(B) if B else z, pa.int64()),
+            }
         )
 
     posted = ngram_postings(
@@ -978,7 +966,7 @@ def ngram_jaccard_pairs_prefix(
     )
     cands = (
         posted.groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])

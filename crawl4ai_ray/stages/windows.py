@@ -85,37 +85,55 @@ def sessionize(
     breaks → cumsum rebased at each user's first row). At 10⁹ users the
     per-group scheduling overhead of a groupby(user) would dominate; this
     stays O(P) groups at any user count."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap_us = np.int64(gap_minutes) * np.int64(60_000_000)
     num_buckets = 32
 
     def tag(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if pa.types.is_temporal(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
         return pa.table(
             {
                 "bucket": _user_bucket(batch, user_col, num_buckets),
                 id_col: batch.column(id_col),
                 user_col: batch.column(user_col),
-                ts_col: batch.column(ts_col),
+                ts_col: ts,
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
-        new_user = g[user_col].ne(g[user_col].shift())
-        new_sess = new_user | (g[ts_col].diff() > gap)
-        cs = new_sess.cumsum()
-        base = cs.where(new_user).ffill()  # cumsum at each user's first row
-        return pd.DataFrame(
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r3 VERDICT #4): one sort + int64 numpy pass; no
+        # pandas object conversion in the hottest sessionize exchange
+        g = g.sort_by(
+            [(user_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        )
+        u = g.column(user_col).to_numpy(zero_copy_only=False)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            z = np.zeros(0, np.int64)
+            return pa.table(
+                {id_col: pa.array(z), user_col: pa.array(z),
+                 "session_idx": pa.array(z)}
+            )
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_sess = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap_us]
+        cs = np.cumsum(new_sess)
+        # cumsum value at each user's first row, forward-filled: cs is
+        # nondecreasing, so a running max of (new_user ? cs : 0) is it
+        base = np.maximum.accumulate(np.where(new_user, cs, 0))
+        return pa.table(
             {
-                id_col: g[id_col].to_numpy(),
-                user_col: g[user_col].to_numpy(),
-                "session_idx": (cs - base + 1).astype("int64").to_numpy(),
+                id_col: g.column(id_col),
+                user_col: g.column(user_col),
+                "session_idx": pa.array((cs - base + 1).astype(np.int64)),
             }
         )
 
     return (
         events.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
