@@ -466,12 +466,17 @@ def scrape_page(url: str, html, cfg: ScrapeConfig | None = None) -> dict:
                 ]
             images.extend(variants)
 
-    # --- tables
-    tables = [
-        extract_table_data(t)
-        for t in body.find_all("table")
-        if is_data_table(t, cfg.table_score_threshold)
-    ]
+    # --- tables ('table' in excluded_tags suppresses extraction too —
+    # content_scraping_strategy.py:1707-1711, r4 parity fix)
+    tables = (
+        []
+        if "table" in cfg.excluded_tags
+        else [
+            extract_table_data(t)
+            for t in body.find_all("table")
+            if is_data_table(t, cfg.table_score_threshold)
+        ]
+    )
 
     # --- video/audio with nested <source> (content_scraping_strategy.py:764-787)
     videos, audios = [], []
