@@ -113,6 +113,22 @@ class CrawlConfig:
     # set >0 so politeness-deferred hosts cannot starve behind fresh
     # high-score work.
     aging_rate: float = 0.0
+    # memory-adaptive dispatch, the wave-level analogue of the reference's
+    # MemoryAdaptiveDispatcher pressure ladder (async_dispatcher.py:
+    # 121-187 monitor, 229-258 requeue): probe once per wave via
+    # ``memory_probe()`` (percent; default = psutil, else Ray object-store
+    # fill). percent ≥ memory_threshold_percent → PRESSURE: the wave
+    # budget shrinks to 1/4 (the "pause new launches" analogue). percent
+    # ≥ critical_threshold_percent → CRITICAL: the admitted slice is
+    # REQUEUED with retry_count+1 instead of fetched (rows keep their
+    # enqueued_wave, so aging raises their priority — the
+    # _get_priority_score retry bump); a row requeued past
+    # max_memory_retries raises MemoryError, as the dispatcher does after
+    # its sustained-pressure timeout. None disables the ladder.
+    memory_threshold_percent: float | None = None
+    critical_threshold_percent: float = 95.0
+    max_memory_retries: int = 5
+    memory_probe: object = None  # () -> float percent; None = auto
     # frontier sizing: pending sets larger than this leave the driver and
     # become a parquet-backed Dataset with distributed sort+limit per wave
     # (state/frontier_store.py)

@@ -77,8 +77,29 @@ def _frontier_from_seeds(seeds: list[str]) -> pa.Table:
             "parent_url": pa.array([""] * len(norm), pa.string()),
             "score": pa.array([0.0] * len(norm), pa.float64()),
             "enqueued_wave": pa.array([0] * len(norm), pa.int32()),
+            "retry_count": pa.array([0] * len(norm), pa.int32()),
         }
     )
+
+
+def _default_memory_probe() -> float:
+    """Memory percent for the pressure ladder: psutil when present (the
+    reference's signal, async_dispatcher.py:148), else Ray object-store
+    fill as the cluster-native stand-in."""
+    try:
+        import psutil
+
+        return float(psutil.virtual_memory().percent)
+    except ImportError:
+        pass
+    try:
+        avail = ray.available_resources().get("object_store_memory", 0.0)
+        total = ray.cluster_resources().get("object_store_memory", 0.0)
+        if total > 0:
+            return 100.0 * (1.0 - avail / total)
+    except Exception:
+        pass
+    return 0.0
 
 
 def _ensure_bucketed(sf_dir: str, cfg: CrawlConfig) -> str:
@@ -277,6 +298,21 @@ def crawl(
             if cfg.max_pages is not None and run.pages_crawled >= cfg.max_pages:
                 break
 
+            # ---- memory ladder (MemoryAdaptiveDispatcher wave analogue;
+            # async_dispatcher.py:147-187 monitor, 229-258 requeue)
+            mem_pct = 0.0
+            mem_mode = "off"
+            if cfg.memory_threshold_percent is not None:
+                probe = cfg.memory_probe or _default_memory_probe
+                mem_pct = float(probe())
+                mem_mode = (
+                    "critical"
+                    if mem_pct >= cfg.critical_threshold_percent
+                    else "pressure"
+                    if mem_pct >= cfg.memory_threshold_percent
+                    else "normal"
+                )
+
             # ---- wave selection: distributed sort + limit = the queue pop
             budget = len(store)
             if cfg.max_pages is not None:
@@ -284,7 +320,65 @@ def crawl(
             if cfg.strategy == "best_first":
                 # reference pops batches of 10 (bff_strategy.py:19,129-213)
                 budget = min(budget, 10)
+            if mem_mode == "pressure":
+                # "pause new task launches" analogue: shrink the wave
+                budget = max(1, budget // 4)
             frontier = store.pop_wave(budget, wave)
+
+            if mem_mode == "critical":
+                # requeue the whole in-flight slice with retry_count+1
+                # instead of fetching (async_dispatcher.py:229-258); rows
+                # keep enqueued_wave so aging raises their priority, the
+                # wave analogue of the dispatcher's retry priority bump
+                rc = frontier.column("retry_count").to_numpy(
+                    zero_copy_only=False
+                )
+                if rc.size and int(rc.max()) >= cfg.max_memory_retries:
+                    raise MemoryError(
+                        f"crawl wave {wave}: memory critical "
+                        f"({mem_pct:.1f}%) and a frontier row exceeded "
+                        f"{cfg.max_memory_retries} memory requeues"
+                    )
+                idx = frontier.schema.get_field_index("retry_count")
+                requeued = frontier.set_column(
+                    idx,
+                    "retry_count",
+                    pa.array((rc + 1).astype("int32"), pa.int32()),
+                )
+                store.push(requeued)
+                manifest = {
+                    "wave": wave,
+                    "strategy": cfg.strategy,
+                    "memory": {
+                        "percent": round(mem_pct, 2),
+                        "mode": "critical",
+                        "requeued": int(frontier.num_rows),
+                        "max_retry_count": int(rc.max() + 1) if rc.size else 0,
+                    },
+                    "frontier_size": int(frontier.num_rows),
+                    "pages_crawled": 0,
+                    "cumulative_pages": run.pages_crawled,
+                    "requeued_memory": int(frontier.num_rows),
+                }
+                if out_dir:
+                    # checkpoint the requeued wave like any other so a
+                    # resume mid-pressure restarts from consistent state
+                    wave_dir = os.path.join(out_dir, f"wave={wave:04d}")
+                    os.makedirs(wave_dir, exist_ok=True)
+                    store.spill(os.path.join(wave_dir, "pending.parquet"))
+                    for i, payload in enumerate(seen.dump_all()):
+                        with open(
+                            os.path.join(wave_dir, f"seen_shard_{i:03d}.bloom"),
+                            "wb",
+                        ) as f:
+                            f.write(payload)
+                    with open(os.path.join(wave_dir, "manifest.json"), "w") as f:
+                        json.dump(manifest, f)
+                run.waves.append(manifest)
+                wave += 1
+                if wave > 10_000:
+                    break
+                continue
 
             # ---- robots + politeness admission (deterministic order)
             hosts = frontier.column("host").to_pylist()
@@ -418,6 +512,7 @@ def crawl(
             manifest = {
                 "wave": wave,
                 "strategy": cfg.strategy,
+                "memory": {"percent": round(mem_pct, 2), "mode": mem_mode},
                 "resources": mem_stats,
                 "frontier_size": len(frontier_urls),
                 "frontier_dataset_mode": store.dataset_mode,

@@ -46,8 +46,22 @@ FRONTIER_SCHEMA = pa.schema(
         ("parent_url", pa.string()),
         ("score", pa.float64()),
         ("enqueued_wave", pa.int32()),
+        # memory-pressure requeue accounting (reference
+        # async_dispatcher.py:229-258: requeued tasks carry
+        # retry_count+1); producers may omit it — conform() zero-fills
+        ("retry_count", pa.int32()),
     ]
 )
+
+
+def conform_frontier(tbl: pa.Table) -> pa.Table:
+    """Project onto FRONTIER_SCHEMA, zero-filling a missing retry_count
+    (pre-r4 checkpoints and the seen-shard spill path don't carry it)."""
+    if "retry_count" not in tbl.column_names:
+        tbl = tbl.append_column(
+            "retry_count", pa.array(np.zeros(tbl.num_rows, np.int32))
+        )
+    return tbl.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
 
 _SORT_SPECS = {
     # (key, ascending) triples; _negeff = -(score + aging) so "ascending"
@@ -125,7 +139,7 @@ class FrontierStore:
         """Add rows (FRONTIER_SCHEMA, enqueued_wave already stamped)."""
         if tbl.num_rows == 0:
             return
-        tbl = tbl.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
+        tbl = conform_frontier(tbl)
         self._count += tbl.num_rows
         if self._ds is not None:
             self._ds = self._ds.union(ray.data.from_arrow(tbl))
@@ -145,8 +159,7 @@ class FrontierStore:
             return 0
         self._count += n
         add = ray.data.read_parquet(paths).map_batches(
-            lambda b: b.select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA),
-            batch_format="pyarrow",
+            conform_frontier, batch_format="pyarrow"
         )
         if self._ds is not None:
             self._ds = self._ds.union(add)
@@ -154,7 +167,7 @@ class FrontierStore:
             self._to_dataset_mode()
             self._ds = self._ds.union(add)
         else:
-            tbls = [pq.read_table(p).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA) for p in paths]
+            tbls = [conform_frontier(pq.read_table(p)) for p in paths]
             self._table = pa.concat_tables([self._table, *tbls])
         return n
 
@@ -165,9 +178,7 @@ class FrontierStore:
     def _to_driver_mode(self) -> None:
         parts = [ray.get(r) for r in self._ds.to_arrow_refs()]
         parts = [
-            _drop_negeff(p).select(FRONTIER_SCHEMA.names).cast(FRONTIER_SCHEMA)
-            for p in parts
-            if p.num_rows
+            conform_frontier(_drop_negeff(p)) for p in parts if p.num_rows
         ]
         self._table = pa.concat_tables(parts) if parts else empty_frontier()
         self._ds = None
