@@ -106,40 +106,60 @@ def _select_vocab(counts: "ray.data.Dataset", vocab_k: int):
     totals, with bounded driver state.
 
     Returns ``(kept, n_total, v_distinct)`` where ``kept`` is a list of
-    (w, c) pairs of length ≤ vocab_k. Driver-held rows: ≤ vocab_k from
-    the sort+limit plus one scalar row per block for the totals — never
-    the full distinct vocabulary."""
-    counts = counts.materialize()  # shared by both passes; lives in the
-    # object store across the cluster, NOT on the driver
+    (w, c) pairs of length ≤ vocab_k. ONE pass over the counts emits,
+    per block, its local top-k candidates (kind=0 — each token is
+    globally unique after the groupby, so every global top-k member
+    survives its block's local top-k) AND one (sum, count) scalar row
+    (kind=1); only that pruned table (≤ vocab_k+1 rows per block) is
+    materialized — the full distinct vocabulary is never materialized
+    twice nor collected anywhere. Totals fold from the scalar rows
+    (≤ num_blocks on the driver); the final exact selection is one
+    distributed sort+limit shipping exactly vocab_k rows down."""
 
-    # Pass 1 — corpus totals: one (sum, count) row per block, folded on
-    # the driver (≤ num_blocks rows).
-    def totals(batch: pa.Table) -> pa.Table:
+    def prune_and_total(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        top = batch.sort_by([("c", "descending"), ("w", "ascending")]).slice(
+            0, vocab_k
+        )
+        n = top.num_rows
         return pa.table(
             {
-                "s": pa.array([pc.sum(batch.column("c")).as_py() or 0], pa.int64()),
-                "v": pa.array([batch.num_rows], pa.int64()),
+                "w": pa.concat_arrays(
+                    [top.column("w").combine_chunks(), pa.array([""], pa.string())]
+                ),
+                "c": pa.concat_arrays(
+                    [
+                        top.column("c").combine_chunks(),
+                        pa.array(
+                            [pc.sum(batch.column("c")).as_py() or 0], pa.int64()
+                        ),
+                    ]
+                ),
+                "v": pa.concat_arrays(
+                    [
+                        pa.array([0] * n, pa.int64()),
+                        pa.array([batch.num_rows], pa.int64()),
+                    ]
+                ),
+                "kind": pa.concat_arrays(
+                    [pa.array([0] * n, pa.int64()), pa.array([1], pa.int64())]
+                ),
             }
         )
 
-    tot_rows = counts.map_batches(totals, batch_format="pyarrow").take_all()
-    n_total = sum(r["s"] for r in tot_rows)
-    v_distinct = sum(r["v"] for r in tot_rows)
+    pruned = counts.map_batches(
+        prune_and_total, batch_format="pyarrow"
+    ).materialize()  # ≤ vocab_k+1 rows per block, object-store resident
+
+    tot_rows = pruned.filter(expr="kind == 1").take_all()
+    n_total = sum(int(r["c"]) for r in tot_rows)
+    v_distinct = sum(int(r["v"]) for r in tot_rows)
     if v_distinct == 0:
         return [], 0, 0
 
-    # Pass 2 — per-block prune (each token is globally unique after the
-    # groupby, so any global top-k token is within its block's top-k),
-    # then ONE distributed sort+limit ships exactly vocab_k rows down.
-    def local_topk(batch: pa.Table) -> pa.Table:
-        return batch.sort_by([("c", "descending"), ("w", "ascending")]).slice(
-            0, vocab_k
-        )
-
     kept_rows = (
-        counts.map_batches(local_topk, batch_format="pyarrow")
+        pruned.filter(expr="kind == 0")
         .sort(["c", "w"], descending=[True, False])
         .limit(vocab_k)
         .take_all()
