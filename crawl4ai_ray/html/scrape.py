@@ -64,9 +64,12 @@ def extract_metadata(root: Element) -> dict[str, str]:
         prop = (m.get("property") or "").lower()
         content = m.get("content") or ""
         if name in _META_NAMES[1:]:
-            meta[name] = content
+            # reference strips these values (utils.py:1525,1529,1533 —
+            # r4 parity fix; title was already stripped via text())
+            meta[name] = content.strip()
         elif prop.startswith(_META_PREFIXES) or name.startswith(_META_PREFIXES):
-            meta[prop or name] = content
+            # og:/twitter: values are stripped too (utils.py:1539-1540)
+            meta[prop or name] = content.strip()
     return meta
 
 

@@ -328,3 +328,113 @@ def test_case26_metadata_fields():
     assert m["title"] == "T" and m["description"] == "D"
     assert m["keywords"] == "k1,k2" and m["author"] == "A"
     assert m["og:title"] == "OT" and m["twitter:card"] == "summary"
+
+
+# --- round-4 additions (r3 VERDICT #5: widen the case set) -------------------
+
+def test_case27_excluded_selector_removes_subtrees():
+    # excluded_selector drops every matching subtree before any pass
+    # (content_scraping_strategy.py:902-911)
+    r = scrape(
+        "<body><div class='ad'><p>advert words that are long</p></div>"
+        "<p>organic body copy stays</p></body>",
+        excluded_selector="div.ad",
+    )
+    assert "advert" not in r["cleaned_html"]
+    assert "organic body copy stays" in r["cleaned_html"]
+
+
+def test_case28_exclude_all_images_early_removal():
+    # exclude_all_images removes every <img> BEFORE link/media passes so
+    # none reaches any output channel (:878-882)
+    r = scrape(
+        "<body><p>some words for the threshold</p>"
+        "<img src='a.png' alt='a rich descriptive alt text here' width='500'>"
+        "<img src='b.png' srcset='b2.png 640w'></body>",
+        exclude_all_images=True,
+    )
+    assert r["images"] == []
+    assert "<img" not in r["cleaned_html"]
+
+
+def test_case29_og_and_twitter_meta_namespaces():
+    # og:*/twitter:* properties are collected verbatim under their
+    # namespaced keys, values stripped (utils.py:1536-1548)
+    r = scrape(
+        "<head><meta property='og:title' content=' OG Title '>"
+        "<meta property='og:image' content='https://c.example.com/i.png'>"
+        "<meta name='twitter:card' content='summary'></head>"
+        "<body><p>enough words to keep this</p></body>"
+    )
+    assert r["metadata"]["og:title"] == "OG Title"
+    assert r["metadata"]["og:image"] == "https://c.example.com/i.png"
+    assert r["metadata"]["twitter:card"] == "summary"
+
+
+def test_case30_basic_meta_fields_stripped():
+    # description/keywords/author are .strip()ed like the reference
+    # (utils.py:1524-1533; r4 parity fix — ours used to keep padding)
+    r = scrape(
+        "<head><title>  T  </title>"
+        "<meta name='description' content='  padded desc  '>"
+        "<meta name='keywords' content=' k1, k2 '>"
+        "<meta name='author' content=' A B '></head>"
+        "<body><p>enough words to keep this</p></body>"
+    )
+    m = r["metadata"]
+    assert m["title"] == "T"
+    assert m["description"] == "padded desc"
+    assert m["keywords"] == "k1, k2"
+    assert m["author"] == "A B"
+
+
+def test_case31_fragment_and_self_links_normalize_to_page():
+    # '#frag' resolves against the page url and the fragment is dropped
+    # by normalization — it dedups with the page's self-link
+    r = scrape(
+        "<body><p>words enough to keep around</p>"
+        f"<a href='#sec'>jump</a><a href='{U}'>self</a></body>"
+    )
+    assert hrefs(r) == [U]  # one deduped internal entry
+
+
+def test_case32_keep_data_attributes_roundtrip():
+    # data-* attributes are stripped by default and preserved under
+    # keep_data_attributes (:795; async_configs keep_data_attributes)
+    html = "<body><p data-track='x' id='p1'>enough words to keep this</p></body>"
+    r0 = scrape(html)
+    r1 = scrape(html, keep_data_attributes=True)
+    assert "data-track" not in r0["cleaned_html"]
+    assert 'data-track="x"' in r1["cleaned_html"]
+
+
+def test_case33_image_desc_min_words_blanks_weak_context():
+    # image_description_min_words controls the nearest-ancestor text
+    # probe: a high floor yields an empty desc, not a dropped image
+    # (find_closest_parent_with_useful_text semantics)
+    html = (
+        "<body><div><p>short text</p>"
+        "<img src='a.png' alt='a sufficiently rich descriptive alt text' "
+        "width='500'></div></body>"
+    )
+    lo = scrape(html, image_description_min_words=1)
+    hi = scrape(html, image_description_min_words=50)
+    assert len(lo["images"]) == len(hi["images"]) == 1
+    assert lo["images"][0].get("desc", "")
+    assert hi["images"][0].get("desc", "") == ""
+
+
+def test_case34_table_exclusion_suppresses_table_channel():
+    # excluding 'table' suppresses table-data extraction too
+    # (content_scraping_strategy.py:1707-1711; r4 parity fix)
+    html = (
+        "<body><p>surrounding words to keep here</p>"
+        "<table><thead><tr><th>h1</th><th>h2</th></tr></thead>"
+        "<tbody><tr><td>a</td><td>b</td></tr>"
+        "<tr><td>c</td><td>d</td></tr></tbody></table></body>"
+    )
+    base = scrape(html)
+    excl = scrape(html, excluded_tags=("table",))
+    assert len(base["tables"]) == 1
+    assert excl["tables"] == []
+    assert "<table" not in excl["cleaned_html"]
