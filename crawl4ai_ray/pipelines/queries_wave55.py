@@ -192,24 +192,42 @@ def q_logrank_test(sf_dir: str):
             }
         )
 
-    users = (
+    DAY = 86_400_000_000
+
+    def life_grp(batch: pa.Table) -> pa.Table:
+        # per-user lifetime/arm assignment stays WITH the rows (r4: the
+        # former user-sized driver fold); only (life-day, grp) partials
+        # shuffle into the day histogram
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        mn = batch.column("mn").to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "life": pa.array(((mx - mn) // DAY).astype(np.int64)),
+                "grp": pa.array((uid % 5 == 0).astype(np.int64)),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    day_rows = (
         ev.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(
             ray.data.aggregate.Min("mn", alias_name="mn"),
             ray.data.aggregate.Max("mx", alias_name="mx"),
         )
-        .take_all()  # scale-note: user-sized driver fold (grows with distinct users; web-scale path = keep per-user rows as a Dataset + bucketed follow-on groupby)
+        .map_batches(life_grp, batch_format="pyarrow")
+        .groupby(["life", "grp"])
+        .aggregate(ray.data.aggregate.Sum("one", alias_name="n"))
+        .take_all()  # bounded: (lifetime-day × arm) histogram cells
     )
-    DAY = 86_400_000_000
     deaths: dict = {}
     n1_total = n_total = 0
-    for r in users:
-        life = (int(r["mx"]) - int(r["mn"])) // DAY
-        grp = 1 if int(r["user_id"]) % 5 == 0 else 0
-        deaths.setdefault(life, [0, 0])[grp] += 1
-        n_total += 1
-        n1_total += grp
+    for r in day_rows:
+        life, grp, n = int(r["life"]), int(r["grp"]), int(r["n"])
+        deaths.setdefault(life, [0, 0])[grp] += n
+        n_total += n
+        n1_total += n * grp
     o1 = e1_q = var_q = 0
     at1, at = n1_total, n_total
     for day in sorted(deaths):

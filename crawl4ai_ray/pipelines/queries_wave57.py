@@ -215,43 +215,44 @@ def q_overdispersion(sf_dir: str):
             }
         )
 
-    rows = (
+    T = _OD_DAYS
+
+    def per_user_stats(batch: pa.Table) -> pa.Table:
+        # per-user arithmetic stays WITH the rows (r4: the former
+        # user-sized driver fold is now a streamed map; integer-exact)
+        s = batch.column("s").to_numpy(zero_copy_only=False).astype(object)
+        s2 = batch.column("s2").to_numpy(zero_copy_only=False).astype(object)
+        d_q, nb_r_q, under = [], [], []
+        for si, s2i in zip(s, s2):
+            si, s2i = int(si), int(s2i)
+            # D = var/mean = (T*S2 - S^2) / (T*S)  (biased var over T days)
+            d_q.append((T * s2i - si * si) * _OD_Q // (T * si))
+            vm_num = T * s2i - si * si - T * si  # var-mean sign carrier
+            if vm_num > 0:
+                nb_r_q.append(si * si * _OD_Q // vm_num)
+                under.append(0)
+            else:
+                nb_r_q.append(-1)
+                under.append(1)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "s": batch.column("s"),
+                "s2": batch.column("s2"),
+                "d_q": pa.array([int(v) for v in d_q], pa.int64()),
+                "nb_r_q": pa.array([int(v) for v in nb_r_q], pa.int64()),
+                "under": pa.array(under, pa.int64()),
+            }
+        )
+
+    return (
         daily.map_batches(moments, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(
             ray.data.aggregate.Sum("s", alias_name="s"),
             ray.data.aggregate.Sum("s2", alias_name="s2"),
         )
-        .take_all()  # scale-note: user-sized driver fold (grows with distinct users; web-scale path = keep per-user rows as a Dataset + bucketed follow-on groupby)
-    )
-    T = _OD_DAYS
-    out = {"user_id": [], "s": [], "s2": [], "d_q": [], "nb_r_q": [], "under": []}
-    for r in sorted(rows, key=lambda r: int(r["user_id"])):
-        s, s2 = int(r["s"]), int(r["s2"])
-        # D = var/mean = (T*S2 - S^2) / (T*S)  (biased var, x over T days)
-        d_q = (T * s2 - s * s) * _OD_Q // (T * s)
-        vm_num = T * s2 - s * s - T * s  # T^2*(var - mean) sign carrier
-        if vm_num > 0:
-            nb_r_q = s * s * _OD_Q // vm_num
-            under = 0
-        else:
-            nb_r_q = -1
-            under = 1
-        out["user_id"].append(int(r["user_id"]))
-        out["s"].append(s)
-        out["s2"].append(s2)
-        out["d_q"].append(d_q)
-        out["nb_r_q"].append(nb_r_q)
-        out["under"].append(under)
-    return pa.table(
-        {
-            "user_id": pa.array(out["user_id"], pa.int64()),
-            "s": pa.array(out["s"], pa.int64()),
-            "s2": pa.array(out["s2"], pa.int64()),
-            "d_q": pa.array(out["d_q"], pa.int64()),
-            "nb_r_q": pa.array(out["nb_r_q"], pa.int64()),
-            "under": pa.array(out["under"], pa.int64()),
-        }
+        .map_batches(per_user_stats, batch_format="pyarrow")
     )
 
 

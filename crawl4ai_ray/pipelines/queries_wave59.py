@@ -374,8 +374,11 @@ def q_qte_quantiles(sf_dir: str):
     Exactness: per-user spend is integer cents (the CUPED snap);
     quantiles are exact type-1 order statistics k = ⌈p·n⌉ computed by
     integer ceil-division; QTE is an integer difference. Distributed
-    shape: one groupby(user) sum; the two ≤|users| order-statistic
-    folds are driver arithmetic (SQL: two windows).
+    shape (r4 — formerly a user-sized driver fold): one groupby(user)
+    sum, then the exact_percentiles pattern — per-(arm, value) counts
+    via a second groupby, so the driver folds only the bounded
+    value HISTOGRAM (distinct spend levels, not users) and reads the
+    order statistics off cumulative counts.
     """
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "value"]
@@ -393,22 +396,42 @@ def q_qte_quantiles(sf_dir: str):
             }
         )
 
-    users = (
+    def arm_value(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "grp": pa.array((uid % 5 == 0).astype(np.int64), pa.int64()),
+                "s": batch.column("s"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    hist_rows = (
         ev.map_batches(tag, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(ray.data.aggregate.Sum("cents", alias_name="s"))
-        .take_all()  # scale-note: user-sized driver fold (grows with distinct users; web-scale path = keep per-user rows as a Dataset + bucketed follow-on groupby)
+        .map_batches(arm_value, batch_format="pyarrow")
+        .groupby(["grp", "s"])
+        .aggregate(ray.data.aggregate.Sum("one", alias_name="n"))
+        .take_all()  # bounded: (arm × distinct spend value) histogram cells
     )
-    treat = sorted(
-        int(r["s"]) for r in users if int(r["user_id"]) % 5 == 0
-    )
-    ctrl = sorted(
-        int(r["s"]) for r in users if int(r["user_id"]) % 5 != 0
-    )
+    hists = {0: [], 1: []}
+    for r in hist_rows:
+        hists[int(r["grp"])].append((int(r["s"]), int(r["n"])))
+    for g in hists:
+        hists[g].sort()
 
-    def orderstat(xs, pn, pd):
-        k = (pn * len(xs) + pd - 1) // pd
-        return k, xs[k - 1]
+    def orderstat(hist, pn, pd):
+        total = sum(c for _, c in hist)
+        k = (pn * total + pd - 1) // pd
+        cum = 0
+        for v, c in hist:
+            cum += c
+            if cum >= k:
+                return k, v
+        return k, hist[-1][0] if hist else 0
+
+    treat, ctrl = hists[1], hists[0]
 
     out = {"p_num": [], "p_den": [], "k_t": [], "q_t": [], "k_c": [], "q_c": [], "qte": []}
     for pn, pd in _QTE_PCTS:

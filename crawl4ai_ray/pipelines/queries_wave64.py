@@ -184,29 +184,53 @@ def q_iv_wald(sf_dir: str):
             }
         )
 
-    users = (
+    def per_user_arm(batch: pa.Table) -> pa.Table:
+        # z/x/y assignment stays WITH the per-user rows (distributed);
+        # only (z, n, Sx, Sy) partials leave this map — the r4 fix for
+        # the former user-sized driver fold
+        zs, xs, ys = [], [], []
+        for u, cents, cnt in zip(
+            batch.column("user_id").to_pylist(),
+            batch.column("cents").to_pylist(),
+            batch.column("cnt").to_pylist(),
+        ):
+            u = int(u)
+            z = int(hashlib.md5(f"iv|{u}".encode()).hexdigest()[:8], 16) % 2
+            x = int(cnt) + _IV_PUSH * z
+            noise = int(
+                hashlib.md5(f"ivn|{u}".encode()).hexdigest()[:8], 16
+            ) % 1000
+            zs.append(z)
+            xs.append(x)
+            ys.append(int(cents) // 100 + _IV_EFFECT * x + noise)
+        return pa.table(
+            {
+                "z": pa.array(zs, pa.int64()),
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+                "one": pa.array([1] * len(zs), pa.int64()),
+            }
+        )
+
+    arms = (
         ev.map_batches(tag, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(
             ray.data.aggregate.Sum("cents", alias_name="cents"),
             ray.data.aggregate.Sum("one", alias_name="cnt"),
         )
-        .take_all()  # scale-note: user-sized driver fold (grows with distinct users; web-scale path = keep per-user rows as a Dataset + bucketed follow-on groupby)
+        .map_batches(per_user_arm, batch_format="pyarrow")
+        .groupby("z")
+        .aggregate(
+            ray.data.aggregate.Sum("one", alias_name="n"),
+            ray.data.aggregate.Sum("x", alias_name="sx"),
+            ray.data.aggregate.Sum("y", alias_name="sy"),
+        )
+        .take_all()  # bounded: exactly 2 arm rows
     )
-    agg = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, Sx, Sy
-    for r in users:
-        u = int(r["user_id"])
-        z = int(hashlib.md5(f"iv|{u}".encode()).hexdigest()[:8], 16) % 2
-        x = int(r["cnt"]) + _IV_PUSH * z
-        noise = int(
-            hashlib.md5(f"ivn|{u}".encode()).hexdigest()[:8], 16
-        ) % 1000
-        y = int(r["cents"]) // 100 + _IV_EFFECT * x + noise
-        agg[z][0] += 1
-        agg[z][1] += x
-        agg[z][2] += y
-    n0, sx0, sy0 = agg[0]
-    n1, sx1, sy1 = agg[1]
+    byz = {int(r["z"]): (int(r["n"]), int(r["sx"]), int(r["sy"])) for r in arms}
+    n0, sx0, sy0 = byz.get(0, (0, 0, 0))
+    n1, sx1, sy1 = byz.get(1, (0, 0, 0))
     num = sy1 * n0 - sy0 * n1
     den = sx1 * n0 - sx0 * n1
     mag = abs(num) * _IV_Q // max(abs(den), 1)

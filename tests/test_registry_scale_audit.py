@@ -59,7 +59,6 @@ def test_scale_note_census_is_intentional():
     )
     ACCEPTED = {
         # vocabulary-sized folds (token/bigram types)
-        "queries.py",  # any site in the root registry file
         "queries_wave10.py",
         "queries_wave22.py",
         "queries_wave28.py",
@@ -72,13 +71,9 @@ def test_scale_note_census_is_intentional():
         "queries_wave41.py",
         "queries_wave47.py",
         "queries_wave48.py",
-        "queries_wave55.py",
         "queries_wave56.py",
-        "queries_wave57.py",
         "queries_wave58.py",
-        "queries_wave59.py",
         "queries_wave60.py",
-        "queries_wave64.py",
         "queries_wave65.py",
         "queries_wave9.py",
     }
