@@ -90,17 +90,17 @@ def q_graph_robustness(sf_dir: str):
             }
         )
 
-    degs = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
+    # exact top-K hubs by (degree desc, node asc) via distributed
+    # sort+limit (r4: the former node-sized driver fold is gone — only
+    # the K attack targets reach the driver)
+    removed = set(
+        int(r["node"])
+        for r in edges.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(ray.data.aggregate.Sum("d", alias_name="d"))
-        .take_all()  # scale-note: node-sized driver fold (grows with graph nodes; web-scale path = bucketed groupby kernels in stages/graph)
-    )
-    removed = set(
-        r["node"]
-        for r in sorted(degs, key=lambda r: (-int(r["d"]), int(r["node"])))[
-            :_GR_K
-        ]
+        .sort(["d", "node"], descending=[True, False])
+        .limit(_GR_K)
+        .take_all()  # bounded: exactly K hub rows
     )
     rem_ref = ray.put(removed)
 
@@ -142,11 +142,13 @@ def q_graph_robustness(sf_dir: str):
         sizes = (
             comp.groupby("component")
             .aggregate(ray.data.aggregate.Count(alias_name="c"))
-            .take_all()  # scale-note: component-count-sized fold (≤ #components; web-scale path = groupby-topk on the sizes Dataset)
+            .materialize()
         )
-        n_nodes = sum(int(r["c"]) for r in sizes)
-        largest = max(int(r["c"]) for r in sizes)
-        return n_nodes, len(sizes), largest
+        # three scalar aggregates — no component-sized collect (r4)
+        n_nodes = int(sizes.sum("c"))
+        largest = int(sizes.max("c"))
+        n_comp = int(sizes.count())
+        return n_nodes, n_comp, largest
 
     rows = []
     for name, drop in (("before", False), ("after", True)):

@@ -66,17 +66,16 @@ def q_cascade_ltm(sf_dir: str):
             }
         )
 
-    degs = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(ray.data.aggregate.Sum("d", alias_name="d"))
-        .take_all()  # scale-note: node-sized driver fold (grows with graph nodes; web-scale path = bucketed groupby kernels in stages/graph)
-    )
+    # exact top-K seed hubs via distributed sort+limit (r4: the former
+    # node-sized degree collect is gone)
     seeds = [
         int(r["node"])
-        for r in sorted(degs, key=lambda r: (-int(r["d"]), int(r["node"])))[
-            :_LTM_SEEDS
-        ]
+        for r in edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(ray.data.aggregate.Sum("d", alias_name="d"))
+        .sort(["d", "node"], descending=[True, False])
+        .limit(_LTM_SEEDS)
+        .take_all()  # bounded: exactly the seed rows
     ]
     active = {s: 0 for s in seeds}
     for rnd in range(1, _LTM_ROUNDS + 1):
@@ -98,16 +97,24 @@ def q_cascade_ltm(sf_dir: str):
                 }
             )
 
-        counts = (
-            edges.map_batches(contrib, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-            .take_all()  # scale-note: node-sized driver fold (grows with graph nodes; web-scale path = bucketed groupby kernels in stages/graph)
-        )
+        def theta_filter(batch: pa.Table) -> pa.Table:
+            # activation test runs distributed (r4): only the nodes that
+            # actually fire this round reach the driver
+            nodes_ = batch.column("node").to_numpy(zero_copy_only=False)
+            cs = batch.column("c").to_numpy(zero_copy_only=False)
+            keep = np.array(
+                [int(c) >= _ltm_theta(int(v)) for v, c in zip(nodes_, cs)],
+                bool,
+            )
+            return batch.filter(pa.array(keep))
+
         newly = [
             int(r["node"])
-            for r in counts
-            if int(r["c"]) >= _ltm_theta(int(r["node"]))
+            for r in edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+            .map_batches(theta_filter, batch_format="pyarrow")
+            .take_all()  # scale-note: per-round activations (≤ cascade growth; the active-set broadcast itself is the LTM state — a full stages/graph BSP port would move it into label rows)
         ]
         for v in newly:
             active[v] = rnd
