@@ -194,12 +194,19 @@ def q_onion_layers(sf_dir: str):
         docs.map_batches(skew_edges, batch_format="pyarrow"), "src", "dst"
     ).materialize()
 
+    def sub_k(batch: pa.Table) -> pa.Table:
+        # the peel test runs distributed (r4): only nodes with deg < K
+        # reach the driver each round, not the full degree table
+        deg = batch.column("deg").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(deg < _OL_K))
+
     layers: dict[int, int] = {}
-    deg_rows: list = []
     for rnd in range(1, 32):
-        deg_rows = node_degrees(e).take_all()  # scale-note: node-sized degree fold per peel round (web-scale path = stages/graph.kcore distributed peeling)
         peel = sorted(
-            int(r["node"]) for r in deg_rows if int(r["deg"]) < _OL_K
+            int(r["node"])
+            for r in node_degrees(e)
+            .map_batches(sub_k, batch_format="pyarrow")
+            .take_all()  # scale-note: per-round peel set (the peel-id broadcast is the onion state, like cascade_ltm's active set; stages/graph.kcore documents the bucketed-anti-join above-cap path)
         )
         if not peel:
             break
@@ -218,14 +225,29 @@ def q_onion_layers(sf_dir: str):
             return batch.filter(pa.array(keep))
 
         e = e.map_batches(drop, batch_format="pyarrow").materialize()
-    for r in deg_rows:
-        layers.setdefault(int(r["node"]), 0)
-    nodes = sorted(layers)
-    return pa.table(
+
+    # survivors (layer 0) stay a Dataset; peeled rows are a small table
+    peeled = pa.table(
         {
-            "node": pa.array(nodes, pa.int64()),
-            "layer": pa.array([layers[n] for n in nodes], pa.int64()),
+            "node": pa.array(sorted(layers), pa.int64()),
+            "layer": pa.array(
+                [layers[k] for k in sorted(layers)], pa.int64()
+            ),
         }
+    )
+
+    def survivor_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "layer": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
+
+    return (
+        node_degrees(e)
+        .map_batches(survivor_rows, batch_format="pyarrow")
+        .union(ray.data.from_arrow(peeled))
     )
 
 
