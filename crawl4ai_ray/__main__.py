@@ -96,6 +96,16 @@ def main(argv=None):
         "mixed-language (off by default)",
     )
 
+    pp = sub.add_parser(
+        "pdf",
+        help="documents corpus → synthetic PDFs → per-page text/markdown "
+        "parquet (stages/pdf.py round trip); --metadata writes the "
+        "per-file metadata table instead",
+    )
+    pp.add_argument("--sf-dir", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--metadata", action="store_true")
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import ray
@@ -157,6 +167,20 @@ def main(argv=None):
                 lang_gate=args.lang_gate,
             )
             print(json.dumps(man["stages"], indent=1))
+        elif args.cmd == "pdf":
+            from .pipelines.queries_wave69 import _pdf_corpus
+            from .stages.pdf import pdf_metadata_batch, pdf_pipeline
+
+            corpus = _pdf_corpus(args.sf_dir)
+            if args.metadata:
+                ds = corpus.map_batches(
+                    pdf_metadata_batch, batch_format="pyarrow", batch_size=32
+                )
+            else:
+                ds = pdf_pipeline(corpus, batch_size=32)
+            ds = ds.materialize()
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
         elif args.cmd == "queries":
             from .pipelines.queries import ORACLES, QUERIES
 
