@@ -184,16 +184,20 @@ def q_good_turing_vocab(sf_dir: str):
             }
         )
 
-    rows = (
+    # count-of-counts histogram: the driver folds one row per DISTINCT
+    # FREQUENCY (≤ O(√n tokens)), never the vocabulary (r4)
+    hist = (
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
+        .groupby("c")
+        .aggregate(ray.data.aggregate.Count(alias_name="m"))
+        .take_all()  # bounded: count-of-counts cells
     )
-    v = len(rows)
-    n = sum(int(r["c"]) for r in rows)
-    n1 = sum(1 for r in rows if int(r["c"]) == 1)
-    n2 = sum(1 for r in rows if int(r["c"]) == 2)
+    v = sum(int(r["m"]) for r in hist)
+    n = sum(int(r["c"]) * int(r["m"]) for r in hist)
+    n1 = sum(int(r["m"]) for r in hist if int(r["c"]) == 1)
+    n2 = sum(int(r["m"]) for r in hist if int(r["c"]) == 2)
     p0 = float(n1) / float(n) if n else 0.0
     chao1 = (
         float(v) + float(n1 * n1) / float(2 * n2) if n2 else float(v)

@@ -227,25 +227,6 @@ def q_rocchio_expansion(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def df_partial(batch: pa.Table) -> pa.Table:
-        cnt: dict[str, int] = {}
-        for t in batch.column("text").to_pylist():
-            for tok in set((t or "").lower().split()):
-                cnt[tok] = cnt.get(tok, 0) + 1
-        ks = sorted(cnt)
-        return pa.table(
-            {
-                "tok": pa.array(ks, pa.string()),
-                "df": pa.array([cnt[k] for k in ks], pa.int64()),
-            }
-        )
-
-    df_rows = (
-        docs.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(ray.data.aggregate.Sum("df", alias_name="df"))
-        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
-    )
     n_docs = docs.count()
 
     def fb_tf(batch: pa.Table) -> pa.Table:
@@ -269,7 +250,34 @@ def q_rocchio_expansion(sf_dir: str):
         docs.map_batches(fb_tf, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("tf", alias_name="tf"))
-        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
+        .take_all()  # bounded: the FEEDBACK docs' vocabulary (k broadcast ids)
+    )
+    # corpus DF only for the feedback vocabulary (r4: the full-corpus
+    # vocabulary fold is gone — the candidate token set is broadcast and
+    # the DF pass filters BEFORE its shuffle, so both the exchange and
+    # the collect are feedback-vocab-sized)
+    fb_vocab_ref = ray.put({r["tok"] for r in tf_rows})
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(fb_vocab_ref)
+        cnt: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in set((t or "").lower().split()):
+                if tok in vocab:
+                    cnt[tok] = cnt.get(tok, 0) + 1
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "tok": pa.array(ks, pa.string()),
+                "df": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    df_rows = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(ray.data.aggregate.Sum("df", alias_name="df"))
+        .take_all()  # bounded: feedback-vocabulary rows only
     )
     df_map = {r["tok"]: int(r["df"]) for r in df_rows}
     terms = []

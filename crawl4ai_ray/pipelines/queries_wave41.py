@@ -323,17 +323,23 @@ def q_term_coherence(sf_dir: str):
             }
         )
 
-    rows = (
+    def drop_excluded(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tok").to_pylist()
+        keep = pa.array([t not in _TC_EXCLUDE for t in toks])
+        return batch.filter(keep)
+
+    # exact top-K terms by (df desc, tok asc) via distributed sort+limit
+    # (r4: the former full-vocabulary collect is gone)
+    cand = (
         docs.map_batches(df_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("df", alias_name="df"))
-        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
+        .map_batches(drop_excluded, batch_format="pyarrow")
+        .sort(["df", "tok"], descending=[True, False])
+        .limit(_TC_TOP)
+        .take_all()  # bounded: exactly the K candidate terms
     )
     n_docs = docs.count()
-    cand = sorted(
-        (r for r in rows if r["tok"] not in _TC_EXCLUDE),
-        key=lambda r: (-int(r["df"]), r["tok"]),
-    )[:_TC_TOP]
     terms = [r["tok"] for r in cand]
     dfs = {r["tok"]: int(r["df"]) for r in cand}
     tref = ray.put(terms)
