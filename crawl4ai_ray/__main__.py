@@ -18,15 +18,29 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
+    """Attach to the ambient cluster when one exists, else start local.
+
+    `ray job submit --working-dir . -- python -m crawl4ai_ray <cmd> …`
+    runs this module inside a cluster job: RAY_ADDRESS is then the
+    cluster address and we must NOT force a local instance (the
+    fixed-size multi-node deployment path of BASELINE.json's north
+    rule). The sandbox presets RAY_ADDRESS=local, so standalone runs
+    behave exactly as before."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            logging_level=logging.ERROR,
-        )
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr and addr != "local":
+            ray.init(address=addr, logging_level=logging.ERROR)
+        else:
+            ray.init(
+                address="local",
+                num_cpus=num_cpus,
+                include_dashboard=False,
+                logging_level=logging.ERROR,
+            )
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
