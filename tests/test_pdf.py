@@ -207,3 +207,34 @@ def test_pdf_extract_stage_fanout(ray_session):
     assert meta.loc[2, "n_pages"] == 1
     assert meta.loc[3, "n_pages"] == 0
     assert meta.loc[1, "producer"] == "crawl4ai_ray"
+
+
+def test_pdf_roundtrip_property():
+    """Property: for any latin-1 page text lines, writer→parser is the
+    identity on the line structure (hypothesis over weird characters,
+    parens/backslash runs, long lines, many pages)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+        min_size=0, max_size=60,
+    )
+    pages = st.lists(
+        st.lists(line, min_size=1, max_size=6), min_size=1, max_size=4
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(pages=pages, compress=st.booleans())
+    def check(pages, compress):
+        r = parse_pdf(make_pdf(pages, compress=compress))
+        assert r["metadata"]["pages"] == len(pages)
+        for pg, want in zip(r["pages"], pages):
+            # trailing empty lines are trimmed by the text-op extractor
+            # (a final bare Td emits no glyphs); interior structure exact
+            want_txt = "\n".join(want)
+            while want_txt.endswith("\n"):
+                want_txt = want_txt[:-1]
+            assert pg["raw_text"] == want_txt
+
+    check()
