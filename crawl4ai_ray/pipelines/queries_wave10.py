@@ -476,41 +476,74 @@ def q_rake_keywords(sf_dir: str):
             }
         )
 
-    wstats = (
+    # fully distributed (r4: the former vocabulary-sized word-score
+    # broadcast is gone): word stats stay a Dataset; phrase scores come
+    # from a phrase-word ⋈ word-stats bucketed lookup join
+    # (stages/agg.bucketed_lookup_join — the union+groupby join shape)
+    from ..stages.agg import bucketed_lookup_join
+
+    def word_score(batch: pa.Table) -> pa.Table:
+        freq = batch.column("freq").to_numpy(zero_copy_only=False)
+        deg = batch.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "w": batch.column("w"),
+                "wscore": pa.array(
+                    deg * 1_000_000_000 // freq, pa.int64()
+                ),
+            }
+        )
+
+    wscores = (
         docs.map_batches(word_partials, batch_format="pyarrow")
         .groupby("w")
         .aggregate(
             ray.data.aggregate.Sum("freq", alias_name="freq"),
             ray.data.aggregate.Sum("deg", alias_name="deg"),
         )
-        .take_all()  # scale-note: vocabulary-sized word-score broadcast (RAKE scores every word; web-scale path = phrase-word ⋈ word-stats bucketed join)
+        .map_batches(word_score, batch_format="pyarrow")
     )
-    score_map = {
-        r["w"]: (int(r["deg"]) * 1_000_000_000) // int(r["freq"]) for r in wstats
-    }
-    score_ref = ray.put(score_map)
 
-    def phrase_rows(batch: pa.Table) -> pa.Table:
-        scores = ray.get(score_ref)
-        p_out, s_out = [], []
+    def phrase_occurrences(batch: pa.Table) -> pa.Table:
+        p_out = []
         for text in batch.column("text").to_pylist():
             for phrase in doc_phrases(text):
                 p_out.append(" ".join(phrase))
-                s_out.append(sum(scores[w] for w in phrase))
+        return pa.table({"phrase": pa.array(p_out, pa.string())})
+
+    n_occ = (
+        docs.map_batches(phrase_occurrences, batch_format="pyarrow")
+        .groupby("phrase")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_occ"))
+        .materialize()
+    )
+
+    def phrase_words(batch: pa.Table) -> pa.Table:
+        # each DISTINCT phrase explodes into its words with multiplicity
+        # (the phrase string IS the word list)
+        ws, ps = [], []
+        for ph in batch.column("phrase").to_pylist():
+            for w in ph.split():
+                ws.append(w)
+                ps.append(ph)
         return pa.table(
-            {
-                "phrase": pa.array(p_out, pa.string()),
-                "score": pa.array(s_out, pa.int64()),
-            }
+            {"w": pa.array(ws, pa.string()), "phrase": pa.array(ps, pa.string())}
         )
 
-    agg = (
-        docs.map_batches(phrase_rows, batch_format="pyarrow")
-        .groupby("phrase")
-        .aggregate(
-            ray.data.aggregate.Count(alias_name="n_occ"),
-            ray.data.aggregate.Min("score", alias_name="score"),
+    scored = (
+        bucketed_lookup_join(
+            n_occ.select_columns(["phrase"]).map_batches(
+                phrase_words, batch_format="pyarrow"
+            ),
+            wscores,
+            key="w",
+            value_col="wscore",
         )
+        .groupby("phrase")
+        .aggregate(ray.data.aggregate.Sum("wscore", alias_name="score"))
+    )
+    agg = bucketed_lookup_join(
+        scored, n_occ, key="phrase", value_col="n_occ"
     )
 
     def finish(batch: pa.Table) -> pa.Table:

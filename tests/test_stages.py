@@ -3056,3 +3056,30 @@ def test_merkle_root_dual_path_parity(ray_session):
     with pt.raises(ValueError):
         merkle_root(mk(list(range(9))), levels=2, small_threshold=0)
     assert merkle_root(mk([]).filter(lambda r: False), levels=3) == (0, "")
+
+
+def test_bucketed_lookup_join_semantics(ray_session):
+    """stages/agg.bucketed_lookup_join: broadcast-free key join — value
+    attached to every probe row, column set preserved, string and int
+    keys both supported, missing probe keys raise."""
+    import pytest as pt
+
+    from crawl4ai_ray.stages.agg import bucketed_lookup_join
+
+    rows = ray.data.from_items(
+        [{"w": f"t{i % 5}", "payload": i} for i in range(40)]
+    ).repartition(4)
+    lk = ray.data.from_items([{"w": f"t{j}", "score": 100 + j} for j in range(5)])
+    out = bucketed_lookup_join(rows, lk, key="w", value_col="score").to_pandas()
+    assert len(out) == 40
+    assert sorted(out.columns) == ["payload", "score", "w"]
+    assert (out["score"] == 100 + out["w"].str[1:].astype(int)).all()
+
+    ints = ray.data.from_items([{"k": i % 3, "x": i} for i in range(12)])
+    ilk = ray.data.from_items([{"k": j, "v": j * 7} for j in range(3)])
+    iout = bucketed_lookup_join(ints, ilk, key="k", value_col="v").to_pandas()
+    assert (iout["v"] == iout["k"] * 7).all()
+
+    bad = ray.data.from_items([{"w": "missing", "payload": 0}])
+    with pt.raises((KeyError, Exception)):
+        bucketed_lookup_join(bad, lk, key="w", value_col="score").materialize()
