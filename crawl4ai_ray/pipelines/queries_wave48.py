@@ -151,20 +151,45 @@ def q_burrows_delta(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
-    cst: dict = {}
-    for r in parts:
-        k = (r["source"], r["tok"])
-        cst[k] = cst.get(k, 0) + int(r["c"])
-    srcs = sorted({s for s, _ in cst})
+    # distributed (r4: the former vocabulary-sized collect is gone):
+    # per-(source, tok) counts stay a Dataset; the driver folds only
+    # per-source totals (≤ sources), the exact global top-M (distributed
+    # sort+limit), and the K×M filtered cells
+    cst_ds = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .materialize()
+    )
+    ns = {
+        r["source"]: int(r["c"])
+        for r in cst_ds.groupby("source")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .take_all()  # bounded: one row per source
+    }
+    srcs = sorted(ns)
     K = len(srcs)
-    ns = {s: 0 for s in srcs}
-    glob: dict = {}
-    for (s, t), c in cst.items():
-        ns[s] += c
-        glob[t] = glob.get(t, 0) + c
-    top = sorted(glob, key=lambda t: (-glob[t], t))[:_BD_TOP]
+    top = [
+        r["tok"]
+        for r in cst_ds.groupby("tok")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .sort(["c", "tok"], descending=[True, False])
+        .limit(_BD_TOP)
+        .take_all()  # bounded: exactly the M heavy tokens
+    ]
     M = len(top)
+    top_ref = ray.put(set(top))
+
+    def only_top(batch: pa.Table) -> pa.Table:
+        ts = ray.get(top_ref)
+        keep = pa.array([t in ts for t in batch.column("tok").to_pylist()])
+        return batch.filter(keep)
+
+    cst = {
+        (r["source"], r["tok"]): int(r["c"])
+        for r in cst_ds.map_batches(only_top, batch_format="pyarrow")
+        .take_all()  # bounded: ≤ K×M cells
+    }
     # fixed-point relative frequencies, then integer z-score pieces
     fq = {
         (s, t): cst.get((s, t), 0) * _BD_FQ // ns[s] for s in srcs for t in top

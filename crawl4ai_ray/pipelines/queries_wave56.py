@@ -378,15 +378,16 @@ def q_rm3_expansion(sf_dir: str):
             }
         )
 
-    rows = (
+    # exact top-K expansion terms via distributed sort+limit (r4: the
+    # former vocabulary-sized collect is gone)
+    ordered = (
         docs.map_batches(term_scores, batch_format="pyarrow")
         .groupby("term")
         .aggregate(ray.data.aggregate.Sum("s", alias_name="weight_q"))
-        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
+        .sort(["weight_q", "term"], descending=[True, False])
+        .limit(_RM3_TOP_TERMS)
+        .take_all()  # bounded: exactly the K expansion terms
     )
-    ordered = sorted(rows, key=lambda r: (-int(r["weight_q"]), r["term"]))[
-        :_RM3_TOP_TERMS
-    ]
     return pa.table(
         {
             "term": pa.array([r["term"] for r in ordered], pa.string()),
