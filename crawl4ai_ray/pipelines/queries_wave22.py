@@ -226,26 +226,43 @@ def q_vocab_drift_chi2(sf_dir: str):
             }
         )
 
-    rows = (
+    def term_chi2(batch: pa.Table) -> pa.Table:
+        # per-token chi2 term rides with the rows (r4: the former
+        # vocabulary-sized collect is gone — the total is ONE integer
+        # aggregate, the movers cut ONE distributed sort+limit)
+        ce_ = batch.column("c_even").to_numpy(zero_copy_only=False)
+        co_ = batch.column("c_odd").to_numpy(zero_copy_only=False)
+        q = np.floor(
+            ((ce_ - co_).astype(np.float64) ** 2) / (ce_ + co_).astype(np.float64)
+            * 1e9
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "tok": batch.column("tok"),
+                "c_even": batch.column("c_even"),
+                "c_odd": batch.column("c_odd"),
+                "term_q": pa.array(q, pa.int64()),
+            }
+        )
+
+    scored = (
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(
             ray.data.aggregate.Sum("c_even", alias_name="c_even"),
             ray.data.aggregate.Sum("c_odd", alias_name="c_odd"),
         )
-        .take_all()  # |vocab| — 31 tokens on the synthetic corpus; for a  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
-        # web-scale vocab the movers cut would be a sort+limit instead
+        .map_batches(term_chi2, batch_format="pyarrow")
+        .materialize()
     )
-    terms = []
-    total_q = 0
-    for r in rows:
-        ce_, co_ = int(r["c_even"]), int(r["c_odd"])
-        term = float((ce_ - co_) ** 2) / float(ce_ + co_)
-        q = math.floor(term * 1e9 + 0.5)
-        total_q += q
-        terms.append((r["tok"], ce_, co_, q))
-    terms.sort(key=lambda x: (-x[3], x[0]))
-    top = terms[:_VD_TOP]
+    total_q = int(scored.sum("term_q"))
+    top = [
+        (r["tok"], int(r["c_even"]), int(r["c_odd"]), int(r["term_q"]))
+        for r in scored.sort(["term_q", "tok"], descending=[True, False])
+        .limit(_VD_TOP)
+        .take_all()  # bounded: exactly the K mover rows
+    ]
     chi2 = float(total_q) / 1e9
     n = len(top)
     return pa.table(

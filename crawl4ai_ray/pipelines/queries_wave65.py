@@ -225,10 +225,11 @@ def q_percolation_curve(sf_dir: str):
         sizes = (
             comp.groupby("component")
             .aggregate(ray.data.aggregate.Count(alias_name="c"))
-            .take_all()  # scale-note: component-count-sized fold (≤ #components; web-scale path = groupby-topk on the sizes Dataset)
+            .materialize()
         )
-        largest = max(int(r["c"]) for r in sizes)
-        rows.append((keep, n_edges, len(sizes), largest))
+        # two scalar aggregates — no component-sized collect (r4)
+        largest = int(sizes.max("c"))
+        rows.append((keep, n_edges, int(sizes.count()), largest))
     return pa.table(
         {
             "keep_pct": pa.array([r[0] for r in rows], pa.int64()),
