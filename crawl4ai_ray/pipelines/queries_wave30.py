@@ -71,20 +71,49 @@ def q_kneser_ney_bigrams(sf_dir: str):
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
         .materialize()
     )
-    # marginals: tiny (|vocab|-sized) folds off the bigram aggregate
-    rows = big.take_all()  # scale-note: bigram-vocabulary-sized fold (web-scale path = PMI's DF-broadcast plan in stages/textstats.pmi_pairs)
-    c_w1: dict[str, int] = {}
-    n1_fwd: dict[str, int] = {}
-    n1_bwd: dict[str, int] = {}
-    n_types = 0
-    for r in rows:
-        c_w1[r["w1"]] = c_w1.get(r["w1"], 0) + int(r["c"])
-        n1_fwd[r["w1"]] = n1_fwd.get(r["w1"], 0) + 1
-        n1_bwd[r["w2"]] = n1_bwd.get(r["w2"], 0) + 1
-        n_types += 1
-    top = sorted(rows, key=lambda r: (-int(r["c"]), r["w1"], r["w2"]))[
-        :_KN_TOP
-    ]
+    # r4: the bigram-vocabulary collect is gone — exact top-K via
+    # distributed sort+limit; n_types via ONE count; marginals computed
+    # distributed and collected ONLY for the top rows' w1/w2 sets
+    n_types = big.count()
+    top = (
+        big.sort(["c", "w1", "w2"], descending=[True, False, False])
+        .limit(_KN_TOP)
+        .take_all()  # bounded: exactly the K bigram rows
+    )
+    w1s = ray.put({r["w1"] for r in top})
+    w2s = ray.put({r["w2"] for r in top})
+
+    def keep_w1(batch: pa.Table) -> pa.Table:
+        ks = ray.get(w1s)
+        return batch.filter(
+            pa.array([w in ks for w in batch.column("w1").to_pylist()])
+        )
+
+    def keep_w2(batch: pa.Table) -> pa.Table:
+        ks = ray.get(w2s)
+        return batch.filter(
+            pa.array([w in ks for w in batch.column("w2").to_pylist()])
+        )
+
+    fwd = {
+        r["w1"]: (int(r["c_ctx"]), int(r["n1"]))
+        for r in big.map_batches(keep_w1, batch_format="pyarrow")
+        .groupby("w1")
+        .aggregate(
+            ray.data.aggregate.Sum("c", alias_name="c_ctx"),
+            ray.data.aggregate.Count(alias_name="n1"),
+        )
+        .take_all()  # bounded: ≤ K distinct w1 rows
+    }
+    n1_bwd = {
+        r["w2"]: int(r["n1"])
+        for r in big.map_batches(keep_w2, batch_format="pyarrow")
+        .groupby("w2")
+        .aggregate(ray.data.aggregate.Count(alias_name="n1"))
+        .take_all()  # bounded: ≤ K distinct w2 rows
+    }
+    c_w1 = {w: v[0] for w, v in fwd.items()}
+    n1_fwd = {w: v[1] for w, v in fwd.items()}
     out = {"w1": [], "w2": [], "c": [], "c_ctx": [], "n1_fwd": [],
            "n1_bwd": [], "kn_q": []}
     for r in top:
