@@ -61,9 +61,23 @@ class URLFilter:
 
 
 class URLPatternFilter(URLFilter):
-    """Glob/regex URL pattern filter (filters.py:117-230 semantics):
-    '*.html' suffix, '/foo/*' prefix, '*.example.com' domain patterns,
-    regex passthrough for ^...$ / \\d patterns, glob for the rest.
+    """Glob/regex URL pattern filter — the reference's full category
+    machinery (filters.py:117-256): patterns classify as
+
+    - REGEX (``^...``/``...$``/``\\d``): compiled raw, ``search``;
+    - SUFFIX (one ``*``, ``*.ext``): extension lookup on
+      ``url.split('?')[0].split('/')[-1].split('.')[-1]``;
+    - PREFIX (one ``*``, ``.../*``): prefix match on ``url.split('?')[0]``
+      with PATH-BOUNDARY checking — the prefix must be followed by
+      ``/``, ``?``, ``#`` or end-of-path, so ``/api/*`` matches
+      ``/api?x=1`` and ``/api#frag`` but never ``/apiv2/``
+      (filters.py:228-243, r4 parity fix — the old glob translation
+      demanded a literal ``/``);
+    - DOMAIN (``*.host`` with ``://``): ``*.`` -> ``[^/]+\\.`` regex,
+      anchored match;
+    - PATH (everything else): ``**``->``.*``, ``{a,b}``->``(a|b)``,
+      fnmatch translation, ``search`` (reference :249).
+
     ``reverse=True`` inverts (block-list)."""
 
     def __init__(self, patterns, use_glob: bool = True, reverse: bool = False):
@@ -71,24 +85,60 @@ class URLPatternFilter(URLFilter):
         if isinstance(patterns, (str, re.Pattern)):
             patterns = [patterns]
         self._reverse = reverse
-        # (compiled_pattern, use_search) — raw regexes use search(), glob
-        # patterns are fullmatch-style via fnmatch.translate + match().
-        self._matchers: list[tuple[re.Pattern, bool]] = []
+        self._suffixes = set()
+        self._prefixes = set()
+        self._domain_patterns = []
+        self._path_patterns = []
         for p in patterns:
             if isinstance(p, re.Pattern):
-                self._matchers.append((p, True))
-            elif p.startswith("^") or p.endswith("$") or "\\d" in p:
-                self._matchers.append((re.compile(p), True))
-            else:
-                self._matchers.append((re.compile(fnmatch.translate(p)), False))
+                self._path_patterns.append(p)
+                continue
+            if p.startswith("^") or p.endswith("$") or "\\d" in p:
+                self._path_patterns.append(re.compile(p))
+                continue
+            if p.count("*") == 1 and p.startswith("*."):
+                self._suffixes.add(p[2:])
+                continue
+            if p.count("*") == 1 and p.endswith("/*"):
+                self._prefixes.add(p[:-2])
+                continue
+            if "://" in p and p.startswith("*."):
+                self._domain_patterns.append(
+                    re.compile(p.replace("*.", r"[^/]+\."))
+                )
+                continue
+            if "**" in p:
+                p = p.replace("**", ".*")
+            if "{" in p:
+                p = re.sub(
+                    r"\{([^}]+)\}",
+                    lambda m: "(" + "|".join(m.group(1).split(",")) + ")",
+                    p,
+                )
+            self._path_patterns.append(re.compile(fnmatch.translate(p)))
+
+    def _match_one(self, u: str) -> bool:
+        if self._suffixes:
+            path = u.split("?")[0]
+            if path.split("/")[-1].split(".")[-1] in self._suffixes:
+                return True
+        for dp in self._domain_patterns:
+            if dp.match(u):
+                return True
+        if self._prefixes:
+            path = u.split("?")[0]
+            for prefix in self._prefixes:
+                if path.startswith(prefix) and (
+                    len(path) == len(prefix)
+                    or path[len(prefix)] in ("/", "?", "#")
+                ):
+                    return True
+        return any(pp.search(u) for pp in self._path_patterns)
 
     def _mask(self, urls):
         out = np.zeros(len(urls), dtype=bool)
         for i, u in enumerate(urls):
-            out[i] = any(
-                (r.search(u) if use_search else r.match(u)) is not None
-                for r, use_search in self._matchers
-            )
+            out[i] = self._match_one(u)
         if self._reverse:
             out = ~out
         return out

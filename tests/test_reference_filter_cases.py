@@ -477,3 +477,62 @@ def test_bm25_headers_are_candidates_current_semantics():
     assert "article title" in combined
     assert "long paragraph with sufficient words" in combined
     assert "section 1" not in combined
+
+
+def test_url_pattern_prefix_boundary_matching():
+    """Reference tests/general/test_url_pattern.py::test_prefix_boundary
+    _matching — a '/*'-suffixed pattern matches only complete path
+    segments: the prefix must be followed by '/', '?', '#' or end of
+    path (filters.py:228-243; r4 parity fix — our old glob translation
+    demanded a literal '/')."""
+    from crawl4ai_ray.functions.filters import URLPatternFilter
+
+    f = URLPatternFilter(patterns=["https://langchain-ai.github.io/langgraph/*"])
+    for url, expected in [
+        ("https://langchain-ai.github.io/langgraph/", True),
+        ("https://langchain-ai.github.io/langgraph/concepts/", True),
+        ("https://langchain-ai.github.io/langgraph/tutorials/", True),
+        ("https://langchain-ai.github.io/langgraph?param=1", True),
+        ("https://langchain-ai.github.io/langgraph#section", True),
+        ("https://langchain-ai.github.io/langgraphjs/", False),
+        ("https://langchain-ai.github.io/langgraphjs/concepts/", False),
+        ("https://other-site.com/langgraph/", False),
+    ]:
+        assert f.apply(url) == expected, (url, expected)
+
+
+def test_url_pattern_boundary_edge_cases():
+    """Reference test_url_pattern.py::test_edge_cases — '/api/*' never
+    matches '/apiv2/' or '/api_old/'; '*/docs/*' (a PATH-class glob)
+    keeps exact-segment semantics."""
+    from crawl4ai_ray.functions.filters import URLPatternFilter
+
+    for pattern, cases in [
+        ("/api/*", [
+            ("/api/", True), ("/api/v1", True), ("/api?param=1", True),
+            ("/apiv2/", False), ("/api_old/", False),
+        ]),
+        ("*/docs/*", [
+            ("example.com/docs/", True), ("example.com/docs/guide", True),
+            ("example.com/documentation/", False),
+            ("example.com/docs_old/", False),
+        ]),
+    ]:
+        f = URLPatternFilter(patterns=[pattern])
+        for url, expected in cases:
+            assert f.apply(url) == expected, (pattern, url, expected)
+
+
+def test_url_pattern_suffix_and_domain_categories():
+    """The reference's SUFFIX ('*.ext' extension lookup) and DOMAIN
+    ('*.host' → [^/]+\\. anchored regex) categories (filters.py:157-192)."""
+    from crawl4ai_ray.functions.filters import URLPatternFilter
+
+    sfx = URLPatternFilter(patterns=["*.html"])
+    assert sfx.apply("https://x.com/a/page.html")
+    assert sfx.apply("https://x.com/a/page.html?q=1")  # query stripped
+    assert not sfx.apply("https://x.com/a/page.htm")
+
+    dom = URLPatternFilter(patterns=["https://*.example.com/*"])
+    assert dom.apply("https://sub.example.com/anything")
+    assert not dom.apply("https://example.org/x")
