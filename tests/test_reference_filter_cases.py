@@ -536,3 +536,53 @@ def test_url_pattern_suffix_and_domain_categories():
     dom = URLPatternFilter(patterns=["https://*.example.com/*"])
     assert dom.apply("https://sub.example.com/anything")
     assert not dom.apply("https://example.org/x")
+
+
+def test_url_pattern_reference_accuracy_matrix():
+    """The reference's own pattern-filter accuracy matrix
+    (tests/general/test_deep_crawl_filters.py::test_pattern_filter):
+    suffix, path-glob, char-class, multi-pattern, catch-all, and raw
+    regex — all 23 (pattern, url) expectations."""
+    from crawl4ai_ray.functions.filters import URLPatternFilter
+
+    cases = [
+        ("*.html", {
+            "https://example.com/page.html": True,
+            "https://example.com/path/doc.html": True,
+            "https://example.com/page.htm": False,
+            "https://example.com/page.html?param=1": True,
+        }),
+        ("*/article/*", {
+            "https://example.com/article/123": True,
+            "https://example.com/blog/article/456": True,
+            "https://example.com/articles/789": False,
+            "https://example.com/article": False,
+        }),
+        ("blog-*-[0-9]", {
+            "https://example.com/blog-post-1": True,
+            "https://example.com/blog-test-9": True,
+            "https://example.com/blog-post": False,
+            "https://example.com/blog-post-x": False,
+        }),
+        (["*.pdf", "*/download/*"], {
+            "https://example.com/doc.pdf": True,
+            "https://example.com/download/file.txt": True,
+            "https://example.com/path/download/doc": True,
+            "https://example.com/uploads/file.txt": False,
+        }),
+        ("*", {
+            "https://example.com": True,
+            "": True,
+            "http://test.com/path": True,
+        }),
+        (r"^https?://.*\.example\.com/\d+", {
+            "https://sub.example.com/123": True,
+            "http://test.example.com/456": True,
+            "https://example.com/789": False,
+            "https://sub.example.com/abc": False,
+        }),
+    ]
+    for pat, urls in cases:
+        f = URLPatternFilter(pat)
+        for u, want in urls.items():
+            assert f.apply(u) == want, (pat, u, want)
