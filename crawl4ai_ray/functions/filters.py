@@ -185,18 +185,59 @@ class ContentTypeFilter(URLFilter):
     filename → pass, assumed html); allowed when the extension's MIME type
     contains any allowed type substring."""
 
+    # the reference's full extension → MIME table (filters.py:263-352),
+    # incl. the literal "unknown" → octet-stream fallback entry its own
+    # tests probe (file.unknown passes an octet-stream filter; zip/exe
+    # do not)
     _MIME_MAP = {
         "txt": "text/plain", "html": "text/html", "htm": "text/html",
-        "xhtml": "application/xhtml+xml", "css": "text/css", "csv": "text/csv",
+        "xhtml": "application/xhtml+xml", "css": "text/css",
+        "csv": "text/csv", "ics": "text/calendar",
         "js": "application/javascript",
         "bmp": "image/bmp", "gif": "image/gif", "jpeg": "image/jpeg",
         "jpg": "image/jpeg", "png": "image/png", "svg": "image/svg+xml",
-        "webp": "image/webp", "ico": "image/x-icon",
+        "tiff": "image/tiff", "ico": "image/x-icon", "webp": "image/webp",
         "mp3": "audio/mpeg", "wav": "audio/wav", "ogg": "audio/ogg",
+        "m4a": "audio/mp4", "aac": "audio/aac",
         "mp4": "video/mp4", "mpeg": "video/mpeg", "webm": "video/webm",
+        "avi": "video/x-msvideo", "mov": "video/quicktime",
+        "flv": "video/x-flv", "wmv": "video/x-ms-wmv",
+        "mkv": "video/x-matroska",
         "json": "application/json", "xml": "application/xml",
         "pdf": "application/pdf", "zip": "application/zip",
-        "gz": "application/gzip", "doc": "application/msword",
+        "gz": "application/gzip", "tar": "application/x-tar",
+        "rar": "application/vnd.rar", "7z": "application/x-7z-compressed",
+        "exe": "application/vnd.microsoft.portable-executable",
+        "msi": "application/x-msdownload",
+        "woff": "font/woff", "woff2": "font/woff2", "ttf": "font/ttf",
+        "otf": "font/otf",
+        "doc": "application/msword", "dot": "application/msword",
+        "docx": "application/vnd.openxmlformats-officedocument."
+                "wordprocessingml.document",
+        "xlsx": "application/vnd.openxmlformats-officedocument."
+                "spreadsheetml.sheet",
+        "xls": "application/vnd.ms-excel",
+        "ppt": "application/vnd.ms-powerpoint",
+        "pptx": "application/vnd.openxmlformats-officedocument."
+                "presentationml.presentation",
+        "odt": "application/vnd.oasis.opendocument.text",
+        "ods": "application/vnd.oasis.opendocument.spreadsheet",
+        "odp": "application/vnd.oasis.opendocument.presentation",
+        "tar.gz": "application/gzip", "tgz": "application/gzip",
+        "bz2": "application/x-bzip2",
+        "rtf": "application/rtf",
+        "apk": "application/vnd.android.package-archive",
+        "epub": "application/epub+zip", "jar": "application/java-archive",
+        "swf": "application/x-shockwave-flash",
+        "midi": "audio/midi", "mid": "audio/midi",
+        "ps": "application/postscript", "ai": "application/postscript",
+        "eps": "application/postscript",
+        "bin": "application/octet-stream",
+        "dmg": "application/x-apple-diskimage",
+        "iso": "application/x-iso9660-image",
+        "deb": "application/x-debian-package", "rpm": "application/x-rpm",
+        "sqlite": "application/vnd.sqlite3",
+        "unknown": "application/octet-stream",
         "php": "application/x-httpd-php",
     }
 

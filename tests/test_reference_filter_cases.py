@@ -586,3 +586,39 @@ def test_url_pattern_reference_accuracy_matrix():
         f = URLPatternFilter(pat)
         for u, want in urls.items():
             assert f.apply(u) == want, (pat, u, want)
+
+
+def test_content_type_reference_accuracy_matrix():
+    """The reference's content-type filter matrix
+    (tests/general/test_deep_crawl_filters.py::test_content_type_filter):
+    single/multi allowed types, extension-less URLs pass, and the
+    literal 'unknown' extension maps to octet-stream while zip/exe map
+    to their own types (full MIME table synced, filters.py:263-352)."""
+    from crawl4ai_ray.functions.filters import ContentTypeFilter
+
+    cases = [
+        ("image/png", {
+            "https://example.com/image.png": True,
+            "https://example.com/photo.jpg": False,
+            "https://example.com/document.pdf": False,
+        }),
+        (["image/jpeg", "application/pdf"], {
+            "https://example.com/photo.jpg": True,
+            "https://example.com/document.pdf": True,
+            "https://example.com/script.js": False,
+        }),
+        ("application/json", {
+            "https://example.com/api/data": True,
+            "https://example.com/data.json": True,
+            "https://example.com/page.html": False,
+        }),
+        ("application/octet-stream", {
+            "https://example.com/file.unknown": True,
+            "https://example.com/archive.zip": False,
+            "https://example.com/software.exe": False,
+        }),
+    ]
+    for allowed, urls in cases:
+        f = ContentTypeFilter(allowed_types=allowed)
+        for u, want in urls.items():
+            assert f.apply(u) == want, (allowed, u, want)
