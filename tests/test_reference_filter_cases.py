@@ -622,3 +622,80 @@ def test_content_type_reference_accuracy_matrix():
         f = ContentTypeFilter(allowed_types=allowed)
         for u, want in urls.items():
             assert f.apply(u) == want, (allowed, u, want)
+
+
+def test_scorer_reference_accuracy_matrix():
+    """The reference's scorer matrix
+    (tests/general/test_deep_crawl_scorers.py::test_scorers): keyword
+    hit ratios, path-depth distance curve, content-type regex weights,
+    URL-date freshness ladder, and domain-authority table — all 20
+    (scorer, url, score) expectations to 1e-6."""
+    from crawl4ai_ray.functions.filters import (
+        ContentTypeScorer,
+        DomainAuthorityScorer,
+        FreshnessScorer,
+        KeywordRelevanceScorer,
+        PathDepthScorer,
+    )
+
+    matrix = [
+        (
+            KeywordRelevanceScorer(
+                keywords=["python", "blog"], weight=1.0, case_sensitive=False
+            ),
+            {
+                "https://example.com/python-blog": 1.0,
+                "https://example.com/PYTHON-BLOG": 1.0,
+                "https://example.com/python-only": 0.5,
+                "https://example.com/other": 0.0,
+            },
+        ),
+        (
+            PathDepthScorer(optimal_depth=2, weight=1.0),
+            {
+                "https://example.com/a/b": 1.0,
+                "https://example.com/a": 0.5,
+                "https://example.com/a/b/c": 0.5,
+                "https://example.com": 0.33333333,
+            },
+        ),
+        (
+            ContentTypeScorer(
+                type_weights={".html$": 1.0, ".pdf$": 0.8, ".jpg$": 0.6},
+                weight=1.0,
+            ),
+            {
+                "https://example.com/doc.html": 1.0,
+                "https://example.com/doc.pdf": 0.8,
+                "https://example.com/img.jpg": 0.6,
+                "https://example.com/other.txt": 0.0,
+            },
+        ),
+        (
+            FreshnessScorer(weight=1.0),
+            {
+                "https://example.com/2024/01/post": 1.0,
+                "https://example.com/2023/12/post": 0.9,
+                "https://example.com/2022/post": 0.8,
+                "https://example.com/no-date": 0.5,
+            },
+        ),
+        (
+            DomainAuthorityScorer(
+                domain_weights={
+                    "python.org": 1.0, "github.com": 0.8, "medium.com": 0.6
+                },
+                default_weight=0.3,
+                weight=1.0,
+            ),
+            {
+                "https://python.org/about": 1.0,
+                "https://github.com/repo": 0.8,
+                "https://medium.com/post": 0.6,
+                "https://unknown.com": 0.3,
+            },
+        ),
+    ]
+    for scorer, urls in matrix:
+        for u, want in urls.items():
+            assert abs(scorer.score(u) - want) < 1e-6, (scorer, u, want)
