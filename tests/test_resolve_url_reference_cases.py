@@ -50,3 +50,44 @@ def test_invalid_base_scheme():
 def test_invalid_base_netloc():
     with pytest.raises(ValueError, match="Invalid base URL format"):
         resolve_url("page.html", "not-a-url")
+
+
+def test_normalize_url_live_definition_semantics():
+    """r4 audit of reference tests/test_normalize_url.py: that file
+    targets the DEAD first `normalize_url` (utils.py:2102-2117 — shadowed
+    by the canonical redefinition at :2122, which is what every reference
+    call site actually binds). We mirror the LIVE definition, so where
+    the stale test file and the live code disagree, we follow the code:
+    empty href → None (not the base), fragments dropped by default
+    (keep_fragment=False), tracking params stripped, query keys sorted."""
+    from crawl4ai_ray.functions.urls import normalize_url
+
+    # live-definition behaviors the stale reference test contradicts
+    assert normalize_url("", "http://example.com/base/") is None
+    assert (
+        normalize_url("page.html#section", "http://example.com/")
+        == "http://example.com/page.html"
+    )
+    assert (
+        normalize_url("page.html#section", "http://example.com/",
+                      keep_fragment=True)
+        == "http://example.com/page.html#section"
+    )
+    # behaviors both agree on (urljoin semantics)
+    assert (
+        normalize_url("../other.html", "http://example.com/base/current/")
+        == "http://example.com/base/other.html"
+    )
+    assert (
+        normalize_url("page.html", "http://example.com/base")
+        == "http://example.com/page.html"
+    )
+    assert (
+        normalize_url("  page.html  ", "http://example.com/")
+        == "http://example.com/page.html"
+    )
+    # live-only canonicalizations
+    assert (
+        normalize_url("a.html?utm_source=x&b=2&a=1", "http://example.com/")
+        == "http://example.com/a.html?a=1&b=2"
+    )
