@@ -405,3 +405,44 @@ def test_cuckoo_seen_add_idempotent_and_grows(ray_session):
         assert not seen.check(["https://r.com/never"]).any()
     finally:
         seen.shutdown()
+
+
+def test_robots_rules_reference_semantics():
+    """The reference's robots test matrix
+    (tests/general/test_robot_parser.py, network parts elided): normal
+    Allow/Disallow precedence, crawl-delay'd rules, malformed text
+    handled without crashing (permissive), empty rules allow all, and a
+    giant (10k-line) rules file still evaluates. Our RobotsFilterBatch
+    wraps the same stdlib engine the reference's RobotsParser does
+    (utils.py:313-365)."""
+    import pyarrow as pa
+
+    from crawl4ai_ray.state.politeness import RobotsFilterBatch
+
+    normal = "User-agent: *\nDisallow: /private/\nAllow: /public/\n"
+    host = "site0.example.com"
+
+    def allowed(rules: str, path: str) -> bool:
+        f = RobotsFilterBatch({host: rules})
+        out = f(pa.table({"url": pa.array([f"https://{host}{path}"])}))
+        return bool(out.column("allowed")[0].as_py())
+
+    assert allowed(normal, "/public/page.html")
+    assert not allowed(normal, "/private/secret.html")
+    assert allowed(normal, "/other/page.html")  # undeclared → allowed
+
+    # malformed: garbage lines must not crash; behavior is permissive
+    malformed = "This is not\x00 a valid robots.txt\n<<<>>>\nDisallow run amok"
+    assert allowed(malformed, "/anything")
+
+    # empty rules → allow everything
+    assert allowed("", "/private/secret.html")
+
+    # giant rules file (the reference's 10k-line case): full deny wins
+    giant = "User-agent: *\nDisallow: /\n" * 10_000
+    assert not allowed(giant, "/any/path")
+
+    # unknown host (no rules registered) → allowed
+    f = RobotsFilterBatch({host: normal})
+    out = f(pa.table({"url": pa.array(["https://other.example.com/private/x"])}))
+    assert bool(out.column("allowed")[0].as_py())
