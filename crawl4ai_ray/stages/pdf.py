@@ -159,7 +159,6 @@ def _stream_payload(body: bytes) -> bytes | None:
         return body[start : start + int(m.group(1))]
     sm = _STREAM_RE.search(body)
     return sm.group(1) if sm else None
-_REF_RE = re.compile(rb"/%s\s+(\d+)\s+\d+\s+R")
 
 
 def _ref(dict_bytes: bytes, key: str) -> int | None:
