@@ -16,7 +16,6 @@ Registered into the main query/oracle registries via ``register()``.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray
