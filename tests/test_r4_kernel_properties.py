@@ -169,3 +169,81 @@ def test_bounded_sssp_matches_brute_force(ray_session, n, m, rounds, seed):
                                   small_threshold=small).take_all()
         }
         assert got == want, f"small={small}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    nkeys=st.integers(1, 24),
+    levels=st.integers(5, 8),
+    seed=st.integers(0, 10_000),
+)
+def test_merkle_root_matches_brute_force(ray_session, nkeys, levels, seed):
+    """merkle_root (both paths) against a scalar fold over random sparse
+    key sets — key order, odd promotions and level count all exercised."""
+    import hashlib as hl
+
+    from crawl4ai_ray.stages.merkle import merkle_root
+
+    rng = np.random.RandomState(seed)
+    keys = sorted(set(rng.randint(0, 10_000, nkeys).tolist()))
+    hashes = {k: hl.md5(f"leaf{k}".encode()).hexdigest() for k in keys}
+    lv = [hashes[k] for k in keys]
+    for _ in range(levels):
+        lv = [
+            hl.md5((lv[i] + lv[i + 1]).encode()).hexdigest()
+            if i + 1 < len(lv) else lv[i]
+            for i in range(0, len(lv), 2)
+        ]
+    want = (len(keys), lv[0])
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(keys, pa.int64()),
+                "h": pa.array([hashes[k] for k in keys], pa.string()),
+            }
+        )
+    ).repartition(3)
+    assert merkle_root(ds, levels=levels) == want
+    assert merkle_root(ds, levels=levels, small_threshold=0,
+                       num_partitions=3) == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    nrows=st.integers(1, 60),
+    nkeys=st.integers(1, 9),
+    seed=st.integers(0, 10_000),
+)
+def test_bucketed_lookup_join_random(ray_session, nrows, nkeys, seed):
+    """bucketed_lookup_join on random probe multisets: every probe row
+    keeps its payload and gains exactly its key's value."""
+    from crawl4ai_ray.stages.agg import bucketed_lookup_join
+
+    rng = np.random.RandomState(seed)
+    keys = [f"k{i}" for i in range(nkeys)]
+    probe_keys = [keys[i] for i in rng.randint(0, nkeys, nrows)]
+    rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "w": pa.array(probe_keys, pa.string()),
+                "payload": pa.array(np.arange(nrows, dtype=np.int64)),
+            }
+        )
+    ).repartition(4)
+    lk = ray.data.from_arrow(
+        pa.table(
+            {
+                "w": pa.array(keys, pa.string()),
+                "val": pa.array([hash(k) % 997 for k in keys], pa.int64()),
+            }
+        )
+    )
+    out = bucketed_lookup_join(rows, lk, key="w", value_col="val").take_all()
+    assert len(out) == nrows
+    vmap = {k: hash(k) % 997 for k in keys}
+    seen_payloads = set()
+    for r in out:
+        assert int(r["val"]) == vmap[r["w"]]
+        seen_payloads.add(int(r["payload"]))
+    assert seen_payloads == set(range(nrows))  # no row lost or duplicated
