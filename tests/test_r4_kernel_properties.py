@@ -247,3 +247,38 @@ def test_bucketed_lookup_join_random(ray_session, nrows, nkeys, seed):
         assert int(r["val"]) == vmap[r["w"]]
         seen_payloads.add(int(r["payload"]))
     assert seen_payloads == set(range(nrows))  # no row lost or duplicated
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ndocs=st.integers(1, 30),
+    vocab_k=st.integers(1, 12),
+    seed=st.integers(0, 10_000),
+)
+def test_lm_vocab_selection_random(ray_session, ndocs, vocab_k, seed):
+    """The distributed exact top-k vocab selection (r4 rewrite) against a
+    scalar Counter on random corpora — tie-breaks (count desc, token asc)
+    and totals must match for any vocab_k, including k > |vocab|."""
+    from collections import Counter
+
+    from crawl4ai_ray.stages.lmscore import _select_vocab, token_counts
+
+    rng = np.random.RandomState(seed)
+    words = [f"w{i:02d}" for i in range(15)]
+    docs = [
+        {
+            "doc_id": i,
+            "text": " ".join(words[j] for j in rng.randint(0, 15, rng.randint(0, 12))),
+        }
+        for i in range(ndocs)
+    ]
+    truth = Counter()
+    for d in docs:
+        truth.update(d["text"].split())
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k]
+
+    ds = ray.data.from_items(docs).repartition(3)
+    kept, n_total, v_distinct = _select_vocab(token_counts(ds), vocab_k)
+    assert kept == expect
+    assert n_total == sum(truth.values())
+    assert v_distinct == len(truth)
