@@ -176,7 +176,26 @@ def q_pdf_markdown_stats(sf_dir: str):
     crafted academic-paper text in tests/test_pdf.py."""
     from ..stages.pdf import pdf_pipeline
 
-    out = pdf_pipeline(_pdf_corpus(sf_dir), batch_size=32)
+    def check_alphabet(batch: pa.Table) -> pa.Table:
+        # distributed precondition guard: the oracle's exact md mirror
+        # is only valid while no structuring trigger characters exist;
+        # fail loudly if the corpus ever grows them (r4)
+        import re as _re
+
+        for t in batch.column("text").to_pylist():
+            if t and _re.search(r"[^a-z ]", t):
+                raise ValueError(
+                    "pdf_markdown_stats: corpus text outside [a-z ] — the "
+                    "title-rule-only oracle precondition no longer holds"
+                )
+        return batch
+
+    guarded = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(check_alphabet, batch_format="pyarrow").map_batches(
+        _synth_pdf_batch, batch_format="pyarrow", batch_size=64
+    )
+    out = pdf_pipeline(guarded, batch_size=32)
 
     def md_stats(batch: pa.Table) -> pa.Table:
         md = batch.column("markdown").to_pylist()
