@@ -107,9 +107,15 @@ def main(sizes=(200_000, 1_000_000)):
 
 if __name__ == "__main__":
     if not ray.is_initialized():
+        import os
+
+        # clamp: an argv typo like "200000" (docs, not cpus) must not
+        # ask the raylet for 200k workers — that fork-bombs the box
+        # (r4 incident: raylet died with EAGAIN, load avg 100)
+        want = int(sys.argv[1]) if len(sys.argv) > 1 else 32
         ray.init(
             address="local",
-            num_cpus=int(sys.argv[1]) if len(sys.argv) > 1 else 32,
+            num_cpus=max(1, min(want, os.cpu_count() or 32)),
             include_dashboard=False,
             logging_level="ERROR",
         )
