@@ -84,8 +84,12 @@ def _frontier_from_seeds(seeds: list[str]) -> pa.Table:
 
 def _default_memory_probe() -> float:
     """Memory percent for the pressure ladder: psutil when present (the
-    reference's signal, async_dispatcher.py:148), else Ray object-store
-    fill as the cluster-native stand-in."""
+    reference's signal, async_dispatcher.py:148), else /proc/meminfo —
+    the same system-memory-percent semantics psutil reports, so the
+    ladder stays meaningful without psutil. (Ray's
+    available_resources()['object_store_memory'] is NOT used: it tracks
+    logical resource reservations, not actual store fill, and reads ~0%
+    forever — r4 ADVICE.)"""
     try:
         import psutil
 
@@ -93,11 +97,21 @@ def _default_memory_probe() -> float:
     except ImportError:
         pass
     try:
-        avail = ray.available_resources().get("object_store_memory", 0.0)
-        total = ray.cluster_resources().get("object_store_memory", 0.0)
+        info: dict[str, int] = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2 and parts[0].endswith(":"):
+                    info[parts[0][:-1]] = int(parts[1])  # kB
+        total = info.get("MemTotal", 0)
+        # psutil's percent = (total - available) / total
+        avail = info.get(
+            "MemAvailable",
+            info.get("MemFree", 0) + info.get("Buffers", 0) + info.get("Cached", 0),
+        )
         if total > 0:
             return 100.0 * (1.0 - avail / total)
-    except Exception:
+    except OSError:
         pass
     return 0.0
 

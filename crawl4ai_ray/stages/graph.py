@@ -1771,7 +1771,9 @@ def bounded_sssp(
                 di = np.searchsorted(nd, ed)
                 ww = edf["w"].to_numpy(dtype=np.int64)
                 d = np.full(m, inf, np.int64)
-                d[np.searchsorted(nd, source)] = 0
+                src_i = np.searchsorted(nd, source)
+                if src_i < m and nd[src_i] == source:
+                    d[src_i] = 0
                 for _ in range(rounds):
                     fin = d[si] < inf
                     nd_arr = d.copy()

@@ -111,10 +111,12 @@ def sessionize(
         ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = len(u)
         if n == 0:
-            z = np.zeros(0, np.int64)
             return pa.table(
-                {id_col: pa.array(z), user_col: pa.array(z),
-                 "session_idx": pa.array(z)}
+                {
+                    id_col: pa.array([], g.column(id_col).type),
+                    user_col: pa.array([], g.column(user_col).type),
+                    "session_idx": pa.array([], pa.int64()),
+                }
             )
         new_user = np.r_[True, u[1:] != u[:-1]]
         new_sess = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap_us]

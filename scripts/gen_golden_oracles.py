@@ -449,3 +449,7 @@ def main() -> None:
         _json.dump({"__doc__": doc, "golden_sql": goldens}, f, indent=1)
     print("wrote crawl4ai_ray/pipelines/golden_sf001.json")
     ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
