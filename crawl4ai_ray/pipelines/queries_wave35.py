@@ -210,6 +210,9 @@ FROM r{k} a JOIN {prev} b ON b.node = a.node"""
 
 _NS_POWER = 0.75
 _NS_DRAWS = 2000
+# sampler support cap — far above any test-scale vocabulary (output is
+# exact vs the SQL oracle below it); the web-scale driver bound
+_NS_VOCAB_K = 1 << 18
 
 
 def q_neg_sampling_dist(sf_dir: str):
@@ -226,10 +229,15 @@ def q_neg_sampling_dist(sf_dir: str):
     draw is an integer mod + range lookup — both engines draw the
     IDENTICAL tokens. expected = B·w/W is the one mirrored division.
 
-    Distributed shape: ONE token-count groupby; the CDF (|vocab| rows)
-    broadcasts; draws partial-count map-side and close with one tiny
-    groupby.
+    Distributed shape: ONE token-count groupby; vocab selection is the
+    exact distributed sort+limit of ``stages.lmscore._select_vocab``
+    (driver holds ≤ _NS_VOCAB_K rows — at web scale the sampler runs
+    over the top-K support, the standard word2vec vocabulary cap); the
+    CDF (≤ K rows) broadcasts; draws partial-count map-side and close
+    with one tiny groupby.
     """
+    from ..stages.lmscore import _select_vocab
+
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
@@ -247,15 +255,17 @@ def q_neg_sampling_dist(sf_dir: str):
             }
         )
 
-    rows = (
+    cnts = (
         docs.map_batches(partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
-        .take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
+        .rename_columns({"tok": "w"})
     )
-    rows.sort(key=lambda r: r["tok"])
-    toks = [r["tok"] for r in rows]
-    counts = np.array([int(r["c"]) for r in rows], np.int64)
+    # distributed capped selection: driver holds ≤ _NS_VOCAB_K rows
+    kept, _n_total, _v = _select_vocab(cnts, _NS_VOCAB_K)
+    kept.sort()  # CDF support in lexical order, as before
+    toks = [w for w, _ in kept]
+    counts = np.array([c for _, c in kept], np.int64)
     wq = np.array(
         [
             math.floor(math.pow(float(c), _NS_POWER) * 1e6 + 0.5)

@@ -21,6 +21,106 @@ import ray
 # ---------------------------------------------------------------------------
 
 _NB_Q = 10**9
+# class-conditional support cap — far above any test-scale vocabulary
+# (model and confusion matrix are exact vs the SQL oracle); the
+# web-scale driver bound: the driver holds ≤ K tokens + ≤ K·C counts
+_NB_VOCAB_K = 1 << 18
+
+
+def _nb_fit_distributed(docs, train_partial, vocab_k: int = _NB_VOCAB_K):
+    """Distributed NB fit (r5 — closes the last brief-relevant
+    vocabulary-sized driver fold, r4 VERDICT task #1).
+
+    Shape: map-side (class, token) partials → ONE (lang, tok) groupby;
+    per-token totals feed ``stages.lmscore._select_vocab``'s exact
+    distributed sort+limit (driver ≤ vocab_k rows); the kept-token set
+    broadcasts via ``ray.put`` and filters the class-conditional rows
+    map-side, so the driver collect is ≤ vocab_k·num_classes rows.
+    Priors / per-class totals close with lang-keyed groupbys (≤ C
+    rows). V in the Laplace denominator remains the FULL distinct
+    vocabulary count (a scalar from the same selection pass), so at
+    test scale (vocab < vocab_k) the quantized model is bit-identical
+    to the unbounded fit; past the cap, non-kept tokens score as
+    unseen — the standard capped-vocabulary NB semantics.
+
+    Returns a plasma ref to (classes, th_sparse, ln_unseen, ln_prior):
+    th_sparse holds only NONZERO (class, token) entries — a kept token
+    absent from a class quantizes to exactly ln_unseen[c], so
+    ``th.get((c, tok), unz[c])`` reproduces the dense model.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.lmscore import _select_vocab
+
+    counts = (
+        docs.map_batches(train_partial, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .materialize()
+    )
+
+    def only_prior(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("tok"), "\x00prior"))
+
+    def only_tok(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("tok"), "\x00prior"))
+
+    prior_rows = counts.map_batches(
+        only_prior, batch_format="pyarrow"
+    ).take_all()  # bounded: ≤ num_classes rows after the groupby
+    prior = {r["lang"]: int(r["c"]) for r in prior_rows}
+    classes = sorted(prior)
+    n_train = sum(prior.values())
+
+    tokc = counts.map_batches(only_tok, batch_format="pyarrow")
+    kept, _tok_total, v_distinct = _select_vocab(
+        tokc.groupby("tok")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .rename_columns({"tok": "w"}),
+        vocab_k,
+    )
+    V = v_distinct
+    kept_ref = ray.put(pa.array(sorted(w for w, _ in kept), pa.string()))
+
+    nc_rows = (
+        tokc.groupby("lang")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .take_all()  # bounded: ≤ num_classes rows
+    )
+    nc = {r["lang"]: int(r["c"]) for r in nc_rows}
+
+    def only_kept(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(b.column("tok"), value_set=ray.get(kept_ref))
+        )
+
+    cc_rows = tokc.map_batches(
+        only_kept, batch_format="pyarrow"
+    ).take_all()  # bounded: ≤ vocab_k × num_classes rows by construction
+
+    # quantized log model: one mirrored ln per nonzero (class, token)
+    lnth = {
+        (r["lang"], r["tok"]): math.floor(
+            math.log(
+                float(int(r["c"]) + 1) / float(nc[r["lang"]] + V)
+            )
+            * float(_NB_Q)
+        )
+        for r in cc_rows
+    }
+    ln_unseen = {
+        c: math.floor(
+            math.log(1.0 / float(nc.get(c, 0) + V)) * float(_NB_Q)
+        )
+        for c in classes
+    }
+    lnpi = {
+        c: math.floor(
+            math.log(float(prior[c]) / float(n_train)) * float(_NB_Q)
+        )
+        for c in classes
+    }
+    return ray.put((classes, lnth, ln_unseen, lnpi))
 
 
 def q_naive_bayes_langid(sf_dir: str):
@@ -82,54 +182,12 @@ def q_naive_bayes_langid(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(
-        train_partial, batch_format="pyarrow"
-    ).take_all()  # scale-note: vocabulary-sized driver fold (grows with token types, not corpus rows; web-scale path = capped top-k selection as in stages/lmscore._select_vocab)
-    cnt: dict = {}
-    prior: dict = {}
-    for r in parts:
-        if r["tok"] == "\x00prior":
-            prior[r["lang"]] = prior.get(r["lang"], 0) + int(r["c"])
-        else:
-            k = (r["lang"], r["tok"])
-            cnt[k] = cnt.get(k, 0) + int(r["c"])
-    classes = sorted(prior)
-    vocab = sorted({t for _, t in cnt})
-    V = len(vocab)
-    n_train = sum(prior.values())
-    nc = {
-        c: sum(v for (cc, _), v in cnt.items() if cc == c)
-        for c in classes
-    }
-    # quantized log model: one mirrored ln per (token|unseen, class)
-    lnth = {
-        (c, t): math.floor(
-            math.log(
-                float(cnt.get((c, t), 0) + 1) / float(nc[c] + V)
-            )
-            * float(_NB_Q)
-        )
-        for c in classes
-        for t in vocab
-    }
-    ln_unseen = {
-        c: math.floor(
-            math.log(1.0 / float(nc[c] + V)) * float(_NB_Q)
-        )
-        for c in classes
-    }
-    lnpi = {
-        c: math.floor(
-            math.log(float(prior[c]) / float(n_train)) * float(_NB_Q)
-        )
-        for c in classes
-    }
-    model = ray.put((classes, lnth, ln_unseen, lnpi, set(vocab)))
+    model = _nb_fit_distributed(docs, train_partial)
 
     def predict(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
-        cls, th, unz, pi, voc = ray.get(model)
+        cls, th, unz, pi = ray.get(model)
         conf: Counter = Counter()
         for d, t, l in zip(
             batch.column("doc_id").to_pylist(),
@@ -143,9 +201,7 @@ def q_naive_bayes_langid(sf_dir: str):
             for c in cls:
                 s = pi[c]
                 for tok, f in tf.items():
-                    s += f * (
-                        th[(c, tok)] if tok in voc else unz[c]
-                    )
+                    s += f * th.get((c, tok), unz[c])
                 if best is None or (-s, c) < best:
                     best = (-s, c)
             conf[(l, best[1])] += 1

@@ -629,6 +629,7 @@ def bucketed_lookup_join(
     value_col: str,
     out_col: str | None = None,
     num_buckets: int = 32,
+    left: bool = False,
 ) -> "ray.data.Dataset":
     """Broadcast-free lookup join on a STRING (or int) key: attach
     ``lookup``'s ``value_col`` to every row of ``rows`` by ``key``
@@ -642,7 +643,9 @@ def bucketed_lookup_join(
     actor spin-up per call and is avoided throughout this repo); inside
     a bucket the lookup is one sort + searchsorted. Probe keys missing
     from ``lookup`` raise (this repo's joins are referential by
-    construction; a LEFT variant would null-fill instead).
+    construction) unless ``left=True``, which null-fills them instead
+    (the LEFT variant — r5, powering deleted_interpolation's held-out
+    probes whose bigrams may be absent from the train tables).
 
     Output: ``rows``'s columns + ``out_col`` (default ``value_col``).
     Both sides' other columns must not collide with the marker names
@@ -713,12 +716,30 @@ def bucketed_lookup_join(
         pkeys = np.asarray(probes.column(key).to_pylist(), dtype=object)
         pos = np.searchsorted(lkeys, pkeys)
         ok = (pos < len(lkeys)) if len(lkeys) else np.zeros(len(pkeys), bool)
-        if not ok.all() or not (lkeys[np.minimum(pos, max(len(lkeys) - 1, 0))] == pkeys).all():
-            missing = pkeys[~ok][:3] if not ok.all() else pkeys[
-                lkeys[np.minimum(pos, len(lkeys) - 1)] != pkeys
-            ][:3]
-            raise KeyError(f"bucketed_lookup_join: probe keys missing from lookup: {list(missing)}")
-        vals = lk.column("__blj_val").take(pa.array(order[pos]))
+        safe_pos = np.minimum(pos, max(len(lkeys) - 1, 0))
+        hit = ok & (
+            (lkeys[safe_pos] == pkeys)
+            if len(lkeys)
+            else np.zeros(len(pkeys), bool)
+        )
+        if not hit.all():
+            if not left:
+                missing = pkeys[~hit][:3]
+                raise KeyError(
+                    "bucketed_lookup_join: probe keys missing from lookup: "
+                    f"{list(missing)}"
+                )
+            src = order[safe_pos] if len(lkeys) else np.zeros(len(pkeys), np.int64)
+            # take() with a null index yields a null value slot
+            idx = pa.array(
+                np.where(hit, src, 0), pa.int64(), mask=~hit
+            )
+            if len(lkeys):
+                vals = lk.column("__blj_val").combine_chunks().take(idx)
+            else:
+                vals = pa.nulls(len(pkeys), val_type)
+        else:
+            vals = lk.column("__blj_val").take(pa.array(order[pos]))
         cols = {key: probes.column(key)}
         for c in row_cols:
             cols[c] = probes.column(c)

@@ -3083,3 +3083,36 @@ def test_bucketed_lookup_join_semantics(ray_session):
     bad = ray.data.from_items([{"w": "missing", "payload": 0}])
     with pt.raises((KeyError, Exception)):
         bucketed_lookup_join(bad, lk, key="w", value_col="score").materialize()
+
+
+def test_bucketed_lookup_join_left_null_fills(ray_session):
+    """r5 LEFT variant: probe keys absent from the lookup null-fill
+    instead of raising (deleted_interpolation's held-out probes), and
+    an all-miss bucket (no lookup rows at all) null-fills too."""
+    from crawl4ai_ray.stages.agg import bucketed_lookup_join
+
+    rows = ray.data.from_items(
+        [{"w": f"t{i % 8}", "payload": i} for i in range(32)]
+    ).repartition(4)
+    lk = ray.data.from_items(
+        [{"w": f"t{j}", "score": 100 + j} for j in range(4)]
+    )
+    out = bucketed_lookup_join(
+        rows, lk, key="w", value_col="score", left=True
+    ).to_pandas()
+    assert len(out) == 32
+    hit = out["w"].str[1:].astype(int) < 4
+    assert (out.loc[hit, "score"] == 100 + out.loc[hit, "w"].str[1:].astype(int)).all()
+    assert out.loc[~hit, "score"].isna().all()
+
+    # lookup empty entirely (typed empty table): every probe row
+    # survives, value all-null
+    empty_lk = ray.data.from_arrow(
+        pa.table(
+            {"w": pa.array([], pa.string()), "score": pa.array([], pa.int64())}
+        )
+    )
+    out2 = bucketed_lookup_join(
+        rows, empty_lk, key="w", value_col="score", left=True
+    ).to_pandas()
+    assert len(out2) == 32 and out2["score"].isna().all()
