@@ -41,7 +41,12 @@ def _install_empty_schema_warning_filter() -> None:
             msg = record.getMessage()
             return not (
                 "Operator produced a RefBundle with a different schema" in msg
-                and "new schema: ." in msg
+                and (
+                    "new schema: ." in msg
+                    # pandas-block flavor of the same 0-row artifact
+                    or "new schema: PandasBlockSchema(names=[], types=[])"
+                    in msg
+                )
             )
 
     logging.getLogger(

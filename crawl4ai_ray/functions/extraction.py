@@ -191,8 +191,9 @@ class CosineStrategy(ExtractionStrategy):
     words, return [{'index', 'tags', 'content'}] sorted by cluster label.
 
     Deviations (both env-bound, both injectable/documented): the encoder
-    defaults to the deterministic stub (sentence-transformers absent; pass
-    ``encoder_factory``), and clustering is the greedy single-link
+    defaults to the recorded-weights TinyHashEmbedder (r5;
+    sentence-transformers absent — pass ``encoder_factory`` to swap in a
+    real transformer), and clustering is the greedy single-link
     cosine pass from stages/embed.py with join threshold ``1 - max_dist``
     (scipy ward dendrogram absent). ``tags`` stays [] — the reference
     fills it from an HF text-classification pipeline (ibid:434-438).
@@ -213,14 +214,14 @@ class CosineStrategy(ExtractionStrategy):
         sim_threshold: float = 0.3,
         encoder_factory=None,
     ):
-        from ..stages.embed import _StubEmbedder
+        from ..stages.embed import TinyHashEmbedder
 
         self.semantic_filter = semantic_filter
         self.word_count_threshold = word_count_threshold
         self.max_dist = max_dist
         self.top_k = top_k
         self.sim_threshold = sim_threshold
-        self.model = (encoder_factory or _StubEmbedder)()
+        self.model = (encoder_factory or TinyHashEmbedder)()
 
     def extract(self, url: str, content: str) -> list[dict]:
         import numpy as np

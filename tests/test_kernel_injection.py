@@ -22,55 +22,19 @@ import ray
 
 
 def make_real_grid_codec(log_path: str):
-    """'Real' media codec for the raw-gray interchange format
-    (multimodal.raw_gray_payload): actually PARSES the 72-byte 8×9 grid
-    instead of hashing it — width/height from the real geometry, features
-    = per-row means / 255. Logs one line per CONSTRUCTION."""
+    """The PACKAGE's real raw-gray codec (multimodal.RawGrayCodec, r5 —
+    promoted from this test so the non-stub kernel ships in the
+    library), wrapped to log one line per CONSTRUCTION."""
 
     def factory():
         import os as _os
 
-        import numpy as _np
+        from crawl4ai_ray.stages.multimodal import RawGrayCodec
 
-        from crawl4ai_ray.stages.multimodal import (
-            FEATURE_DIM,
-            GRID_COLS,
-            GRID_ROWS,
-        )
-
-        class _GridCodec:
+        class _GridCodec(RawGrayCodec):
             def __init__(self):
                 with open(log_path, "a") as f:
                     f.write(f"{_os.getpid()}\n")
-
-            def decode(self, payload: bytes) -> dict:
-                g = _np.frombuffer(payload, dtype=_np.uint8).reshape(
-                    GRID_ROWS, GRID_COLS
-                )
-                feats = _np.zeros(FEATURE_DIM, _np.float32)
-                feats[:GRID_ROWS] = g.mean(axis=1) / 255.0
-                return {
-                    "width": GRID_COLS,
-                    "height": GRID_ROWS,
-                    "features": feats.tolist(),
-                }
-
-            def sample(self, payload: bytes, n_frames: int) -> list:
-                g = _np.frombuffer(payload, dtype=_np.uint8).reshape(
-                    GRID_ROWS, GRID_COLS
-                )
-                frames = []
-                for j in range(n_frames):
-                    feats = _np.zeros(FEATURE_DIM, _np.float32)
-                    feats[:GRID_COLS] = g[j % GRID_ROWS] / 255.0
-                    frames.append(
-                        {
-                            "frame_idx": j,
-                            "ts_ms": 100 * j,
-                            "features": feats.tolist(),
-                        }
-                    )
-                return frames
 
         return _GridCodec()
 
