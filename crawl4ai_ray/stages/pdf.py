@@ -11,10 +11,19 @@ rebuild:
 - **parse_pdf** — a REAL pure-python PDF reader (not a stub: stdlib
   ``zlib`` covers FlateDecode, and the text operators are plain-text
   parsing). Declared subset: unencrypted files, raw or Flate content
-  streams, simple-font text operators (Tj/TJ/'/"), line breaks from
-  Td/TD/T* positioning, literal+hex strings with escapes. /Encrypt is
-  detected and reported, not decrypted. Everything outside the subset
-  degrades to empty text per page, never an exception.
+  streams (single refs and /Contents arrays), simple-font text
+  operators (Tj/TJ/'/"), line breaks from Td/TD/T* positioning,
+  literal+hex strings with escapes, classic ``trailer`` dicts AND
+  PDF-1.5+ cross-reference streams (/Type /XRef dicts carry
+  Root/Info/Encrypt; r5), /ObjStm object streams (packed objects are
+  unpacked from the Flate payload via /N + /First, with top-level and
+  later-in-file definitions winning — incremental-update semantics;
+  r5). Still outside: encryption (detected and reported, not
+  decrypted), CID/composite fonts and /Encoding CMaps (strings pass
+  through latin-1), non-Flate filters. Everything outside the subset
+  degrades to empty text per page, never an exception. Foreign-layout
+  byte fixtures (cross-generator shapes make_pdf never emits) are
+  pinned in tests/data/pdf_foreign/ (r4 VERDICT task #2).
 - **pdf_text_to_markdown / pdf_text_to_html** — the reference's
   structuring heuristics (title line, "2.1 Background" numbered
   headers, page-1 author lines, †-affiliations, {email} lines, section
@@ -240,9 +249,12 @@ def _extract_text_ops(content: str) -> str:
 
     while i < n:
         ch = content[i]
-        if ch == "%":  # comment to EOL
-            j = content.find("\n", i)
-            i = n if j < 0 else j + 1
+        if ch == "%":  # comment to EOL (CR, LF or CRLF — r5: a CR-only
+            # foreign stream must not lose everything after its first %)
+            j = i
+            while j < n and content[j] not in "\r\n":
+                j += 1
+            i = j + 1
         elif ch == "(":
             s, i = _parse_string(content, i)
             pending.append("\x00S" + s)
@@ -332,19 +344,81 @@ def parse_pdf(data: bytes) -> dict:
     out = {"metadata": meta, "pages": []}
     if not data or b"%PDF" not in data[:1024]:
         return out
-    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    scan = [
+        (int(m.group(1)), m.start(), m.group(2))
+        for m in _OBJ_RE.finditer(data)
+    ]
+    objs: dict[int, bytes] = {}
+    for num, _off, body in scan:
+        objs[num] = body  # later definition wins: incremental updates
+
+    def _dict_head(body: bytes) -> bytes:
+        at = body.find(b"stream")
+        return body[:at] if at >= 0 else body
+
+    # r5: unpack /ObjStm object streams (PDF-1.5+ packed objects — the
+    # PyPDF2-routine layout the reference tolerates,
+    # processors/pdf/processor.py). Top-level definitions keep
+    # precedence (setdefault).
+    for _num, _off, body in scan:
+        head = _dict_head(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        try:
+            payload = _stream_payload(body)
+            if payload is None:
+                continue
+            if _name_present(head, "FlateDecode"):
+                payload = zlib.decompress(payload)
+            n_objs = int(re.search(rb"/N\s+(\d+)", head).group(1))
+            first = int(re.search(rb"/First\s+(\d+)", head).group(1))
+            nums = [int(x) for x in payload[:first].split()]
+            pairs = list(zip(nums[0::2], nums[1::2]))[:n_objs]
+            for k, (onum, ooff) in enumerate(pairs):
+                end = (
+                    pairs[k + 1][1]
+                    if k + 1 < len(pairs)
+                    else len(payload) - first
+                )
+                objs.setdefault(onum, payload[first + ooff : first + end])
+        except Exception:
+            continue
+
+    # trailer sources: the classic `trailer` keyword dict, else (r5)
+    # PDF-1.5+ cross-reference stream dicts (/Type /XRef carries
+    # Size/Root/Info/Encrypt/Prev), most-recent (latest file offset)
+    # first — incremental-update precedence.
+    trailer_srcs: list[bytes] = []
     trailer_at = data.rfind(b"trailer")
-    trailer = data[trailer_at:] if trailer_at >= 0 else data[-2048:]
-    if _name_present(trailer, "Encrypt"):
+    if trailer_at >= 0:
+        trailer_srcs.append(data[trailer_at:])
+    trailer_srcs += [
+        _dict_head(body)
+        for _num, _off, body in sorted(
+            scan, key=lambda t: t[1], reverse=True
+        )
+        if re.search(rb"/Type\s*/XRef\b", _dict_head(body))
+    ]
+    if not trailer_srcs:
+        trailer_srcs.append(data[-2048:])
+
+    def _trailer_ref(key: str) -> int | None:
+        for t in trailer_srcs:
+            r = _ref(t, key)
+            if r is not None:
+                return r
+        return None
+
+    if any(_name_present(t, "Encrypt") for t in trailer_srcs):
         meta["encrypted"] = True
         return out
-    info_id = _ref(trailer, "Info")
+    info_id = _trailer_ref("Info")
     if info_id in objs:
         meta["title"] = _lit_str(objs[info_id], "Title")
         meta["author"] = _lit_str(objs[info_id], "Author")
         meta["producer"] = _lit_str(objs[info_id], "Producer")
 
-    root_id = _ref(trailer, "Root")
+    root_id = _trailer_ref("Root")
     pages_root = _ref(objs.get(root_id, b""), "Pages") if root_id else None
 
     # fall back to a flat scan when the tree is unresolvable
@@ -378,13 +452,27 @@ def parse_pdf(data: bytes) -> dict:
     for pn, pid in enumerate(page_ids, 1):
         raw = ""
         try:
-            cid = _ref(objs[pid], "Contents")
-            body = objs.get(cid, b"")
-            payload = _stream_payload(body)
-            if payload is not None:
-                if _name_present(body[: body.find(b"stream")], "FlateDecode"):
+            # r5: /Contents may be an array of stream refs — the spec
+            # concatenates them (with intervening whitespace) into one
+            # logical content stream
+            am = re.search(rb"/Contents\s*\[(.*?)\]", objs[pid], re.S)
+            if am:
+                cids = [
+                    int(x)
+                    for x in re.findall(rb"(\d+)\s+\d+\s+R", am.group(1))
+                ]
+            else:
+                cids = [_ref(objs[pid], "Contents")]
+            pieces: list[str] = []
+            for cid in cids:
+                body = objs.get(cid, b"")
+                payload = _stream_payload(body)
+                if payload is None:
+                    continue
+                if _name_present(_dict_head(body), "FlateDecode"):
                     payload = zlib.decompress(payload)
-                raw = _extract_text_ops(payload.decode("latin-1"))
+                pieces.append(payload.decode("latin-1"))
+            raw = _extract_text_ops("\n".join(pieces))
         except Exception:
             raw = ""
         out["pages"].append({"page_number": pn, "raw_text": raw})
