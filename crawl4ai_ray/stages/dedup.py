@@ -1023,8 +1023,6 @@ def duplicate_ngram_spans(
     are per-document), so no cap is needed where ``ngram_jaccard_pairs``
     needs ``max_postings``.
     """
-    import pandas as pd
-
     from ..functions.hashing import hash64_alt
 
     w = int(window)
@@ -1064,62 +1062,64 @@ def duplicate_ngram_spans(
             }
         )
 
-    def dup_windows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["h1", "h2", "id"], kind="mergesort")
-        h1 = g["h1"].to_numpy()
-        h2 = g["h2"].to_numpy()
-        ids = g["id"].to_numpy()
-        if len(ids) == 0:
-            return pd.DataFrame(
-                {
-                    "sbucket": np.zeros(0, np.int64),
-                    "id": np.zeros(0, np.int64),
-                    "pos": np.zeros(0, np.int64),
-                }
-            )
+    def dup_windows(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): one sort + run-length numpy, no pandas
+        if g.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"sbucket": z, "id": z, "pos": z})
+        g = g.sort_by(
+            [("h1", "ascending"), ("h2", "ascending"), ("id", "ascending")]
+        )
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
         new_run = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
         run_id = np.cumsum(new_run) - 1
         # distinct docs per run: ids are sorted within runs
         new_doc = new_run | np.r_[True, ids[1:] != ids[:-1]]
         ndocs = np.bincount(run_id[new_doc], minlength=run_id[-1] + 1)
         keep = ndocs[run_id] >= min_docs
-        kept_ids = ids[keep]
-        return pd.DataFrame(
+        kept_ids = ids[keep].astype(np.int64)
+        return pa.table(
             {
-                "sbucket": (kept_ids % span_buckets).astype(np.int64),
-                "id": kept_ids.astype(np.int64),
-                "pos": g["pos"].to_numpy()[keep].astype(np.int64),
+                "sbucket": pa.array(
+                    (kept_ids % span_buckets).astype(np.int64), pa.int64()
+                ),
+                "id": pa.array(kept_ids, pa.int64()),
+                "pos": pa.array(
+                    g.column("pos").to_numpy(zero_copy_only=False)[keep]
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["id", "pos"], kind="mergesort")
-        ids = g["id"].to_numpy()
-        pos = g["pos"].to_numpy()
-        if len(pos) == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": np.zeros(0, np.int64),
-                    "start_tok": np.zeros(0, np.int64),
-                    "end_tok": np.zeros(0, np.int64),
-                }
-            )
+    def merge_spans(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): island detection over a sorted view
+        if g.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "start_tok": z, "end_tok": z})
+        g = g.sort_by([("id", "ascending"), ("pos", "ascending")])
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
         brk = np.r_[True, (ids[1:] != ids[:-1]) | (pos[1:] > pos[:-1] + w)]
         # last pos of each island = pos right before the next break
         last = np.r_[np.nonzero(brk)[0][1:] - 1, len(pos) - 1]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": ids[brk].astype(np.int64),
-                "start_tok": pos[brk].astype(np.int64),
-                "end_tok": (pos[last] + w).astype(np.int64),
+                "doc_id": pa.array(ids[brk].astype(np.int64), pa.int64()),
+                "start_tok": pa.array(pos[brk].astype(np.int64), pa.int64()),
+                "end_tok": pa.array(
+                    (pos[last] + w).astype(np.int64), pa.int64()
+                ),
             }
         )
 
     posted = ds.select_columns([id_col, text_col]).map_batches(
         postings, batch_format="pyarrow"
     )
-    dups = posted.groupby("bucket").map_groups(dup_windows, batch_format="pandas")
-    return dups.groupby("sbucket").map_groups(merge_spans, batch_format="pandas")
+    dups = posted.groupby("bucket").map_groups(dup_windows, batch_format="pyarrow")
+    return dups.groupby("sbucket").map_groups(merge_spans, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

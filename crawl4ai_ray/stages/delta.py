@@ -41,8 +41,6 @@ def snapshot_delta(
     Each side must hold at most one row per id (a snapshot; enforce with
     `snapshot_latest`-style compaction upstream if needed — duplicated ids
     raise inside the bucket rather than silently mis-classifying)."""
-    import pandas as pd
-
     P = np.uint64(num_buckets)
 
     def tag(side: bool):
@@ -68,29 +66,50 @@ def snapshot_delta(
         )
     )
 
-    def classify(g: pd.DataFrame) -> pa.Table:
-        a = g[~g["is_curr"]]
-        bside = g[g["is_curr"]]
-        if a[id_col].duplicated().any() or bside[id_col].duplicated().any():
-            raise ValueError("snapshot_delta: a side has duplicate ids — not a snapshot")
-        m = a[[id_col, "h"]].merge(
-            bside[[id_col, "h"]], on=id_col, how="outer",
-            suffixes=("_prev", "_curr"), indicator=True,
+    def classify(g: pa.Table) -> pa.Table:
+        # arrow-native outer merge (r5): sorted ids + searchsorted on
+        # both sides, no pandas
+        is_curr = g.column("is_curr").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = np.asarray(g.column("h").to_pylist(), dtype=object)
+        pid, ph = ids[~is_curr], hs[~is_curr]
+        cid, ch = ids[is_curr], hs[is_curr]
+        po = np.argsort(pid, kind="stable")
+        pid, ph = pid[po], ph[po]
+        co = np.argsort(cid, kind="stable")
+        cid, ch = cid[co], ch[co]
+        if (np.diff(pid) == 0).any() or (np.diff(cid) == 0).any():
+            raise ValueError(
+                "snapshot_delta: a side has duplicate ids — not a snapshot"
+            )
+        # prev side: classify against curr
+        loc = np.searchsorted(cid, pid)
+        safe = np.minimum(loc, max(len(cid) - 1, 0))
+        in_curr = (
+            (cid[safe] == pid) if len(cid) else np.zeros(len(pid), bool)
         )
-        status = np.where(
-            m["_merge"] == "left_only",
-            "gone",
+        prev_status = np.where(
+            in_curr,
             np.where(
-                m["_merge"] == "right_only",
-                "new",
-                np.where(m["h_prev"] == m["h_curr"], "unchanged", "changed"),
+                ch[safe] == ph if len(cid) else False, "unchanged", "changed"
             ),
+            "gone",
+        )
+        # curr side: only the ids absent from prev are new
+        loc2 = np.searchsorted(pid, cid)
+        safe2 = np.minimum(loc2, max(len(pid) - 1, 0))
+        in_prev = (
+            (pid[safe2] == cid) if len(pid) else np.zeros(len(cid), bool)
+        )
+        out_ids = np.concatenate([pid, cid[~in_prev]])
+        out_status = np.concatenate(
+            [prev_status, np.full((~in_prev).sum(), "new", dtype=object)]
         )
         return pa.table(
             {
-                id_col: pa.array(m[id_col].to_numpy().astype(np.int64), pa.int64()),
-                "status": pa.array(status, pa.string()),
+                id_col: pa.array(out_ids, pa.int64()),
+                "status": pa.array(out_status.tolist(), pa.string()),
             }
         )
 
-    return both.groupby("b").map_groups(classify, batch_format="pandas")
+    return both.groupby("b").map_groups(classify, batch_format="pyarrow")

@@ -81,35 +81,44 @@ def pack_sequences(
         acc += row["total"]
     bases_ref = ray.put(bases)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        base_map = ray.get(bases_ref)
-        g = g.sort_values("id", kind="mergesort")
-        ids = g["id"].to_numpy()
-        n = g["n"].to_numpy()
-        if len(ids) == 0:
-            z = np.zeros(0, np.int64)
-            return pd.DataFrame(
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): one sort + cumsum, no pandas
+        if g.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table(
                 {"doc_id": z, "n_tok": z, "tok_start": z,
                  "seq_start": z, "seq_end": z, "seq_offset": z, "seq_len": z}
             )
-        base = base_map[int(g["bucket"].iloc[0])]
+        base_map = ray.get(bases_ref)
+        g = g.sort_by("id")
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        base = base_map[int(g.column("bucket")[0].as_py())]
         tok_start = base + np.cumsum(n) - n
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": ids.astype(np.int64),
-                "n_tok": n.astype(np.int64),
-                "tok_start": tok_start.astype(np.int64),
-                "seq_start": (tok_start // L).astype(np.int64),
-                "seq_end": ((tok_start + n - 1) // L).astype(np.int64),
-                "seq_offset": (tok_start % L).astype(np.int64),
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_tok": pa.array(n.astype(np.int64), pa.int64()),
+                "tok_start": pa.array(tok_start.astype(np.int64), pa.int64()),
+                "seq_start": pa.array(
+                    (tok_start // L).astype(np.int64), pa.int64()
+                ),
+                "seq_end": pa.array(
+                    ((tok_start + n - 1) // L).astype(np.int64), pa.int64()
+                ),
+                "seq_offset": pa.array(
+                    (tok_start % L).astype(np.int64), pa.int64()
+                ),
                 # seq_len rides with the rows so sequence_manifest can
                 # VALIDATE against it — a silently mismatched seq_len
                 # yields negative fills (review finding)
-                "seq_len": np.full(len(ids), int(L), dtype=np.int64),
+                "seq_len": pa.array(
+                    np.full(len(ids), int(L), dtype=np.int64), pa.int64()
+                ),
             }
         )
 
-    return cnt.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return cnt.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def sequence_manifest(

@@ -95,16 +95,18 @@ def ranked_by_key(
         acc += int(row["n"])
     bases_ref = ray.put(bases)
 
-    # --- stage 3: per-bucket local sort + rebase -------------------------
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        base = ray.get(bases_ref)[int(g["_rb"].iloc[0])]
-        g = g.sort_values([key_col, id_col], kind="mergesort").drop(
-            columns=["_rb"]
+    # --- stage 3: per-bucket local sort + rebase (arrow-native, r5) -----
+    def per_bucket(g: pa.Table) -> pa.Table:
+        base = ray.get(bases_ref)[int(g.column("_rb")[0].as_py())]
+        g = g.sort_by(
+            [(key_col, "ascending"), (id_col, "ascending")]
+        ).drop_columns(["_rb"])
+        return g.append_column(
+            "rank",
+            pa.array(base + np.arange(g.num_rows, dtype=np.int64), pa.int64()),
         )
-        g["rank"] = base + np.arange(len(g), dtype=np.int64)
-        return g
 
-    return bucketed.groupby("_rb").map_groups(per_bucket, batch_format="pandas")
+    return bucketed.groupby("_rb").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def windowed_pairs(
@@ -146,11 +148,12 @@ def windowed_pairs(
             tbl[c] = pa.array(list(carried[c][sel]))
         return pa.table(tbl)
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        ck = int(g["_ck"].iloc[0])
-        g = g.sort_values("rank", kind="mergesort")
-        rank = g["rank"].to_numpy()
-        ids = g["id"].to_numpy()
+    def pairs(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sort + index arithmetic + zero-copy take
+        ck = int(g.column("_ck")[0].as_py())
+        g = g.sort_by("rank")
+        rank = g.column("rank").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
         # ranks are globally dense (0..n-1) and the replication carries
         # every rank in [chunk_lo - window, chunk_hi], so within this
         # group rank[i] = rank[0] + i — pairs at offset d are pure index
@@ -176,11 +179,19 @@ def windowed_pairs(
             ),
         }
         for c in carry:
-            vals = g[c].to_numpy()
-            out[f"{c}_a"] = pa.array(list(vals[a_idx]) if len(a_idx) else [])
-            out[f"{c}_b"] = pa.array(list(vals[b_idx]) if len(b_idx) else [])
+            col = g.column(c).combine_chunks()
+            out[f"{c}_a"] = (
+                col.take(pa.array(a_idx, pa.int64()))
+                if len(a_idx)
+                else pa.array([], col.type)
+            )
+            out[f"{c}_b"] = (
+                col.take(pa.array(b_idx, pa.int64()))
+                if len(b_idx)
+                else pa.array([], col.type)
+            )
         return pa.table(out)
 
     return ranked.map_batches(replicate, batch_format="pyarrow").groupby(
         "_ck"
-    ).map_groups(pairs, batch_format="pandas")
+    ).map_groups(pairs, batch_format="pyarrow")

@@ -172,22 +172,42 @@ def grouped_sample(
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([strata_col, "bkt", id_col], kind="mergesort")
-        rank = g.groupby(strata_col, sort=False).cumcount() + 1
-        g = g.assign(sample_rank=rank)
-        g = g[g["sample_rank"] <= k]
-        return pd.DataFrame(
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): one sort + numpy run-length rank, no pandas
+        g = g.sort_by(
+            [
+                (strata_col, "ascending"),
+                ("bkt", "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        s = np.asarray(g.column(strata_col).to_pylist(), dtype=object)
+        n = len(s)
+        if n == 0:
+            return pa.table(
+                {
+                    strata_col: pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "sample_rank": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.arange(n, dtype=np.int64)
+        new = np.r_[True, s[1:] != s[:-1]]
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - start + 1
+        mask = rank <= k
+        kept = g.filter(pa.array(mask))
+        return pa.table(
             {
-                strata_col: g[strata_col].tolist(),
-                id_col: g[id_col].to_numpy(dtype=np.int64),
-                "sample_rank": g["sample_rank"].to_numpy(dtype=np.int64),
+                strata_col: kept.column(strata_col),
+                id_col: kept.column(id_col),
+                "sample_rank": pa.array(rank[mask], pa.int64()),
             }
         )
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "sbucket"
-    ).map_groups(per_bucket, batch_format="pandas")
+    ).map_groups(per_bucket, batch_format="pyarrow")
 
 
 def token_budget_select(
@@ -223,8 +243,6 @@ def token_budget_select(
     integer cumsum, never on bin granularity; a SQL window oracle
     (SUM() OVER (ORDER BY score DESC, id)) reproduces it bit-for-bit.
     """
-    import pandas as pd
-
     if budget < 0:
         raise ValueError("budget must be >= 0")
     B = int(num_bins)
@@ -265,25 +283,41 @@ def token_budget_select(
         mask = np.isin(bins, list(live)) if live else np.zeros(len(bins), bool)
         return batch.filter(pa.array(mask))
 
-    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bin(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sort + cumsum + filter, no pandas
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    score_col: pa.array([], pa.float64()),
+                    weight_col: pa.array([], pa.int64()),
+                    "cum_tok": pa.array([], pa.int64()),
+                }
+            )
         base_map = ray.get(bases_ref)
-        g = g.sort_values([score_col, id_col], ascending=[False, True], kind="mergesort")
-        base = base_map[int(g["bin"].iloc[0])]
-        cum = base + g[weight_col].to_numpy(dtype=np.int64).cumsum()
-        keep = cum <= budget
-        return pd.DataFrame(
+        g = g.sort_by(
+            [(score_col, "descending"), (id_col, "ascending")]
+        )
+        base = base_map[int(g.column("bin")[0].as_py())]
+        w = g.column(weight_col).to_numpy(zero_copy_only=False)
+        cum = base + w.astype(np.int64).cumsum()
+        keep = pa.array(cum <= budget)
+        kept = g.filter(keep)
+        return pa.table(
             {
-                id_col: g[id_col].to_numpy(dtype=np.int64)[keep],
-                score_col: g[score_col].to_numpy(dtype=np.float64)[keep],
-                weight_col: g[weight_col].to_numpy(dtype=np.int64)[keep],
-                "cum_tok": cum[keep].astype(np.int64),
+                id_col: kept.column(id_col),
+                score_col: kept.column(score_col),
+                weight_col: kept.column(weight_col),
+                "cum_tok": pa.array(
+                    cum[cum <= budget].astype(np.int64), pa.int64()
+                ),
             }
         )
 
     return (
         binned_ds.map_batches(prune, batch_format="pyarrow")
         .groupby("bin")
-        .map_groups(per_bin, batch_format="pandas")
+        .map_groups(per_bin, batch_format="pyarrow")
     )
 
 
@@ -359,8 +393,6 @@ def quality_decile_assign(
 
     Shared by the quality_deciles query and the webtext pipeline's
     curriculum stage — one implementation, one oracle."""
-    import pandas as pd
-
     from . import textstats
 
     def score_batch(batch: pa.Table) -> pa.Table:
@@ -407,8 +439,9 @@ def quality_decile_assign(
             cols[c] = batch.column(c)
         return pa.table(cols)
 
-    def rank_and_tile(g: "pd.DataFrame") -> pa.Table:
-        if g.empty:
+    def rank_and_tile(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sort + numpy run-length global rank
+        if g.num_rows == 0:
             cols = {
                 id_col: pa.array([], pa.int64()),
                 "score": pa.array([], pa.int64()),
@@ -418,8 +451,8 @@ def quality_decile_assign(
                 cols[c] = pa.array([], pa.string())
             return pa.table(cols)
         st = ray.get(starts_ref)
-        g = g.sort_values(["score", id_col], kind="mergesort")
-        s = g["score"].to_numpy(np.int64)
+        g = g.sort_by([("score", "ascending"), (id_col, "ascending")])
+        s = g.column("score").to_numpy(zero_copy_only=False).astype(np.int64)
         runs = np.r_[True, s[1:] != s[:-1]]
         run_start = np.maximum.accumulate(np.where(runs, np.arange(len(s)), 0))
         intra = np.arange(len(s)) - run_start
@@ -433,18 +466,18 @@ def quality_decile_assign(
         else:
             tile = rank // max(q, 1)
         cols = {
-            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            id_col: g.column(id_col),
             "score": pa.array(s, pa.int64()),
             "decile": pa.array(tile + 1, pa.int64()),
         }
         for c in carry_cols:
-            cols[c] = pa.array(g[c].tolist(), pa.string())
+            cols[c] = g.column(c)
         return pa.table(cols)
 
     return (
         scored.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(rank_and_tile, batch_format="pandas")
+        .map_groups(rank_and_tile, batch_format="pyarrow")
     )
 
 

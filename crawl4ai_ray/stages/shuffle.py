@@ -102,26 +102,32 @@ def shuffle_assignments(
         acc += row["n"]
     bases_ref = ray.put(bases)
 
-    def per_group(g: pd.DataFrame) -> pa.Table:
-        if len(g) == 0:
-            z = np.zeros(0, np.int64)
+    def per_group(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsort over numpy views, no pandas
+        if g.num_rows == 0:
+            z = pa.array([], pa.int64())
             return pa.table({"doc_id": z, "shard": z, "pos": z})
-        base = ray.get(bases_ref)[int(g["gk"].iloc[0])]
-        key = g["key"].to_numpy().view(np.uint64)
-        ids = g["doc_id"].to_numpy().astype(np.int64)
+        base = ray.get(bases_ref)[int(g.column("gk")[0].as_py())]
+        key = g.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = (
+            g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         order = np.lexsort((ids, key))
         pos = base + np.arange(len(ids), dtype=np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids[order], pa.int64()),
                 "shard": pa.array(
-                    g["shard"].to_numpy().astype(np.int64)[order], pa.int64()
+                    g.column("shard")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[order],
+                    pa.int64(),
                 ),
                 "pos": pa.array(pos, pa.int64()),
             }
         )
 
-    return keyed_ds.groupby("gk").map_groups(per_group, batch_format="pandas")
+    return keyed_ds.groupby("gk").map_groups(per_group, batch_format="pyarrow")
 
 
 def export_shards(
@@ -206,20 +212,37 @@ def _attach(payload: "ray.data.Dataset", assign: "ray.data.Dataset", id_col: str
         c for c in payload.schema().names if c not in ("_b", "_is_assign")
     ]
 
-    def glue(g: pd.DataFrame) -> pa.Table:
-        a = g[g["_is_assign"]]
-        p = g[~g["_is_assign"]]
-        m = p.merge(
-            a[["doc_id", "shard", "pos"]],
-            left_on=id_col,
-            right_on="doc_id",
-            how="inner",
-            suffixes=("_x", ""),
-        )
-        out = m[[*value_cols, "shard", "pos"]]
-        # strip the pandas metadata dict — Ray's schema dedup can't hash it
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
-            None
-        )
+    def glue(g: pa.Table) -> pa.Table:
+        # arrow-native inner join (r5): sorted assignment ids +
+        # searchsorted probe, columns glued with zero-copy take
+        is_a = g.column("_is_assign").to_numpy(zero_copy_only=False)
+        a = g.filter(pa.array(is_a))
+        p = g.filter(pa.array(~is_a))
 
-    return left.union(right).groupby("_b").map_groups(glue, batch_format="pandas")
+        def empty() -> pa.Table:
+            cols = {c: pa.array([], g.column(c).type) for c in value_cols}
+            cols["shard"] = pa.array([], pa.int64())
+            cols["pos"] = pa.array([], pa.int64())
+            return pa.table(cols)
+
+        if p.num_rows == 0 or a.num_rows == 0:
+            return empty()
+        aid = (
+            a.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.argsort(aid, kind="stable")
+        aid = aid[order]
+        pid = p.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        loc = np.searchsorted(aid, pid)
+        safe = np.minimum(loc, len(aid) - 1)
+        hit = aid[safe] == pid
+        if not hit.any():
+            return empty()
+        kept = p.filter(pa.array(hit))
+        take = pa.array(order[safe[hit]], pa.int64())
+        cols = {c: kept.column(c) for c in value_cols}
+        cols["shard"] = a.column("shard").combine_chunks().take(take)
+        cols["pos"] = a.column("pos").combine_chunks().take(take)
+        return pa.table(cols)
+
+    return left.union(right).groupby("_b").map_groups(glue, batch_format="pyarrow")

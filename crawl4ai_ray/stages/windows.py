@@ -489,18 +489,38 @@ def funnel_counts(
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        prev: pd.Series | None = None
-        counts = []
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): factorized users + per-step np.minimum.at
+        # gating, no pandas
+        users = np.asarray(g.column(user_col).to_pylist(), dtype=object)
+        types = np.asarray(g.column(type_col).to_pylist(), dtype=object)
+        ts = (
+            g.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        uniq, uid = (
+            np.unique(users, return_inverse=True)
+            if len(users)
+            else (np.array([], object), np.zeros(0, np.int64))
+        )
+        nu = len(uniq)
+        sentinel = np.iinfo(np.int64).max
+        prev: np.ndarray | None = None  # per-uid min ts of prior stage
+        counts: list[int] = []
         for k, step in enumerate(steps):
-            sub = g[g[type_col] == step]
+            m = types == step
             if prev is not None:
-                gate = sub[user_col].map(prev)
-                sub = sub[gate.notna() & (sub[ts_col] > gate)]
-            cur = sub.groupby(user_col)[ts_col].min()
-            counts.append(len(cur))
+                gate = prev[uid]
+                m = m & (gate < sentinel) & (ts > gate)
+            cur = np.full(nu, sentinel, np.int64)
+            if m.any():
+                np.minimum.at(cur, uid[m], ts[m])
+            n_cur = int((cur < sentinel).sum())
+            counts.append(n_cur)
             prev = cur
-            if cur.empty:
+            if n_cur == 0:
                 counts.extend([0] * (len(steps) - k - 1))
                 break
         return pa.table(
@@ -515,7 +535,7 @@ def funnel_counts(
     partials = (
         events.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
     # a zero row per stage keeps the contract (one row per stage, 0 when
     # no event qualifies) even when tag() filters EVERY event and the
@@ -566,36 +586,60 @@ def retention_cohorts(
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        dd = g.drop_duplicates([user_col, "day"])
-        first = dd.groupby(user_col)["day"].transform("min")
-        offset = (dd["day"] - first).dt.days
-        keep = offset <= max_offset_days
-        part = (
-            pd.DataFrame(
-                {
-                    "cohort_day": first[keep].to_numpy(),
-                    "day_offset": offset[keep].to_numpy(),
-                }
-            )
-            .groupby(["cohort_day", "day_offset"], sort=True)
-            .size()
+    _US_PER_DAY = 86_400_000_000
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): factorize users, dedupe (user, day) pairs
+        # and count cohort offsets with np.unique — no pandas
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.timestamp("us")),
+                "day_offset": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
         )
-        idx = part.index.to_frame(index=False)
+        if g.num_rows == 0:
+            return empty
+        users = np.asarray(g.column(user_col).to_pylist(), dtype=object)
+        days = (
+            g.column("day").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _US_PER_DAY
+        )
+        _, uid = np.unique(users, return_inverse=True)
+        nu = int(uid.max()) + 1
+        # distinct (user, day): combined int key (day counts are small)
+        dmin = int(days.min())
+        key = uid.astype(np.int64) * (int(days.max()) - dmin + 1) + (
+            days - dmin
+        )
+        _, sel = np.unique(key, return_index=True)
+        uid_d, day_d = uid[sel], days[sel]
+        first = np.full(nu, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, uid_d, day_d)
+        offset = day_d - first[uid_d]
+        keep = offset <= max_offset_days
+        cohort = first[uid_d[keep]]
+        off = offset[keep]
+        if len(off) == 0:
+            return empty
+        ckey = (cohort - dmin) * (max_offset_days + 1) + off
+        uk, cnt = np.unique(ckey, return_counts=True)
+        out_cohort = uk // (max_offset_days + 1) + dmin
+        out_off = uk % (max_offset_days + 1)
         return pa.table(
             {
-                "cohort_day": pa.array(idx["cohort_day"]).cast(pa.timestamp("us")),
-                "day_offset": pa.array(
-                    idx["day_offset"].to_numpy().astype("int64"), pa.int64()
-                ),
-                "n": pa.array(part.to_numpy().astype("int64"), pa.int64()),
+                "cohort_day": pa.array(
+                    out_cohort * _US_PER_DAY, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "day_offset": pa.array(out_off, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
     partials = (
         events.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
     out = partials.groupby(["cohort_day", "day_offset"]).sum("n")
     return out.map_batches(
