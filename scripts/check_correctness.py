@@ -97,12 +97,67 @@ def main(sf_dir: str, only: list[str] | None = None):
     return results
 
 
+def timing_summary(results: dict) -> dict:
+    """Per-query wall-clock percentiles + the top-10 slowest (r4 VERDICT
+    task #7: make oracle-heavy / engine-side regressions diffable
+    round-over-round)."""
+    import numpy as np
+
+    secs = sorted(
+        (v["sec"], k) for k, v in results.items() if "sec" in v
+    )
+    if not secs:
+        return {}
+    vals = np.array([s for s, _ in secs], dtype=float)
+    pct = {
+        f"p{p}": round(float(np.percentile(vals, p)), 2)
+        for p in (50, 90, 99)
+    }
+    return {
+        "n_timed": len(vals),
+        "total_sec": round(float(vals.sum()), 1),
+        "percentiles_sec": pct,
+        "top10_slowest": [
+            {"query": k, "sec": round(s, 2)} for s, k in secs[-10:][::-1]
+        ],
+    }
+
+
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("only", nargs="?", default=None)
+    ap.add_argument("--out", help="write a CORRECTNESS_full-style JSON artifact")
+    ap.add_argument("--round", type=int, default=5)
+    ap.add_argument("--note", default="")
+    args = ap.parse_args()
+
     ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    main(sf, only)
+    results = main(args.sf_dir, args.only.split(",") if args.only else None)
+    if args.out:
+        import datetime
+        import os
+
+        statuses = [v["status"] for v in results.values()]
+        artifact = {
+            "round": args.round,
+            "date": datetime.date.today().isoformat(),
+            "sf": os.path.basename(args.sf_dir.rstrip("/")),
+            "note": args.note,
+            "n_queries": len(results),
+            "n_match": statuses.count("match"),
+            "n_golden_skip": statuses.count("golden_pinned_sf001_skip"),
+            "n_rows_only": statuses.count("rows_only"),
+            "n_bad": sum(s in ("MISMATCH", "ERROR") for s in statuses),
+            "timing": timing_summary(results),
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print("wrote", args.out)
     ray.shutdown()
