@@ -110,8 +110,18 @@ class ExtractPages:
         for url, html in zip(urls, htmls):
             r = scrape_page(url, html, self.cfg)
             if r["success"]:
+                # content_source dispatch (r5 — reference
+                # markdown_generation_strategy.py + tests/general/
+                # test_content_source_parameter.py): raw_html |
+                # cleaned_html | fit_html, anything else falls back to
+                # cleaned_html
+                src = {
+                    "raw_html": lambda: html,
+                    "cleaned_html": lambda: r["cleaned_root"],
+                    "fit_html": lambda: r["fit_html"],
+                }.get(self.cfg.content_source, lambda: r["cleaned_root"])()
                 md = generate_markdown(
-                    r["cleaned_root"], base_url=url, citations=self.cfg.citations
+                    src, base_url=url, citations=self.cfg.citations
                 )
             else:
                 md = {

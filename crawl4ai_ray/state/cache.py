@@ -59,6 +59,62 @@ def should_write(mode: CacheMode) -> bool:
     return mode in (CacheMode.ENABLED, CacheMode.WRITE_ONLY)
 
 
+class CacheContext:
+    """Per-url cache decision object — the reference's full surface
+    (cache_context.py:23-92; r5 port so the decision TABLE is pinned by
+    expectation tests, not just the mode helpers): url-kind attributes,
+    ``always_bypass``, and ``should_read``/``should_write`` gated on
+    both the bypass flag and cacheability."""
+
+    def __init__(
+        self, url: str, cache_mode: CacheMode, always_bypass: bool = False
+    ):
+        self.url = url
+        self.cache_mode = cache_mode
+        self.always_bypass = always_bypass
+        self.is_cacheable = is_cacheable_url(url)
+        self.is_web_url = url.startswith(("http://", "https://"))
+        self.is_local_file = url.startswith("file://")
+        self.is_raw_html = url.startswith("raw:")
+        self._url_display = url if not self.is_raw_html else "Raw HTML"
+
+    def should_read(self) -> bool:
+        if self.always_bypass or not self.is_cacheable:
+            return False
+        return should_read(self.cache_mode)
+
+    def should_write(self) -> bool:
+        if self.always_bypass or not self.is_cacheable:
+            return False
+        return should_write(self.cache_mode)
+
+    @property
+    def display_url(self) -> str:
+        return self._url_display
+
+
+def legacy_to_cache_mode(
+    disable_cache: bool = False,
+    bypass_cache: bool = False,
+    no_cache_read: bool = False,
+    no_cache_write: bool = False,
+) -> CacheMode:
+    """Legacy boolean flags → CacheMode (cache_context.py:95-120
+    ``_legacy_to_cache_mode``), precedence order preserved: disable >
+    bypass > read+write > read > write > enabled."""
+    if disable_cache:
+        return CacheMode.DISABLED
+    if bypass_cache:
+        return CacheMode.BYPASS
+    if no_cache_read and no_cache_write:
+        return CacheMode.DISABLED
+    if no_cache_read:
+        return CacheMode.WRITE_ONLY
+    if no_cache_write:
+        return CacheMode.READ_ONLY
+    return CacheMode.ENABLED
+
+
 def _url_hash_ref(ds: "ray.data.Dataset", url_col: str = "url"):
     """Sorted uint64 url-hash array of a Dataset's url column, placed in
     plasma once (zero-copy numpy view per task thereafter)."""

@@ -107,6 +107,20 @@ class MarkdownGenerationStrategy:
     def generate_markdown(self, input_html: str, base_url: str = "", **kw) -> dict:
         raise NotImplementedError  # pragma: no cover
 
+    def resolve_input_html(
+        self, raw_html: str, cleaned_html: str, fit_html: str
+    ) -> str:
+        """The reference's content_source dispatch (r5 port of
+        markdown_generation_strategy.py / tests/general/
+        test_content_source_parameter.py): pick which HTML feeds
+        markdown generation; unknown values fall back to
+        cleaned_html."""
+        return {
+            "raw_html": lambda: raw_html,
+            "cleaned_html": lambda: cleaned_html,
+            "fit_html": lambda: fit_html,
+        }.get(self.content_source, lambda: cleaned_html)()
+
 
 class DefaultMarkdownGenerator(MarkdownGenerationStrategy):
     def generate_markdown(
