@@ -234,11 +234,15 @@ def semdedup(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
-    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ecols = [c for c in g.columns if c.startswith("e_")]
-        e = g[ecols].to_numpy(np.int64)
-        m = len(g)
+    def per_cluster(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sort + stacked int64 columns, no pandas
+        g = g.sort_by(id_col)
+        ecols = [c for c in g.column_names if c.startswith("e_")]
+        e = np.stack(
+            [g.column(c).to_numpy(zero_copy_only=False) for c in ecols],
+            axis=1,
+        ).astype(np.int64) if g.num_rows else np.zeros((0, len(ecols)), np.int64)
+        m = g.num_rows
         # int64 matmul: |dot| ≤ 64 * 2^44 = 2^50, |n|^2 same bound
         dots = e @ e.T
         norms = np.diag(dots).copy()
@@ -258,14 +262,14 @@ def semdedup(
                 )
         viol &= np.tri(m, m, -1, dtype=bool).T  # keep a<b pairs only
         keep = ~viol.any(axis=0)  # b dropped if any earlier a dominates it
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: g[id_col].to_numpy(),
-                "cluster": g["cluster"].to_numpy(),
-                "keep": keep,
+                id_col: g.column(id_col),
+                "cluster": g.column("cluster"),
+                "keep": pa.array(keep, pa.bool_()),
             }
         )
 
     return tagged.groupby("cluster").map_groups(
-        per_cluster, batch_format="pandas"
+        per_cluster, batch_format="pyarrow"
     )

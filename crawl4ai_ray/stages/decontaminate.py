@@ -148,8 +148,6 @@ def decontaminate_bloom(
     Output (doc_id, n_contaminated, contaminated) — identical semantics
     to ``decontaminate`` (same oracle), different scale regime."""
     import numpy as np
-    import pandas as pd
-
     from ..functions.hashing import hash64
 
     bloom = benchmark_bloom(bench, n=n, capacity=capacity, error_rate=error_rate)
@@ -206,17 +204,29 @@ def decontaminate_bloom(
                 }
             )
 
-    def verify(g: pd.DataFrame) -> pa.Table:
-        # returns ARROW so the downstream union with the arrow-blocked
-        # zero rows feeds the aggregate a single block type
-        bench_set = set(g.loc[g["is_bench"] == 1, "gram"])
-        cand = g[g["is_bench"] == 0]
-        hit = cand[cand["gram"].isin(bench_set)]
-        counts = hit.groupby("doc_id").size()
+    def verify(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sorted-bench membership + bincount fold
+        is_bench = g.column("is_bench").to_numpy(zero_copy_only=False) == 1
+        grams = np.asarray(g.column("gram").to_pylist(), dtype=object)
+        bench_g = np.unique(grams[is_bench])
+        cand_g = grams[~is_bench]
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False)[~is_bench]
+        if len(bench_g) and len(cand_g):
+            loc = np.searchsorted(bench_g, cand_g)
+            safe = np.minimum(loc, len(bench_g) - 1)
+            hit = bench_g[safe] == cand_g
+        else:
+            hit = np.zeros(len(cand_g), bool)
+        hit_ids = dids[hit].astype(np.int64)
+        ids, counts = (
+            np.unique(hit_ids, return_counts=True)
+            if len(hit_ids)
+            else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        )
         return pa.table(
             {
-                "doc_id": pa.array(counts.index.to_numpy(dtype=np.int64), pa.int64()),
-                "hits": pa.array(counts.to_numpy(dtype=np.int64), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "hits": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
@@ -226,7 +236,7 @@ def decontaminate_bloom(
         batch_format="pyarrow", concurrency=4,
     )
     hits = bench_grams.union(cands).groupby("bucket").map_groups(
-        verify, batch_format="pandas"
+        verify, batch_format="pyarrow"
     )
 
     def zero_rows(batch: pa.Table) -> pa.Table:
@@ -294,8 +304,6 @@ def decontaminate_fuzzy(
     corpus doc.
     """
     import numpy as np
-    import pandas as pd
-
     from .dedup import ngram_postings, verify_pairs
 
     def lift(batch: pa.Table) -> pa.Table:
@@ -319,10 +327,14 @@ def decontaminate_fuzzy(
         num_buckets=num_buckets, prefix_tau=tau,
     )
 
-    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["gram", "id"], kind="mergesort")
-        grams = g["gram"].to_numpy()
-        ids = g["id"].to_numpy()
+    def cross_pairs(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): one sort + per-run numpy cross products
+        g = g.sort_by([("gram", "ascending"), ("id", "ascending")])
+        grams = np.asarray(g.column("gram").to_pylist(), dtype=object)
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z})
         starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
         ends = np.r_[starts[1:], len(grams)]
         A, B = [], []
@@ -335,14 +347,18 @@ def decontaminate_fuzzy(
             A.append(np.repeat(corp, len(ben)))
             B.append(np.tile(ben, len(corp)))
         if not A:
-            return pd.DataFrame(
-                {"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)}
-            )
-        return pd.DataFrame({"a": np.concatenate(A), "b": np.concatenate(B)})
+            z = pa.array([], pa.int64())
+            return pa.table({"a": z, "b": z})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(A).astype(np.int64), pa.int64()),
+                "b": pa.array(np.concatenate(B).astype(np.int64), pa.int64()),
+            }
+        )
 
     cands = (
         posted.groupby("bucket")
-        .map_groups(cross_pairs, batch_format="pandas")
+        .map_groups(cross_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])

@@ -696,25 +696,28 @@ def ngram_doc_freq_histogram(
     shuffle), each bucket emits its partial histogram (≤ max_df rows),
     and the final groupby reduces P tiny partials. The full histogram
     never exceeds max(df) rows regardless of corpus size."""
-    import pandas as pd
-
     posted = ngram_postings(
         ds, shingle=shingle, id_col=id_col, text_col=text_col,
         num_buckets=num_buckets,
     )
 
-    def bucket_histogram(g: pd.DataFrame) -> pd.DataFrame:
-        df_per_gram = g.groupby("gram", sort=False).size()
-        hist = df_per_gram.value_counts()
-        return pd.DataFrame(
+    def bucket_histogram(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): two np.unique passes, no pandas
+        grams = np.asarray(g.column("gram").to_pylist(), dtype=object)
+        if len(grams) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_freq": z, "n_grams": z})
+        _, df_per_gram = np.unique(grams, return_counts=True)
+        doc_freq, n_grams = np.unique(df_per_gram, return_counts=True)
+        return pa.table(
             {
-                "doc_freq": hist.index.astype("int64"),
-                "n_grams": hist.to_numpy().astype("int64"),
+                "doc_freq": pa.array(doc_freq.astype(np.int64), pa.int64()),
+                "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
             }
         )
 
     partials = posted.groupby("bucket").map_groups(
-        bucket_histogram, batch_format="pandas"
+        bucket_histogram, batch_format="pyarrow"
     )
     out = partials.groupby("doc_freq").sum("n_grams")
     return out.map_batches(
@@ -1487,8 +1490,6 @@ def probe_minhash_index(
     import json
     import os
 
-    import pandas as pd
-
     from ..functions.hashing import HASH_SPEC
 
     with open(os.path.join(index_dir, "_SPEC.json")) as f:
@@ -1571,25 +1572,50 @@ def probe_minhash_index(
         tag_old, batch_format="pyarrow"
     )
 
-    def cross_match(g: pd.DataFrame) -> pd.DataFrame:
-        new = g[g["is_new"] == 1]
-        idx = g[g["is_new"] == 0]
-        if new.empty or idx.empty:
-            return pd.DataFrame(
-                {"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)}
-            )
-        m = idx.merge(new, on=["band", "band_hash"], suffixes=("_a", "_b"))
-        return pd.DataFrame(
+    def cross_match(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted (band, band_hash) runs + per-run
+        # cross products, no pandas merge
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        is_new = g.column("is_new").to_numpy(zero_copy_only=False) == 1
+        if is_new.all() or not is_new.any():
+            return empty
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = g.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((is_new, bh, band))
+        band, bh, ids, is_new = (
+            band[order], bh[order], ids[order], is_new[order]
+        )
+        starts = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+        )
+        ends = np.r_[starts[1:], len(band)]
+        A, B = [], []
+        for s, e in zip(starts, ends):
+            nmask = is_new[s:e]
+            if not nmask.any() or nmask.all():
+                continue
+            idx_ids = ids[s:e][~nmask]
+            new_ids = ids[s:e][nmask]
+            A.append(np.repeat(idx_ids, len(new_ids)))
+            B.append(np.tile(new_ids, len(idx_ids)))
+        if not A:
+            return empty
+        return pa.table(
             {
-                "a": m["id_a"].to_numpy(np.int64),
-                "b": m["id_b"].to_numpy(np.int64),
+                "a": pa.array(np.concatenate(A), pa.int64()),
+                "b": pa.array(np.concatenate(B), pa.int64()),
             }
         )
 
     pairs = (
         old.union(probe)
         .groupby("bucket")
-        .map_groups(cross_match, batch_format="pandas")
+        .map_groups(cross_match, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
