@@ -99,18 +99,29 @@ def grouped_topk(
             ).astype(np.int64)
         return tbl.append_column("bucket", pa.array(bucket))
 
-    def per_bucket(g):
-        import pandas as pd
-
-        g = g.sort_values([key, value, tie], ascending=[True, False, True],
-                          kind="mergesort")
-        ranks = g.groupby(key, sort=False).cumcount() + 1
-        g = g.assign(**{rank_col: ranks})
-        g = g[g[rank_col] <= k]
-        return g[cols + [rank_col]].reset_index(drop=True)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): one sort + run-length rank, no pandas
+        g = g.sort_by(
+            [(key, "ascending"), (value, "descending"), (tie, "ascending")]
+        )
+        kv = np.asarray(g.column(key).to_pylist(), dtype=object)
+        n = len(kv)
+        if n == 0:
+            out = {c: pa.array([], g.column(c).type) for c in cols}
+            out[rank_col] = pa.array([], pa.int64())
+            return pa.table(out)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.r_[True, kv[1:] != kv[:-1]]
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - start + 1
+        mask = rank <= k
+        kept = g.filter(pa.array(mask))
+        out = {c: kept.column(c) for c in cols}
+        out[rank_col] = pa.array(rank[mask], pa.int64())
+        return pa.table(out)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return partials.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def partial_sum(
@@ -339,20 +350,42 @@ def hll_distinct_per_key(
             }
         )
 
-    def merge_bucket(g):
-        import pandas as pd
-
-        rows_k, rows_e = [], []
-        for k, grp in g.groupby(key, sort=True):
-            stacked = np.stack(
-                [np.frombuffer(rb, dtype=np.uint8) for rb in grp["regs"]]
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sorted key runs + stacked register max
+        kv = np.asarray(g.column(key).to_pylist(), dtype=object)
+        key_type = g.schema.field(key).type
+        if len(kv) == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    out_col: pa.array([], pa.int64()),
+                }
             )
-            rows_k.append(k)
+        regs = g.column("regs").to_pylist()
+        order = np.argsort(kv, kind="stable")
+        ks = kv[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1], [True]))
+        )
+        rows_k, rows_e = [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            stacked = np.stack(
+                [
+                    np.frombuffer(regs[order[i]], dtype=np.uint8)
+                    for i in range(a, b)
+                ]
+            )
+            rows_k.append(ks[a])
             rows_e.append(_hll_estimate(stacked.max(axis=0)))
-        return pd.DataFrame({key: rows_k, out_col: rows_e})
+        return pa.table(
+            {
+                key: pa.array(rows_k, key_type),
+                out_col: pa.array(rows_e, pa.int64()),
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("bucket").map_groups(merge_bucket, batch_format="pandas")
+    return partials.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def heavy_hitters(
@@ -601,25 +634,25 @@ def budget_allocate(
         acc += row["count()"]
     bases_ref = ray.put(bases)
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): one sort + rank arithmetic, no pandas
         base_map = ray.get(bases_ref)
-        start = base_map[int(g["rbucket"].iloc[0])]
-        g = g.sort_values(
-            ["rem", key_col], ascending=[False, True], kind="mergesort"
+        start = base_map[int(g.column("rbucket")[0].as_py())]
+        g = g.sort_by([("rem", "descending"), (key_col, "ascending")])
+        rnk = start + np.arange(g.num_rows, dtype=np.int64)
+        alloc = (
+            g.column("base").to_numpy(zero_copy_only=False).astype(np.int64)
+            + (rnk < leftover)
         )
-        rnk = start + np.arange(len(g), dtype=np.int64)
-        alloc = g["base"].to_numpy(dtype=np.int64) + (rnk < leftover)
         return pa.table(
             {
-                key_col: pa.array(g[key_col].tolist()),
-                demand_col: pa.array(
-                    g[demand_col].to_numpy(dtype=np.int64), pa.int64()
-                ),
+                key_col: g.column(key_col),
+                demand_col: g.column(demand_col).cast(pa.int64()),
                 "alloc": pa.array(alloc, pa.int64()),
             }
         )
 
-    return br.groupby("rbucket").map_groups(per_bucket, batch_format="pandas")
+    return br.groupby("rbucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def bucketed_lookup_join(

@@ -526,17 +526,23 @@ def ivfpq_topk(
 
     code_cols = [f"code_{m}" for m in range(m_subspaces)]
 
-    def pivot(g: pd.DataFrame) -> pa.Table:
-        wide = g.pivot_table(
-            index=id_col, columns="m", values="cluster", aggfunc="first"
-        )
-        cols = {id_col: pa.array(wide.index.to_numpy(np.int64), pa.int64())}
+    def pivot(g: pa.Table) -> pa.Table:
+        # arrow-native scatter pivot (r5): each (id, m) appears exactly
+        # once by construction, so a plain 2-D scatter replaces
+        # pivot_table; np.unique sorts ids like the pandas index did
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ms = g.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = g.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        uids, inv = np.unique(ids, return_inverse=True)
+        wide = np.full((len(uids), m_subspaces + 1), -1, np.int64)
+        wide[inv, ms] = cl
+        cols = {id_col: pa.array(uids, pa.int64())}
         for m in range(m_subspaces):
-            cols[code_cols[m]] = pa.array(wide[m].to_numpy(np.int64), pa.int64())
-        cols["cell"] = pa.array(wide[m_subspaces].to_numpy(np.int64), pa.int64())
+            cols[code_cols[m]] = pa.array(wide[:, m], pa.int64())
+        cols["cell"] = pa.array(wide[:, m_subspaces], pa.int64())
         return pa.table(cols)
 
-    codes = tagged.groupby("bucket").map_groups(pivot, batch_format="pandas")
+    codes = tagged.groupby("bucket").map_groups(pivot, batch_format="pyarrow")
 
     # ---- 3. cell-partitioned layout (the persisted index)
     os.makedirs(out_dir, exist_ok=True)
@@ -951,18 +957,20 @@ def pq_topk(
 
     code_cols = [f"code_{m}" for m in range(m_subspaces)]
 
-    def pivot(g: pd.DataFrame) -> pa.Table:
-        wide = g.pivot_table(
-            index=id_col, columns="m", values="cluster", aggfunc="first"
-        )
-        cols = {id_col: pa.array(wide.index.to_numpy(np.int64), pa.int64())}
+    def pivot(g: pa.Table) -> pa.Table:
+        # arrow-native scatter pivot (r5) — see ivfpq_build.pivot
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ms = g.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = g.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        uids, inv = np.unique(ids, return_inverse=True)
+        wide = np.full((len(uids), m_subspaces), -1, np.int64)
+        wide[inv, ms] = cl
+        cols = {id_col: pa.array(uids, pa.int64())}
         for m in range(m_subspaces):
-            cols[code_cols[m]] = pa.array(
-                wide[m].to_numpy(np.int64), pa.int64()
-            )
+            cols[code_cols[m]] = pa.array(wide[:, m], pa.int64())
         return pa.table(cols)
 
-    codes = tagged.groupby("bucket").map_groups(pivot, batch_format="pandas")
+    codes = tagged.groupby("bucket").map_groups(pivot, batch_format="pyarrow")
 
     # ---- per-query ADC lookup tables (Q, M, K) — tiny, broadcast once
     import pyarrow.compute as pc

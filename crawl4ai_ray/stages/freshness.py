@@ -60,8 +60,9 @@ def change_rate(
             }
         )
 
-    def fold(g) -> pa.Table:
-        if g.empty:
+    def fold(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sort_by + numpy run folds, no pandas
+        if g.num_rows == 0:
             return pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
@@ -71,9 +72,9 @@ def change_rate(
                     "est_rate": pa.array([], pa.float64()),
                 }
             )
-        g = g.sort_values([id_col, snap_col], kind="mergesort")
-        ids = g[id_col].to_numpy()
-        hs = g[hash_col].to_numpy()
+        g = g.sort_by([(id_col, "ascending"), (snap_col, "ascending")])
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        hs = np.asarray(g.column(hash_col).to_pylist(), dtype=object)
         same = ids[1:] == ids[:-1]
         chg = same & (hs[1:] != hs[:-1])
         # per-id fold over the sorted run
@@ -108,5 +109,5 @@ def change_rate(
     return (
         snaps.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )

@@ -195,33 +195,40 @@ def pagerank(
             }
         )
 
-    def bucket_contrib(g: pd.DataFrame) -> pa.Table:
+    def bucket_contrib(g: pa.Table) -> pa.Table:
         """One vectorized pass per hash bucket: src→rank lookup for the
         bucket's edges, then a LOCAL partial sum by dst (map-side combine
-        — only (dst, partial) leaves the bucket)."""
-        is_rank = g["dst"].isna()
-        rrows = g[is_rank]
-        erows = g[~is_rank]
-        if erows.empty:
-            return pa.table(
-                {"dst": pa.array([], pa.int64()), "val": pa.array([], pa.float64())}
-            )
-        lookup = pd.Series(
-            rrows["rank"].to_numpy(), index=rrows["src"].to_numpy()
+        — only (dst, partial) leaves the bucket). Arrow-native (r5):
+        sorted-src searchsorted lookup + np.unique/bincount fold."""
+        is_rank = np.asarray(g.column("dst").is_null())
+        empty = pa.table(
+            {"dst": pa.array([], pa.int64()), "val": pa.array([], pa.float64())}
         )
-        vals = erows["w"].to_numpy() * lookup.reindex(
-            erows["src"].to_numpy()
-        ).to_numpy()
-        part = (
-            pd.DataFrame({"dst": erows["dst"].to_numpy().astype(np.int64),
-                          "val": vals})
-            .groupby("dst", sort=True)["val"]
-            .sum()
+        if (~is_rank).sum() == 0:
+            return empty
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        rank = g.column("rank").to_numpy(zero_copy_only=False)
+        rs = src[is_rank].astype(np.int64)
+        rv = rank[is_rank].astype(np.float64)
+        order = np.argsort(rs, kind="stable")
+        rs, rv = rs[order], rv[order]
+        es = src[~is_rank].astype(np.int64)
+        ed = g.column("dst").to_numpy(zero_copy_only=False)[~is_rank].astype(
+            np.int64
         )
+        ew = g.column("w").to_numpy(zero_copy_only=False)[~is_rank].astype(
+            np.float64
+        )
+        loc = np.searchsorted(rs, es)
+        safe = np.minimum(loc, max(len(rs) - 1, 0))
+        hit = (rs[safe] == es) if len(rs) else np.zeros(len(es), bool)
+        vals = ew * np.where(hit, rv[safe] if len(rs) else 0.0, 0.0)
+        uds, inv = np.unique(ed, return_inverse=True)
+        part = np.bincount(inv, weights=vals, minlength=len(uds))
         return pa.table(
             {
-                "dst": pa.array(part.index.to_numpy(), pa.int64()),
-                "val": pa.array(part.to_numpy(), pa.float64()),
+                "dst": pa.array(uds, pa.int64()),
+                "val": pa.array(part, pa.float64()),
             }
         )
 
@@ -230,7 +237,7 @@ def pagerank(
         contribs = (
             edges_t.union(tagged)
             .groupby("bucket")
-            .map_groups(bucket_contrib, batch_format="pandas")
+            .map_groups(bucket_contrib, batch_format="pyarrow")
         )
         sums = contribs.union(zeros).groupby("dst").sum("val")
 
@@ -387,41 +394,41 @@ def connected_components(
             }
         )
 
-    def bucket_min(g: pd.DataFrame) -> pa.Table:
+    def bucket_min(g: pa.Table) -> pa.Table:
         """Per bucket: candidate labels for each edge target = source's
-        current label; plus every node's own label — partial min by node."""
-        is_lbl = g["dst"].isna()
-        lrows = g[is_lbl]
-        erows = g[~is_lbl]
-        lookup = pd.Series(lrows["lbl"].to_numpy(), index=lrows["src"].to_numpy())
-        cands = [
-            pd.DataFrame(
-                {
-                    "node": lrows["src"].to_numpy().astype(np.int64),
-                    "lbl": lrows["lbl"].to_numpy().astype(np.int64),
-                }
-            )
-        ]
-        if not erows.empty:
+        current label; plus every node's own label — partial min by
+        node. Arrow-native (r5): sorted-src lookup + np.minimum.at."""
+        is_lbl = np.asarray(g.column("dst").is_null())
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        lbl = g.column("lbl").to_numpy(zero_copy_only=False)
+        ls = src[is_lbl].astype(np.int64)
+        lv = lbl[is_lbl].astype(np.int64)
+        order = np.argsort(ls, kind="stable")
+        ls_s, lv_s = ls[order], lv[order]
+        cand_n = [ls]
+        cand_l = [lv]
+        es = src[~is_lbl].astype(np.int64)
+        if len(es):
+            ed = g.column("dst").to_numpy(zero_copy_only=False)[
+                ~is_lbl
+            ].astype(np.int64)
+            loc = np.searchsorted(ls_s, es)
+            safe = np.minimum(loc, max(len(ls_s) - 1, 0))
             # a dangling src (edge endpoint absent from the node set) has
-            # no label this sweep — drop those candidates rather than let
-            # reindex's NaN cast to INT64_MIN and poison every min
-            src_lbl = lookup.reindex(erows["src"].to_numpy()).to_numpy()
-            ok = ~pd.isna(src_lbl)
+            # no label this sweep — drop those candidates
+            ok = (ls_s[safe] == es) if len(ls_s) else np.zeros(len(es), bool)
             if ok.any():
-                cands.append(
-                    pd.DataFrame(
-                        {
-                            "node": erows["dst"].to_numpy()[ok].astype(np.int64),
-                            "lbl": src_lbl[ok].astype(np.int64),
-                        }
-                    )
-                )
-        part = pd.concat(cands).groupby("node", sort=True)["lbl"].min()
+                cand_n.append(ed[ok])
+                cand_l.append(lv_s[safe[ok]])
+        nodes_all = np.concatenate(cand_n)
+        lbls_all = np.concatenate(cand_l)
+        un, inv = np.unique(nodes_all, return_inverse=True)
+        part = np.full(len(un), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(part, inv, lbls_all)
         return pa.table(
             {
-                "node": pa.array(part.index.to_numpy(), pa.int64()),
-                "lbl": pa.array(part.to_numpy(), pa.int64()),
+                "node": pa.array(un, pa.int64()),
+                "lbl": pa.array(part, pa.int64()),
             }
         )
 
@@ -437,7 +444,7 @@ def connected_components(
         new_labels = (
             edges_t.union(tagged)
             .groupby("bucket")
-            .map_groups(bucket_min, batch_format="pandas")
+            .map_groups(bucket_min, batch_format="pyarrow")
             .groupby("node")
             .min("lbl")
             .map_batches(
@@ -611,12 +618,11 @@ def label_propagation(
             }
         )
 
-    def bucket_votes(g: pd.DataFrame) -> pa.Table:
+    def bucket_votes(g: pa.Table) -> pa.Table:
         """Per src bucket: labeled-src lookup, then a LOCAL (dst, lbl)
-        partial count — only distinct pairs leave the bucket."""
-        is_lbl = g["dst"].isna()
-        lrows = g[is_lbl]
-        erows = g[~is_lbl]
+        partial count — only distinct pairs leave the bucket.
+        Arrow-native (r5): sorted-src lookup + pair-unique counts."""
+        is_lbl = np.asarray(g.column("dst").is_null())
         empty = pa.table(
             {
                 "node": pa.array([], pa.int64()),
@@ -624,59 +630,88 @@ def label_propagation(
                 "c": pa.array([], pa.int64()),
             }
         )
-        if erows.empty:
+        if (~is_lbl).sum() == 0:
             return empty
-        lookup = pd.Series(lrows["lbl"].to_numpy(), index=lrows["src"].to_numpy())
-        src_lbl = lookup.reindex(erows["src"].to_numpy()).to_numpy()
-        ok = ~pd.isna(src_lbl)
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        lbl = g.column("lbl").to_numpy(zero_copy_only=False)
+        ls = src[is_lbl].astype(np.int64)
+        lv = lbl[is_lbl].astype(np.float64)
+        order = np.argsort(ls, kind="stable")
+        ls_s, lv_s = ls[order], lv[order]
+        es = src[~is_lbl].astype(np.int64)
+        ed = g.column("dst").to_numpy(zero_copy_only=False)[~is_lbl].astype(
+            np.int64
+        )
+        loc = np.searchsorted(ls_s, es)
+        safe = np.minimum(loc, max(len(ls_s) - 1, 0))
+        hit = (ls_s[safe] == es) if len(ls_s) else np.zeros(len(es), bool)
+        src_lbl = lv_s[safe] if len(ls_s) else np.zeros(len(es))
+        ok = hit & ~np.isnan(src_lbl)
         if not ok.any():
             return empty
-        part = (
-            pd.DataFrame(
-                {
-                    "node": erows["dst"].to_numpy()[ok].astype(np.int64),
-                    "lbl": src_lbl[ok],
-                }
-            )
-            .groupby(["node", "lbl"], sort=True)
-            .size()
-            .reset_index(name="c")
-        )
+        n_ok = ed[ok]
+        l_ok = src_lbl[ok]
+        o2 = np.lexsort((l_ok, n_ok))
+        n_s, l_s = n_ok[o2], l_ok[o2]
+        newrun = np.r_[True, (n_s[1:] != n_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        run_id = np.cumsum(newrun) - 1
+        counts = np.bincount(run_id)
         return pa.table(
             {
-                "node": pa.array(part["node"].to_numpy(np.int64), pa.int64()),
-                "lbl": pa.array(part["lbl"].to_numpy(np.float64), pa.float64()),
-                "c": pa.array(part["c"].to_numpy(np.int64), pa.int64()),
+                "node": pa.array(n_s[newrun], pa.int64()),
+                "lbl": pa.array(l_s[newrun], pa.float64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
-    def resolve(g: pd.DataFrame) -> pa.Table:
+    def resolve(g: pa.Table) -> pa.Table:
         """Per node bucket: sum vote partials per (node, lbl), argmax
-        with ties to the smallest label, clamp seeds, else keep prev."""
+        with ties to the smallest label, clamp seeds, else keep prev.
+        Arrow-native (r5): lexsorted runs replace the pandas folds."""
         sm = ray.get(seeds_ref)
-        prev = g[g["c"].isna()]
-        votes = g[~g["c"].isna()]
-        out = pd.Series(prev["lbl"].to_numpy(), index=prev["node"].to_numpy())
-        if not votes.empty:
-            tot = (
-                votes.groupby(["node", "lbl"], sort=True)["c"]
-                .sum()
-                .reset_index()
-                .sort_values(["node", "c", "lbl"],
-                             ascending=[True, False, True],
-                             kind="mergesort")
+        c_null = np.asarray(g.column("c").is_null())
+        node = g.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = g.column("lbl").to_numpy(zero_copy_only=False).astype(np.float64)
+        pn = node[c_null]
+        pl = lbl[c_null]
+        po = np.argsort(pn, kind="stable")
+        pn, pl = pn[po], pl[po]
+        out = pl.copy()
+        if (~c_null).any():
+            vn = node[~c_null]
+            vl = lbl[~c_null]
+            vc = g.column("c").to_numpy(zero_copy_only=False)[~c_null].astype(
+                np.int64
             )
-            mode = tot.groupby("node", sort=True).first()["lbl"]
-            adopt = mode.index.difference(
-                pd.Index(list(sm.keys()))
-            )  # seeds clamped
-            out.loc[out.index.intersection(adopt)] = mode.loc[
-                out.index.intersection(adopt)
+            o2 = np.lexsort((vl, vn))
+            vn_s, vl_s = vn[o2], vl[o2]
+            newrun = np.r_[
+                True, (vn_s[1:] != vn_s[:-1]) | (vl_s[1:] != vl_s[:-1])
             ]
+            run_id = np.cumsum(newrun) - 1
+            tot = np.bincount(run_id, weights=vc[o2].astype(np.float64))
+            mn = vn_s[newrun]
+            ml = vl_s[newrun]
+            # per node: argmax by (c desc, lbl asc); up is sorted by
+            # (node, lbl) asc so a stable lexsort on (-c) within node
+            # keeps lbl-asc tiebreak
+            sel = np.lexsort((ml, -tot, mn))
+            mn_s = mn[sel]
+            first = np.r_[True, mn_s[1:] != mn_s[:-1]]
+            win_n = mn_s[first]
+            win_l = ml[sel][first]
+            # adopt for non-seed nodes present in prev
+            seed_arr2 = np.fromiter(sm.keys(), dtype=np.int64, count=len(sm))
+            adopt = ~np.isin(win_n, seed_arr2)
+            win_n, win_l = win_n[adopt], win_l[adopt]
+            loc = np.searchsorted(pn, win_n)
+            safe = np.minimum(loc, max(len(pn) - 1, 0))
+            okm = (pn[safe] == win_n) if len(pn) else np.zeros(len(win_n), bool)
+            out[safe[okm]] = win_l[okm]
         return pa.table(
             {
-                "node": pa.array(out.index.to_numpy(np.int64), pa.int64()),
-                "lbl": pa.array(out.to_numpy(np.float64), pa.float64()),
+                "node": pa.array(pn, pa.int64()),
+                "lbl": pa.array(out, pa.float64()),
             }
         )
 
@@ -696,7 +731,7 @@ def label_propagation(
         partials = (
             edges_t.union(tagged)
             .groupby("bucket")
-            .map_groups(bucket_votes, batch_format="pandas")
+            .map_groups(bucket_votes, batch_format="pyarrow")
             .map_batches(
                 # same column ORDER as tag_prev — union requires it
                 lambda b: pa.table(
@@ -720,7 +755,7 @@ def label_propagation(
                 labels.map_batches(tag_prev, batch_format="pyarrow")
             )
             .groupby("bucket")
-            .map_groups(resolve, batch_format="pandas")
+            .map_groups(resolve, batch_format="pyarrow")
             .repartition(P)
             .materialize()
         )
@@ -868,44 +903,44 @@ def multi_source_bfs(
             }
         )
 
-    def bucket_min(g: pd.DataFrame) -> pa.Table:
+    def bucket_min(g: pa.Table) -> pa.Table:
         """Per bucket: each edge target's candidate = source label + one
         hop; plus every node's own label — partial min by node. Sources
         still at the sentinel push nothing (their +hop candidate would
-        still lose every min, but dropping them keeps the shuffle lean)."""
-        is_lbl = g["dst"].isna()
-        lrows = g[is_lbl]
-        erows = g[~is_lbl]
-        lookup = pd.Series(lrows["lbl"].to_numpy(), index=lrows["src"].to_numpy())
-        cands = [
-            pd.DataFrame(
-                {
-                    "node": lrows["src"].to_numpy().astype(np.int64),
-                    "lbl": lrows["lbl"].to_numpy().astype(np.int64),
-                }
-            )
-        ]
-        if not erows.empty:
-            src_lbl = lookup.reindex(erows["src"].to_numpy()).to_numpy()
-            ok = ~pd.isna(src_lbl)
+        still lose every min, but dropping them keeps the shuffle lean).
+        Arrow-native (r5): sorted-src lookup + np.minimum.at."""
+        is_lbl = np.asarray(g.column("dst").is_null())
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        lbl = g.column("lbl").to_numpy(zero_copy_only=False)
+        ls = src[is_lbl].astype(np.int64)
+        lv = lbl[is_lbl].astype(np.int64)
+        order = np.argsort(ls, kind="stable")
+        ls_s, lv_s = ls[order], lv[order]
+        cand_n = [ls]
+        cand_l = [lv]
+        es = src[~is_lbl].astype(np.int64)
+        if len(es):
+            ed = g.column("dst").to_numpy(zero_copy_only=False)[
+                ~is_lbl
+            ].astype(np.int64)
+            loc = np.searchsorted(ls_s, es)
+            safe = np.minimum(loc, max(len(ls_s) - 1, 0))
+            ok = (ls_s[safe] == es) if len(ls_s) else np.zeros(len(es), bool)
             if ok.any():
-                reached = src_lbl[ok].astype(np.int64) < _BFS_UNREACHED
+                src_lbl = lv_s[safe[ok]]
+                reached = src_lbl < _BFS_UNREACHED
                 if reached.any():
-                    cands.append(
-                        pd.DataFrame(
-                            {
-                                "node": erows["dst"].to_numpy()[ok][reached]
-                                .astype(np.int64),
-                                "lbl": src_lbl[ok].astype(np.int64)[reached]
-                                + _BFS_HOP,
-                            }
-                        )
-                    )
-        part = pd.concat(cands).groupby("node", sort=True)["lbl"].min()
+                    cand_n.append(ed[ok][reached])
+                    cand_l.append(src_lbl[reached] + _BFS_HOP)
+        nodes_all = np.concatenate(cand_n)
+        lbls_all = np.concatenate(cand_l)
+        un, inv = np.unique(nodes_all, return_inverse=True)
+        part = np.full(len(un), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(part, inv, lbls_all)
         return pa.table(
             {
-                "node": pa.array(part.index.to_numpy(), pa.int64()),
-                "lbl": pa.array(part.to_numpy(), pa.int64()),
+                "node": pa.array(un, pa.int64()),
+                "lbl": pa.array(part, pa.int64()),
             }
         )
 
@@ -917,7 +952,7 @@ def multi_source_bfs(
         new_labels = (
             edges_t.union(tagged)
             .groupby("bucket")
-            .map_groups(bucket_min, batch_format="pandas")
+            .map_groups(bucket_min, batch_format="pyarrow")
             .groupby("node")
             .min("lbl")
             .map_batches(
@@ -1021,7 +1056,6 @@ def triangle_enumerate(
     Partitioning assumptions: one node bucket's incident edges and one
     pivot's out-neighborhood (O(sqrt m) after orientation) fit in a
     worker's heap."""
-    import pandas as pd
 
     # ``edges_canonical=True`` means the caller already holds the distinct
     # (a < b) edge list (e.g. clustering_coefficients, which also needs it
@@ -1079,53 +1113,60 @@ def triangle_enumerate(
         deg.map_batches(deg_rows, batch_format="pyarrow")
     )
 
-    def attach_deg(g: pd.DataFrame) -> pa.Table:
-        degs = g[g["is_deg"] == 1]
-        dmap = dict(zip(degs["node"], degs["deg"]))
-        rows = g[g["is_deg"] == 0]
-        node = rows["node"].to_numpy()
+    def attach_deg(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sorted-node searchsorted degree lookup
+        is_deg = g.column("is_deg").to_numpy(zero_copy_only=False) == 1
+        node = g.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = g.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        dn, dv = node[is_deg], deg[is_deg]
+        order = np.argsort(dn, kind="stable")
+        dn, dv = dn[order], dv[order]
+        rn = node[~is_deg]
+        oa = g.column("oa").to_numpy(zero_copy_only=False)[~is_deg].astype(np.int64)
+        ob = g.column("ob").to_numpy(zero_copy_only=False)[~is_deg].astype(np.int64)
+        pos = np.searchsorted(dn, rn)
         return pa.table(
             {
                 "ebucket": pa.array(
-                    (rows["oa"].to_numpy() * 1_000_003 + rows["ob"].to_numpy())
-                    % num_buckets,
-                    pa.int64(),
+                    (oa * 1_000_003 + ob) % num_buckets, pa.int64()
                 ),
-                "a": pa.array(rows["oa"].to_numpy(), pa.int64()),
-                "b": pa.array(rows["ob"].to_numpy(), pa.int64()),
-                "node": pa.array(node, pa.int64()),
-                "ndeg": pa.array(
-                    np.fromiter((dmap[x] for x in node), np.int64, len(node)),
-                    pa.int64(),
-                ),
+                "a": pa.array(oa, pa.int64()),
+                "b": pa.array(ob, pa.int64()),
+                "node": pa.array(rn, pa.int64()),
+                "ndeg": pa.array(dv[pos], pa.int64()),
             }
         )
 
-    sided = tagged.groupby("nbucket").map_groups(attach_deg, batch_format="pandas")
+    sided = tagged.groupby("nbucket").map_groups(attach_deg, batch_format="pyarrow")
 
-    def orient(g: pd.DataFrame) -> pa.Table:
-        # two rows per edge (one per endpoint): pivot = lower (deg, id)
-        g = g.sort_values(["a", "b", "ndeg", "node"], kind="mergesort")
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
+    def orient(g: pa.Table) -> pa.Table:
+        # two rows per edge (one per endpoint): pivot = lower (deg, id);
+        # arrow-native (r5)
+        g = g.sort_by(
+            [("a", "ascending"), ("b", "ascending"),
+             ("ndeg", "ascending"), ("node", "ascending")]
+        )
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
         first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        lo = g[first]  # lower-(deg,id) endpoint row of each edge
-        u = lo["node"].to_numpy()
-        v = np.where(lo["a"].to_numpy() == u, lo["b"].to_numpy(), lo["a"].to_numpy())
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        u = node[first]
+        v = np.where(a[first] == u, b[first], a[first])
         return pa.table(
             {
                 "ubucket": pa.array(u % num_buckets, pa.int64()),
-                "u": pa.array(u, pa.int64()),
-                "v": pa.array(v, pa.int64()),
+                "u": pa.array(u.astype(np.int64), pa.int64()),
+                "v": pa.array(v.astype(np.int64), pa.int64()),
             }
         )
 
-    oriented = sided.groupby("ebucket").map_groups(orient, batch_format="pandas")
+    oriented = sided.groupby("ebucket").map_groups(orient, batch_format="pyarrow")
 
-    def wedges(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["u", "v"], kind="mergesort")
-        u = g["u"].to_numpy()
-        v = g["v"].to_numpy()
+    def wedges(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        g = g.sort_by([("u", "ascending"), ("v", "ascending")])
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         ends = np.r_[starts[1:], len(u)]
         P, Q, R = [], [], []
@@ -1157,7 +1198,7 @@ def triangle_enumerate(
             }
         )
 
-    wedge_rows = oriented.groupby("ubucket").map_groups(wedges, batch_format="pandas")
+    wedge_rows = oriented.groupby("ubucket").map_groups(wedges, batch_format="pyarrow")
 
     def edge_keys(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
@@ -1172,21 +1213,30 @@ def triangle_enumerate(
             }
         )
 
-    def close_wedges(g: pd.DataFrame) -> pa.Table:
-        eset = set(zip(g.loc[g["is_edge"] == 1, "x"], g.loc[g["is_edge"] == 1, "y"]))
-        w = g[g["is_edge"] == 0]
-        if not len(w) or not eset:
+    def close_wedges(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted edge keys + searchsorted pair probe
+        is_edge = g.column("is_edge").to_numpy(zero_copy_only=False) == 1
+        x = g.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        ex, ey = x[is_edge], y[is_edge]
+        wx, wy = x[~is_edge], y[~is_edge]
+        if len(wx) == 0 or len(ex) == 0:
             z = np.zeros(0, np.int64)
             return pa.table({"a": pa.array(z), "b": pa.array(z), "c": pa.array(z)})
-        hit = np.fromiter(
-            ((x, y) in eset for x, y in zip(w["x"], w["y"])), bool, len(w)
-        )
+        eo = np.lexsort((ey, ex))
+        ex, ey = ex[eo], ey[eo]
+        lo = np.searchsorted(ex, wx, side="left")
+        hi = np.searchsorted(ex, wx, side="right")
+        # within each wedge's x-run of edges, probe y by a second search
+        hit = np.zeros(len(wx), bool)
+        nontrivial = hi > lo
+        idxs = np.nonzero(nontrivial)[0]
+        for i in idxs:
+            j = np.searchsorted(ey[lo[i] : hi[i]], wy[i])
+            hit[i] = j < hi[i] - lo[i] and ey[lo[i] + j] == wy[i]
+        piv = g.column("pivot").to_numpy(zero_copy_only=False)[~is_edge]
         tri = np.sort(
-            np.stack(
-                [w["pivot"].to_numpy()[hit], w["x"].to_numpy()[hit],
-                 w["y"].to_numpy()[hit]],
-                axis=1,
-            ),
+            np.stack([piv[hit].astype(np.int64), wx[hit], wy[hit]], axis=1),
             axis=1,
         )
         return pa.table(
@@ -1200,7 +1250,7 @@ def triangle_enumerate(
     return (
         wedge_rows.union(e.map_batches(edge_keys, batch_format="pyarrow"))
         .groupby("wbucket")
-        .map_groups(close_wedges, batch_format="pandas")
+        .map_groups(close_wedges, batch_format="pyarrow")
     )
 
 
@@ -1217,7 +1267,6 @@ def clustering_coefficients(
     with deg < 2 are omitted (coefficient undefined). Both engines
     evaluate the identical (2.0·T)/(deg·(deg−1)) expression → doubles
     bit-identical."""
-    import pandas as pd
 
     e = undirected_dedup(edges, src_col, dst_col).materialize()
     tris = triangle_enumerate(
@@ -1255,13 +1304,22 @@ def clustering_coefficients(
         e.map_batches(deg_halves, batch_format="pyarrow")
     )
 
-    def combine(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby("node")[["t", "d"]].sum()
-        deg = agg["d"].to_numpy(dtype=np.int64)
-        tri = agg["t"].to_numpy(dtype=np.int64)
+    def combine(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): np.unique + bincount folds
+        node_all = g.column("node").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t_all = g.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        d_all = g.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        un, inv = np.unique(node_all, return_inverse=True)
+        tri = np.bincount(inv, weights=t_all, minlength=len(un)).astype(
+            np.int64
+        )
+        deg = np.bincount(inv, weights=d_all, minlength=len(un)).astype(
+            np.int64
+        )
         keep = deg >= 2
-        node = agg.index.to_numpy(dtype=np.int64)[keep]
-        deg, tri = deg[keep], tri[keep]
+        node, deg, tri = un[keep], deg[keep], tri[keep]
         coeff = (2.0 * tri.astype(np.float64)) / (deg * (deg - 1)).astype(np.float64)
         return pa.table(
             {
@@ -1272,7 +1330,7 @@ def clustering_coefficients(
             }
         )
 
-    return both.groupby("nbucket").map_groups(combine, batch_format="pandas")
+    return both.groupby("nbucket").map_groups(combine, batch_format="pyarrow")
 
 
 def hits(
@@ -1403,29 +1461,35 @@ def hits(
             }
         )
 
-    def bucket_push(g: pd.DataFrame) -> pa.Table:
+    def bucket_push(g: pa.Table) -> pa.Table:
         """Vectorized per hash bucket: key→score lookup for the bucket's
-        edges, contribution pushed to `other`, partial-summed MAP-SIDE."""
-        is_edge = g["score"].isna()
-        srows = g[~is_edge]
-        erows = g[is_edge]
-        if erows.empty:
+        edges, contribution pushed to `other`, partial-summed MAP-SIDE.
+        Arrow-native (r5): sorted-key lookup + bincount fold."""
+        is_edge = np.asarray(g.column("score").is_null())
+        if is_edge.sum() == 0:
             return pa.table(
                 {"node": pa.array([], pa.int64()), "val": pa.array([], pa.float64())}
             )
-        lookup = pd.Series(srows["score"].to_numpy(), index=srows["key"].to_numpy())
-        vals = lookup.reindex(erows["key"].to_numpy()).to_numpy()
-        part = (
-            pd.DataFrame(
-                {"node": erows["other"].to_numpy().astype(np.int64), "val": vals}
-            )
-            .groupby("node", sort=True)["val"]
-            .sum()
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        score = g.column("score").to_numpy(zero_copy_only=False)
+        sk = key[~is_edge]
+        sv = score[~is_edge].astype(np.float64)
+        order = np.argsort(sk, kind="stable")
+        sk, sv = sk[order], sv[order]
+        ek = key[is_edge]
+        eo = g.column("other").to_numpy(zero_copy_only=False)[is_edge].astype(
+            np.int64
         )
+        loc = np.searchsorted(sk, ek)
+        safe = np.minimum(loc, max(len(sk) - 1, 0))
+        hit = (sk[safe] == ek) if len(sk) else np.zeros(len(ek), bool)
+        vals = np.where(hit, sv[safe] if len(sk) else 0.0, 0.0)
+        un, inv = np.unique(eo, return_inverse=True)
+        part = np.bincount(inv, weights=vals, minlength=len(un))
         return pa.table(
             {
-                "node": pa.array(part.index.to_numpy(), pa.int64()),
-                "val": pa.array(part.to_numpy(), pa.float64()),
+                "node": pa.array(un, pa.int64()),
+                "val": pa.array(part, pa.float64()),
             }
         )
 
@@ -1434,7 +1498,7 @@ def hits(
         parts = (
             tagged_edges.union(tagged)
             .groupby("bucket")
-            .map_groups(bucket_push, batch_format="pandas")
+            .map_groups(bucket_push, batch_format="pyarrow")
         )
         sums = parts.union(zeros).groupby("node").sum("val").materialize()
         total = sums.sum("sum(val)")  # 0 only for an edgeless graph
@@ -1931,11 +1995,10 @@ def normalize_out_weights(
             }
         )
 
-    def divide(g: pd.DataFrame) -> pa.Table:
-        is_tot = g["dst"].isna()
-        trows = g[is_tot]
-        erows = g[~is_tot]
-        if erows.empty:
+    def divide(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sorted-src total lookup
+        is_tot = np.asarray(g.column("dst").is_null())
+        if (~is_tot).sum() == 0:
             return pa.table(
                 {
                     "src": pa.array([], pa.int64()),
@@ -1943,24 +2006,37 @@ def normalize_out_weights(
                     "w": pa.array([], pa.float64()),
                 }
             )
-        lookup = pd.Series(
-            trows["tot"].to_numpy(dtype=np.float64), index=trows["src"].to_numpy()
+        srcs = g.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = srcs[is_tot]
+        tv = g.column("tot").to_numpy(zero_copy_only=False)[is_tot].astype(
+            np.float64
         )
-        tot = lookup.reindex(erows["src"].to_numpy()).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts, tv = ts[order], tv[order]
+        es = srcs[~is_tot]
+        ed = g.column("dst").to_numpy(zero_copy_only=False)[~is_tot].astype(
+            np.int64
+        )
+        ec = g.column("cnt").to_numpy(zero_copy_only=False)[~is_tot].astype(
+            np.float64
+        )
+        loc = np.searchsorted(ts, es)
+        safe = np.minimum(loc, max(len(ts) - 1, 0))
+        hit = (ts[safe] == es) if len(ts) else np.zeros(len(es), bool)
+        # a src with no total row divides to NaN, as reindex did
+        tot = np.where(hit, tv[safe] if len(ts) else np.nan, np.nan)
         return pa.table(
             {
-                "src": pa.array(erows["src"].to_numpy().astype(np.int64)),
-                "dst": pa.array(erows["dst"].to_numpy().astype(np.int64)),
-                "w": pa.array(
-                    erows["cnt"].to_numpy(dtype=np.float64) / tot, pa.float64()
-                ),
+                "src": pa.array(es, pa.int64()),
+                "dst": pa.array(ed, pa.int64()),
+                "w": pa.array(ec / tot, pa.float64()),
             }
         )
 
     tagged = totals.map_batches(tag_totals, batch_format="pyarrow").union(
         edges.map_batches(tag_edges, batch_format="pyarrow")
     )
-    return tagged.groupby("bucket").map_groups(divide, batch_format="pandas")
+    return tagged.groupby("bucket").map_groups(divide, batch_format="pyarrow")
 
 
 def contract_to_host_graph(
@@ -2053,7 +2129,6 @@ def kcore(
     Batagelj & Zaversnik (2003) / Suri-Vassilvitskii-style MapReduce
     peeling.
     """
-    import pandas as pd
 
     e = (
         edges
@@ -2074,12 +2149,16 @@ def kcore(
             }
         )
 
-    def deg_combine(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby("node")["d"].sum()
+    def deg_combine(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): np.unique + bincount
+        node = g.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        un, inv = np.unique(node, return_inverse=True)
+        deg = np.bincount(inv, weights=d, minlength=len(un)).astype(np.int64)
         return pa.table(
             {
-                "node": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
-                "deg": pa.array(agg.to_numpy(dtype=np.int64), pa.int64()),
+                "node": pa.array(un, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
             }
         )
 
@@ -2110,15 +2189,26 @@ def kcore(
                 }
             )
 
-        def anti(g: pd.DataFrame) -> pa.Table:
-            dead = set(g.loc[g["is_peel"] == 1, "key"].tolist())
-            rows = g[g["is_peel"] == 0]
-            if dead:
-                rows = rows[~rows["key"].isin(dead)]
-            key = rows["key"].to_numpy(dtype=np.int64)
-            oth = rows["oth"].to_numpy(dtype=np.int64)
-            a = key if col == "a" else oth
-            b = oth if col == "a" else key
+        def anti(g: pa.Table) -> pa.Table:
+            # arrow-native (r5): sorted dead-set + searchsorted anti-join
+            is_peel = (
+                g.column("is_peel").to_numpy(zero_copy_only=False) == 1
+            )
+            key = g.column("key").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            oth = g.column("oth").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            dead = np.unique(key[is_peel])
+            ek, eo = key[~is_peel], oth[~is_peel]
+            if len(dead):
+                loc = np.searchsorted(dead, ek)
+                safe = np.minimum(loc, len(dead) - 1)
+                keep = dead[safe] != ek
+                ek, eo = ek[keep], eo[keep]
+            a = ek if col == "a" else eo
+            b = eo if col == "a" else ek
             return pa.table(
                 {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
             )
@@ -2126,13 +2216,13 @@ def kcore(
         both = ed.map_batches(edge_rows, batch_format="pyarrow").union(
             peel.map_batches(peel_rows, batch_format="pyarrow")
         )
-        return both.groupby("kb").map_groups(anti, batch_format="pandas")
+        return both.groupby("kb").map_groups(anti, batch_format="pyarrow")
 
     for _ in range(max_rounds):
         degs = (
             e.map_batches(deg_partials, batch_format="pyarrow")
             .groupby("nbucket")
-            .map_groups(deg_combine, batch_format="pandas")
+            .map_groups(deg_combine, batch_format="pyarrow")
             .materialize()
         )
         peel = degs.filter(expr=f"deg < {k}").materialize()
@@ -2202,7 +2292,6 @@ def common_neighbor_scores(
 
     Partitioning assumptions: one pivot's neighbor list (<= cap) and one
     bucket's pair partials fit in a worker's heap."""
-    import pandas as pd
 
     e = (
         edges
@@ -2223,10 +2312,17 @@ def common_neighbor_scores(
             }
         )
 
-    def wedges(g: pd.DataFrame) -> pa.Table:
+    def wedges(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sorted (z, n) runs replace groupby("z")
+        zz = g.column("z").to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((nn, zz))
+        zz, nn = zz[o], nn[o]
+        starts = np.flatnonzero(np.r_[True, zz[1:] != zz[:-1]]) if len(zz) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(zz)] if len(zz) else np.zeros(0, np.int64)
         us, vs = [], []
-        for _, grp in g.groupby("z"):
-            nb = np.sort(grp["n"].to_numpy(dtype=np.int64))
+        for s, t in zip(starts, ends):
+            nb = nn[s:t]
             d = len(nb)
             if d < 2 or d > max_pivot_degree:
                 continue
@@ -2252,7 +2348,7 @@ def common_neighbor_scores(
         )
 
     adj = e.map_batches(adjacency, batch_format="pyarrow")
-    wedge_rows = adj.groupby("zb").map_groups(wedges, batch_format="pandas")
+    wedge_rows = adj.groupby("zb").map_groups(wedges, batch_format="pyarrow")
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -2273,23 +2369,35 @@ def common_neighbor_scores(
         pb = (u * np.int64(1_000_003) + v) % num_buckets
         return batch.append_column("pb", pa.array(pb, pa.int64()))
 
-    def count_pairs(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby(["u", "v"])["is_edge"].agg(["sum", "count"])
-        keep = agg["sum"] == 0  # drop pairs that are existing edges
-        cn = (agg["count"][keep]).to_numpy(dtype=np.int64)
-        idx = agg.index[keep]
+    def count_pairs(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted (u, v) runs, per-run sum/count
+        u = g.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        ie = g.column("is_edge").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(u) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"u": z, "v": z, "cn": z})
+        o = np.lexsort((v, u))
+        u, v, ie = u[o], v[o], ie[o]
+        newrun = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        run_id = np.cumsum(newrun) - 1
+        esum = np.bincount(run_id, weights=ie).astype(np.int64)
+        cnt = np.bincount(run_id).astype(np.int64)
+        keep = esum == 0  # drop pairs that are existing edges
         return pa.table(
             {
-                "u": pa.array(idx.get_level_values(0).to_numpy(np.int64)),
-                "v": pa.array(idx.get_level_values(1).to_numpy(np.int64)),
-                "cn": pa.array(cn, pa.int64()),
+                "u": pa.array(u[newrun][keep], pa.int64()),
+                "v": pa.array(v[newrun][keep], pa.int64()),
+                "cn": pa.array(cnt[keep], pa.int64()),
             }
         )
 
     pairs = (
         both.map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(count_pairs, batch_format="pandas")
+        .map_groups(count_pairs, batch_format="pyarrow")
     )
 
     # degrees once; attached to pairs in two bucketed passes
@@ -2367,8 +2475,6 @@ def attach_node_value(
     per call, NOTES_r3). All ``schema_cols`` must be int64. Every
     shuffle is proportional to |rows| + |values|; one bucket's value
     rows must fit in a worker's heap."""
-    import pandas as pd
-
     value_key, value_val = values_ds.schema().names[:2]
 
     def tag_rows(batch: pa.Table) -> pa.Table:
@@ -2391,30 +2497,30 @@ def attach_node_value(
         cols["is_val"] = pa.array(np.ones(len(n), np.int64), pa.int64())
         return pa.table(cols)
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
-        dmap = dict(
-            zip(
-                g.loc[g["is_val"] == 1, "kkey"],
-                g.loc[g["is_val"] == 1, "dval"],
-            )
-        )
-        rows = g[g["is_val"] == 0]
-        out = {
-            c: pa.array(rows[c].to_numpy(dtype=np.int64), pa.int64())
-            for c in schema_cols
-        }
-        # keys absent from values_ds get -1 (the documented sentinel the
-        # row side is pre-filled with) instead of a NaN→int64 crash
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sorted-key searchsorted lookup; keys absent
+        # from values_ds get -1 (the documented sentinel)
+        is_val = g.column("is_val").to_numpy(zero_copy_only=False) == 1
+        kkey = g.column("kkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        dval = g.column("dval").to_numpy(zero_copy_only=False).astype(np.int64)
+        vk, vv = kkey[is_val], dval[is_val]
+        order = np.argsort(vk, kind="stable")
+        vk, vv = vk[order], vv[order]
+        rows = g.filter(pa.array(~is_val))
+        rk = kkey[~is_val]
+        loc = np.searchsorted(vk, rk)
+        safe = np.minimum(loc, max(len(vk) - 1, 0))
+        hit = (vk[safe] == rk) if len(vk) else np.zeros(len(rk), bool)
+        out = {c: rows.column(c).cast(pa.int64()) for c in schema_cols}
         out[out_col] = pa.array(
-            rows["kkey"].map(dmap).fillna(-1.0).to_numpy(dtype=np.int64),
-            pa.int64(),
+            np.where(hit, vv[safe] if len(vk) else -1, -1), pa.int64()
         )
         return pa.table(out)
 
     both_k = rows_ds.map_batches(tag_rows, batch_format="pyarrow").union(
         values_ds.map_batches(tag_values, batch_format="pyarrow")
     )
-    return both_k.groupby("kb").map_groups(join_bucket, batch_format="pandas")
+    return both_k.groupby("kb").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def degree_assortativity(

@@ -282,19 +282,29 @@ def phrase_lookup(
             }
         )
 
-    def intersect(g: "pd.DataFrame") -> pa.Table:
+    def intersect(g: pa.Table) -> pa.Table:
+        # arrow-in (r5): doc runs over a sorted view; the per-doc slot
+        # intersection stays a (tiny) set fold — it is the kernel
         sl = ray.get(slots_ref)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        ths = g.column("term_hash").to_pylist()
+        poss = g.column("positions").to_pylist()
+        order = np.argsort(ids, kind="stable")
         out_d, out_n, out_f = [], [], []
-        for did, rows in g.groupby(id_col):
-            # anchor candidates: positions where slot-k's term sits at
-            # pos - k, intersected across all slots
+        i = 0
+        while i < len(order):
+            j = i
+            did = ids[order[i]]
             anchor: "set[int] | None" = None
             seen_slots = 0
-            for th, pos_list in zip(rows["term_hash"], rows["positions"]):
-                for k in sl[int(th)]:
-                    cand = {int(p) - k for p in pos_list}
+            while j < len(order) and ids[order[j]] == did:
+                r = order[j]
+                for k in sl[int(ths[r])]:
+                    cand = {int(p) - k for p in poss[r]}
                     anchor = cand if anchor is None else (anchor & cand)
                     seen_slots += 1
+                j += 1
+            i = j
             if seen_slots < n_words or not anchor:
                 continue
             out_d.append(int(did))
@@ -311,7 +321,7 @@ def phrase_lookup(
     out = (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(intersect, batch_format="pandas")
+        .map_groups(intersect, batch_format="pyarrow")
     )
     return out, telemetry
 
@@ -428,17 +438,18 @@ def regex_search_trigram(
             }
         )
 
-    def all_present(g):
-        import pandas as pd
-
-        counts = g.groupby(id_col).size()
-        keep = counts[counts == n_tris].index.to_numpy(np.int64)
-        return pa.table({id_col: pa.array(keep, pa.int64())})
+    def all_present(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): np.unique count fold
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(ids, return_counts=True)
+        return pa.table(
+            {id_col: pa.array(uniq[counts == n_tris], pa.int64())}
+        )
 
     cand = (
         post.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(all_present, batch_format="pandas")
+        .map_groups(all_present, batch_format="pyarrow")
         .take_all()
     )
     cand_ids = sorted(int(r[id_col]) for r in cand)
@@ -605,35 +616,35 @@ def bm25_lookup(
     uniq_index = {t: i for i, t in enumerate(qterms)}
     term_order = [uniq_index[t] for t in raw_terms]
 
-    def score_bucket(g: "pd.DataFrame") -> pa.Table:
+    def score_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native scatter pivot (r5): (id, slot) unique by
+        # construction, so a 2-D scatter replaces pivot_table
         idf = ray.get(idfs_ref)
-        if g.empty:
+        if g.num_rows == 0:
             return pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
                     "score": pa.array([], pa.float64()),
                 }
             )
-        piv = (
-            g.pivot_table(index=id_col, columns="slot", values="tf",
-                          aggfunc="first")
-            .reindex(columns=range(n_terms))
-            .fillna(0)
-        )
-        dl = (
-            g.groupby(id_col)["dl"].first().reindex(piv.index).to_numpy(
-                np.float64
-            )
-        )
-        s = np.zeros(len(piv), np.float64)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        slots = g.column("slot").to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = g.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dls = g.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        uids, inv = np.unique(ids, return_inverse=True)
+        piv = np.zeros((len(uids), n_terms), np.float64)
+        piv[inv, slots] = tfs
+        dl = np.zeros(len(uids), np.float64)
+        dl[inv] = dls  # every row of a doc carries the same dl
+        s = np.zeros(len(uids), np.float64)
         for ui in term_order:  # original slot order incl. duplicates
-            tf = piv[ui].to_numpy(np.float64)
+            tf = piv[:, ui]
             s += idf[ui] * (tf * (k1 + 1.0)) / (
                 tf + k1 * (1.0 - b + b * dl / avgdl)
             )
         return pa.table(
             {
-                id_col: pa.array(piv.index.to_numpy(np.int64), pa.int64()),
+                id_col: pa.array(uids, pa.int64()),
                 "score": pa.array(np.round(s, 8), pa.float64()),
             }
         )
@@ -641,7 +652,7 @@ def bm25_lookup(
     scored = (
         post.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(score_bucket, batch_format="pandas")
+        .map_groups(score_bucket, batch_format="pyarrow")
     )
     out = scored.sort(["score", id_col], descending=[True, False]).limit(k)
     return out, telemetry

@@ -107,9 +107,9 @@ def resolve_redirects(
             pa.array(_bucket_of(both.column("key").to_numpy(zero_copy_only=False), P)),
         )
 
-    def step(g) -> pa.Table:
-        import pandas as pd
-
+    def step(g: pa.Table) -> pa.Table:
+        # arrow-native pointer-doubling step (r5): sorted lookup keys +
+        # searchsorted left join, no pandas merge
         empty = pa.table(
             {
                 "node": pa.array([], pa.int64()),
@@ -118,47 +118,42 @@ def resolve_redirects(
                 "settled": pa.array([], pa.int64()),
             }
         )
-        if g.empty:
+        if g.num_rows == 0:
             return empty
-        look = g[g["side"] == 0]
-        qry = g[g["side"] == 1]
-        # settled lookup rows pass through as the new state for their node;
-        # unsettled lookup rows are represented by their query twin
-        keep_df = look[look["settled"] == 1]
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        look = g.filter(pa.array(side == 0))
+        qry = g.filter(pa.array(side == 1))
+        lset = look.column("settled").to_numpy(zero_copy_only=False)
+        keep_t = look.filter(pa.array(lset == 1))
         keep = pa.table(
             {
-                "node": pa.array(keep_df["node"].to_numpy(np.int64), pa.int64()),
-                "ptr": pa.array(keep_df["ptr"].to_numpy(np.int64), pa.int64()),
-                "hops": pa.array(keep_df["hops"].to_numpy(np.int64), pa.int64()),
-                "settled": pa.array(keep_df["settled"].to_numpy(np.int64), pa.int64()),
+                "node": keep_t.column("node").cast(pa.int64()),
+                "ptr": keep_t.column("ptr").cast(pa.int64()),
+                "hops": keep_t.column("hops").cast(pa.int64()),
+                "settled": keep_t.column("settled").cast(pa.int64()),
             }
         )
-        if qry.empty:
+        if qry.num_rows == 0:
             return keep
-        merged = qry.merge(
-            look[["key", "ptr", "hops", "settled"]].rename(
-                columns={
-                    "key": "lkey",
-                    "ptr": "ptr2",
-                    "hops": "hops2",
-                    "settled": "settled2",
-                }
-            ),
-            left_on="key",
-            right_on="lkey",
-            how="left",
-        )
+        lkey = look.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lkey, kind="stable")
+        lkey_s = lkey[order]
+        qkey = qry.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        loc = np.searchsorted(lkey_s, qkey)
+        safe = np.minimum(loc, max(len(lkey_s) - 1, 0))
+        hit = (lkey_s[safe] == qkey) if len(lkey_s) else np.zeros(len(qkey), bool)
+        src_idx = order[safe] if len(lkey_s) else np.zeros(len(qkey), np.int64)
+        lptr = look.column("ptr").to_numpy(zero_copy_only=False).astype(np.int64)
+        lhops = look.column("hops").to_numpy(zero_copy_only=False).astype(np.int64)
+        qptr = qry.column("ptr").to_numpy(zero_copy_only=False).astype(np.int64)
+        qhops = qry.column("hops").to_numpy(zero_copy_only=False).astype(np.int64)
         # a dangling target (no lookup row) is terminal: settle in place
-        dangling = merged["lkey"].isna().to_numpy()
-        ptr2 = merged["ptr2"].to_numpy(dtype=np.float64)
-        hops2 = merged["hops2"].to_numpy(dtype=np.float64)
-        settled2 = merged["settled2"].to_numpy(dtype=np.float64)
-        new_ptr = np.where(dangling, merged["ptr"].to_numpy(np.int64), np.nan_to_num(ptr2)).astype(np.int64)
-        new_hops = merged["hops"].to_numpy(np.int64) + np.nan_to_num(hops2).astype(np.int64)
-        new_settled = np.where(dangling, 1, np.nan_to_num(settled2)).astype(np.int64)
+        new_ptr = np.where(hit, lptr[src_idx], qptr)
+        new_hops = qhops + np.where(hit, lhops[src_idx], 0)
+        new_settled = np.where(hit, lset[src_idx].astype(np.int64), 1)
         upd = pa.table(
             {
-                "node": pa.array(merged["node"].to_numpy(np.int64), pa.int64()),
+                "node": qry.column("node").cast(pa.int64()),
                 "ptr": pa.array(new_ptr, pa.int64()),
                 "hops": pa.array(new_hops, pa.int64()),
                 "settled": pa.array(new_settled, pa.int64()),
@@ -171,7 +166,7 @@ def resolve_redirects(
         state = (
             state.map_batches(tag, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(step, batch_format="pandas")
+            .map_groups(step, batch_format="pyarrow")
             .repartition(P)
             .materialize()
         )

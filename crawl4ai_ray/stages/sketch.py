@@ -174,8 +174,6 @@ def quantiles_per_key(
 
     Output: (key, q, value) — q as float64, value the sketch's lower
     quantile."""
-    import pandas as pd
-
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
@@ -187,30 +185,37 @@ def quantiles_per_key(
             }
         )
 
-    def partial(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("_id", kind="mergesort")
+    def partial(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): one sort + vectorized sketch insert
+        g = g.sort_by("_id")
         sk = DQSketch(k)
-        sk.add_values(g[value].to_numpy().astype(np.float64))
-        return pd.DataFrame(
+        sk.add_values(
+            g.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return pa.table(
             {
-                key: [g[key].iloc[0]],
-                "bucket": [int(g["bucket"].iloc[0])],
-                "sketch": [sk.to_bytes()],
+                key: g.column(key).slice(0, 1),
+                "bucket": g.column("bucket").slice(0, 1),
+                "sketch": pa.array([sk.to_bytes()], pa.binary()),
             }
         )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket", kind="mergesort")
+    def fold(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): bucket-ordered left fold of the partials
+        g = g.sort_by("bucket")
         acc: DQSketch | None = None
-        for payload in g["sketch"]:
+        for payload in g.column("sketch").to_pylist():
             sk = DQSketch.from_bytes(payload)
             acc = sk if acc is None else acc.merge(sk)
         vals = acc.quantiles(qs)
-        return pd.DataFrame(
+        kv = g.column(key).slice(0, 1)
+        return pa.table(
             {
-                key: [g[key].iloc[0]] * len(qs),
-                "q": np.asarray(qs, dtype=np.float64),
-                "value": np.asarray(vals, dtype=np.float64),
+                key: pa.concat_arrays(
+                    [kv.combine_chunks()] * len(qs)
+                ),
+                "q": pa.array(np.asarray(qs, np.float64), pa.float64()),
+                "value": pa.array(np.asarray(vals, np.float64), pa.float64()),
             }
         )
 
@@ -219,6 +224,6 @@ def quantiles_per_key(
         .map_batches(tag, batch_format="pyarrow")
     )
     partials = tagged.groupby([key, "bucket"]).map_groups(
-        partial, batch_format="pandas"
+        partial, batch_format="pyarrow"
     )
-    return partials.groupby(key).map_groups(fold, batch_format="pandas")
+    return partials.groupby(key).map_groups(fold, batch_format="pyarrow")
