@@ -147,10 +147,19 @@ def resolve_redirects(
         lhops = look.column("hops").to_numpy(zero_copy_only=False).astype(np.int64)
         qptr = qry.column("ptr").to_numpy(zero_copy_only=False).astype(np.int64)
         qhops = qry.column("hops").to_numpy(zero_copy_only=False).astype(np.int64)
-        # a dangling target (no lookup row) is terminal: settle in place
-        new_ptr = np.where(hit, lptr[src_idx], qptr)
-        new_hops = qhops + np.where(hit, lhops[src_idx], 0)
-        new_settled = np.where(hit, lset[src_idx].astype(np.int64), 1)
+        # a dangling target (no lookup row) is terminal: settle in place.
+        # All-miss bucket (no lookup rows at all): fancy-indexing an empty
+        # lptr would IndexError even though np.where discards the branch
+        lval_ptr = lptr[src_idx] if len(lptr) else qptr
+        lval_hops = lhops[src_idx] if len(lptr) else np.zeros_like(qhops)
+        lval_set = (
+            lset[src_idx].astype(np.int64)
+            if len(lptr)
+            else np.ones_like(qptr)
+        )
+        new_ptr = np.where(hit, lval_ptr, qptr)
+        new_hops = qhops + np.where(hit, lval_hops, 0)
+        new_settled = np.where(hit, lval_set, 1)
         upd = pa.table(
             {
                 "node": qry.column("node").cast(pa.int64()),
