@@ -458,8 +458,6 @@ def ivfpq_topk(
     import glob as _glob
     import os
 
-    import pandas as pd
-
     from .cluster import kmeans_fp, quantize_embeddings
 
     first = ds.take(1)[0]
@@ -898,8 +896,6 @@ def pq_topk(
     this is lossy compression by design; the ORACLE checks the PQ
     semantics themselves.
     """
-    import pandas as pd
-
     from .cluster import kmeans_fp, quantize_embeddings
 
     first = ds.take(1)[0]

@@ -46,7 +46,6 @@ within-cluster O(m^2) verify bounded.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray

@@ -235,8 +235,6 @@ def phrase_lookup(
     first_pos = 0-based offset of the first occurrence."""
     import pyarrow.dataset as pds
 
-    import pandas as pd
-
     with open(os.path.join(index_dir, "_META")) as f:
         num_partitions = int(f.read().strip().split("=")[1])
     words = phrase.lower().split()
@@ -513,7 +511,6 @@ def bm25_lookup(
     log) keeps every present-term contribution positive."""
     import math
 
-    import pandas as pd
     import pyarrow.dataset as pds
 
     meta: dict[str, int] = {}

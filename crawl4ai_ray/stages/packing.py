@@ -43,7 +43,6 @@ def pack_sequences(
     the doc's global token offset in the concatenated stream, the first and
     last (inclusive) ``seq_len``-token sequences it touches, and its offset
     within the first. Deterministic: stream order is ascending ``id_col``."""
-    import pandas as pd
 
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")

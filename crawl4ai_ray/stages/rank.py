@@ -29,7 +29,6 @@ num_buckets ≈ total_rows / 1e6).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray

@@ -58,7 +58,6 @@ def shuffle_assignments(
     doc — shard = key % n_shards, pos = rank of (key, doc_id) within the
     shard. Same (seed, n_shards) ⇒ bit-identical placement on any cluster
     shape or block layout."""
-    import pandas as pd
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
@@ -167,7 +166,6 @@ def export_shards(
 def _attach(payload: "ray.data.Dataset", assign: "ray.data.Dataset", id_col: str):
     """Glue (shard, pos) onto the payload rows by doc id via the bucketed
     union+groupby join form (NOTES: Dataset.join costs ~4 s fixed per call)."""
-    import pandas as pd
 
     P = 64
 
