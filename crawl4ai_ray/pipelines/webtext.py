@@ -65,15 +65,24 @@ def webtext_pipeline(
             pa.array((h % np.uint64(dedup_buckets)).view(np.int64), pa.int64()),
         )
 
-    def keep_min(group):
-        # string-exact dedup within the bucket: min doc_id per clean_text
-        idx = group.groupby("clean_text", sort=False)["doc_id"].idxmin()
-        return group.loc[sorted(idx)][["doc_id", "clean_text"]]
+    def keep_min(g: pa.Table) -> pa.Table:
+        # string-exact dedup within the bucket: min doc_id per
+        # clean_text — arrow-native (r5): stable lexsort + first-of-run,
+        # winners emitted in original row order (idxmin parity)
+        texts = np.asarray(g.column("clean_text").to_pylist(), dtype=object)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, texts))
+        t_s = texts[order]
+        first = np.r_[True, t_s[1:] != t_s[:-1]] if len(t_s) else np.zeros(0, bool)
+        win = np.sort(order[first])
+        return g.select(["doc_id", "clean_text"]).take(
+            pa.array(win, pa.int64())
+        )
 
     deduped = (
         cleaned.map_batches(bucket_tag, batch_format="pyarrow")
         .groupby("b")
-        .map_groups(keep_min, batch_format="pandas")
+        .map_groups(keep_min, batch_format="pyarrow")
         .materialize()
     )
     scored = unigram_lm_score(
@@ -283,16 +292,24 @@ def run_webtext(
             pa.array((h % np.uint64(dedup_buckets)).view(np.int64), pa.int64()),
         )
 
-    def keep_min(group):
-        idx = group.groupby("clean_text", sort=False)["doc_id"].idxmin()
-        return group.loc[sorted(idx)][["doc_id", "clean_text"]]
+    def keep_min(g: pa.Table) -> pa.Table:
+        # arrow-native (r5) — see webtext_pipeline.keep_min
+        texts = np.asarray(g.column("clean_text").to_pylist(), dtype=object)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, texts))
+        t_s = texts[order]
+        first = np.r_[True, t_s[1:] != t_s[:-1]] if len(t_s) else np.zeros(0, bool)
+        win = np.sort(order[first])
+        return g.select(["doc_id", "clean_text"]).take(
+            pa.array(win, pa.int64())
+        )
 
     deduped = stage(
         "3_exact_dedup",
         "2_line_dedup",
         lambda: cleaned.map_batches(bucket_tag, batch_format="pyarrow")
         .groupby("b")
-        .map_groups(keep_min, batch_format="pandas"),
+        .map_groups(keep_min, batch_format="pyarrow"),
     )
     final = stage(
         "4_lm_filter",

@@ -87,7 +87,12 @@ def grouped_topk(
             .group_by(key, maintain_order=True)
             .head(k)
         )
-        tbl = out.to_arrow()
+        # polars emits large_string; restore the INPUT column types so
+        # downstream joins/unions keep the original schema (r5 — the
+        # pandas per_bucket used to normalize this as a side effect)
+        tbl = out.to_arrow().cast(
+            pa.schema([(c, batch.schema.field(c).type) for c in cols])
+        )
         keyvals = tbl.column(key).to_numpy(zero_copy_only=False)
         if keyvals.dtype.kind in ("i", "u"):
             bucket = (keyvals.astype(np.uint64) % num_buckets).astype(np.int64)
