@@ -155,7 +155,10 @@ def asof_join(
 
     Composition: tag + union (no data leaves its partition until the one
     groupby on the entity key co-locates each entity's full history), then
-    a per-group vectorized ``pandas.merge_asof``. Assumes one entity's
+    a per-group vectorized ``pandas.merge_asof`` (one of the TWO
+    documented pandas-block exceptions left after the r5 Arrow
+    campaign — merge_asof IS the kernel here, not a conversion tax;
+    the other is range_join below). Assumes one entity's
     history fits in a worker (salt the entity key otherwise).
 
     ``right_tiebreak_cols``: when the right side has duplicate
