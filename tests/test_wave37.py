@@ -39,3 +39,14 @@ def test_deleted_interpolation_converges(ray_session, sf_dir):
     # EM steps shrink: |lam_3 - lam_2| <= |lam_2 - lam_1|
     assert abs(lam[2] - lam[1]) <= abs(lam[1] - lam[0]) + 1e-12
     assert (df["n_used"] > 0).all()
+
+
+def test_deleted_interpolation_dual_path_parity(ray_session, sf_dir):
+    """r5: the size-guarded driver fold (bounded by small_threshold)
+    and the broadcast-free distributed join plan produce bit-identical
+    EM trajectories."""
+    from crawl4ai_ray.pipelines.queries_wave37 import q_deleted_interpolation
+
+    fast = q_deleted_interpolation(sf_dir).to_pandas()
+    dist = q_deleted_interpolation(sf_dir, small_threshold=0).to_pandas()
+    assert fast.equals(dist)
