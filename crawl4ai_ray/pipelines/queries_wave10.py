@@ -17,7 +17,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -650,13 +649,13 @@ def q_host_gini(sf_dir: str):
         acc += int(r["count()"])
     offs_ref = ray.put(offs)
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
         # every row in a groupby("c") bucket shares the count value, so
         # Σ rank·c is rank-permutation-invariant: c · Σ(base+1..base+m)
-        # in closed form — no within-bucket sort needed
+        # in closed form — no within-bucket sort needed (arrow-in, r5)
         om = ray.get(offs_ref)
-        c = int(g["c"].iloc[0])
-        m = len(g)
+        c = int(g.column("c")[0].as_py())
+        m = g.num_rows
         base = om[c]
         s1 = c * (m * base + m * (m + 1) // 2)
         return pa.table(
@@ -667,7 +666,7 @@ def q_host_gini(sf_dir: str):
             }
         )
 
-    agg = hc.groupby("c").map_groups(per_bucket, batch_format="pandas").aggregate(
+    agg = hc.groupby("c").map_groups(per_bucket, batch_format="pyarrow").aggregate(
         ray.data.aggregate.Sum("s1", alias_name="s1"),
         ray.data.aggregate.Sum("s0", alias_name="s0"),
         ray.data.aggregate.Sum("n", alias_name="n"),
@@ -900,10 +899,11 @@ def q_fair_share_alloc(sf_dir: str):
             acc += c
     offs_ref = ray.put((offs, lev, leftover))
 
-    def alloc(g: pd.DataFrame) -> pa.Table:
+    def alloc(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
         om, L, R = ray.get(offs_ref)
-        g = g.sort_values("host", kind="mergesort")
-        d = g["demand"].to_numpy(dtype=np.int64)
+        g = g.sort_by("host")
+        d = g.column("demand").to_numpy(zero_copy_only=False).astype(np.int64)
         base = np.minimum(d, L)
         v = int(d[0])
         if v >= L + 1:
@@ -911,13 +911,13 @@ def q_fair_share_alloc(sf_dir: str):
             base = base + (ranks <= R).astype(np.int64)
         return pa.table(
             {
-                "host": pa.array(g["host"].tolist(), pa.string()),
+                "host": g.column("host"),
                 "demand": pa.array(d, pa.int64()),
                 "alloc": pa.array(base, pa.int64()),
             }
         )
 
-    return demands.groupby("demand").map_groups(alloc, batch_format="pandas")
+    return demands.groupby("demand").map_groups(alloc, batch_format="pyarrow")
 
 
 SQL_FAIR_SHARE_ALLOC = """
@@ -1154,14 +1154,14 @@ def recrawl_admission(rates: "ray.data.Dataset") -> "ray.data.Dataset":
         h = batch.column("host_id").to_numpy(zero_copy_only=False)
         return batch.append_column("bucket", pa.array(h % P, pa.int64()))
 
-    def admit(g: pd.DataFrame) -> pa.Table:
+    def admit(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
         am = ray.get(alloc_ref)
-        g = g.sort_values(
-            ["host_id", "pr_fp", "doc_id"],
-            ascending=[True, False, True],
-            kind="mergesort",
+        g = g.sort_by(
+            [("host_id", "ascending"), ("pr_fp", "descending"),
+             ("doc_id", "ascending")]
         )
-        h = g["host_id"].to_numpy(dtype=np.int64)
+        h = g.column("host_id").to_numpy(zero_copy_only=False).astype(np.int64)
         first = np.r_[True, h[1:] != h[:-1]]
         idx = np.arange(len(h), dtype=np.int64)
         rank = idx - np.repeat(idx[first], np.diff(np.r_[idx[first], len(h)])) + 1
@@ -1170,8 +1170,12 @@ def recrawl_admission(rates: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table(
             {
                 "host_id": pa.array(h[keep], pa.int64()),
-                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)[keep], pa.int64()),
-                "pr_fp": pa.array(g["pr_fp"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+                "doc_id": pa.array(
+                    g.column("doc_id").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep], pa.int64()),
+                "pr_fp": pa.array(
+                    g.column("pr_fp").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep], pa.int64()),
                 "rk": pa.array(rank[keep], pa.int64()),
             }
         )
@@ -1179,7 +1183,7 @@ def recrawl_admission(rates: "ray.data.Dataset") -> "ray.data.Dataset":
     return (
         stale.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(admit, batch_format="pandas")
+        .map_groups(admit, batch_format="pyarrow")
     )
 
 

@@ -14,7 +14,6 @@ operand-for-operand, float divisions mirrored operand-for-operand).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -63,20 +62,23 @@ def q_softdedup_weights(sf_dir: str):
 
     posted = ngram_postings(docs, shingle=3, num_buckets=64)
 
-    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+    def attach_df(g: pa.Table) -> pa.Table:
         # bucket = gram % P co-locates every posting of a gram: DF is a
         # per-bucket groupby-transform, never a cross-bucket join
-        df = g.groupby("gram", sort=False)["id"].transform("size")
-        return pd.DataFrame(
+        # (arrow-native, r5: factorize + bincount broadcast-back)
+        grams = np.asarray(g.column("gram").to_pylist(), dtype=object)
+        _, inv = np.unique(grams, return_inverse=True)
+        df = np.bincount(inv)[inv].astype(np.int64)
+        return pa.table(
             {
-                "doc_id": g["id"].astype("int64"),
-                "df": df.astype("int64"),
+                "doc_id": g.column("id").cast(pa.int64()),
+                "df": pa.array(df, pa.int64()),
             }
         )
 
     per_doc = (
         posted.groupby("bucket")
-        .map_groups(attach_df, batch_format="pandas")
+        .map_groups(attach_df, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(
             ray.data.aggregate.Count(alias_name="n_grams"),
@@ -316,27 +318,62 @@ def q_parallel_url_pairs(sf_dir: str):
             }
         )
 
-    def pair_bucket(g: pd.DataFrame) -> pa.Table:
-        reps = g.groupby(["host_id", "article", "lang"], as_index=False, sort=False)[
-            "doc_id"
-        ].min()
-        m = reps.merge(reps, on=["host_id", "article"], suffixes=("_a", "_b"))
-        m = m[m["lang_a"] < m["lang_b"]]
+    def pair_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted rep selection + per-(host,article)
+        # run cross products with lang_a < lang_b
+        host = g.column("host_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        art = g.column("article").to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(g.column("lang").to_pylist(), dtype=object)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # representative per (host, article, lang) = min doc_id
+        o = np.lexsort((did, lang, art, host))
+        host, art, lang, did = host[o], art[o], lang[o], did[o]
+        first = np.r_[
+            True,
+            (host[1:] != host[:-1]) | (art[1:] != art[:-1])
+            | (lang[1:] != lang[:-1]),
+        ] if len(host) else np.zeros(0, bool)
+        host, art, lang, did = host[first], art[first], lang[first], did[first]
+        # per (host, article) run: ordered lang pairs a < b
+        starts = np.flatnonzero(
+            np.r_[True, (host[1:] != host[:-1]) | (art[1:] != art[:-1])]
+        ) if len(host) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(host)] if len(host) else np.zeros(0, np.int64)
+        H, A, LA, LB, DA, DB = [], [], [], [], [], []
+        for s, t in zip(starts, ends):
+            m = t - s
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)  # langs sorted asc in run
+            H.append(np.full(len(ia), host[s], np.int64))
+            A.append(np.full(len(ia), art[s], np.int64))
+            LA.append(lang[s:t][ia])
+            LB.append(lang[s:t][ib])
+            DA.append(did[s:t][ia])
+            DB.append(did[s:t][ib])
+        if not H:
+            z = pa.array([], pa.int64())
+            return pa.table(
+                {"host_id": z, "article": z,
+                 "lang_a": pa.array([], pa.string()),
+                 "lang_b": pa.array([], pa.string()),
+                 "doc_a": z, "doc_b": z}
+            )
         return pa.table(
             {
-                "host_id": pa.array(m["host_id"].to_numpy(np.int64)),
-                "article": pa.array(m["article"].to_numpy(np.int64)),
-                "lang_a": pa.array(m["lang_a"].tolist(), pa.string()),
-                "lang_b": pa.array(m["lang_b"].tolist(), pa.string()),
-                "doc_a": pa.array(m["doc_id_a"].to_numpy(np.int64)),
-                "doc_b": pa.array(m["doc_id_b"].to_numpy(np.int64)),
+                "host_id": pa.array(np.concatenate(H), pa.int64()),
+                "article": pa.array(np.concatenate(A), pa.int64()),
+                "lang_a": pa.array(np.concatenate(LA).tolist(), pa.string()),
+                "lang_b": pa.array(np.concatenate(LB).tolist(), pa.string()),
+                "doc_a": pa.array(np.concatenate(DA), pa.int64()),
+                "doc_b": pa.array(np.concatenate(DB), pa.int64()),
             }
         )
 
     return (
         docs.map_batches(keyed, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pair_bucket, batch_format="pandas")
+        .map_groups(pair_bucket, batch_format="pyarrow")
     )
 
 

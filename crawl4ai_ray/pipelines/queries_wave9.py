@@ -17,7 +17,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -150,20 +149,34 @@ def q_assoc_rules(sf_dir: str):
             "bucket", pa.array((bk % P).astype(np.int64), pa.int64())
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pa.Table:
-        m = g[["bk", "event_type"]].merge(g[["bk", "event_type"]], on="bk")
-        m = m[m["event_type_x"] != m["event_type_y"]]
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sorted bk runs + per-run cross product
+        bk = g.column("bk").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        o = np.argsort(bk, kind="stable")
+        bk, et = bk[o], et[o]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]]) if len(bk) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(bk)] if len(bk) else np.zeros(0, np.int64)
+        X, Y = [], []
+        for s, t in zip(starts, ends):
+            run = et[s:t]
+            ii, jj = np.meshgrid(np.arange(len(run)), np.arange(len(run)), indexing="ij")
+            mask = run[ii] != run[jj]
+            X.append(run[ii[mask]])
+            Y.append(run[jj[mask]])
+        x = np.concatenate(X) if X else np.zeros(0, object)
+        y = np.concatenate(Y) if Y else np.zeros(0, object)
         return pa.table(
             {
-                "x": pa.array(m["event_type_x"].tolist(), pa.string()),
-                "y": pa.array(m["event_type_y"].tolist(), pa.string()),
+                "x": pa.array(x.tolist(), pa.string()),
+                "y": pa.array(y.tolist(), pa.string()),
             }
         )
 
     nxy = (
         distinct.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
         .groupby(["x", "y"])
         .count()
     )
@@ -292,10 +305,17 @@ def q_cocitation_pairs(sf_dir: str):
                 }
             )
 
-        def wedges(g: pd.DataFrame) -> pa.Table:
+        def wedges(g: pa.Table) -> pa.Table:
+            # arrow-native (r5): lexsorted (pivot, other) runs
+            piv = g.column("pivot").to_numpy(zero_copy_only=False).astype(np.int64)
+            oth = g.column("other").to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.lexsort((oth, piv))
+            piv, oth = piv[o], oth[o]
+            starts = np.flatnonzero(np.r_[True, piv[1:] != piv[:-1]]) if len(piv) else np.zeros(0, np.int64)
+            ends = np.r_[starts[1:], len(piv)] if len(piv) else np.zeros(0, np.int64)
             out_a, out_b = [], []
-            for _, grp in g.groupby("pivot", sort=False):
-                nb = np.sort(grp["other"].to_numpy(dtype=np.int64))[:CAP]
+            for s, t in zip(starts, ends):
+                nb = oth[s:t][:CAP]
                 if len(nb) < 2:
                     continue
                 ia, ib = np.triu_indices(len(nb), k=1)
@@ -320,7 +340,7 @@ def q_cocitation_pairs(sf_dir: str):
         return (
             e.map_batches(tag, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(wedges, batch_format="pandas")
+            .map_groups(wedges, batch_format="pyarrow")
         )
 
     cocite = make_wedges("src", "dst", 1)   # pairs of dsts sharing a src
@@ -865,16 +885,18 @@ def q_random_walks(sf_dir: str):
                 }
             )
 
-        def step_bucket(g: pd.DataFrame) -> pa.Table:
+        def step_bucket(g: pa.Table) -> pa.Table:
+            # arrow-in (r5): same row-order-preserving adjacency fold,
+            # no pandas block conversion
+            wid_all = g.column("walk_id").to_numpy(zero_copy_only=False)
+            node_all = g.column("node").to_numpy(zero_copy_only=False)
+            dst_all = g.column("dst").to_numpy(zero_copy_only=False)
+            em = wid_all < 0
             adj: dict = {}
-            for node, dst in zip(
-                g.loc[g["walk_id"] < 0, "node"],
-                g.loc[g["walk_id"] < 0, "dst"],
-            ):
+            for node, dst in zip(node_all[em], dst_all[em]):
                 adj.setdefault(int(node), []).append(int(dst))
-            walks = g[g["walk_id"] >= 0]
             out_w, out_n = [], []
-            for wid, node in zip(walks["walk_id"], walks["node"]):
+            for wid, node in zip(wid_all[~em], node_all[~em]):
                 nbrs = adj.get(int(node))
                 if not nbrs:
                     continue  # dead end: walk stops
@@ -895,7 +917,7 @@ def q_random_walks(sf_dir: str):
             cur.map_batches(tag_walks, batch_format="pyarrow")
             .union(edges_tagged)
             .groupby("bucket")
-            .map_groups(step_bucket, batch_format="pandas")
+            .map_groups(step_bucket, batch_format="pyarrow")
         )
         trail.append(cur)
 
@@ -1151,10 +1173,11 @@ def q_length_bucket_batching(sf_dir: str):
             }
         )
 
-    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
         st = ray.get(starts_ref)
-        g = g.sort_values(["n_tok", "doc_id"], kind="mergesort")
-        n = g["n_tok"].to_numpy(dtype=np.int64)
+        g = g.sort_by([("n_tok", "ascending"), ("doc_id", "ascending")])
+        n = g.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
         # intra-length enumeration: position within each equal-n run
         run_start = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
         offs = np.arange(len(n), dtype=np.int64)
@@ -1162,7 +1185,7 @@ def q_length_bucket_batching(sf_dir: str):
         rank = np.array([st[int(v)] for v in n], np.int64) + offs
         return pa.table(
             {
-                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "doc_id": g.column("doc_id").cast(pa.int64()),
                 "n_tok": pa.array(n, pa.int64()),
                 "rank": pa.array(rank, pa.int64()),
             }
@@ -1171,7 +1194,7 @@ def q_length_bucket_batching(sf_dir: str):
     ranked = (
         toks.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(rank_bucket, batch_format="pandas")
+        .map_groups(rank_bucket, batch_format="pyarrow")
     )
 
     def scheme_rows(batch: pa.Table) -> pa.Table:
@@ -1272,10 +1295,11 @@ def q_interarrival_stats(sf_dir: str):
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
-        u = g["user_id"].to_numpy(dtype=np.int64)
-        t = g["ts_us"].to_numpy(dtype=np.int64)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        g = g.sort_by([("user_id", "ascending"), ("ts_us", "ascending")])
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g.column("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
         same = np.r_[False, u[1:] == u[:-1]]
         gaps = np.diff(t, prepend=t[:1])[same] if len(t) else np.zeros(0, np.int64)
         gu = u[same]
@@ -1303,7 +1327,7 @@ def q_interarrival_stats(sf_dir: str):
     gaps = (
         events.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
     counts = events.groupby("user_id").count()
 
