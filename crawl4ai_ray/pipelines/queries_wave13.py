@@ -14,7 +14,6 @@ mirrored operand-for-operand, scalar libm for transcendentals).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -129,11 +128,14 @@ def q_events_sliding_distinct(sf_dir: str):
         w0 = (us // _ESD_HOP_US) * _ESD_HOP_US
         ws = np.concatenate([w0 - i * _ESD_HOP_US for i in range(_ESD_STEPS)])
         uu = np.tile(uid, _ESD_STEPS)
-        df = pd.DataFrame({"ws": ws, "user_id": uu}).drop_duplicates()
+        # batch-local (ws, user) dedup via a lexsorted run mask (r5)
+        o = np.lexsort((uu, ws))
+        ws_s, uu_s = ws[o], uu[o]
+        keep = np.r_[True, (ws_s[1:] != ws_s[:-1]) | (uu_s[1:] != uu_s[:-1])] if len(ws_s) else np.zeros(0, bool)
         return pa.table(
             {
-                "ws": pa.array(df["ws"].to_numpy(np.int64), pa.int64()),
-                "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+                "ws": pa.array(ws_s[keep], pa.int64()),
+                "user_id": pa.array(uu_s[keep], pa.int64()),
             }
         )
 
@@ -355,10 +357,11 @@ def q_postings_delta_size(sf_dir: str):
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["term", "doc_id"], kind="mergesort")
-        doc = g["term"].to_numpy(object), g["doc_id"].to_numpy(np.int64)
-        terms, ids = doc
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        g = g.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         first = np.ones(len(ids), bool)
         first[1:] = terms[1:] != terms[:-1]
         prev = np.empty_like(ids)
@@ -372,20 +375,22 @@ def q_postings_delta_size(sf_dir: str):
             + (delta >= 2097152).astype(np.int64)
             + (delta >= 268435456).astype(np.int64)
         )
-        out = pd.DataFrame({"term": terms, "vb": vb})
-        agg = out.groupby("term", sort=True)["vb"].agg(["size", "sum"])
+        # fold per sorted term run: df = run length, bytes = run sum
+        run_id = np.cumsum(first) - 1
+        df = np.bincount(run_id).astype(np.int64)
+        ib = np.bincount(run_id, weights=vb).astype(np.int64)
         return pa.table(
             {
-                "term": pa.array(agg.index.to_numpy(object), pa.string()),
-                "df": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
-                "index_bytes": pa.array(agg["sum"].to_numpy(np.int64), pa.int64()),
+                "term": pa.array(terms[first].tolist(), pa.string()),
+                "df": pa.array(df, pa.int64()),
+                "index_bytes": pa.array(ib, pa.int64()),
             }
         )
 
     return (
         docs.map_batches(postings, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

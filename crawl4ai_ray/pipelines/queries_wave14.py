@@ -16,7 +16,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -218,17 +217,18 @@ def q_shingle_cosine_pairs(sf_dir: str):
     # precomputed upper-triangle index pairs per group size 2..cap
     _TRIU = {s: np.triu_indices(s, k=1) for s in range(2, _SCP_DF_CAP + 1)}
 
-    def per_bucket(grp: pd.DataFrame) -> pa.Table:
-        grp = grp.sort_values(["g", "doc_id"], kind="mergesort")
-        gvals = grp["g"].to_numpy()
-        doc = grp["doc_id"].to_numpy(dtype=np.int64)
-        tf = grp["tf"].to_numpy(dtype=np.int64)
+    def per_bucket(grp: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        grp = grp.sort_by([("g", "ascending"), ("doc_id", "ascending")])
+        gvals = np.asarray(grp.column("g").to_pylist(), dtype=object)
+        doc = grp.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = grp.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
         # run boundaries per shingle
         _, starts, counts = np.unique(gvals, return_index=True, return_counts=True)
         keep = counts <= _SCP_DF_CAP
         pa_a, pa_b, pa_v = [], [], []
         # norms over KEPT shingles only
-        kept_rows = np.zeros(len(grp), bool)
+        kept_rows = np.zeros(grp.num_rows, bool)
         for s in range(2, _SCP_DF_CAP + 1):
             sel = starts[keep & (counts == s)]
             if not len(sel):
@@ -264,7 +264,7 @@ def q_shingle_cosine_pairs(sf_dir: str):
     parts = (
         docs.map_batches(postings, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .materialize()  # consumed twice (pass 2 + pass 3) — one shuffle
     )
 
@@ -289,33 +289,40 @@ def q_shingle_cosine_pairs(sf_dir: str):
             }
         )
 
-    def sum_and_na(g: pd.DataFrame) -> pa.Table:
-        nr = g[g["kind"] == 0]
-        pr = g[g["kind"] == 1]
-        if pr.empty:
+    def sum_and_na(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): unique/bincount folds + sorted lookup
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        a_all = g.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b_all = g.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        v_all = g.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_pr = kind == 1
+        if not is_pr.any():
+            z = pa.array([], pa.int64())
             return pa.table(
-                {
-                    "kb": pa.array([], pa.int64()),
-                    "kind": pa.array([], pa.int64()),
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "v": pa.array([], pa.int64()),
-                    "na": pa.array([], pa.int64()),
-                }
+                {"kb": z, "kind": z, "a": z, "b": z, "v": z, "na": z}
             )
-        nsq = nr.groupby("a", sort=False)["v"].sum()
-        dots = (
-            pr.groupby(["a", "b"], sort=False)["v"].sum().reset_index()
-        )
-        na = nsq.reindex(dots["a"].to_numpy()).to_numpy(dtype=np.int64)
-        b = dots["b"].to_numpy(dtype=np.int64)
+        # per-doc norm sums over the norm rows
+        n_a, n_inv = np.unique(a_all[~is_pr], return_inverse=True)
+        nsq = np.bincount(n_inv, weights=v_all[~is_pr]).astype(np.int64)
+        # pair dot sums per (a, b) via lexsorted runs
+        pa_, pb_, pv_ = a_all[is_pr], b_all[is_pr], v_all[is_pr]
+        o = np.lexsort((pb_, pa_))
+        pa_, pb_, pv_ = pa_[o], pb_[o], pv_[o]
+        newrun = np.r_[True, (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])]
+        run_id = np.cumsum(newrun) - 1
+        dv = np.bincount(run_id, weights=pv_).astype(np.int64)
+        da, db = pa_[newrun], pb_[newrun]
+        loc = np.searchsorted(n_a, da)
+        safe = np.minimum(loc, max(len(n_a) - 1, 0))
+        hit = (n_a[safe] == da) if len(n_a) else np.zeros(len(da), bool)
+        na = np.where(hit, nsq[safe] if len(n_a) else 0, 0).astype(np.int64)
         return pa.table(
             {
-                "kb": pa.array((b % 32).astype(np.int64), pa.int64()),
-                "kind": pa.array(np.ones(len(dots), np.int64), pa.int64()),
-                "a": pa.array(dots["a"].to_numpy(np.int64), pa.int64()),
-                "b": pa.array(b, pa.int64()),
-                "v": pa.array(dots["v"].to_numpy(np.int64), pa.int64()),
+                "kb": pa.array((db % 32).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(len(da), np.int64), pa.int64()),
+                "a": pa.array(da, pa.int64()),
+                "b": pa.array(db, pa.int64()),
+                "v": pa.array(dv, pa.int64()),
                 "na": pa.array(na, pa.int64()),
             }
         )
@@ -339,13 +346,17 @@ def q_shingle_cosine_pairs(sf_dir: str):
     with_na = (
         parts.map_batches(key_by_a, batch_format="pyarrow")
         .groupby("kb")
-        .map_groups(sum_and_na, batch_format="pandas")
+        .map_groups(sum_and_na, batch_format="pyarrow")
     )
 
-    def finish_bucket(g: pd.DataFrame) -> pa.Table:
-        nr = g[g["kind"] == 0]
-        pr = g[g["kind"] == 1]
-        if pr.empty:
+    def finish_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        a_all = g.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b_all = g.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        v_all = g.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_pr = kind == 1
+        if not is_pr.any():
             return pa.table(
                 {
                     "doc_a": pa.array([], pa.int64()),
@@ -354,16 +365,23 @@ def q_shingle_cosine_pairs(sf_dir: str):
                     "cos": pa.array([], pa.float64()),
                 }
             )
-        nsq = nr.groupby("a", sort=False)["v"].sum()
-        nb = nsq.reindex(pr["b"].to_numpy()).to_numpy(dtype=np.float64)
-        dot = pr["v"].to_numpy(dtype=np.int64)
-        na = pr["na"].to_numpy(dtype=np.float64)
+        n_a, n_inv = np.unique(a_all[~is_pr], return_inverse=True)
+        nsq = np.bincount(n_inv, weights=v_all[~is_pr]).astype(np.float64)
+        pb_ = b_all[is_pr]
+        loc = np.searchsorted(n_a, pb_)
+        safe = np.minimum(loc, max(len(n_a) - 1, 0))
+        hit = (n_a[safe] == pb_) if len(n_a) else np.zeros(len(pb_), bool)
+        nb = np.where(hit, nsq[safe] if len(n_a) else np.nan, np.nan)
+        dot = v_all[is_pr]
+        na = g.column("na").to_numpy(zero_copy_only=False)[is_pr].astype(
+            np.float64
+        )
         cos = dot.astype(np.float64) / (np.sqrt(na) * np.sqrt(nb))
         m = cos >= _SCP_THRESH
         return pa.table(
             {
-                "doc_a": pa.array(pr["a"].to_numpy(np.int64)[m], pa.int64()),
-                "doc_b": pa.array(pr["b"].to_numpy(np.int64)[m], pa.int64()),
+                "doc_a": pa.array(a_all[is_pr][m], pa.int64()),
+                "doc_b": pa.array(pb_[m], pa.int64()),
                 "dot": pa.array(dot[m], pa.int64()),
                 "cos": pa.array(cos[m], pa.float64()),
             }
@@ -372,7 +390,7 @@ def q_shingle_cosine_pairs(sf_dir: str):
     return (
         with_na.union(parts.map_batches(norms_by_doc, batch_format="pyarrow"))
         .groupby("kb")
-        .map_groups(finish_bucket, batch_format="pandas")
+        .map_groups(finish_bucket, batch_format="pyarrow")
     )
 
 
