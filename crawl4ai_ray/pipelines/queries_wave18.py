@@ -15,7 +15,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -175,16 +174,18 @@ def q_audience_overlap(sf_dir: str):
         mask = np.fromiter((bm[t] for t in et), np.int64, len(et))
         # each row is a single bit → OR over a user's DISTINCT bits is a
         # plain vectorized groupby-sum (no per-user python)
-        df = (
-            pd.DataFrame({"u": uid, "m": mask})
-            .drop_duplicates()
-            .groupby("u", sort=False)["m"]
-            .sum()
-        )
+        # distinct (u, bit) pairs via lexsorted run mask, then per-user
+        # sum of distinct single bits == OR (arrow-native, r5)
+        o = np.lexsort((mask, uid))
+        us, ms = uid[o], mask[o]
+        keep = np.r_[True, (us[1:] != us[:-1]) | (ms[1:] != ms[:-1])] if len(us) else np.zeros(0, bool)
+        us, ms = us[keep], ms[keep]
+        uu, inv = np.unique(us, return_inverse=True)
+        summed = np.bincount(inv, weights=ms).astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array(df.index.to_numpy(np.int64), pa.int64()),
-                "mask": pa.array(df.to_numpy(np.int64), pa.int64()),
+                "user_id": pa.array(uu, pa.int64()),
+                "mask": pa.array(summed, pa.int64()),
             }
         )
 
@@ -198,11 +199,11 @@ def q_audience_overlap(sf_dir: str):
 
     n_types = len(types)
 
-    def or_fold(g: pd.DataFrame) -> pa.Table:
+    def or_fold(g: pa.Table) -> pa.Table:
         # vectorized per-bit OR: max of each bit over the user's rows
-        # (n_types passes, never per-user python)
-        u = g["user_id"].to_numpy(dtype=np.int64)
-        m = g["mask"].to_numpy(dtype=np.int64)
+        # (n_types passes, never per-user python) — arrow-in, r5
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = g.column("mask").to_numpy(zero_copy_only=False).astype(np.int64)
         uu, inv = np.unique(u, return_inverse=True)
         out = np.zeros(len(uu), np.int64)
         for b in range(n_types):
@@ -215,7 +216,7 @@ def q_audience_overlap(sf_dir: str):
         ev.map_batches(partial, batch_format="pyarrow")
         .map_batches(key, batch_format="pyarrow")
         .groupby("kb")
-        .map_groups(or_fold, batch_format="pandas")
+        .map_groups(or_fold, batch_format="pyarrow")
         .groupby("mask")
         .aggregate(ray.data.aggregate.Count(alias_name="n"))
         .take_all()  # ≤ 2^|types| — tiny

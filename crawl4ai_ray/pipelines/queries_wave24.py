@@ -19,7 +19,6 @@ import hashlib
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -189,10 +188,11 @@ def q_events_watermark(sf_dir: str):
         acc = max(acc, int(row["mx"]))
     prefix_ref = ray.put(prefix)
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        base = ray.get(prefix_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values(["arr", "event_id"], kind="mergesort")
-        ts = g["ts_us"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        base = ray.get(prefix_ref)[int(g.column("bucket")[0].as_py())]
+        g = g.sort_by([("arr", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         cm = np.maximum.accumulate(ts)
         wm = np.empty(len(ts), np.int64)
         wm[0] = base
@@ -210,7 +210,7 @@ def q_events_watermark(sf_dir: str):
 
     return (
         tagged.groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .groupby("win_id")
         .aggregate(
             ray.data.aggregate.Count(alias_name="n_total"),
