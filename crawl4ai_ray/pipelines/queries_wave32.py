@@ -11,7 +11,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -67,17 +66,21 @@ def q_wfq_order(sf_dir: str):
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["host", "doc_id"], kind="mergesort")
-        seq = g.groupby("host", sort=False).cumcount().to_numpy() + 1
-        w = 1 + (g["hid"].to_numpy() % 3)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): run-length cumcount per sorted host
+        g = g.sort_by([("host", "ascending"), ("doc_id", "ascending")])
+        hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
+        n = len(hosts)
+        idx = np.arange(n, dtype=np.int64)
+        new_h = np.r_[True, hosts[1:] != hosts[:-1]] if n else np.zeros(0, bool)
+        start = np.maximum.accumulate(np.where(new_h, idx, 0)) if n else idx
+        seq = idx - start + 1
+        w = 1 + (g.column("hid").to_numpy(zero_copy_only=False) % 3)
         finish_q = seq * (_WFQ_WLCM // w)
         return pa.table(
             {
-                "host": pa.array(g["host"].to_numpy(), pa.string()),
-                "doc_id": pa.array(
-                    g["doc_id"].to_numpy(np.int64), pa.int64()
-                ),
+                "host": g.column("host"),
+                "doc_id": g.column("doc_id").cast(pa.int64()),
                 "finish_q": pa.array(
                     finish_q.astype(np.int64), pa.int64()
                 ),
@@ -87,7 +90,7 @@ def q_wfq_order(sf_dir: str):
     return (
         pages.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .sort(["finish_q", "host", "doc_id"])
         .limit(_WFQ_LIMIT)
     )

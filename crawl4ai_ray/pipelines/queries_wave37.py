@@ -9,7 +9,6 @@ pagerank and personalized_pagerank oracle texts.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -160,12 +159,18 @@ def q_markov_next_eval(sf_dir: str):
 
     tagged = ev.map_batches(tag, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
-        prev = g["event_type"].to_numpy()[:-1][same]
-        nxt = g["event_type"].to_numpy()[1:][same]
-        users = g["user_id"].to_numpy()[1:][same]
+    def pairs(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        uarr = g.column("user_id").to_numpy(zero_copy_only=False)
+        earr = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        same = uarr[1:] == uarr[:-1]
+        prev = earr[:-1][same]
+        nxt = earr[1:][same]
+        users = uarr[1:][same]
         return pa.table(
             {
                 "train": pa.array(
@@ -178,7 +183,7 @@ def q_markov_next_eval(sf_dir: str):
 
     pr = (
         tagged.groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
         .materialize()
     )
 
