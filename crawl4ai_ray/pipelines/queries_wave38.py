@@ -11,7 +11,6 @@ import hashlib
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -54,13 +53,14 @@ def q_shuffle_runs_test(sf_dir: str):
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("key", kind="mergesort")
-        lab = g["lab"].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        g = g.sort_by("key")
+        lab = g.column("lab").to_numpy(zero_copy_only=False)
         changes = int((lab[1:] != lab[:-1]).sum())
         return pa.table(
             {
-                "bucket": pa.array([int(g["bucket"].iloc[0])], pa.int64()),
+                "bucket": pa.array([int(g.column("bucket")[0].as_py())], pa.int64()),
                 "first": pa.array([int(lab[0])], pa.int64()),
                 "last": pa.array([int(lab[-1])], pa.int64()),
                 "changes": pa.array([changes], pa.int64()),
@@ -72,7 +72,7 @@ def q_shuffle_runs_test(sf_dir: str):
     rows = (
         docs.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .take_all()  # bounded: one row per bucket (bounded key domain)
     )
     rows.sort(key=lambda r: int(r["bucket"]))

@@ -11,7 +11,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -127,17 +126,26 @@ def q_aimd_rates(sf_dir: str):
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-in (r5): sorted (host, doc_id) runs; the per-host AIMD
+        # recurrence is inherently sequential and stays a scalar loop
+        hosts_a = np.asarray(g.column("host").to_pylist(), dtype=object)
+        ids_a = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        fails_a = g.column("fail").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids_a, hosts_a))
+        hosts_a, fails_a = hosts_a[o], fails_a[o]
+        starts = np.flatnonzero(np.r_[True, hosts_a[1:] != hosts_a[:-1]]) if len(hosts_a) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(hosts_a)] if len(hosts_a) else np.zeros(0, np.int64)
         out = {
             "host": [], "n_attempts": [], "n_fail": [],
             "final_rate": [], "max_rate": [], "min_rate": [],
         }
-        for host, gh in g.groupby("host", sort=True):
-            gh = gh.sort_values("doc_id", kind="mergesort")
+        for s, t in zip(starts, ends):
+            host = hosts_a[s]
             rate = _AIMD_START
             mx = mn = rate
             nf = 0
-            for f in gh["fail"].to_numpy():
+            for f in fails_a[s:t]:
                 if f:
                     rate = max(rate // 2, 1)
                     nf += 1
@@ -146,7 +154,7 @@ def q_aimd_rates(sf_dir: str):
                 mx = max(mx, rate)
                 mn = min(mn, rate)
             out["host"].append(host)
-            out["n_attempts"].append(len(gh))
+            out["n_attempts"].append(int(t - s))
             out["n_fail"].append(nf)
             out["final_rate"].append(rate)
             out["max_rate"].append(mx)
@@ -165,7 +173,7 @@ def q_aimd_rates(sf_dir: str):
     return (
         pages.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
