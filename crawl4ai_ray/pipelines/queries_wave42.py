@@ -233,11 +233,17 @@ def q_markov_entropy_rate(sf_dir: str):
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        same = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
-        prev = g["event_type"].to_numpy()[:-1][same]
-        nxt = g["event_type"].to_numpy()[1:][same]
+    def pairs(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        uarr = g.column("user_id").to_numpy(zero_copy_only=False)
+        earr = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        same = uarr[1:] == uarr[:-1]
+        prev = earr[:-1][same]
+        nxt = earr[1:][same]
         return pa.table(
             {
                 "prev": pa.array(list(prev), pa.string()),
@@ -248,7 +254,7 @@ def q_markov_entropy_rate(sf_dir: str):
     trans = (
         ev.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
         .groupby(["prev", "nxt"])
         .aggregate(ray.data.aggregate.Count(alias_name="c"))
         .take_all()  # bounded: (event_type × event_type) transition cells

@@ -43,28 +43,21 @@ def q_neyman_allocation(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = (
-            pd.DataFrame(
-                {
-                    "source": batch.column("source").to_pylist(),
-                    "x": batch.column("n_chars").to_numpy(
-                        zero_copy_only=False
-                    ).astype(np.int64),
-                }
-            )
-            .assign(x2=lambda d: d["x"] * d["x"])
-            .groupby("source", sort=True)
-            .agg(n=("x", "size"), s=("x", "sum"), s2=("x2", "sum"))
-            .reset_index()
+        # arrow-native (r5): np.unique + bincount moment partials
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=x).astype(np.int64)
+        s2 = np.bincount(inv, weights=x * x).astype(np.int64)
         return pa.table(
             {
-                "source": pa.array(df["source"], pa.string()),
-                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
-                "s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
-                "s2": pa.array(df["s2"].to_numpy(np.int64), pa.int64()),
+                "source": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
             }
         )
 
@@ -292,16 +285,22 @@ def q_error_budget_burn(sf_dir: str):
             }
         )
 
-    def per_bucket(g) -> pa.Table:
-        import pandas as pd
-
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted (host, doc_id) runs
+        hosts_a = np.asarray(g.column("host").to_pylist(), dtype=object)
+        ids_a = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        fails_a = g.column("fail").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids_a, hosts_a))
+        hosts_a, fails_a = hosts_a[o], fails_a[o]
+        starts = np.flatnonzero(np.r_[True, hosts_a[1:] != hosts_a[:-1]]) if len(hosts_a) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(hosts_a)] if len(hosts_a) else np.zeros(0, np.int64)
         out = {"host": [], "win": [], "n": [], "fails": []}
-        for host, gh in g.groupby("host", sort=True):
-            gh = gh.sort_values("doc_id", kind="mergesort")
-            m = len(gh)
+        for s, t in zip(starts, ends):
+            host = hosts_a[s]
+            m = int(t - s)
             seq = np.arange(m)
             win = np.minimum(seq * 4 // max(m, 1), 3)
-            f = gh["fail"].to_numpy()
+            f = fails_a[s:t]
             for w in range(4):
                 mask = win == w
                 if mask.any():
@@ -321,7 +320,7 @@ def q_error_budget_burn(sf_dir: str):
     wins = (
         pages.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
     def finish(batch: pa.Table) -> pa.Table:
