@@ -73,13 +73,21 @@ def q_lru_mrc(sf_dir: str, rate_num: int = 1, rate_den: int = 1):
 
         ev = ev.map_batches(sample, batch_format="pyarrow")
 
-    def occ_lists(df) -> pa.Table:
-        df = df.sort_values("event_id", kind="mergesort")
+    def occ_lists(df: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        df = df.sort_by("event_id")
         return pa.table(
             {
-                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "user_id": pa.array(
+                    [int(df.column("user_id")[0].as_py())], pa.int64()
+                ),
                 "occ": pa.array(
-                    [df["event_id"].to_numpy(np.int64).tolist()],
+                    [
+                        df.column("event_id")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        .tolist()
+                    ],
                     pa.list_(pa.int64()),
                 ),
             }
@@ -87,7 +95,7 @@ def q_lru_mrc(sf_dir: str, rate_num: int = 1, rate_den: int = 1):
 
     occ_rows = (
         ev.groupby("user_id")
-        .map_groups(occ_lists, batch_format="pandas")
+        .map_groups(occ_lists, batch_format="pyarrow")
         .take_all()  # scale-note: full-rate key index (the rate-1/1 exact-oracle variant; lru_mrc_sampled exercises the SHARDS-sampled scale path)
     )
     # sampled per-key occurrence index: SMALL by the SHARDS contract;
@@ -219,28 +227,23 @@ def q_bradley_terry(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = (
-            pd.DataFrame(
-                {
-                    "source": batch.column("source").to_pylist(),
-                    "n_chars": batch.column("n_chars")
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64),
-                }
-            )
-            .groupby(["source", "n_chars"], sort=True)
-            .size()
-            .reset_index(name="cnt")
+        # arrow-native (r5): lexsorted (source, n_chars) run counts
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
+        o = np.lexsort((nch, srcs))
+        srcs, nch = srcs[o], nch[o]
+        newrun = np.r_[
+            True, (srcs[1:] != srcs[:-1]) | (nch[1:] != nch[:-1])
+        ] if len(srcs) else np.zeros(0, bool)
+        run_id = np.cumsum(newrun) - 1
+        cnt = np.bincount(run_id).astype(np.int64) if len(srcs) else np.zeros(0, np.int64)
         return pa.table(
             {
-                "source": pa.array(df["source"], pa.string()),
-                "n_chars": pa.array(
-                    df["n_chars"].to_numpy(np.int64), pa.int64()
-                ),
-                "cnt": pa.array(df["cnt"].to_numpy(np.int64), pa.int64()),
+                "source": pa.array(srcs[newrun].tolist(), pa.string()),
+                "n_chars": pa.array(nch[newrun], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -430,7 +433,8 @@ def q_secretary_admission(sf_dir: str):
             }
         )
 
-    def per_bucket(g) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted (host, doc_id) runs
         out = {
             "host": [],
             "m": [],
@@ -441,10 +445,17 @@ def q_secretary_admission(sf_dir: str):
             "best_q": [],
             "success": [],
         }
-        for host, gh in g.groupby("host", sort=True):
-            gh = gh.sort_values("doc_id", kind="mergesort")
-            q = gh["q"].to_numpy(np.int64)
-            ids = gh["doc_id"].to_numpy(np.int64)
+        hosts_a = np.asarray(g.column("host").to_pylist(), dtype=object)
+        ids_a = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        q_a = g.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids_a, hosts_a))
+        hosts_a, ids_a, q_a = hosts_a[o], ids_a[o], q_a[o]
+        starts = np.flatnonzero(np.r_[True, hosts_a[1:] != hosts_a[:-1]]) if len(hosts_a) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(hosts_a)] if len(hosts_a) else np.zeros(0, np.int64)
+        for s, t in zip(starts, ends):
+            host = hosts_a[s]
+            q = q_a[s:t]
+            ids = ids_a[s:t]
             m = len(q)
             r = m * _SEC_E_NUM // _SEC_E_DEN
             if r > 0:
@@ -478,7 +489,7 @@ def q_secretary_admission(sf_dir: str):
     return (
         pages.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
