@@ -400,21 +400,30 @@ def q_rle_runs(sf_dir: str):
             }
         )
 
-    def per_bucket(g) -> pa.Table:
-        import pandas as pd
-
-        eq = 0
-        for _, gp in g.groupby("pos", sort=False):
-            if len(gp) == 2:
-                k = gp["key"].to_numpy()
-                if k[0] == k[1]:
-                    eq += 1
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted pos runs; a pos with exactly 2
+        # rows and equal keys counts once
+        pos = g.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.asarray(g.column("key").to_pylist(), dtype=object)
+        o = np.lexsort((key, pos))
+        pos, key = pos[o], key[o]
+        starts = np.flatnonzero(np.r_[True, pos[1:] != pos[:-1]]) if len(pos) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(pos)] if len(pos) else np.zeros(0, np.int64)
+        sizes = ends - starts
+        two = sizes == 2
+        eq = int(
+            sum(
+                1
+                for s in starts[two]
+                if key[s] == key[s + 1]
+            )
+        )
         return pa.table({"eq": pa.array([eq], pa.int64())})
 
     eq_pairs = int(
         docs.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .sum("eq")
     )
 

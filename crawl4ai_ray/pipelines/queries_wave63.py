@@ -59,34 +59,25 @@ def q_energy_distance(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = (
-            pd.DataFrame(
-                {
-                    "v": batch.column("n_chars")
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64),
-                    "is_en": np.array(
-                        [
-                            l == "en"
-                            for l in batch.column("lang").to_pylist()
-                        ],
-                        np.int64,
-                    ),
-                }
-            )
-            .groupby(["v", "is_en"], sort=True)
-            .size()
-            .reset_index(name="c")
+        # arrow-native (r5): lexsorted (v, is_en) run counts
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
+        is_en = np.array(
+            [l == "en" for l in batch.column("lang").to_pylist()], np.int64
+        )
+        o = np.lexsort((is_en, v))
+        v, is_en = v[o], is_en[o]
+        newrun = np.r_[
+            True, (v[1:] != v[:-1]) | (is_en[1:] != is_en[:-1])
+        ] if len(v) else np.zeros(0, bool)
+        run_id = np.cumsum(newrun) - 1
+        c = np.bincount(run_id).astype(np.int64) if len(v) else np.zeros(0, np.int64)
         return pa.table(
             {
-                "v": pa.array(df["v"].to_numpy(np.int64), pa.int64()),
-                "is_en": pa.array(
-                    df["is_en"].to_numpy(np.int64), pa.int64()
-                ),
-                "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(v[newrun], pa.int64()),
+                "is_en": pa.array(is_en[newrun], pa.int64()),
+                "c": pa.array(c, pa.int64()),
             }
         )
 
@@ -216,26 +207,33 @@ def q_peak_concurrency(sf_dir: str):
             }
         )
 
-    def per_bucket(g) -> pa.Table:
-        starts, ends = [], []
-        for _, gu in g.groupby("user_id", sort=True):
-            ts = np.sort(gu["us"].to_numpy(np.int64))
-            brk = np.nonzero(np.diff(ts) > _PC_GAP_US)[0]
-            s_idx = np.concatenate([[0], brk + 1])
-            e_idx = np.concatenate([brk, [len(ts) - 1]])
-            starts.extend(int(ts[i]) for i in s_idx)
-            ends.extend(int(ts[i]) for i in e_idx)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): ONE lexsort over (user, ts); session
+        # breaks = user change OR gap, fully vectorized
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = g.column("us").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((us, uid))
+        uid, us = uid[o], us[o]
+        if len(uid) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"start": z, "endx": z})
+        new_sess = np.r_[
+            True,
+            (uid[1:] != uid[:-1]) | (np.diff(us) > _PC_GAP_US),
+        ]
+        s_idx = np.flatnonzero(new_sess)
+        e_idx = np.r_[s_idx[1:] - 1, len(us) - 1]
         return pa.table(
             {
-                "start": pa.array(starts, pa.int64()),
-                "endx": pa.array(ends, pa.int64()),
+                "start": pa.array(us[s_idx], pa.int64()),
+                "endx": pa.array(us[e_idx], pa.int64()),
             }
         )
 
     sess = (
         ev.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .take_all()  # bounded: one row per bucket (bounded key domain)
     )
     deltas: dict = {}
