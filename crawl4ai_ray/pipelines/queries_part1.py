@@ -1169,23 +1169,31 @@ def q_anchor_text_agg(sf_dir: str):
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        dd = g.drop_duplicates(["dst", "txt"]).sort_values(["dst", "txt"])
-        grp = dd.groupby("dst", sort=True)["txt"]
-        anchors = grp.agg("|".join)
-        counts = grp.size()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted (dst, txt) dedup + run joins
+        dst = np.asarray(g.column("dst").to_pylist(), dtype=object)
+        txt = np.asarray(g.column("txt").to_pylist(), dtype=object)
+        o = np.lexsort((txt, dst))
+        dst, txt = dst[o], txt[o]
+        keep = np.r_[
+            True, (dst[1:] != dst[:-1]) | (txt[1:] != txt[:-1])
+        ] if len(dst) else np.zeros(0, bool)
+        dst, txt = dst[keep], txt[keep]
+        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]]) if len(dst) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(dst)] if len(dst) else np.zeros(0, np.int64)
+        anchors = ["|".join(txt[s:t]) for s, t in zip(starts, ends)]
         return pa.table(
             {
-                "dst": pa.array(anchors.index.to_numpy(), pa.string()),
-                "anchors": pa.array(anchors.to_numpy(), pa.string()),
+                "dst": pa.array(dst[starts].tolist(), pa.string()),
+                "anchors": pa.array(anchors, pa.string()),
                 "n_anchors": pa.array(
-                    counts.to_numpy().astype(np.int64), pa.int64()
+                    (ends - starts).astype(np.int64), pa.int64()
                 ),
             }
         )
 
     pairs = docs.map_batches(explode, batch_format="pyarrow")
-    return pairs.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return pairs.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def q_connected_components(sf_dir: str):

@@ -1219,10 +1219,9 @@ def q_event_transitions(sf_dir: str):
             }
         )
 
-    def pairs(g) -> pa.Table:
-        import pandas as pd
-
-        if g.empty:
+    def pairs(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): sorted lag + lexsorted pair run counts
+        if g.num_rows == 0:
             return pa.table(
                 {
                     "src_type": pa.array([], pa.string()),
@@ -1230,28 +1229,34 @@ def q_event_transitions(sf_dir: str):
                     "c": pa.array([], pa.int64()),
                 }
             )
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
-        src = g["event_type"].to_numpy()[:-1][same_user]
-        dst = g["event_type"].to_numpy()[1:][same_user]
-        part = (
-            pd.DataFrame({"src_type": src, "dst_type": dst})
-            .groupby(["src_type", "dst_type"], sort=True)
-            .size()
-            .reset_index(name="c")
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
         )
+        uarr = g.column("user_id").to_numpy(zero_copy_only=False)
+        earr = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        same_user = uarr[1:] == uarr[:-1]
+        src = earr[:-1][same_user]
+        dst = earr[1:][same_user]
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        newrun = np.r_[
+            True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        ] if len(src) else np.zeros(0, bool)
+        run_id = np.cumsum(newrun) - 1
+        c = np.bincount(run_id).astype(np.int64) if len(src) else np.zeros(0, np.int64)
         return pa.table(
             {
-                "src_type": pa.array(part["src_type"], pa.string()),
-                "dst_type": pa.array(part["dst_type"], pa.string()),
-                "c": pa.array(part["c"].to_numpy(np.int64), pa.int64()),
+                "src_type": pa.array(src[newrun].tolist(), pa.string()),
+                "dst_type": pa.array(dst[newrun].tolist(), pa.string()),
+                "c": pa.array(c, pa.int64()),
             }
         )
 
     return (
         events.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
         .groupby(["src_type", "dst_type"])
         .sum("c")
         .map_batches(
