@@ -17,7 +17,6 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -90,32 +89,42 @@ def q_host_boilerplate(sf_dir: str):
 
     rows = docs.map_batches(seg_rows, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
         # host-scoped DF over DISTINCT (host, seg, doc); boiler flag
-        # joined back onto occurrence rows; all pandas-vectorized — one
-        # call per bucket, not per host
-        dfq = (
-            g.drop_duplicates(["host_id", "seg_h", "doc_id"])
-            .groupby(["host_id", "seg_h"])
-            .size()
-            .rename("df")
-            .reset_index()
-        )
-        boiler = dfq[dfq["df"] >= _HB_MIN_DF][["host_id", "seg_h"]]
-        g = g.merge(boiler.assign(is_b=1), on=["host_id", "seg_h"], how="left")
-        agg = g.groupby(["doc_id", "host_id"], as_index=False).agg(
-            n_seg=("seg_h", "size"), n_boiler=("is_b", "count")
-        )
+        # broadcast back onto occurrence rows — arrow-native (r5):
+        # pair ids via lexsort runs, distinct-doc DF via bincount
+        h = g.column("host_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g.column("seg_h").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(h)
+        o2 = np.lexsort((s, h))
+        hh, ss = h[o2], s[o2]
+        newp = np.r_[True, (hh[1:] != hh[:-1]) | (ss[1:] != ss[:-1])]
+        pair_sorted = np.cumsum(newp) - 1
+        pair_id = np.empty(n, np.int64)
+        pair_id[o2] = pair_sorted
+        npairs = int(pair_sorted[-1]) + 1 if n else 0
+        o3 = np.lexsort((d, pair_id))
+        pp, dd2 = pair_id[o3], d[o3]
+        dedup = np.r_[True, (pp[1:] != pp[:-1]) | (dd2[1:] != dd2[:-1])]
+        df = np.bincount(pp[dedup], minlength=npairs)
+        is_b = (df[pair_id] >= _HB_MIN_DF).astype(np.int64)
+        o4 = np.lexsort((h, d))
+        dd4, hh4, bb4 = d[o4], h[o4], is_b[o4]
+        newdh = np.r_[True, (dd4[1:] != dd4[:-1]) | (hh4[1:] != hh4[:-1])]
+        run_id = np.cumsum(newdh) - 1
+        n_seg = np.bincount(run_id).astype(np.int64)
+        n_boiler = np.bincount(run_id, weights=bb4).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
-                "host_id": pa.array(agg["host_id"].to_numpy(np.int64)),
-                "n_seg": pa.array(agg["n_seg"].to_numpy(np.int64)),
-                "n_boiler": pa.array(agg["n_boiler"].to_numpy(np.int64)),
+                "doc_id": pa.array(dd4[newdh], pa.int64()),
+                "host_id": pa.array(hh4[newdh], pa.int64()),
+                "n_seg": pa.array(n_seg, pa.int64()),
+                "n_boiler": pa.array(n_boiler, pa.int64()),
             }
         )
 
-    per_doc = rows.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    per_doc = rows.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
     def frac(batch: pa.Table) -> pa.Table:
         ns = batch.column("n_seg").to_numpy(zero_copy_only=False).astype(np.float64)

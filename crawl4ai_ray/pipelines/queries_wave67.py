@@ -379,10 +379,19 @@ def q_lindley_waits(sf_dir: str):
             }
         )
 
-    def per_bucket(g) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): lexsorted (host, doc_id) runs; the Lindley
+        # waiting-time recurrence stays a scalar loop per host
+        hosts_a = np.asarray(g.column("host").to_pylist(), dtype=object)
+        ids_a = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids_a, hosts_a))
+        hosts_a, ids_a = hosts_a[o], ids_a[o]
+        starts = np.flatnonzero(np.r_[True, hosts_a[1:] != hosts_a[:-1]]) if len(hosts_a) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(hosts_a)] if len(hosts_a) else np.zeros(0, np.int64)
         out = {"host": [], "n_jobs": [], "w_final": [], "w_max": [], "w_total": []}
-        for host, gh in g.groupby("host", sort=True):
-            ids = np.sort(gh["doc_id"].to_numpy(np.int64))[:_LW_MAXK]
+        for st, en in zip(starts, ends):
+            host = hosts_a[st]
+            ids = ids_a[st:en][:_LW_MAXK]
             w = 0
             wmax = wtot = 0
             for j, d in enumerate(ids):
@@ -414,7 +423,7 @@ def q_lindley_waits(sf_dir: str):
     return (
         pages.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

@@ -179,28 +179,37 @@ def q_markov_stationary(sf_dir: str):
             }
         )
 
-    def per_bucket(g) -> pa.Table:
-        from collections import Counter
-
-        cnt: Counter = Counter()
-        for _, gu in g.groupby("user_id", sort=True):
-            gu = gu.sort_values("us", kind="mergesort")
-            ets = gu["et"].tolist()
-            for x, y in zip(ets[:-1], ets[1:]):
-                cnt[(x, y)] += 1
-        items = sorted(cnt.items())
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native (r5): ONE stable lexsort (user, us) + vectorized
+        # lag; tie order matches the pandas stable per-user sort
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = g.column("us").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g.column("et").to_pylist(), dtype=object)
+        o = np.lexsort((us, uid))
+        uid, et = uid[o], et[o]
+        same = uid[1:] == uid[:-1]
+        a = et[:-1][same]
+        b = et[1:][same]
+        if len(a) == 0:
+            z = pa.array([], pa.string())
+            return pa.table({"a": z, "b": z, "c": pa.array([], pa.int64())})
+        o2 = np.lexsort((b, a))
+        a, b = a[o2], b[o2]
+        newrun = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        run_id = np.cumsum(newrun) - 1
+        c = np.bincount(run_id).astype(np.int64)
         return pa.table(
             {
-                "a": pa.array([k[0] for k, _ in items], pa.string()),
-                "b": pa.array([k[1] for k, _ in items], pa.string()),
-                "c": pa.array([v for _, v in items], pa.int64()),
+                "a": pa.array(a[newrun].tolist(), pa.string()),
+                "b": pa.array(b[newrun].tolist(), pa.string()),
+                "c": pa.array(c, pa.int64()),
             }
         )
 
     rows = (
         ev.map_batches(tag, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
         .take_all()  # bounded: (event_type × event_type) transition cells

@@ -724,12 +724,13 @@ def q_fuzzy_url_pairs(sf_dir: str):
                 j += 1
         return True
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
+    def pairs(g: pa.Table) -> pa.Table:
+        # arrow-in (r5): the edit-distance probe loops are the kernel
         from collections import defaultdict
 
-        host = g["host"].iloc[0]
+        host = g.column("host")[0].as_py()
         bylen = defaultdict(list)
-        for u in sorted(g["url"].tolist()):
+        for u in sorted(g.column("url").to_pylist()):
             bylen[len(u)].append(u)
         u1s, u2s = [], []
         for length, us in bylen.items():
@@ -753,7 +754,7 @@ def q_fuzzy_url_pairs(sf_dir: str):
             }
         )
 
-    return ds.groupby("host").map_groups(pairs, batch_format="pandas")
+    return ds.groupby("host").map_groups(pairs, batch_format="pyarrow")
 
 
 SQL_FUZZY_URL_PAIRS = """
@@ -1170,11 +1171,15 @@ def q_events_moving_avg(sf_dir: str):
             }
         )
 
-    def window(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        u = g["user_id"].to_numpy(dtype=np.int64)
-        cents = g["cents"].to_numpy(dtype=np.int64)
-        n = len(g)
+    def window(g: pa.Table) -> pa.Table:
+        # arrow-native (r5)
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g.num_rows
         idx = np.arange(n, dtype=np.int64)
         new_user = np.r_[True, u[1:] != u[:-1]]
         starts = idx[new_user]
@@ -1188,7 +1193,7 @@ def q_events_moving_avg(sf_dir: str):
         ma = win_sum.astype(np.float64) / (k * 100).astype(np.float64)
         return pa.table(
             {
-                "event_id": pa.array(g["event_id"].to_numpy(np.int64), pa.int64()),
+                "event_id": g.column("event_id").cast(pa.int64()),
                 "user_id": pa.array(u, pa.int64()),
                 "sum_cents": pa.array(win_sum, pa.int64()),
                 "n_win": pa.array(k, pa.int64()),
@@ -1199,7 +1204,7 @@ def q_events_moving_avg(sf_dir: str):
     return (
         ev.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(window, batch_format="pandas")
+        .map_groups(window, batch_format="pyarrow")
     )
 
 
